@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 registers here: a
+  * DataFrame-building query in [[queries]] and (when SQL-expressible) a
+  * DuckDB oracle in [[oracleSql]]. Column names and row order match between
+  * the two (SURVEY.md §7.4 determinism rules).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H-Q1-style aggregate — the minimum end-to-end Catalyst slice. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AggQueries.qAggGroup(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries ++
+      AggQueries.queries ++
+      FuncQueries.queries ++
+      NorthStarQueries.queries ++
+      WindowedQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (approx sketches, float folds, map literals) — the driver records a
+    * weaker rows-only check for those; they are scalatest-verified instead. */
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracleSql ++
+      AggQueries.oracleSql ++
+      FuncQueries.oracleSql ++
+      NorthStarQueries.oracleSql ++
+      WindowedQueries.oracleSql
 }

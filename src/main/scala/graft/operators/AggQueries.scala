@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Aggregations, grouping analytics, window functions (SURVEY.md §2.2).
+  *
+  * Determinism (SURVEY.md §7.4): SUM/AVG of doubles always go through a
+  * DecimalType cast — float addition is order-dependent across partitions
+  * and engines, decimal is exact. Averages are written as
+  * `sum(decimal) / count` and cast to a fixed scale in BOTH engines.
+  *
+  * Scale notes: every groupBy here is Spark's two-phase hash aggregate
+  * (partial map-side combine → shuffle on the group key → final), which is
+  * the right plan at 100 TB; nothing below forces a global single-partition
+  * stage except the final presentation `orderBy` (bounded output).
+  */
+object AggQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+  private val dec6 = DecimalType(18, 6)
+
+  /** Flagship TPC-H-Q1-style rollup per (returnflag, linestatus) — scan →
+    * decimal cast → hash agg → sort, the minimum end-to-end Catalyst slice
+    * (SURVEY.md §7.2 step 1). Consumer query of the reference's
+    * traffic/ hourly layout (dags/warsaw-delays.py:194). */
+  val qAggGroup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec2)).cast(dec2).as("sum_price"),
+        (sum(col("l_discount").cast(dec4)) / count(lit(1))).cast(dec6).as("avg_disc"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** COUNT(DISTINCT) per group — Catalyst's expand + two-phase distinct
+    * aggregate. Reference basis: dedupe-by-hash intent
+    * (dags/warsaw-gtfs.py:60-71). */
+  val qAggDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  /** HLL++ approximate distinct — the 100 TB path for distinct counts
+    * (constant memory per partition vs. expand shuffle). No oracle: sketch
+    * estimates are engine-specific (SURVEY.md §2.2). */
+  val qAggApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** ROLLUP over the region→nation hierarchy — the YYYY/MM/DD date
+    * hierarchy analog (dags/warsaw-gtfs.py:90). */
+  val qAggRollup: Q = (s, d) =>
+    Tables.nation(s, d)
+      .rollup(col("n_regionkey"), col("n_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey").asc_nulls_first, col("n_nationkey").asc_nulls_first)
+
+  /** CUBE over (event_type, user parity). */
+  val qAggCube: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), pmod(col("user_id"), lit(2L)).as("parity"),
+        col("value"))
+      .cube(col("event_type"), col("parity"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec2)).cast(dec2).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("parity").asc_nulls_first)
+
+  /** Explicit GROUPING SETS with grouping() markers (SQL surface). */
+  val qAggGroupingSets: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("gs_lineitem")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS INT) AS g1,
+        CAST(grouping(l_linestatus) AS INT) AS g2,
+        COUNT(*) AS n
+      FROM gs_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  /** Pivot: hour-of-day × event_type count matrix, with the pivot value
+    * list seeded (no extra distinct pass — mandatory at scale). Null cells
+    * → 0 to match COUNT FILTER oracle semantics. */
+  val qPivot: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .select(hour(col("ts")).as("hr"), col("event_type"))
+      .groupBy(col("hr"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .orderBy("hr")
+  }
+
+  // ---- window functions -------------------------------------------------
+
+  /** rank / dense_rank / row_number per customer by price (unique
+    * tiebreak → all three deterministic). Reference basis: pagination row
+    * indexing (dags/warsaw-delays.py:106,130). */
+  val qWindowRank: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Running (cumulative) sum per user over event time — the cumulative
+    * all_rows accumulation (dags/warsaw-delays.py:157,167). */
+  val qWindowRunning: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast(dec2)).over(w).cast(dec2).as("running"))
+      .orderBy("event_id")
+  }
+
+  /** 3-row centered moving average per user (frame-spec surface); written
+    * as windowed sum/count so the decimal division is explicit in both
+    * engines. */
+  val qWindowMoving: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-1, 1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (sum(col("value").cast(dec2)).over(w) / count(lit(1)).over(w))
+          .cast(dec6).as("mavg"))
+      .orderBy("event_id")
+  }
+
+  /** lag/lead: per-user delta vs previous value, next event type. The
+    * delta is a single IEEE-754 subtraction — bit-deterministic in both
+    * engines (no reordering), so doubles are safe here. */
+  val qWindowLag: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
+  /** Top-3 orders per customer via row_number ≤ 3 — the page-size cap
+    * pattern (dags/warsaw-delays.py:168). */
+  val qTopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_group" -> qAggGroup,
+    "q_agg_distinct" -> qAggDistinct,
+    "q_agg_approx_distinct" -> qAggApproxDistinct,
+    "q_agg_rollup" -> qAggRollup,
+    "q_agg_cube" -> qAggCube,
+    "q_agg_grouping_sets" -> qAggGroupingSets,
+    "q_pivot" -> qPivot,
+    "q_window_rank" -> qWindowRank,
+    "q_window_running" -> qWindowRunning,
+    "q_window_moving" -> qWindowMoving,
+    "q_window_lag" -> qWindowLag,
+    "q_topk_per_group" -> qTopkPerGroup)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,6)) AS avg_disc
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_agg_rollup" ->
+      """SELECT n_regionkey, n_nationkey, COUNT(*) AS n
+         FROM nation GROUP BY ROLLUP (n_regionkey, n_nationkey)
+         ORDER BY n_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""",
+    "q_agg_cube" ->
+      """SELECT event_type, parity, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         FROM (SELECT event_type, user_id % 2 AS parity, value FROM events)
+         GROUP BY CUBE (event_type, parity)
+         ORDER BY event_type ASC NULLS FIRST, parity ASC NULLS FIRST""",
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g1,
+           CAST(GROUPING(l_linestatus) AS INT) AS g2,
+           COUNT(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_pivot" ->
+      """SELECT CAST(hour(ts) AS INT) AS hr,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROW_NUMBER() OVER w AS rn
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,2)) AS running
+         FROM events ORDER BY event_id""",
+    "q_window_moving" ->
+      """SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                / COUNT(*) OVER w AS DECIMAL(18,6)) AS mavg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+         ORDER BY event_id""",
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+           LAG(value, 1) OVER w AS prev_value,
+           value - LAG(value, 1) OVER w AS delta,
+           LEAD(event_type, 1) OVER w AS next_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM
+         (SELECT o_custkey, o_orderkey, o_totalprice,
+            ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""")
+}

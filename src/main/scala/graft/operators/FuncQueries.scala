@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Scalar-function queries: string / regex / date / math / hash / json /
+  * map / array (SURVEY.md §2.2). All built-in `functions._` — codegen'd,
+  * no UDFs in these paths.
+  *
+  * Cross-engine notes baked into the oracles:
+  *  - Spark `regexp_replace` replaces ALL matches; DuckDB's replaces the
+  *    first → oracle uses `replace()` (literal, replaces all) instead.
+  *  - Spark `floor`/`ceil` on double return BIGINT; DuckDB returns double →
+  *    oracle casts.
+  *  - Spark `length`/`hour`/`year`… return INT; DuckDB BIGINT → oracle casts.
+  *  - double→int casts are avoided entirely (Spark truncates, DuckDB
+  *    rounds).
+  */
+object FuncQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** trim/upper/lower/substring/concat_ws/length/replace over part names.
+    * Reference basis: .strip() cell cleaning (dags/warsaw-delays.py:147-154),
+    * path concat (dags/warsaw-gtfs.py:90). */
+  val qStringFuncs: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_type")).as("lo"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"))
+      .orderBy("p_partkey")
+
+  /** Integer-token extraction from text — the pagination-parse semantic
+    * ([int(s) for s in text.split() if s.isdigit()],
+    * dags/warsaw-delays.py:91). */
+  val qRegexpExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        size(regexp_extract_all(col("props"), lit("\\d+"), lit(0))).as("n_ints"),
+        element_at(regexp_extract_all(col("props"), lit("\\d+"), lit(0)), 1)
+          .cast(IntegerType).as("first_int"))
+      .orderBy("event_id")
+
+  /** Date-part derivation + formatting — the YYYY/MM/DD[/HH] partition-path
+    * scheme (dags/warsaw-gtfs.py:90; dags/warsaw-delays.py:194;
+    * dags/warsaw-weather.py:21). These exact columns are what
+    * `partitionBy(year, month, day, hour)` would persist at scale. */
+  val qDateFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("hr"),
+        date_format(col("ts"), "yyyy/MM/dd").as("path"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day_str"))
+      .orderBy("event_id")
+
+  /** abs/floor/ceil/pmod — numeric compare semantics
+    * (dags/warsaw-delays.py:92,168). */
+  val qMathFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        abs(col("value") - lit(100.0)).as("dist"),
+        floor(col("value")).as("flr"),
+        ceil(col("value")).as("cl"),
+        round(col("value"), 1).as("r1"),
+        pmod(col("event_id") * 3 - 1000, lit(7L)).as("pm"))
+      .orderBy("event_id")
+
+  /** Row-level SHA-256 — the chunked-file-hash primitive
+    * (dags/warsaw-gtfs.py:41-47) applied per document. */
+  val qHashSha2: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+      .orderBy("doc_id")
+
+  /** JSON path extraction + typed filter over events.props — structured
+    * payload landing (dags/warsaw-weather.py:34). */
+  val qJsonFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+
+  /** from_json → MapType → explode to rows. No oracle: map literal
+    * representation differs across engines (SURVEY.md §2.2);
+    * scalatest-verified instead. */
+  val qMapOps: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+      .select(col("event_id"), explode(col("m")).as(Seq("key", "val")))
+      .orderBy("event_id", "key")
+
+  /** Array basics over the embedding column: size + element access. */
+  val qArrayBasic: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first"))
+      .orderBy("vec_id")
+
+  /** Higher-order array functions: aggregate (L1 norm fold), filter,
+    * transform, exists. No oracle (float fold order, SURVEY.md §7.4);
+    * property-tested in scalatest. */
+  val qArrayHof: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + abs(x.cast(DoubleType))).as("l1"),
+        size(filter(col("embedding"), x => x > lit(0.1f))).as("n_big"),
+        exists(col("embedding"), x => x < lit(0.0f)).as("any_neg"),
+        element_at(transform(col("embedding"),
+          x => least(greatest(x, lit(-0.1f)), lit(0.1f))), 1).as("first_clipped"))
+      .orderBy("vec_id")
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q_string_funcs" -> qStringFuncs,
+    "q_regexp_extract" -> qRegexpExtract,
+    "q_date_funcs" -> qDateFuncs,
+    "q_math_funcs" -> qMathFuncs,
+    "q_hash_sha2" -> qHashSha2,
+    "q_json_funcs" -> qJsonFuncs,
+    "q_map_ops" -> qMapOps,
+    "q_array_basic" -> qArrayBasic,
+    "q_array_hof" -> qArrayHof)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+           trim('  ' || p_name || '  ') AS trimmed,
+           upper(p_name) AS up,
+           lower(p_type) AS lo,
+           substring(p_name, 1, 5) AS sub5,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS INT) AS name_len,
+           replace(p_name, ' ', '_') AS snake
+         FROM part ORDER BY p_partkey""",
+    "q_regexp_extract" ->
+      """SELECT event_id,
+           CAST(len(regexp_extract_all(props, '\d+')) AS INT) AS n_ints,
+           CAST(regexp_extract_all(props, '\d+')[1] AS INT) AS first_int
+         FROM events ORDER BY event_id""",
+    "q_date_funcs" ->
+      """SELECT event_id,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS dom,
+           CAST(hour(ts) AS INT) AS hr,
+           strftime(ts, '%Y/%m/%d') AS path,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_str
+         FROM events ORDER BY event_id""",
+    "q_math_funcs" ->
+      """SELECT event_id,
+           abs(value - 100.0) AS dist,
+           CAST(floor(value) AS BIGINT) AS flr,
+           CAST(ceil(value) AS BIGINT) AS cl,
+           round(value, 1) AS r1,
+           ((event_id * 3 - 1000) % 7 + 7) % 7 AS pm
+         FROM events ORDER BY event_id""",
+    "q_hash_sha2" ->
+      """SELECT doc_id, sha256(text) AS digest
+         FROM documents ORDER BY doc_id""",
+    "q_json_funcs" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+         ORDER BY event_id""",
+    "q_array_basic" ->
+      """SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1] AS first
+         FROM embeddings ORDER BY vec_id""")
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time windowed aggregations in batch mode (SURVEY.md §2.2). The
+  * exact same expressions run under Structured Streaming in
+  * graft.streaming.EventStream — `window`/`session_window` are
+  * mode-agnostic.
+  *
+  * Timestamps are emitted as formatted strings, never raw TIMESTAMP
+  * columns: parquet timestamp physical types differ between engines
+  * (Spark µs vs DuckDB ns-derived), strings are representation-proof.
+  */
+object WindowedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val fmtMin = "yyyy-MM-dd HH:mm"
+  private val fmtUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** 1-hour tumbling windows per event_type — the reference's hourly
+    * snapshot cadence (dags/warsaw-delays.py:21, dags/warsaw-weather.py:12). */
+  val qWindowTumbling: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), fmtMin).as("wstart"),
+        col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+
+  /** 1-hour windows sliding every 30 minutes. Spark aligns windows to the
+    * epoch; the oracle reproduces that with a 30-min time_bucket and its
+    * 30-min-earlier twin (each event belongs to exactly 2 windows). */
+  val qWindowSliding: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), fmtMin).as("wstart"),
+        col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+
+  /** Per-user session windows with a 30-minute inactivity gap: count and
+    * span per session. Reference basis: the scrape session with
+    * inactivity-bounded paging (dags/warsaw-delays.py:114-179).
+    * Spark merges an event into the session iff it starts strictly before
+    * session_end = prev_ts + gap; the gaps-and-islands oracle uses the
+    * matching `ts - prev_ts >= 30 min → new session` flag. */
+  val qWindowSession: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), fmtUs).as("sstart"),
+        col("n"), col("span_us"))
+      .orderBy("user_id", "sstart")
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q_window_tumbling" -> qWindowTumbling,
+    "q_window_sliding" -> qWindowSliding,
+    "q_window_session" -> qWindowSession)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS wstart,
+           event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_sliding" ->
+      """SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS wstart, event_type,
+           COUNT(*) AS n
+         FROM (SELECT unnest([b30, b30 - INTERVAL 30 MINUTE]) AS wstart,
+                 event_type
+               FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b30,
+                       event_type FROM events))
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_session" ->
+      """SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS sstart,
+           COUNT(*) AS n,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+         FROM (SELECT user_id, ts,
+                 SUM(new_session) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM (SELECT user_id, ts, event_id,
+                       CASE WHEN ts - LAG(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                           >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_session
+                     FROM events))
+         GROUP BY user_id, sid ORDER BY user_id, sstart""")
+}
