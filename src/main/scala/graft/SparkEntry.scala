@@ -24,7 +24,9 @@ object SparkEntry {
       AggQueries.queries ++
       FuncQueries.queries ++
       NorthStarQueries.queries ++
-      WindowedQueries.queries
+      WindowedQueries.queries ++
+      DedupQueries.queries ++
+      TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -35,5 +37,7 @@ object SparkEntry {
       AggQueries.oracleSql ++
       FuncQueries.oracleSql ++
       NorthStarQueries.oracleSql ++
-      WindowedQueries.oracleSql
+      WindowedQueries.oracleSql ++
+      DedupQueries.oracleSql ++
+      TextQueries.oracleSql
 }

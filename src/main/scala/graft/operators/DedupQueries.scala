@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Near-duplicate detection operators for training-data pipelines
+  * (north-star surface beyond SURVEY.md §2.2's exact dedup): MinHash+LSH
+  * banding, SimHash, token-set similarity join with prefix filtering, and
+  * embedding-cosine near-dup.
+  *
+  * Hash family: all signatures derive from md5 (identical hex output in
+  * Spark and DuckDB), so signature queries are *exactly* oracle-checkable —
+  * no "approximately equal" escape hatch.
+  *
+  * Scale design (100 TB):
+  *  - MinHash: per-doc work is O(tokens × k); the only shuffle is the
+  *    groupBy(doc, i) min — map-side combinable. Band keys are 32-byte
+  *    digests → candidate generation is a narrow-key self-join.
+  *  - Prefix filtering bounds the candidate self-join to each doc's
+  *    (n − ⌈t·n⌉ + 1) globally-rarest tokens, the standard SSJoin bound —
+  *    never the full |docs|² cross product.
+  *  - SimHash: one 64-bit signature per doc; hamming-ball grouping is a
+  *    shuffle on 4 16-bit sub-keys (pigeonhole), not implemented here as a
+  *    declared query (probabilistic recall has no exact oracle).
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct lowercase unigram tokens per doc. The fixture corpus is a
+    * word soup over a ~31-token vocabulary (re-ordered near-duplicates),
+    * so unigram sets are the semantically right shingle unit; for prose,
+    * swap in word n-grams via the same pipeline. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(split(lower(col("text")), " ")).as("toks"))
+      .withColumn("n", size(col("toks")))
+
+  /** MinHash signature + LSH band keys: k=12 md5-derived min-hashes,
+    * 4 bands × 3 rows. Deterministic → exact DuckDB oracle. Docs sharing a
+    * band_key are LSH candidates (threshold ≈ (1/4)^(1/3) ≈ 0.63). */
+  val qDedupMinhashSig: Q = (s, d) =>
+    docTokens(s, d)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("i", explode(sequence(lit(0), lit(11))))
+      .withColumn("h", md5(concat(col("i").cast(StringType), lit(":"), col("tok"))))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("h")).as("sig"))
+      .withColumn("band", expr("CAST(i div 3 AS INT)"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(
+        sort_array(collect_list(concat(lpad(col("i").cast(StringType), 2, "0"),
+          lit("="), col("sig")))), "|")).as("band_key"))
+      .orderBy("doc_id", "band")
+
+  /** SimHash: 60-bit signature from md5-derived per-token 60-bit hashes
+    * weighted by token frequency. One BIGINT per doc; deterministic →
+    * exact oracle. */
+  val qDedupSimhash: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
+      .withColumn("j", explode(sequence(lit(0), lit(59))))
+      .withColumn("contrib",
+        col("cnt") * (expr("shiftright(h, j) & 1") * 2 - 1))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sc") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Set-similarity self-join: token-set Jaccard ≥ 0.9 pairs via prefix
+    * filtering (PPJoin-style). Candidates join only on each doc's
+    * (n − ⌈0.9·n⌉ + 1) globally-rarest tokens — the provable-complete
+    * prefix — then exact verification with integer arithmetic (no float
+    * thresholds). Matches a brute-force Jaccard oracle exactly. */
+  val qDedupNgram: Q = (s, d) => {
+    val toks = docTokens(s, d).filter(col("n") > 0)
+    // global token frequencies define the prefix order (rarest first)
+    val freq = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val ranked = toks
+      .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+      .join(broadcast(freq), "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("cnt", "tok")))
+      // prefix length = n − ⌈0.9n⌉ + 1, in exact integer arithmetic
+      .filter(col("rn") <= col("n") - expr("(9 * n + 9) div 10") + 1)
+      .select(col("tok"), col("doc_id"))
+    val cand = ranked.as("a").join(ranked.as("b"), Seq("tok"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      col("n").as("na"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      col("n").as("nb"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 9)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.45). No oracle —
+    * float fold order (SURVEY.md §7.4); scalatest-verified against a
+    * plain-Scala reference. Brute self-join here is the exactness
+    * baseline; the 100 TB path is LSH bucketing (graft.operators
+    * .Similarity). */
+  val qDedupEmbed: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("emb_a"), col("emb_b"),
+          (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_minhash_sig" -> qDedupMinhashSig,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_ngram" -> qDedupNgram,
+    "q_dedup_embed" -> qDedupEmbed)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash_sig" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || tok) AS hv
+           FROM tok, (SELECT unnest(generate_series(0, 11)) AS i)),
+         s AS (SELECT doc_id, i, MIN(hv) AS sig FROM h GROUP BY doc_id, i)
+         SELECT doc_id, CAST(i // 3 AS INT) AS band,
+           md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || sig,
+               '|' ORDER BY i)) AS band_key
+         FROM s GROUP BY doc_id, i // 3 ORDER BY doc_id, band""",
+    "q_dedup_simhash" ->
+      """WITH cnt AS (
+           SELECT doc_id, tok, COUNT(*) AS cnt FROM
+             (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+           GROUP BY doc_id, tok),
+         bits AS (
+           SELECT doc_id, j,
+             SUM(cnt * (((CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) >> j) & 1) * 2 - 1)) AS sc
+           FROM cnt, (SELECT unnest(generate_series(0, 59)) AS j)
+           GROUP BY doc_id, j)
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) AS na, len(b.toks) AS nb
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(inter AS INT) AS inter,
+           CAST(na + nb - inter AS INT) AS uni
+         FROM p WHERE inter * 10 >= (na + nb - inter) * 9
+         ORDER BY doc_a, doc_b""")
+}
