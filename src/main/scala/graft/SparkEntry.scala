@@ -26,7 +26,9 @@ object SparkEntry {
       NorthStarQueries.queries ++
       WindowedQueries.queries ++
       DedupQueries.queries ++
-      TextQueries.queries
+      TextQueries.queries ++
+      Similarity.queries ++
+      graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -39,5 +41,7 @@ object SparkEntry {
       NorthStarQueries.oracleSql ++
       WindowedQueries.oracleSql ++
       DedupQueries.oracleSql ++
-      TextQueries.oracleSql
+      TextQueries.oracleSql ++
+      Similarity.oracleSql ++
+      graft.multimodal.MediaOps.oracleSql
 }

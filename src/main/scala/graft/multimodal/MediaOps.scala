@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column handling: media as opaque `binary` columns with typed
+  * metadata, plus executor-side batch decode/feature/frame operators
+  * (north-star "multimodal columns").
+  *
+  * The decode step is a clearly-marked DETERMINISTIC STUB (this container
+  * has no image/audio codecs); everything around it — schema, typed
+  * Dataset plumbing, mapPartitions batching, partition-preserving
+  * execution — is the real 100 TB shape: per-partition iterator
+  * processing, no driver collection, fixed-width feature output suitable
+  * for downstream ANN (graft.operators.Similarity).
+  */
+object MediaOps {
+
+  case class MediaMeta(kind: String, width: Int, height: Int, sampleRate: Int)
+  case class MediaRow(doc_id: Long, media: Array[Byte], kind: String)
+  case class FeatureRow(doc_id: Long, features: Array[Float])
+  case class FrameRow(doc_id: Long, n_frames: Int, first_frame: Array[Byte])
+
+  /** Media table derived deterministically from the documents fixture:
+    * the UTF-8 text bytes stand in for an encoded media payload; `kind`
+    * cycles image/audio/video. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("media"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("kind"),
+        struct(
+          (pmod(col("doc_id"), lit(64L)) * 16 + 16).cast("int").as("width"),
+          (pmod(col("doc_id"), lit(48L)) * 16 + 16).cast("int").as("height"),
+          lit(16000).as("sampleRate")).as("meta"))
+
+  /** STUB DECODER — stands in for an image/audio codec. Deterministic:
+    * 16-bin byte histogram, L1-normalized. The real implementation would
+    * decode `media` with a codec library here; the surrounding dataflow
+    * (iterator-in/iterator-out, no per-row JVM↔native churn) is what
+    * matters for scale. */
+  def stubDecodeFeatures(media: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < media.length) {
+      hist((media(i) & 0xFF) / 16) += 1f
+      i += 1
+    }
+    val n = math.max(media.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Batch feature extraction over partitions — the mapInPandas/mapPartitions
+    * shape: one iterator pass per partition, constant memory. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      FeatureRow(r.doc_id, stubDecodeFeatures(r.media))))
+  }
+
+  /** Frame sampling: slice the payload into fixed-width frames, keep count
+    * + first frame (stride in bytes stands in for a time stride). */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val n = (r.media.length + frameBytes - 1) / frameBytes
+      val first = r.media.slice(0, math.min(frameBytes, r.media.length))
+      FrameRow(r.doc_id, n, first)
+    })
+  }
+
+  // ---- declared queries -------------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Binary payload + typed metadata projection — oracle-checkable
+    * (byte lengths, first byte, kind tag). */
+  val qMultimodalMeta: Q = (s, d) =>
+    mediaTable(s, d)
+      .select(col("doc_id"),
+        octet_length(col("media")).as("n_bytes"),
+        ascii(col("media").cast("string")).as("first_byte"),
+        col("kind"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .orderBy("doc_id")
+
+  /** Frame sampling through the typed mapPartitions path; frame count and
+    * base64 of the first 8-byte frame are exact → oracle-checkable even
+    * though the operator itself is imperative. */
+  val qMultimodalFrames: Q = (s, d) => {
+    import s.implicits._
+    val ds = mediaTable(s, d).as[MediaRow]
+    sampleFrames(ds, frameBytes = 8).toDF()
+      .select(col("doc_id"), col("n_frames"),
+        base64(col("first_frame")).as("first_frame_b64"))
+      .orderBy("doc_id")
+  }
+
+  /** Stub-decoded feature vectors (no oracle — float payload from the
+    * stub codec; scalatest-verified against the Scala reference impl). */
+  val qMultimodalFeatures: Q = (s, d) => {
+    import s.implicits._
+    val ds = mediaTable(s, d).as[MediaRow]
+    extractFeatures(ds).toDF()
+      .select(col("doc_id"), col("features"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_features" -> qMultimodalFeatures)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST((doc_id % 64) * 16 + 16 AS INT) AS width,
+           CAST((doc_id % 48) * 16 + 16 AS INT) AS height
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+           CAST((octet_length(encode(text)) + 7) // 8 AS INT) AS n_frames,
+           to_base64(encode(substring(text, 1, 8))) AS first_frame_b64
+         FROM documents ORDER BY doc_id""")
+}

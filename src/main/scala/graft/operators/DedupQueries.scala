@@ -34,27 +34,71 @@ object DedupQueries {
     * word soup over a ~31-token vocabulary (re-ordered near-duplicates),
     * so unigram sets are the semantically right shingle unit; for prose,
     * swap in word n-grams via the same pipeline. */
-  private def docTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
+  def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         array_distinct(split(lower(col("text")), " ")).as("toks"))
       .withColumn("n", size(col("toks")))
+
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    docTokens(Tables.documents(s, d))
+
+  /** Token-set similarity join over any (doc_id, text) DataFrame: all
+    * pairs with Jaccard ≥ tNum/tDen, via prefix filtering + exact
+    * integer-arithmetic verification. Library entry point behind
+    * [[qDedupNgram]]; property-tested against brute force. */
+  def ngramPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen)
+    val toks = docTokens(docs).filter(col("n") > 0)
+    val freq = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val ranked = toks
+      .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+      .join(broadcast(freq), "tok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("cnt", "tok")))
+      // prefix length = n − ⌈t·n⌉ + 1, in exact integer arithmetic
+      .filter(col("rn") <=
+        col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + 1)
+      .select(col("tok"), col("doc_id"))
+    val cand = ranked.as("a").join(ranked.as("b"), Seq("tok"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      col("n").as("na"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      col("n").as("nb"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash band keys over any (doc_id, text) DataFrame: k md5-derived
+    * min-hashes in `bands` bands of `rows` rows. Docs sharing a band_key
+    * are LSH candidate duplicates. */
+  def minhashBands(docs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val k = bands * rows
+    docTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("h", md5(concat(col("i").cast(StringType), lit(":"), col("tok"))))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("h")).as("sig"))
+      .withColumn("band", expr(s"CAST(i div $rows AS INT)"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(
+        sort_array(collect_list(concat(lpad(col("i").cast(StringType), 2, "0"),
+          lit("="), col("sig")))), "|")).as("band_key"))
+  }
 
   /** MinHash signature + LSH band keys: k=12 md5-derived min-hashes,
     * 4 bands × 3 rows. Deterministic → exact DuckDB oracle. Docs sharing a
     * band_key are LSH candidates (threshold ≈ (1/4)^(1/3) ≈ 0.63). */
   val qDedupMinhashSig: Q = (s, d) =>
-    docTokens(s, d)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("i", explode(sequence(lit(0), lit(11))))
-      .withColumn("h", md5(concat(col("i").cast(StringType), lit(":"), col("tok"))))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("h")).as("sig"))
-      .withColumn("band", expr("CAST(i div 3 AS INT)"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(
-        sort_array(collect_list(concat(lpad(col("i").cast(StringType), 2, "0"),
-          lit("="), col("sig")))), "|")).as("band_key"))
+    minhashBands(Tables.documents(s, d), bands = 4, rows = 3)
       .orderBy("doc_id", "band")
 
   /** SimHash: 60-bit signature from md5-derived per-token 60-bit hashes
@@ -81,34 +125,8 @@ object DedupQueries {
     * (n − ⌈0.9·n⌉ + 1) globally-rarest tokens — the provable-complete
     * prefix — then exact verification with integer arithmetic (no float
     * thresholds). Matches a brute-force Jaccard oracle exactly. */
-  val qDedupNgram: Q = (s, d) => {
-    val toks = docTokens(s, d).filter(col("n") > 0)
-    // global token frequencies define the prefix order (rarest first)
-    val freq = toks.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val ranked = toks
-      .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
-      .join(broadcast(freq), "tok")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy("cnt", "tok")))
-      // prefix length = n − ⌈0.9n⌉ + 1, in exact integer arithmetic
-      .filter(col("rn") <= col("n") - expr("(9 * n + 9) div 10") + 1)
-      .select(col("tok"), col("doc_id"))
-    val cand = ranked.as("a").join(ranked.as("b"), Seq("tok"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-      col("n").as("na"))
-    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-      col("n").as("nb"))
-    cand.join(ta, "doc_a").join(tb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .filter(col("inter") * 10 >= col("uni") * 9)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
-      .orderBy("doc_a", "doc_b")
-  }
+  val qDedupNgram: Q = (s, d) =>
+    ngramPairs(Tables.documents(s, d), tNum = 9, tDen = 10)
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.45). No oracle —
     * float fold order (SURVEY.md §7.4); scalatest-verified against a

@@ -44,9 +44,11 @@ object WindowedQueries {
   /** Per-user session windows with a 30-minute inactivity gap: count and
     * span per session. Reference basis: the scrape session with
     * inactivity-bounded paging (dags/warsaw-delays.py:114-179).
-    * Spark merges an event into the session iff it starts strictly before
-    * session_end = prev_ts + gap; the gaps-and-islands oracle uses the
-    * matching `ts - prev_ts >= 30 min → new session` flag. */
+    * Spark merges *touching* session windows: an event at exactly
+    * prev_ts + gap still extends the session (verified by
+    * EdgeSpec."session_window boundary"), so the gaps-and-islands oracle
+    * flags a new session only when `ts - prev_ts > 30 min` — strictly
+    * greater. */
   val qWindowSession: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -88,7 +90,7 @@ object WindowedQueries {
                FROM (SELECT user_id, ts, event_id,
                        CASE WHEN ts - LAG(ts) OVER
                            (PARTITION BY user_id ORDER BY ts, event_id)
-                           >= INTERVAL 30 MINUTE
+                           > INTERVAL 30 MINUTE
                          THEN 1 ELSE 0 END AS new_session
                      FROM events))
          GROUP BY user_id, sid ORDER BY user_id, sstart""")

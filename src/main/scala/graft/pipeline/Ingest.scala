@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ParseDelay
+
+/** Batch ingestion jobs replacing the reference's three DAGs (SURVEY.md
+  * §3.1–3.4). Network fetch (P1/P2) and Selenium scraping (P3) stay
+  * outside the engine by design — these jobs start from landed files.
+  */
+object Ingest {
+
+  /** P7: archive expansion, executor-side. binaryFile read → per-file
+    * ZipInputStream flatMap — streams entries, never materializes the
+    * archive on the driver; parallel over archives when given a glob. */
+  def expandZip(spark: SparkSession, zipPath: String): Dataset[(String, Array[Byte])] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(zipPath)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+        Iterator.continually(zin.getNextEntry)
+          .takeWhile(_ != null)
+          .filterNot(_.isDirectory)
+          .map { e =>
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = zin.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = zin.read(buf) }
+            (e.getName, out.toByteArray)
+          }.toList
+      }
+  }
+
+}
+
+/** DAG 1 — daily GTFS feed (dags/warsaw-gtfs.py). */
+object GtfsIngest {
+
+  /** Full run: hash → short-circuit if unchanged (P5) → expand (P7) →
+    * per-table typed parse + date-partitioned parquet (P8/P9) → state
+    * write LAST (ordering fix). Returns false when skipped. */
+  def run(spark: SparkSession, zipPath: String, warehouseDir: String,
+      statePath: String, date: LocalDate): Boolean = {
+    val hash = FeedState.sha256OfFile(zipPath)
+    if (!FeedState.changed(spark, statePath, "gtfs", hash)) return false
+
+    val members = Ingest.expandZip(spark, zipPath).collect().toMap
+    // P8 fan-out over the table list: one read→write job per member; each
+    // job is internally parallel, so sequential submission is fine
+    LandingSchemas.gtfs.foreach { case (table, schema) =>
+      members.get(s"$table.txt").foreach { bytes =>
+        import spark.implicits._
+        val csvDs = spark.createDataset(
+          new String(bytes, "UTF-8").linesIterator.toSeq)
+        val df = spark.read.schema(schema).option("header", "true").csv(csvDs)
+        df.write.mode(SaveMode.Overwrite).parquet(
+          f"$warehouseDir/gtfs/$table/y=${date.getYear}%04d/m=${date.getMonthValue}%02d/d=${date.getDayOfMonth}%02d")
+      }
+    }
+    FeedState.writeHash(spark, statePath, "gtfs", hash) // AFTER data commits
+    true
+  }
+}
+
+/** DAG 2 — hourly delays snapshot (dags/warsaw-delays.py). The engine
+  * owns everything from the landed CSV onward; the XCom DataFrame hop
+  * disappears into lazy lineage (SURVEY.md §3.2). */
+object DelaysIngest {
+
+  /** Landed CSV → typed parse (delay_raw → delay_seconds, the parse the
+    * reference never does) → hour-partitioned parquet (P12/P13). */
+  def run(spark: SparkSession, csvPath: String, warehouseDir: String,
+      date: LocalDate, hour: Int): Unit = {
+    val df = spark.read.schema(LandingSchemas.delays)
+      .option("header", "true").csv(csvPath)
+      .withColumn("delay_seconds", ParseDelay.parseDelay(col("delay_raw")))
+      .withColumn("outside_flag", col("outside") === "true")
+    df.withColumn("y", lit(date.getYear))
+      .withColumn("m", lit(date.getMonthValue))
+      .withColumn("d", lit(date.getDayOfMonth))
+      .withColumn("h", lit(hour))
+      .write.mode(SaveMode.ErrorIfExists) // P11: non-overwriting landing
+      .partitionBy("y", "m", "d", "h")
+      .parquet(s"$warehouseDir/traffic")
+  }
+}
+
+/** DAG 3 — hourly weather snapshot (dags/warsaw-weather.py). */
+object WeatherIngest {
+
+  /** P10: idempotent write guard — SaveMode.Ignore is the exact semantic
+    * match for "skip if blob exists" (dags/warsaw-weather.py:26-28).
+    * Returns false when the target already existed. */
+  def run(spark: SparkSession, payload: Array[Byte], outDir: String,
+      date: LocalDate, hour: Int): Boolean = {
+    val target =
+      f"$outDir/weather/y=${date.getYear}%04d/m=${date.getMonthValue}%02d/d=${date.getDayOfMonth}%02d/h=$hour%02d"
+    val existed = new java.io.File(target).exists()
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(f"$hour%02d", payload)), 1),
+      LandingSchemas.weather)
+    df.write.mode(SaveMode.Ignore).parquet(target)
+    !existed
+  }
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.types._
+
+/** Landing-zone schemas for the reference's three feeds (FIXTURES.md §
+  * "Landing schemas"). All declared, never inferred (SURVEY.md §1.3).
+  */
+object LandingSchemas {
+
+  /** Scraped delays table: 8 string columns as produced by the scraper
+    * (dags/warsaw-delays.py:182) + the ingestion timestamp (:186). Typed
+    * parsing of `delay_raw` happens in [[DelaysIngest]] — the reference
+    * never parses it. */
+  val delays = StructType(Seq(
+    StructField("type", StringType),
+    StructField("vehicle_no", StringType),
+    StructField("brigade", StringType),
+    StructField("route", StringType),
+    StructField("trip_headsign", StringType),
+    StructField("delay_raw", StringType),
+    StructField("stop_name", StringType),
+    StructField("outside", StringType),
+    StructField("ingest_ts", TimestampType)))
+
+  /** GTFS member tables (public GTFS spec; the reference re-uploads the
+    * files verbatim, dags/warsaw-gtfs.py:88-96 — we parse them). */
+  val gtfs: Map[String, StructType] = Map(
+    "agency" -> StructType(Seq(
+      StructField("agency_id", StringType),
+      StructField("agency_name", StringType),
+      StructField("agency_url", StringType),
+      StructField("agency_timezone", StringType))),
+    "calendar_dates" -> StructType(Seq(
+      StructField("service_id", StringType),
+      StructField("date", StringType),
+      StructField("exception_type", IntegerType))),
+    "feed_info" -> StructType(Seq(
+      StructField("feed_publisher_name", StringType),
+      StructField("feed_publisher_url", StringType),
+      StructField("feed_lang", StringType))),
+    "routes" -> StructType(Seq(
+      StructField("route_id", StringType),
+      StructField("agency_id", StringType),
+      StructField("route_short_name", StringType),
+      StructField("route_long_name", StringType),
+      StructField("route_type", IntegerType))),
+    "shapes" -> StructType(Seq(
+      StructField("shape_id", StringType),
+      StructField("shape_pt_lat", DoubleType),
+      StructField("shape_pt_lon", DoubleType),
+      StructField("shape_pt_sequence", IntegerType))),
+    "stop_times" -> StructType(Seq(
+      StructField("trip_id", StringType),
+      StructField("arrival_time", StringType),
+      StructField("departure_time", StringType),
+      StructField("stop_id", StringType),
+      StructField("stop_sequence", IntegerType))),
+    "stops" -> StructType(Seq(
+      StructField("stop_id", StringType),
+      StructField("stop_name", StringType),
+      StructField("stop_lat", DoubleType),
+      StructField("stop_lon", DoubleType))),
+    "trips" -> StructType(Seq(
+      StructField("route_id", StringType),
+      StructField("service_id", StringType),
+      StructField("trip_id", StringType),
+      StructField("trip_headsign", StringType))))
+
+  /** One-row feed-state table (the `latest-feed-hash` blob,
+    * dags/warsaw-gtfs.py:65,79-80). */
+  val feedState = StructType(Seq(
+    StructField("feed", StringType),
+    StructField("sha256_hex", StringType)))
+
+  /** Raw weather payload landing (dags/warsaw-weather.py:30-34). */
+  val weather = StructType(Seq(
+    StructField("fetched_hour", StringType),
+    StructField("body", BinaryType)))
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.ParseDelay
+import graft.operators.DedupQueries
+
+/** Edge-case and property tests (SURVEY.md §5.2 items 2–3). ScalaCheck is
+  * driven directly (no scalatestplus bridge in the offline cache). */
+class EdgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ParseDelay unit cases") {
+    assert(ParseDelay.parse("5 min").contains(300))
+    assert(ParseDelay.parse("2 h").contains(7200))
+    assert(ParseDelay.parse("30 s").contains(30))
+    assert(ParseDelay.parse("-5 min").contains(-300))
+    assert(ParseDelay.parse(" 7 min ").contains(420))
+    assert(ParseDelay.parse("garbage").isEmpty)
+    assert(ParseDelay.parse("5 days").isEmpty)
+    assert(ParseDelay.parse("").isEmpty)
+  }
+
+  test("ParseDelay round-trips any generated duration string") {
+    val units = Map("s" -> 1, "min" -> 60, "h" -> 3600)
+    check(Prop.forAll(Gen.chooseNum(-10000, 10000),
+      Gen.oneOf(units.keys.toSeq)) { (n: Int, unit: String) =>
+      ParseDelay.parse(s"$n $unit").contains(n * units(unit))
+    }, n = 100)
+  }
+
+  test("session_window boundary: gap == 30 min merges, gap > 30 min splits") {
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def plus(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    // Spark merges TOUCHING session windows: an event at exactly
+    // prev + gap extends the session; only a strictly larger gap splits.
+    // (This pins the `>` vs `>=` choice in the q_window_session oracle.)
+    val df = Seq(
+      (1L, t0), (1L, plus(1800)), (1L, plus(1800 + 1801)),
+      (2L, t0), (2L, plus(1801))).toDF("user_id", "ts")
+    val sessions = df.groupBy(session_window(col("ts"), "30 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // u1: [0, 30:00] merged (touching), then 60:01 splits → 2 + 1
+    // u2: gap 30:01 > 30:00 → two sessions of 1
+    assert(sessions == Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("sliding window equals union of two offset tumbling bucketings") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val sliding = ev.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .count()
+      .select(col("window.start").as("wstart"), col("count"))
+    val b30 = ev.select(window(col("ts"), "30 minutes")("start").as("b"))
+    val manual = b30.select(explode(array(col("b"),
+        col("b") - expr("INTERVAL 30 MINUTES"))).as("wstart"))
+      .groupBy("wstart").count()
+    val l = sliding.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq.sorted
+    val r = manual.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq.sorted
+    assert(l == r)
+  }
+
+  test("exact dedup is idempotent and keeps the lowest doc_id") {
+    val docs = Seq(
+      (3L, "b b"), (1L, "a"), (2L, "a"), (5L, "b b"), (9L, "c")).toDF("doc_id", "text")
+    def dedup(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("text").orderBy("doc_id")
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    val once = dedup(docs)
+    val twice = dedup(once)
+    assert(once.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 9L))
+    assert(twice.collect().toSet == once.collect().toSet)
+  }
+
+  test("prefix-filtered ngramPairs equals brute force on random corpora") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpusGen = Gen.listOfN(8,
+      Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.mkString(" ")))
+    check(Prop.forAll(corpusGen) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = DedupQueries.ngramPairs(docs, 7, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.toLowerCase.split(" ").toSet
+      }
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size; uni = (sa | sb).size
+        if inter * 10 >= uni * 7
+      } yield (ia, ib)).toSet
+      got == want
+    }, n = 8)
+  }
+
+  test("minhash bands: identical token sets share all band keys") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "z y x x"), (3L, "p q r")).toDF("doc_id", "text")
+    val bands = DedupQueries.minhashBands(docs, bands = 4, rows = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    (0 until 4).foreach { b =>
+      assert(bands((1L, b)) == bands((2L, b))) // same token set
+      assert(bands((1L, b)) != bands((3L, b))) // disjoint token set
+    }
+  }
+}

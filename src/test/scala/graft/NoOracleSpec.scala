@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DedupQueries, FuncQueries, NorthStarQueries, Similarity}
+import graft.multimodal.MediaOps
+
+/** Exact verification of the queries that have no DuckDB oracle
+  * (SURVEY.md §5.2 item 2): each is checked against a plain-Scala
+  * reference implementation on the same fixture rows. */
+class NoOracleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private lazy val embeddings: Seq[(Long, Array[Float])] =
+    Tables.embeddings(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("q_map_ops explodes every props map to (k, v)") {
+    val got = FuncQueries.qMapOps(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(got.length == nEvents) // every props has exactly one key "k"
+    assert(got.forall(_.getString(1) == "k"))
+    // spot-check against the raw JSON
+    val props = Tables.events(spark, sf)
+      .selectExpr("event_id", "CAST(get_json_object(props, '$.k') AS INT) AS k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall(r => props(r.getLong(0)) == r.getInt(2)))
+  }
+
+  test("q_array_hof matches a plain-Scala fold exactly") {
+    val got = FuncQueries.qArrayHof(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getBoolean(3)))
+    val want = embeddings.map { case (id, e) =>
+      val l1 = e.foldLeft(0.0)((acc, x) => acc + math.abs(x.toDouble))
+      (id, l1, e.count(_ > 0.1f), e.exists(_ < 0.0f))
+    }.sortBy(_._1)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gi, gl1, gn, gneg), (wi, wl1, wn, wneg)) =>
+      assert(gi == wi)
+      assert(math.abs(gl1 - wl1) < 1e-9, s"l1 mismatch at $gi")
+      assert(gn == wn && gneg == wneg)
+    }
+  }
+
+  test("q_similarity_topk equals plain-Scala brute force") {
+    val q = embeddings.find(_._1 == 0L).get._2
+    val want = embeddings.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cosine(e, q)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10)
+    val got = NorthStarQueries.qSimilarityTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, gc), (_, wc)) =>
+      assert(math.abs(gc - wc) < 1e-9)
+    }
+  }
+
+  test("q_similarity_lsh returns a correctly-ranked subset with useful recall") {
+    val q = embeddings.find(_._1 == 0L).get._2
+    val brute = embeddings.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cosine(e, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = Similarity.qSimilarityLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    // ranked descending
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    // every LSH result's cosine matches the exact computation
+    val exact = embeddings.map { case (id, e) => id -> cosine(e, q) }.toMap
+    got.foreach { case (id, c) => assert(math.abs(c - exact(id)) < 1e-9) }
+    val recall = got.map(_._1).count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall") // deterministic given fixed hyperplanes
+  }
+
+  test("q_dedup_embed pairs equal plain-Scala brute force") {
+    val want = (for {
+      (ia, ea) <- embeddings; (ib, eb) <- embeddings if ia < ib
+      c = cosine(ea, eb) if c >= 0.45
+    } yield (ia, ib)).sorted
+    val got = DedupQueries.qDedupEmbed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want)
+  }
+
+  test("q_multimodal_features equals the stub decoder applied directly") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = MediaOps.qMultimodalFeatures(spark, sf).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val want = MediaOps.stubDecodeFeatures(texts(r.getLong(0)).getBytes("UTF-8"))
+      assert(r.getSeq[Float](1).toArray.sameElements(want))
+    }
+  }
+
+  test("q_agg_approx_distinct is within the configured 1% rsd ballpark") {
+    val approx = graft.operators.AggQueries.qAggApproxDistinct(spark, sf)
+      .collect()(0).getLong(0)
+    val exact = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}

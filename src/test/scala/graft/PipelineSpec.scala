@@ -1,0 +1,97 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.time.LocalDate
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+
+/** Pipeline-layer behavior (SURVEY.md §2.1 P4–P13): zip expansion, hash
+  * short-circuit, state-after-data ordering, SaveMode semantics. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  private def writeZip(path: String, members: Map[String, String]): Unit = {
+    val zout = new ZipOutputStream(new FileOutputStream(path))
+    members.foreach { case (name, content) =>
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    zout.close()
+  }
+
+  private val stopsCsv =
+    "stop_id,stop_name,stop_lat,stop_lon\nS1,Central,52.23,21.01\nS2,North,52.28,21.00\n"
+  private val tripsCsv =
+    "route_id,service_id,trip_id,trip_headsign\nR1,SV1,T1,Downtown\n"
+
+  test("GtfsIngest: expand → typed tables → short-circuit on unchanged feed") {
+    val dir = tmpDir()
+    val zip = s"$dir/warsaw.zip"
+    val wh = s"$dir/warehouse"
+    val state = s"$dir/state.parquet"
+    writeZip(zip, Map("stops.txt" -> stopsCsv, "trips.txt" -> tripsCsv))
+    val date = LocalDate.of(2024, 12, 23)
+
+    assert(GtfsIngest.run(spark, zip, wh, state, date)) // first run ingests
+    val stops = spark.read.parquet(s"$wh/gtfs/stops/y=2024/m=12/d=23")
+    assert(stops.count() == 2)
+    assert(stops.schema("stop_lat").dataType.typeName == "double")
+    // state written and matches the file hash (P6)
+    assert(FeedState.readHash(spark, state, "gtfs")
+      .contains(FeedState.sha256OfFile(zip)))
+    // unchanged feed → short-circuit (P5)
+    assert(!GtfsIngest.run(spark, zip, wh, state, date))
+    // changed feed → runs again
+    writeZip(zip, Map("stops.txt" -> (stopsCsv + "S3,South,52.1,21.2\n")))
+    assert(GtfsIngest.run(spark, zip, wh, state, date))
+    assert(spark.read.parquet(s"$wh/gtfs/stops/y=2024/m=12/d=23").count() == 3)
+  }
+
+  test("Ingest.expandZip streams entries executor-side") {
+    val dir = tmpDir()
+    writeZip(s"$dir/a.zip", Map("x.txt" -> "hello", "sub/y.txt" -> "world"))
+    val got = Ingest.expandZip(spark, s"$dir/a.zip").collect()
+      .map { case (n, b) => n -> new String(b, "UTF-8") }.toMap
+    assert(got == Map("x.txt" -> "hello", "sub/y.txt" -> "world"))
+  }
+
+  test("DelaysIngest: typed parse + hour partitions + non-overwrite landing") {
+    val dir = tmpDir()
+    val csv = s"$dir/delays-14.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "type,vehicle_no,brigade,route,trip_headsign,delay_raw,stop_name,outside,ingest_ts\n" +
+        "bus,1001,B1,175,Airport,5 min,Centrum,false,2024-12-23 14:00:00\n" +
+        "tram,2002,B2,17,Loop,120 s,Rondo,true,2024-12-23 14:00:00\n")
+    val wh = s"$dir/warehouse"
+    DelaysIngest.run(spark, csv, wh, LocalDate.of(2024, 12, 23), 14)
+    val landed = spark.read.parquet(s"$wh/traffic")
+    assert(landed.count() == 2)
+    val bySec = landed.select("delay_seconds", "outside_flag").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1))).toSet
+    assert(bySec == Set((300, false), (120, true)))
+    assert(landed.select("h").distinct().collect().map(_.getInt(0)).toSeq == Seq(14))
+    // P11: landing never silently overwrites
+    intercept[Exception] {
+      DelaysIngest.run(spark, csv, wh, LocalDate.of(2024, 12, 23), 14)
+    }
+  }
+
+  test("WeatherIngest: SaveMode.Ignore gives blob-exists idempotence") {
+    val dir = tmpDir()
+    val date = LocalDate.of(2024, 12, 23)
+    assert(WeatherIngest.run(spark, "payload-1".getBytes, dir, date, 7))
+    // second run is a no-op and reports skip (P10)
+    assert(!WeatherIngest.run(spark, "payload-2".getBytes, dir, date, 7))
+    val body = spark.read.schema(LandingSchemas.weather)
+      .parquet(s"$dir/weather/y=2024/m=12/d=23/h=07")
+      .collect()(0).getAs[Array[Byte]]("body")
+    assert(new String(body) == "payload-1") // first payload survives
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+case class TestEvent(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+/** Structured-streaming behavior (SURVEY.md §5.2 item 4): watermark
+  * late-row dropping, checkpointed exactly-once AvailableNow runs, and
+  * batch/stream equivalence of the window expressions. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermark drops rows later than 2 hours in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    val counts = EventStream.tumblingCounts(mem.toDF())
+    val q = counts.writeStream
+      .format("memory").queryName("wm_out").outputMode("append")
+      .start()
+    try {
+      // batch 1: one event at 10:00, one at 15:00 → watermark → 13:00
+      mem.addData(TestEvent(ts("2024-01-01 10:10:00"), "click", 1L, 1.0),
+        TestEvent(ts("2024-01-01 15:00:00"), "click", 1L, 1.0))
+      q.processAllAvailable()
+      // batch 2: late row at 10:20 — before the 13:00 watermark → dropped
+      mem.addData(TestEvent(ts("2024-01-01 10:20:00"), "click", 9L, 1.0))
+      q.processAllAvailable()
+      // batch 3: advance watermark past 15:00 so every window closes
+      mem.addData(TestEvent(ts("2024-01-02 00:00:00"), "view", 2L, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("wm_out")
+        .select(date_format(col("wstart"), "HH:mm").as("w"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // the 10:00 window emitted exactly 1 (late row 10:20 dropped)
+      assert(out("10:00") == 1L)
+      assert(out("15:00") == 1L)
+    } finally q.stop()
+  }
+
+  test("AvailableNow + checkpoint processes the fixture exactly once") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val src = s"$dir/src"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    // stage the fixture parquet as a stream source dir
+    val fixture = new java.io.File(s"${TestSpark.sf}/events.parquet")
+    if (fixture.isDirectory)
+      fixture.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f =>
+        Files.copy(f.toPath, java.nio.file.Paths.get(s"$src/${f.getName}")))
+    else Files.copy(fixture.toPath, java.nio.file.Paths.get(s"$src/events.parquet"))
+
+    val q1 = EventStream.runTumblingAvailableNow(spark, src, out, cp)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // re-run with the same checkpoint: no new input → no new output rows
+    val q2 = EventStream.runTumblingAvailableNow(spark, src, out, cp)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
+  test("streaming tumbling counts equal the batch expression on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      TestEvent(ts("2024-01-01 10:10:00"), "click", 1L, 1.0),
+      TestEvent(ts("2024-01-01 10:40:00"), "click", 2L, 1.0),
+      TestEvent(ts("2024-01-01 11:10:00"), "view", 1L, 1.0),
+      TestEvent(ts("2024-01-02 00:00:00"), "view", 2L, 1.0)) // closes all
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.tumblingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("eq_out").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(TestEvent(ts("2024-01-03 00:00:00"), "view", 2L, 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("eq_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = events.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      // streamed output (closed windows) ⊆ batch; open windows may be absent
+      assert(streamed.subsetOf(batch))
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
