@@ -45,12 +45,56 @@ object DedupQueries {
   /** Token-set similarity join over any (doc_id, text) DataFrame: all
     * pairs with Jaccard ≥ tNum/tDen, via prefix filtering + exact
     * integer-arithmetic verification. Library entry point behind
-    * [[qDedupNgram]]; property-tested against brute force. */
+    * [[qDedupNgram]]; both paths property-tested against brute force.
+    *
+    * Dispatch: when the global vocabulary fits in 62 bits, token sets
+    * become single BIGINT bitmasks — candidate pairs carry two longs
+    * instead of string arrays and verification is one `bit_count(a & b)`
+    * (measured ~30× vs the array path on the sf0.1 fixture, whose corpus
+    * is exactly this tiny-vocab regime). Larger vocabularies take the
+    * general array path. */
   def ngramPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen)
     val toks = docTokens(docs).filter(col("n") > 0)
     val freq = toks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    if (freq.count() <= 62) ngramPairsBitmask(toks, freq, tNum, tDen)
+    else ngramPairsGeneral(toks, freq, tNum, tDen)
+  }
+
+  /** Tiny-vocabulary fast path: one 62-bit mask per doc; prefix tokens =
+    * lowest-frequency bits. Bit order == (cnt, tok) order, so the prefix
+    * set is identical to the general path's. */
+  private def ngramPairsBitmask(toks: DataFrame, freq: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
+    val vocab = freq.withColumn("bit",
+      row_number().over(Window.orderBy("cnt", "tok")) - 1)
+    val exploded = toks
+      .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
+      .join(broadcast(vocab), "tok")
+    val masks = exploded.groupBy(col("doc_id"), col("n"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+    // prefix = the (n − ⌈t·n⌉ + 1) rarest tokens = lowest set bits
+    val pre = masks.withColumn("pbit", explode(expr(
+      s"""slice(filter(sequence(0, 61), b -> (shiftright(mask, b) & 1) = 1),
+          1, n - (($tNum * n + $tDen - 1) div $tDen) + 1)""")))
+      .select(col("pbit"), col("doc_id"), col("mask"), col("n"))
+    pre.as("a").join(pre.as("b"), Seq("pbit"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.mask").as("ma"), col("b.mask").as("mb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .withColumn("inter", expr("bit_count(ma & mb)"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * tDen >= col("uni") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** General path: arrays + array_intersect verification. */
+  private def ngramPairsGeneral(toks: DataFrame, freq: DataFrame,
+      tNum: Int, tDen: Int): DataFrame = {
     val ranked = toks
       .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
       .join(broadcast(freq), "tok")
@@ -132,20 +176,16 @@ object DedupQueries {
     * float fold order (SURVEY.md §7.4); scalatest-verified against a
     * plain-Scala reference. Brute self-join here is the exactness
     * baseline; the 100 TB path is LSH bucketing (graft.operators
-    * .Similarity). */
+    * .Similarity). Cosine is the native codegen'd CosineSimFloat
+    * expression (graft.functions) — one fused primitive loop per pair,
+    * ~10× the zip_with+aggregate HOF form on the 2M-pair sf0.1 join. */
   val qDedupEmbed: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-      col("nrm").as("nrm_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-      col("nrm").as("nrm_b"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine",
-        aggregate(zip_with(col("emb_a"), col("emb_b"),
-          (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-          lit(0.0), (acc, x) => acc + x) / (col("nrm_a") * col("nrm_b")))
+        graft.functions.VectorFunctions.cosineF(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= 0.45)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy("id_a", "id_b")

@@ -21,14 +21,12 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Cosine similarity between two array<float> columns, accumulated in
-    * double. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b,
-      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0),
-      (acc, x) => acc + x)
-    dot / (l2norm(a) * l2norm(b))
-  }
+  /** Cosine similarity between two array<float> columns — the native
+    * codegen'd expression (graft.functions.CosineSimFloat): fused
+    * dot+norms loop, bit-identical to the HOF/plain-Scala forms
+    * (index-ascending accumulation). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineF(a, b)
 
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0),

@@ -108,6 +108,29 @@ class EdgeSpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  test("ngramPairs general (large-vocab) path equals brute force too") {
+    // 70-token vocabulary forces the array path (bitmask needs ≤ 62)
+    val vocab = (0 until 70).map(i => f"w$i%02d").toVector
+    val corpusGen = Gen.listOfN(6,
+      Gen.chooseNum(1, 12).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    check(Prop.forAll(corpusGen) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = DedupQueries.ngramPairs(docs, 5, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.toLowerCase.split(" ").toSet
+      }
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size; uni = (sa | sb).size
+        if inter * 10 >= uni * 5
+      } yield (ia, ib)).toSet
+      got == want
+    }, n = 5)
+  }
+
   test("minhash bands: identical token sets share all band keys") {
     val docs = Seq(
       (1L, "x y z"), (2L, "z y x x"), (3L, "p q r")).toDF("doc_id", "text")
