@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (SURVEY.md "Optimize for scale"):
+  * explicit key salting for when AQE's runtime skew-join splitting isn't
+  * available (e.g. a skewed aggregation, or a join under a required
+  * distribution).
+  *
+  * `saltedJoin(facts, dim, key, n)` replicates the (small) right side n×
+  * and scatters the left side's hot keys across n sub-partitions:
+  * left key → (key, salt = pmod(hash(entire row), n)); right → (key, 0..n−1).
+  * Equi-join on (key, salt) then behaves as if every key had ≤ |key|/n
+  * rows per partition. Correct for inner/left joins on equi keys (each
+  * left row matches exactly the one replicated right row with its salt).
+  *
+  * At 100 TB: AQE `skewJoin` handles sort-merge skew automatically; use
+  * this for the cases it can't see — first-stage aggregations
+  * ([[saltedCount]]) or joins forced to hash-partition.
+  */
+object Salting {
+
+  /** Inner/left equi-join with the right side replicated `n` ways. The
+    * right side must be the smaller one (it is multiplied n×). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, n: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(n > 0)
+    val salted = left.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(n.toLong))
+        .cast("int"))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(n - 1))))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Two-phase skew-proof aggregation: count per (key, salt) → sum per
+    * key. The first shuffle spreads any hot key across n reducers. */
+  def saltedCount(df: DataFrame, key: Column, n: Int): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(n.toLong)))
+    salted.groupBy(key.as("key"), col("_salt"))
+      .agg(count(lit(1)).as("partial_n"))
+      .groupBy(col("key"))
+      .agg(sum(col("partial_n")).as("n"))
+  }
+}

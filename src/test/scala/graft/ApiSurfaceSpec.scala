@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+import graft.operators.Salting
+
+/** Library API surface: typed Datasets, SQL-registered custom functions,
+  * salting utilities. */
+class ApiSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("TypedTables: typed groupByKey agg equals the untyped plan") {
+    import spark.implicits._
+    val typed = TypedTables.lineitem(spark, sf)
+      .groupByKey(l => (l.l_returnflag, l.l_linestatus))
+      .mapGroups((key: (String, String), rows: Iterator[TypedTables.Lineitem]) =>
+        (key._1, key._2, rows.length.toLong))
+      .collect().map { case (rf, ls, n) => ((rf, ls), n) }.toMap
+    val untyped = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(typed == untyped)
+  }
+
+  test("GraftFunctions: cosine_f / parse_delay / weighted_mean usable from SQL") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("api_emb")
+    val c = spark.sql(
+      """SELECT cosine_f(a.embedding, a.embedding) AS c FROM api_emb a
+         WHERE a.vec_id = 0""").collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12) // self-cosine
+
+    assert(spark.sql("SELECT parse_delay('5 min') AS s").collect()(0).getInt(0) == 300)
+
+    val wm = spark.sql(
+      "SELECT weighted_mean(CAST(2.0 AS DOUBLE), CAST(10.0 AS DOUBLE)) AS m")
+      .collect()(0).getDecimal(0)
+    assert(wm.compareTo(new java.math.BigDecimal("10")) == 0)
+  }
+
+  test("CosineSimFloat codegen equals interpreted eval") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(graft.functions.VectorFunctions.cosineF(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    def ref(a: Array[Float], b: Array[Float]) = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    assert(math.abs(got(0) - ref(Array(1f, 2f, 3f), Array(3f, 2f, 1f))) < 1e-12)
+    assert(math.abs(got(1) - 0.0) < 1e-12)
+    // null propagation
+    val withNull = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.cosineF(col("a"), col("b")))
+    assert(withNull.collect()(0).isNullAt(0))
+  }
+
+  test("saltedJoin equals plain join; saltedCount equals plain count") {
+    import spark.implicits._
+    val facts = Seq.tabulate(1000)(i => (i % 7L, i)).toDF("key", "v")
+    val dim = Seq((0L, "a"), (1L, "b"), (6L, "g")).toDF("key", "name")
+    val plain = facts.join(dim, Seq("key")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Salting.saltedJoin(facts, dim, "key", n = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+    val counts = Salting.saltedCount(facts, col("key"), n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(counts == facts.groupBy("key").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap)
+  }
+}
