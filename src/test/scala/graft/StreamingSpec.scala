@@ -67,6 +67,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("streaming sliding windows assign each event to exactly two windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.slidingCounts(mem.toDF()).writeStream
+      .format("memory").queryName("sl_out").outputMode("append").start()
+    try {
+      mem.addData(TestEvent(ts("2024-01-01 10:10:00"), "click", 1L, 1.0))
+      q.processAllAvailable()
+      mem.addData(TestEvent(ts("2024-01-02 00:00:00"), "view", 2L, 1.0))
+      q.processAllAvailable()
+      val ws = spark.table("sl_out")
+        .filter(col("event_type") === "click")
+        .collect().map(r => r.getTimestamp(0).toString).sorted.toSeq
+      // 10:10 falls in [09:30,10:30) and [10:00,11:00)
+      assert(ws == Seq("2024-01-01 09:30:00.0", "2024-01-01 10:00:00.0"))
+    } finally q.stop()
+  }
+
+  test("streaming session windows close after watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.sessionCounts(mem.toDF()).writeStream
+      .format("memory").queryName("se_out").outputMode("append").start()
+    try {
+      mem.addData(
+        TestEvent(ts("2024-01-01 10:00:00"), "click", 7L, 1.0),
+        TestEvent(ts("2024-01-01 10:10:00"), "click", 7L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("se_out").count() == 0) // session still open
+      mem.addData(TestEvent(ts("2024-01-02 00:00:00"), "view", 8L, 1.0))
+      q.processAllAvailable()
+      val sess = spark.table("se_out").filter(col("user_id") === 7L)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+      assert(sess.toSeq == Seq(("2024-01-01 10:00:00.0", 2L))) // merged session of 2
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal the batch expression on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
