@@ -229,6 +229,23 @@ object CoreQueries {
       .orderBy(col("o_orderpriority").desc, col("o_orderstatus").asc,
         col("o_orderkey").asc)
 
+  /** Explicit NULLS LAST ordering on a derived nullable key (Spark ASC
+    * defaults NULLS FIRST, DuckDB NULLS LAST — both made explicit,
+    * SURVEY.md §7.4 rule 3). */
+  val qSortNulls: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "P", col("o_totalprice")).as("p_price"))
+      .orderBy(col("p_price").asc_nulls_last, col("o_orderkey").asc)
+
+  /** LIMIT with OFFSET pagination (deterministic: total order first). */
+  val qLimitOffset: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+      .offset(5)
+      .limit(10)
+
   /** Global top-10 — planned as TakeOrderedAndProject (no full sort, no
     * single-node materialization of the input). */
   val qTopk: Q = (s, d) =>
@@ -260,6 +277,8 @@ object CoreQueries {
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
     "q_sort_multi" -> qSortMulti,
+    "q_sort_nulls" -> qSortNulls,
+    "q_limit_offset" -> qLimitOffset,
     "q_topk" -> qTopk)
 
   val oracleSql: Map[String, String] = Map(
@@ -362,6 +381,14 @@ object CoreQueries {
       """SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
          FROM orders
          ORDER BY o_orderpriority DESC, o_orderstatus ASC, o_orderkey ASC""",
+    "q_sort_nulls" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS p_price
+         FROM orders
+         ORDER BY p_price ASC NULLS LAST, o_orderkey ASC""",
+    "q_limit_offset" ->
+      """SELECT c_custkey, c_name FROM customer
+         ORDER BY c_custkey LIMIT 10 OFFSET 5""",
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC

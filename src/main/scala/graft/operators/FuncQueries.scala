@@ -75,6 +75,30 @@ object FuncQueries {
         pmod(col("event_id") * 3 - 1000, lit(7L)).as("pm"))
       .orderBy("event_id")
 
+  /** Date arithmetic over o_orderdate: datediff to a fixed anchor,
+    * add-interval, month arithmetic, month/quarter boundaries. */
+  val qDateArith: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("2024-01-01").cast(DateType))
+          .as("days_since"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
+        last_day(to_date(col("o_orderdate"))).as("eom"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .orderBy("o_orderkey")
+
+  /** lpad/rpad/split_part/repeat/reverse string surface. */
+  val qStringPad: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "-").as("rp"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        reverse(col("p_name")).as("rev"),
+        repeat(col("p_type"), 2).as("rep2"))
+      .orderBy("p_partkey")
+
   /** Row-level SHA-256 — the chunked-file-hash primitive
     * (dags/warsaw-gtfs.py:41-47) applied per document. */
   val qHashSha2: Q = (s, d) =>
@@ -129,6 +153,8 @@ object FuncQueries {
     "q_string_funcs" -> qStringFuncs,
     "q_regexp_extract" -> qRegexpExtract,
     "q_date_funcs" -> qDateFuncs,
+    "q_date_arith" -> qDateArith,
+    "q_string_pad" -> qStringPad,
     "q_math_funcs" -> qMathFuncs,
     "q_hash_sha2" -> qHashSha2,
     "q_json_funcs" -> qJsonFuncs,
@@ -169,6 +195,22 @@ object FuncQueries {
            round(value, 1) AS r1,
            ((event_id * 3 - 1000) % 7 + 7) % 7 AS pm
          FROM events ORDER BY event_id""",
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+           CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+         FROM orders ORDER BY o_orderkey""",
+    "q_string_pad" ->
+      """SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS lp,
+           rpad(p_brand, 12, '-') AS rp,
+           string_split(p_name, ' ')[1] AS first_word,
+           reverse(p_name) AS rev,
+           repeat(p_type, 2) AS rep2
+         FROM part ORDER BY p_partkey""",
     "q_hash_sha2" ->
       """SELECT doc_id, sha256(text) AS digest
          FROM documents ORDER BY doc_id""",

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-layout behaviors the 100 TB design depends on, asserted
+  * against actual plans/metrics: Hive-style partition pruning and
+  * bucketed co-located joins (SURVEY.md §1.3, §4.2). */
+class ScaleLayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("partitionBy layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, TestSpark.sf)
+      .withColumn("y", year(col("ts")))
+      .withColumn("m", month(col("ts")))
+      .withColumn("d", dayofmonth(col("ts")))
+      .write.partitionBy("y", "m", "d").parquet(s"$dir/events")
+
+    val allDays = spark.read.parquet(s"$dir/events")
+    val oneDay = allDays.filter(col("d") === 5)
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // execute so AQE finalizes
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val filesAll = scannedFiles(allDays)
+    val filesOne = scannedFiles(oneDay)
+    assert(filesOne < filesAll, s"pruning: $filesOne < $filesAll")
+    // value-correct too
+    assert(oneDay.count() ==
+      Tables.events(spark, TestSpark.sf).filter(dayofmonth(col("ts")) === 5).count())
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val s2 = spark.newSession() // runtime confs only; warehouse is static
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-BHJ
+    Tables.orders(s2, TestSpark.sf)
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.customer(s2, TestSpark.sf)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+
+    val joined = s2.table("b_orders").join(s2.table("b_customer"), "o_custkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan
+    val exec = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"bucketed join must be co-located, found ${shuffles.size} shuffle(s)")
+  }
+}
