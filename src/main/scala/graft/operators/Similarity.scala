@@ -97,6 +97,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer (MLlib, fixed
+    * seed → deterministic) assigns each corpus vector to a cell; a query
+    * probes only its `nprobe` nearest cells and re-ranks those candidates
+    * exactly. The other standard scale path next to LSH: at 100 TB the
+    * cell assignment is computed once at ingest and stored as a partition
+    * column, so a query reads `nprobe/nlist` of the corpus. */
+  def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vectors
+
+    val withVec = corpus.withColumn("_vec",
+      array_to_vector(col(embCol).cast(ArrayType(DoubleType))))
+    val model = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("_vec").setPredictionCol("_cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+    val qVec = Vectors.dense(query.map(_.toDouble))
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (Vectors.sqdist(c, qVec), i) }
+      .sortBy(_._1).take(nprobe).map(_._2)
+    val q = array(query.map(lit): _*)
+    assigned.filter(col("_cell").isin(probeCells: _*))
+      .withColumn("cosine", cosine(col(embCol), q))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ---- declared queries -------------------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -116,8 +146,21 @@ object Similarity {
       query, k = 10, nbits = 4)
   }
 
+  /** IVF ANN top-10 against vec_id=0: 8 cells, probe the 3 nearest
+    * (≈3/8 of the corpus re-ranked). No oracle (float + iterative
+    * clustering); scalatest measures recall vs brute force. */
+  val qSimilarityIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).toArray
+    ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      query, k = 10, nlist = 8, nprobe = 3)
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_similarity_lsh" -> qSimilarityLsh)
+    "q_similarity_lsh" -> qSimilarityLsh,
+    "q_similarity_ivf" -> qSimilarityIvf)
 
   val oracleSql: Map[String, String] = Map.empty
 }

@@ -86,6 +86,20 @@ class NoOracleSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall") // deterministic given fixed hyperplanes
   }
 
+  test("q_similarity_ivf: exact scores, ranked, useful recall") {
+    val q = embeddings.find(_._1 == 0L).get._2
+    val brute = embeddings.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cosine(e, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = Similarity.qSimilarityIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    val exact = embeddings.map { case (id, e) => id -> cosine(e, q) }.toMap
+    got.foreach { case (id, c) => assert(math.abs(c - exact(id)) < 1e-9) }
+    val recall = got.map(_._1).count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("q_dedup_embed pairs equal plain-Scala brute force") {
     val want = (for {
       (ia, ea) <- embeddings; (ib, eb) <- embeddings if ia < ib
