@@ -58,7 +58,9 @@ object GtfsIngest {
         val csvDs = spark.createDataset(
           new String(bytes, "UTF-8").linesIterator.toSeq)
         val df = spark.read.schema(schema).option("header", "true").csv(csvDs)
-        df.write.mode(SaveMode.Overwrite).parquet(
+        // zstd: ~2× smaller than snappy on text-heavy tables at similar
+        // scan speed — at 100 TB the storage/IO win dominates
+        df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(
           f"$warehouseDir/gtfs/$table/y=${date.getYear}%04d/m=${date.getMonthValue}%02d/d=${date.getDayOfMonth}%02d")
       }
     }
@@ -85,6 +87,7 @@ object DelaysIngest {
       .withColumn("d", lit(date.getDayOfMonth))
       .withColumn("h", lit(hour))
       .write.mode(SaveMode.ErrorIfExists) // P11: non-overwriting landing
+      .option("compression", "zstd")
       .partitionBy("y", "m", "d", "h")
       .parquet(s"$warehouseDir/traffic")
   }

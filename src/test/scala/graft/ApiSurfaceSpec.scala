@@ -62,6 +62,29 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(withNull.collect()(0).isNullAt(0))
   }
 
+  test("GraftExtensions injects cosine_f into a fresh session via config") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // ensure the shared context exists
+    // getOrCreate returns the active session as-is, so detach it first;
+    // the new session reuses the same SparkContext with extensions applied
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val c = s2.sql(
+        """SELECT cosine_f(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                           array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""")
+        .collect()(0).getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("saltedJoin equals plain join; saltedCount equals plain count") {
     import spark.implicits._
     val facts = Seq.tabulate(1000)(i => (i % 7L, i)).toDF("key", "v")
