@@ -28,6 +28,7 @@ object SparkEntry {
       DedupQueries.queries ++
       TextQueries.queries ++
       Similarity.queries ++
+      MiscQueries.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       DedupQueries.oracleSql ++
       TextQueries.oracleSql ++
       Similarity.oracleSql ++
+      MiscQueries.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

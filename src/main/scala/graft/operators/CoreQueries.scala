@@ -35,7 +35,9 @@ object CoreQueries {
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+      // sort by every output column so ties are identical rows
+      .orderBy("l_orderkey", "l_linenumber", "qty", "price")
 
   /** Compound predicate AND/OR/IN/BETWEEN/LIKE — all parquet-pushable.
     * Reference basis: empty-row filter (dags/warsaw-delays.py:156). */
@@ -90,7 +92,8 @@ object CoreQueries {
     val p = Tables.part(s, d)
     l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("p_brand"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // non-unique (l_orderkey, l_linenumber) → total order over all cols
+      .orderBy("l_orderkey", "l_linenumber", "p_name", "p_brand")
   }
 
   /** Left outer + count per customer, order-less customers included with 0.
@@ -287,7 +290,7 @@ object CoreQueries {
     "q_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
          l_extendedprice AS price
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, qty, price""",
     "q_filter_pred" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
          FROM orders
@@ -315,7 +318,7 @@ object CoreQueries {
     "q_join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, p_name, p_brand
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, p_name, p_brand""",
     "q_join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey

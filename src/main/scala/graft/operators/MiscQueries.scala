@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Additional relational surface: unpivot/melt, outer generators,
+  * arg-min/max, array algebra, by-name unions, percentiles. */
+object MiscQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Wide→long unpivot (melt) of three measure columns. */
+  val qUnpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      // non-unique (l_orderkey, l_linenumber) → include val in the order
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+
+  /** explode_outer: rows with empty token filters survive with NULL —
+    * the outer-generator surface. */
+  val qExplodeOuter: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(filter(split(lower(col("text")), " "),
+          t => t.like("s%"))).as("stok"))
+      .orderBy(col("doc_id"), col("stok").asc_nulls_first)
+
+  /** max_by / min_by with a provably-unique ordering key (custkey). */
+  val qMinmaxBy: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(max_by(col("c_name"), col("c_custkey")).as("name_of_max_key"),
+        min_by(col("c_name"), col("c_custkey")).as("name_of_min_key"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  /** Array algebra over token arrays: sort, distinct, slice, contains,
+    * flatten. Distinct is sorted before output — element order of
+    * array_distinct/list_distinct is not contract in either engine. */
+  val qArrayOps: Q = (s, d) => {
+    val toks = split(lower(col("text")), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_sort(array_distinct(toks)).as("vocab"),
+        slice(array_sort(toks), 2, 3).as("sl"),
+        array_contains(toks, "the").as("has_the"),
+        size(flatten(array(toks, toks))).as("n_flat"))
+      .orderBy("doc_id")
+  }
+
+  /** unionByName with allowMissingColumns: schema union, NULL fill —
+    * DuckDB's UNION ALL BY NAME. */
+  val qUnionByname: Q = (s, d) => {
+    val a = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+    val b = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy(col("key").asc, col("price").asc_nulls_first)
+  }
+
+  /** Exact interpolated median per group (both engines sort exactly and
+    * interpolate linearly over the same integer values). */
+  val qPercentile: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("user_id"), lit(0.5)).as("median_user"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q_unpivot" -> qUnpivot,
+    "q_explode_outer" -> qExplodeOuter,
+    "q_minmax_by" -> qMinmaxBy,
+    "q_array_ops" -> qArrayOps,
+    "q_union_byname" -> qUnionByname,
+    "q_percentile" -> qPercentile)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(metric AS VARCHAR) AS metric, val FROM
+         (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+          FROM lineitem)
+         UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+         -- metric is an ENUM in DuckDB (declaration order) - cast to
+         -- VARCHAR so the sort matches Spark's string ordering
+         ORDER BY l_orderkey, l_linenumber, CAST(metric AS VARCHAR), val""",
+    "q_explode_outer" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x LIKE 's%') AS st
+           FROM documents)
+         SELECT doc_id, stok FROM (
+           SELECT doc_id, unnest(st) AS stok FROM t WHERE len(st) > 0
+           UNION ALL
+           SELECT doc_id, NULL AS stok FROM t WHERE len(st) = 0)
+         ORDER BY doc_id, stok NULLS FIRST""",
+    "q_minmax_by" ->
+      """SELECT c_nationkey,
+           arg_max(c_name, c_custkey) AS name_of_max_key,
+           arg_min(c_name, c_custkey) AS name_of_min_key,
+           COUNT(*) AS n
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_array_ops" ->
+      """SELECT doc_id,
+           list_sort(list_distinct(string_split(lower(text), ' '))) AS vocab,
+           list_sort(string_split(lower(text), ' '))[2:4] AS sl,
+           list_contains(string_split(lower(text), ' '), 'the') AS has_the,
+           CAST(len(flatten([string_split(lower(text), ' '),
+                             string_split(lower(text), ' ')])) AS INT) AS n_flat
+         FROM documents ORDER BY doc_id""",
+    "q_union_byname" ->
+      """SELECT key, price, name FROM (
+           SELECT o_orderkey AS key, o_totalprice AS price FROM orders
+           UNION ALL BY NAME
+           SELECT c_custkey AS key, c_name AS name FROM customer)
+         ORDER BY key ASC, price ASC NULLS FIRST""",
+    "q_percentile" ->
+      """SELECT event_type,
+           quantile_cont(user_id, 0.5) AS median_user,
+           COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""")
+}

@@ -31,6 +31,8 @@ def norm(v):
         return str(v)  # scale-sensitive on purpose
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
+    if type(v).__name__ == "ndarray":  # list columns via fetch_df
+        return tuple(norm(x) for x in v.tolist())
     return v
 
 
