@@ -74,21 +74,31 @@ object DedupQueries {
       .join(broadcast(vocab), "tok")
     val masks = exploded.groupBy(col("doc_id"), col("n"))
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
-    // prefix = the (n − ⌈t·n⌉ + 1) rarest tokens = lowest set bits
-    val pre = masks.withColumn("pbit", explode(expr(
-      s"""slice(filter(sequence(0, 61), b -> (shiftright(mask, b) & 1) = 1),
-          1, n - (($tNum * n + $tDen - 1) div $tDen) + 1)""")))
-      .select(col("pbit"), col("doc_id"), col("mask"), col("n"))
+    // prefix = the (n − ⌈t·n⌉ + 1) rarest tokens = lowest set bits;
+    // pmask = those bits as a mask (for once-only pair emission below)
+    val pre = masks
+      .withColumn("pbits", expr(
+        s"""slice(filter(sequence(0, 61), b -> (shiftright(mask, b) & 1) = 1),
+            1, n - (($tNum * n + $tDen - 1) div $tDen) + 1)"""))
+      .withColumn("pmask", expr(
+        "aggregate(pbits, CAST(0 AS BIGINT), (acc, b) -> acc + shiftleft(CAST(1 AS BIGINT), b))"))
+      .withColumn("pbit", explode(col("pbits")))
+      .select(col("pbit"), col("doc_id"), col("mask"), col("pmask"), col("n"))
     pre.as("a").join(pre.as("b"), Seq("pbit"))
       .filter(col("a.doc_id") < col("b.doc_id"))
+      // length-ratio prune: J(A,B) ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t
+      .filter(col("a.n") * tDen >= col("b.n") * tNum
+        && col("b.n") * tDen >= col("a.n") * tNum)
+      // emit each pair exactly once: only at the LOWEST common prefix bit
+      // (x & -x isolates it) — replaces a multi-million-row distinct
+      .withColumn("cp", col("a.pmask").bitwiseAND(col("b.pmask")))
+      .filter(expr("shiftleft(CAST(1 AS BIGINT), pbit) = (cp & -cp)"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.mask").as("ma"), col("b.mask").as("mb"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .withColumn("inter", expr("bit_count(ma & mb)"))
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
+        expr("bit_count(a.mask & b.mask)").as("inter"),
+        (col("a.n") + col("b.n")).as("nsum"))
+      .withColumn("uni", col("nsum") - col("inter"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
-      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -103,9 +113,11 @@ object DedupQueries {
       // prefix length = n − ⌈t·n⌉ + 1, in exact integer arithmetic
       .filter(col("rn") <=
         col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + 1)
-      .select(col("tok"), col("doc_id"))
+      .select(col("tok"), col("doc_id"), col("n"))
     val cand = ranked.as("a").join(ranked.as("b"), Seq("tok"))
       .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.n") * tDen >= col("b.n") * tNum
+        && col("b.n") * tDen >= col("a.n") * tNum)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
