@@ -60,6 +60,24 @@ object MediaOps {
       FeatureRow(r.doc_id, stubDecodeFeatures(r.media))))
   }
 
+  case class ResizedRow(doc_id: Long, media: Array[Byte])
+
+  /** STUB RESIZE — stands in for an image rescale. Deterministic
+    * byte-domain downsample: keep every `factor`-th byte (metadata dims
+    * divide by `factor` at the query layer). A real codec call slots into
+    * the same iterator position; the partition-preserving batched
+    * dataflow is the point. */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    require(factor > 0)
+    media.mapPartitions(_.map { r =>
+      val out = new Array[Byte]((r.media.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = r.media(i * factor); i += 1 }
+      ResizedRow(r.doc_id, out)
+    })
+  }
+
   /** Frame sampling: slice the payload into fixed-width frames, keep count
     * + first frame (stride in bytes stands in for a time stride). */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int): Dataset[FrameRow] = {
@@ -99,6 +117,20 @@ object MediaOps {
       .orderBy("doc_id")
   }
 
+  /** Resize through the typed mapPartitions path: downsampled payload
+    * length and halved metadata dims are exact → oracle-checkable. */
+  val qMultimodalResize: Q = (s, d) => {
+    import s.implicits._
+    val base = mediaTable(s, d)
+    val ds = base.as[MediaRow]
+    resize(ds, factor = 4).toDF()
+      .select(col("doc_id"), octet_length(col("media")).as("resized_bytes"))
+      .join(base.select(col("doc_id"),
+        (col("meta.width") / 4).cast("int").as("new_width"),
+        (col("meta.height") / 4).cast("int").as("new_height")), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Stub-decoded feature vectors (no oracle — float payload from the
     * stub codec; scalatest-verified against the Scala reference impl). */
   val qMultimodalFeatures: Q = (s, d) => {
@@ -112,6 +144,7 @@ object MediaOps {
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_features" -> qMultimodalFeatures)
 
   val oracleSql: Map[String, String] = Map(
@@ -123,6 +156,12 @@ object MediaOps {
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            CAST((doc_id % 64) * 16 + 16 AS INT) AS width,
            CAST((doc_id % 48) * 16 + 16 AS INT) AS height
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal_resize" ->
+      """SELECT doc_id,
+           CAST((octet_length(encode(text)) + 3) // 4 AS INT) AS resized_bytes,
+           CAST(((doc_id % 64) * 16 + 16) // 4 AS INT) AS new_width,
+           CAST(((doc_id % 48) * 16 + 16) // 4 AS INT) AS new_height
          FROM documents ORDER BY doc_id""",
     "q_multimodal_frames" ->
       """SELECT doc_id,
