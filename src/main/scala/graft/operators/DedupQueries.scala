@@ -184,6 +184,28 @@ object DedupQueries {
   val qDedupNgram: Q = (s, d) =>
     ngramPairs(Tables.documents(s, d), tNum = 9, tDen = 10)
 
+  /** SimHash near-duplicate candidate pairs within hamming distance
+    * `maxHamming` of the 60-bit signatures, by pigeonhole banding: split
+    * the signature into `maxHamming + 1` bands — any pair within the
+    * radius must agree exactly on ≥1 band, so candidates come from
+    * equality joins on narrow band keys (the shuffle is on 15-bit ints,
+    * never on documents), then exact hamming verification via
+    * bit_count(xor). Scales like MinHash banding. */
+  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 60 / bands
+    val banded = sims.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", expr(
+        s"shiftright(simhash, band * $width) & ${(1L << width) - 1}"))
+    banded.as("a").join(banded.as("b"), Seq("band", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.45). No oracle —
     * float fold order (SURVEY.md §7.4); scalatest-verified against a
     * plain-Scala reference. Brute self-join here is the exactness

@@ -111,7 +111,7 @@ object Similarity {
 
     val withVec = corpus.withColumn("_vec",
       array_to_vector(col(embCol).cast(ArrayType(DoubleType))))
-    val model = new KMeans().setK(nlist).setSeed(42L)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("_vec").setPredictionCol("_cell")
       .fit(withVec)
     val assigned = model.transform(withVec)

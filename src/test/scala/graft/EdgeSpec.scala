@@ -131,6 +131,20 @@ class EdgeSpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("simhashPairs (pigeonhole banding) equals brute-force hamming search") {
+    val sims = DedupQueries.qDedupSimhash(spark, TestSpark.sf)
+    val collected = sims.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxHamming = 3
+    val want = (for {
+      (ia, ha) <- collected; (ib, hb) <- collected if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= maxHamming
+    } yield (ia, ib)).toSet
+    val got = DedupQueries.simhashPairs(sims, maxHamming).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should contain simhash near-dups")
+  }
+
   test("minhash bands: identical token sets share all band keys") {
     val docs = Seq(
       (1L, "x y z"), (2L, "z y x x"), (3L, "p q r")).toDF("doc_id", "text")
