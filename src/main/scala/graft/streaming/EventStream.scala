@@ -56,6 +56,12 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("sstart"), col("user_id"), col("n"))
 
+  /** Stream-static enrichment: the streaming side joins a broadcast
+    * static dimension — stateless, no watermark interaction; the static
+    * side is re-read per micro-batch (picks up dimension updates). */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+
   /** Batch-equivalent one-shot run: AvailableNow trigger + checkpoint →
     * restarts resume exactly-once from the checkpoint (P10's idempotence,
     * done properly). */

@@ -106,6 +106,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.enriched(mem.toDF(), dim).writeStream
+      .format("memory").queryName("en_out").outputMode("append").start()
+    try {
+      mem.addData(
+        TestEvent(ts("2024-01-01 10:00:00"), "click", 1L, 1.0),
+        TestEvent(ts("2024-01-01 10:00:01"), "click", 9L, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("en_out")
+        .select("user_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(out == Set((1L, Some("gold")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal the batch expression on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
