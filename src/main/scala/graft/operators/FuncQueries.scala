@@ -125,6 +125,21 @@ object FuncQueries {
       .select(col("event_id"), explode(col("m")).as(Seq("key", "val")))
       .orderBy("event_id", "key")
 
+  /** Map higher-order functions over the parsed props map:
+    * transform_values, map_filter, map_keys/values, back to JSON. The
+    * fixture maps are single-key, so JSON rendering is deterministic and
+    * oracle-checkable. */
+  val qMapHof: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+      .select(col("event_id"),
+        to_json(transform_values(col("m"), (_, v) => v * 2)).as("doubled_json"),
+        size(map_filter(col("m"), (_, v) => v > 50)).as("n_big"),
+        element_at(map_keys(col("m")), 1).as("k1"),
+        element_at(map_values(col("m")), 1).as("v1"))
+      .orderBy("event_id")
+
   /** Array basics over the embedding column: size + element access. */
   val qArrayBasic: Q = (s, d) =>
     Tables.embeddings(s, d)
@@ -159,6 +174,7 @@ object FuncQueries {
     "q_hash_sha2" -> qHashSha2,
     "q_json_funcs" -> qJsonFuncs,
     "q_map_ops" -> qMapOps,
+    "q_map_hof" -> qMapHof,
     "q_array_basic" -> qArrayBasic,
     "q_array_hof" -> qArrayHof)
 
@@ -219,6 +235,15 @@ object FuncQueries {
          FROM events
          WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
          ORDER BY event_id""",
+    "q_map_hof" ->
+      """SELECT event_id,
+           '{"k":' || CAST(2 * CAST(json_extract_string(props, '$.k') AS INT)
+                      AS VARCHAR) || '}' AS doubled_json,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+                THEN 1 ELSE 0 END AS n_big,
+           'k' AS k1,
+           CAST(json_extract_string(props, '$.k') AS INT) AS v1
+         FROM events ORDER BY event_id""",
     "q_array_basic" ->
       """SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,

@@ -56,6 +56,13 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("sstart"), col("user_id"), col("n"))
 
+  /** Streaming exact dedup: drops events with a previously-seen
+    * `event_id` while bounding state by the watermark — the streaming
+    * form of the training-pipeline dedup operators. State per key is one
+    * timestamp; keys expire once the watermark passes them. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    withLateness(events).dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static enrichment: the streaming side joins a broadcast
     * static dimension — stateless, no watermark interaction; the static
     * side is re-read per micro-batch (picks up dimension updates). */

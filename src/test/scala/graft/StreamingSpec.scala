@@ -106,6 +106,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark removes replayed event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class IdEvent(ts: Timestamp, event_id: Long)
+    val mem = MemoryStream[TestEvent]
+    // reuse TestEvent; user_id stands in as the dedup key via rename
+    val deduped = EventStream.dedupedStream(
+      mem.toDF().withColumnRenamed("user_id", "event_id"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dd_out").outputMode("append").start()
+    try {
+      mem.addData(
+        TestEvent(ts("2024-01-01 10:00:00"), "click", 100L, 1.0),
+        TestEvent(ts("2024-01-01 10:01:00"), "click", 100L, 2.0), // dup id
+        TestEvent(ts("2024-01-01 10:02:00"), "view", 101L, 3.0))
+      q.processAllAvailable()
+      mem.addData( // replay within watermark → dropped
+        TestEvent(ts("2024-01-01 10:03:00"), "click", 100L, 4.0))
+      q.processAllAvailable()
+      val ids = spark.table("dd_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(100L, 101L))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
