@@ -97,6 +97,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** All-pairs near-duplicate candidates via sign-bit LSH bucketing: pairs
+    * are generated only within a bucket or between hamming-1-adjacent
+    * buckets, then exactly verified against the cosine threshold. The
+    * 100 TB path for embedding dedup (DESIGN.md §2): the self-join key is
+    * a small int bucket id, never the full corpus cross product. Recall
+    * is probabilistic (tested against brute force); raise nbits with
+    * corpus size to keep per-bucket counts flat. */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      minCosine: Double, nbits: Int, dim: Int): DataFrame = {
+    val bucketed = corpus
+      .withColumn("bucket", bucketOf(col(embCol), nbits, dim))
+      .select(col(idCol).as("id"), col(embCol).as("emb"), col("bucket"))
+    // probe pairs: same bucket, or buckets differing in exactly bit b —
+    // emit each row also under its hamming-1 neighbors with b set
+    val withProbes = bucketed.withColumn("probe",
+      explode(array((lit(-1) +: (0 until nbits).map(lit)): _*)))
+      .withColumn("pbucket",
+        when(col("probe") < 0, col("bucket"))
+          .otherwise(expr("int(bucket) ^ shiftleft(1, probe)")))
+    val a = bucketed.select(col("id").as("id_a"), col("emb").as("emb_a"),
+      col("bucket").as("pbucket"))
+    a.join(withProbes.select(col("id").as("id_b"), col("emb").as("emb_b"),
+        col("pbucket")), Seq("pbucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct() // a pair can match via both its own bucket and a probe
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer (MLlib, fixed
     * seed → deterministic) assigns each corpus vector to a cell; a query
     * probes only its `nprobe` nearest cells and re-ranks those candidates

@@ -110,6 +110,21 @@ class NoOracleSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("lshNearDupPairs: exact subset of brute-force pairs, useful recall") {
+    val brute = (for {
+      (ia, ea) <- embeddings; (ib, eb) <- embeddings if ia < ib
+      c = cosine(ea, eb) if c >= 0.4
+    } yield (ia, ib)).toSet
+    val got = Similarity.lshNearDupPairs(
+      Tables.embeddings(spark, sf), "vec_id", "embedding",
+      minCosine = 0.4, nbits = 4, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute), "LSH pairs must be exactly verified")
+    assert(brute.nonEmpty)
+    val recall = got.size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall of ${brute.size} pairs")
+  }
+
   test("q_multimodal_features equals the stub decoder applied directly") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
