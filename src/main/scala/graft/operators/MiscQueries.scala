@@ -74,6 +74,22 @@ object MiscQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + left outer join (no per-row re-execution; verify with
+    * explain that the plan is a join, which is why this scales). */
+  val qScalarSubquery: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("ssq_customer")
+    Tables.orders(s, d).createOrReplaceTempView("ssq_orders")
+    s.sql("""
+      SELECT c_custkey,
+        (SELECT COUNT(*) FROM ssq_orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        (SELECT MAX(o_totalprice) FROM ssq_orders o
+         WHERE o.o_custkey = c.c_custkey) AS max_price
+      FROM ssq_customer c
+      ORDER BY c_custkey""")
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -82,7 +98,8 @@ object MiscQueries {
     "q_minmax_by" -> qMinmaxBy,
     "q_array_ops" -> qArrayOps,
     "q_union_byname" -> qUnionByname,
-    "q_percentile" -> qPercentile)
+    "q_percentile" -> qPercentile,
+    "q_scalar_subquery" -> qScalarSubquery)
 
   val oracleSql: Map[String, String] = Map(
     "q_unpivot" ->
@@ -123,6 +140,13 @@ object MiscQueries {
            UNION ALL BY NAME
            SELECT c_custkey AS key, c_name AS name FROM customer)
          ORDER BY key ASC, price ASC NULLS FIRST""",
+    "q_scalar_subquery" ->
+      """SELECT c_custkey,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT MAX(o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_price
+         FROM customer c ORDER BY c_custkey""",
     "q_percentile" ->
       """SELECT event_type,
            quantile_cont(user_id, 0.5) AS median_user,
