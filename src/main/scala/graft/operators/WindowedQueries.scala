@@ -59,12 +59,35 @@ object WindowedQueries {
         col("n"), col("span_us"))
       .orderBy("user_id", "sstart")
 
+  /** Resample to a dense hourly grid with zero gap-fill: the canonical
+    * consumer query of hourly snapshot feeds (a missing delays-HH.csv
+    * hour must read as 0, not vanish — dags/warsaw-delays.py:194). Grid =
+    * sequence(min hour, max hour) × distinct event types, left-joined to
+    * the actual counts. The grid explode is O(hours × types) — tiny next
+    * to the data at any scale. */
+  val qResampleGapfill: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    grid.join(counts, Seq("h", "event_type"), "left_outer")
+      .select(date_format(col("h"), fmtMin).as("hour"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q_window_tumbling" -> qWindowTumbling,
     "q_window_sliding" -> qWindowSliding,
-    "q_window_session" -> qWindowSession)
+    "q_window_session" -> qWindowSession,
+    "q_resample_gapfill" -> qResampleGapfill)
 
   val oracleSql: Map[String, String] = Map(
     "q_window_tumbling" ->
@@ -79,6 +102,23 @@ object WindowedQueries {
                FROM (SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b30,
                        event_type FROM events))
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_resample_gapfill" ->
+      """WITH bounds AS (
+           SELECT date_trunc('hour', MIN(ts)) AS h0,
+                  date_trunc('hour', MAX(ts)) AS h1 FROM events),
+         grid AS (
+           SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+           FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM events),
+         counts AS (
+           SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT strftime(g.h, '%Y-%m-%d %H:%M') AS hour,
+           t.event_type AS event_type,
+           COALESCE(c.cnt, 0) AS n
+         FROM grid g CROSS JOIN types t
+         LEFT JOIN counts c ON c.h = g.h AND c.event_type = t.event_type
+         ORDER BY hour, t.event_type""",
     "q_window_session" ->
       """SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS sstart,
            COUNT(*) AS n,
