@@ -29,6 +29,7 @@ object SparkEntry {
       TextQueries.queries ++
       Similarity.queries ++
       MiscQueries.queries ++
+      CorpusPipeline.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
       TextQueries.oracleSql ++
       Similarity.oracleSql ++
       MiscQueries.oracleSql ++
+      CorpusPipeline.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

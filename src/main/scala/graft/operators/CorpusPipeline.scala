@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** End-to-end training-corpus curation: the composition the individual
+  * north-star operators exist for. Every stage is deterministic, so the
+  * whole pipeline is exactly oracle-checkable.
+  *
+  * Stages (all one pass + the dedup shuffles):
+  *  1. quality gate: token count ≥ minTokens, stopword ratio ≤ max
+  *  2. exact dedup on text (keep lowest doc_id; window, not
+  *     dropDuplicates — SURVEY.md §2.2)
+  *  3. near-dedup: token-set Jaccard ≥ t via the prefix-filtered
+  *     similarity join ([[DedupQueries.ngramPairs]]); greedy keep-lowest:
+  *     drop every doc that is the higher id of any near-dup pair (the
+  *     standard single-pass rule — no iterative union-find)
+  *  4. annotate survivors: token count, stop ratio, sha-256, fingerprint
+  *
+  * At 100 TB each stage keeps its shuffle keyed small (digest / prefix
+  * token), and the stages pipeline — nothing materializes between them
+  * except what the dedup joins require.
+  */
+object CorpusPipeline {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  def curate(docs: DataFrame, minTokens: Int, maxStopPct: Int,
+      tNum: Int, tDen: Int): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val scored = docs.select(col("doc_id"), col("text"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => t.isInCollection(stopwords))).as("n_stop"))
+      .filter(col("n_tokens") >= minTokens
+        && col("n_stop") * 100 <= col("n_tokens") * maxStopPct)
+    val exact = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("text").orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn")
+    val dropIds = DedupQueries.ngramPairs(exact, tNum, tDen)
+      .select(col("doc_b").as("doc_id")).distinct()
+    exact.join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        sha2(col("text"), 256).as("digest"),
+        aggregate(transform(split(col("text"), ""), c => ascii(c).cast(LongType)),
+          lit(0L), (h, c) => pmod(h * 31 + c, lit(1000000007L))).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Curate the documents fixture: ≥ 15 tokens, ≤ 40% stopwords, near-dup
+    * threshold J ≥ 0.9. */
+  val qCorpusCurate: Q = (s, d) =>
+    curate(Tables.documents(s, d), minTokens = 15, maxStopPct = 40,
+      tNum = 9, tDen = 10)
+
+  val queries: Map[String, Q] = Map("q_corpus_curate" -> qCorpusCurate)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_corpus_curate" ->
+      """WITH scored AS (
+           SELECT doc_id, text,
+             CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ('the','a','of','and','in','to'))) AS INT) AS n_stop
+           FROM documents),
+         gated AS (
+           SELECT * FROM scored
+           WHERE n_tokens >= 15 AND n_stop * 100 <= n_tokens * 40),
+         exact AS (
+           SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM gated) WHERE rn = 1),
+         tsets AS (
+           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+           FROM exact),
+         neardup_b AS (
+           SELECT DISTINCT b.doc_id AS doc_id
+           FROM tsets a JOIN tsets b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.toks, b.toks)) * 10 >=
+                 (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))) * 9)
+         SELECT e.doc_id, e.n_tokens, e.n_stop,
+           sha256(e.text) AS digest,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(e.text, ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (h, c) -> (h * 31 + c) % 1000000007) AS fp
+         FROM exact e
+         WHERE e.doc_id NOT IN (SELECT doc_id FROM neardup_b)
+         ORDER BY e.doc_id""")
+}

@@ -145,6 +145,21 @@ class EdgeSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture should contain simhash near-dups")
   }
 
+  test("corpus curation invariants: gates hold, no surviving near-dups, idempotent-ish") {
+    import graft.operators.CorpusPipeline
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val curated = CorpusPipeline.qCorpusCurate(spark, TestSpark.sf)
+    val rows = curated.collect()
+    assert(rows.nonEmpty && rows.length < docs.count())
+    // quality gates hold for every survivor
+    assert(rows.forall(r => r.getInt(1) >= 15 && r.getInt(2) * 100 <= r.getInt(1) * 40))
+    // no surviving pair is a near-dup at the threshold
+    val ids = rows.map(_.getLong(0)).toSet
+    val pairs = DedupQueries.ngramPairs(docs, 9, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => !(ids(a) && ids(b)) })
+  }
+
   test("minhash bands: identical token sets share all band keys") {
     val docs = Seq(
       (1L, "x y z"), (2L, "z y x x"), (3L, "p q r")).toDF("doc_id", "text")
