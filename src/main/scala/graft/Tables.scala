@@ -130,6 +130,23 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  /** Time-bounded events scan that PUSHES the range predicate to parquet.
+    *
+    * A filter on the converted `ts` column cannot reach the scan (the
+    * ns→µs expression blocks it), so at scale a naive
+    * `events(...).filter(ts between …)` reads every row group. This
+    * reader applies the bounds on the raw ns column — pushable, row-group
+    * skippable — then converts. Bounds are µs since epoch, inclusive
+    * start / exclusive end, matching the truncated-µs view of `ts`. */
+  def eventsRange(spark: SparkSession, sfDir: String,
+      fromUs: Long, untilUs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= fromUs * 1000L && col("ts") < untilUs * 1000L)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 }

@@ -159,22 +159,9 @@ object DedupQueries {
 
   /** SimHash: 60-bit signature from md5-derived per-token 60-bit hashes
     * weighted by token frequency. One BIGINT per doc; deterministic →
-    * exact oracle. */
+    * exact oracle. Implementation shared with [[Dedup.simhashOf]]. */
   val qDedupSimhash: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
-      .withColumn("j", explode(sequence(lit(0), lit(59))))
-      .withColumn("contrib",
-        col("cnt") * (expr("shiftright(h, j) & 1") * 2 - 1))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("sc"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("sc") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("simhash"))
-      .orderBy("doc_id")
+    Dedup.simhashOf(Tables.documents(s, d)).orderBy("doc_id")
 
   /** Set-similarity self-join: token-set Jaccard ≥ 0.9 pairs via prefix
     * filtering (PPJoin-style). Candidates join only on each doc's

@@ -54,6 +54,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$wh/gtfs/stops/y=2024/m=12/d=23").count() == 3)
   }
 
+  test("GtfsIngest parses all 8 GTFS member tables") {
+    val dir = tmpDir()
+    val zip = s"$dir/full.zip"
+    val members = Map(
+      "agency.txt" -> "agency_id,agency_name,agency_url,agency_timezone\nA1,ZTM,http://z,Europe/Warsaw\n",
+      "calendar_dates.txt" -> "service_id,date,exception_type\nSV1,20241223,1\n",
+      "feed_info.txt" -> "feed_publisher_name,feed_publisher_url,feed_lang\nZTM,http://z,pl\n",
+      "routes.txt" -> "route_id,agency_id,route_short_name,route_long_name,route_type\nR1,A1,175,Airport,3\n",
+      "shapes.txt" -> "shape_id,shape_pt_lat,shape_pt_lon,shape_pt_sequence\nS,52.1,21.0,1\n",
+      "stop_times.txt" -> "trip_id,arrival_time,departure_time,stop_id,stop_sequence\nT1,08:00:00,08:01:00,S1,1\n",
+      "stops.txt" -> stopsCsv,
+      "trips.txt" -> tripsCsv)
+    writeZip(zip, members)
+    assert(GtfsIngest.run(spark, zip, s"$dir/wh", s"$dir/state.parquet",
+      LocalDate.of(2024, 12, 23)))
+    LandingSchemas.gtfs.keys.foreach { t =>
+      val df = spark.read.parquet(s"$dir/wh/gtfs/$t/y=2024/m=12/d=23")
+      assert(df.count() >= 1, s"table $t empty")
+      assert(df.schema == LandingSchemas.gtfs(t), s"schema mismatch for $t")
+    }
+  }
+
   test("Ingest.expandZip streams entries executor-side") {
     val dir = tmpDir()
     writeZip(s"$dir/a.zip", Map("x.txt" -> "hello", "sub/y.txt" -> "world"))

@@ -39,6 +39,23 @@ class ScaleLayoutSpec extends AnyFunSuite {
       Tables.events(spark, TestSpark.sf).filter(dayofmonth(col("ts")) === 5).count())
   }
 
+  test("eventsRange pushes the time predicate to the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val fromUs = java.time.Instant.parse("2024-01-01T06:00:00Z").toEpochMilli * 1000
+    val untilUs = java.time.Instant.parse("2024-01-01T12:00:00Z").toEpochMilli * 1000
+    val ranged = Tables.eventsRange(spark, TestSpark.sf, fromUs, untilUs)
+    // pushed: the raw ns filter appears in PushedFilters on the scan
+    val scan = ranged.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(ts"),
+      s"not pushed: ${scan.metadata("PushedFilters")}")
+    // and value-equal to the naive post-conversion filter
+    val naive = Tables.events(spark, TestSpark.sf)
+      .filter(unix_micros(col("ts")) >= fromUs && unix_micros(col("ts")) < untilUs)
+    assert(ranged.count() == naive.count() && ranged.count() > 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s2 = spark.newSession() // runtime confs only; warehouse is static
     s2.conf.set("spark.sql.shuffle.partitions", "4")
