@@ -74,6 +74,30 @@ object MiscQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Banded range join: |s_acctbal − c_acctbal| < 10 without a cartesian.
+    * A pure non-equi join plans as BroadcastNestedLoopJoin — O(n·m) at any
+    * scale. Binning both sides into width-10 bands and equi-joining each
+    * left band to its 3 adjacent right bands turns it into a hash join
+    * with a residual filter: O(matches), the standard interval-join
+    * rewrite. Results are identical to the naive form (the oracle IS the
+    * naive form). */
+  val qJoinBand: Q = (s, d) => {
+    val width = 10.0
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_acctbal"),
+        floor(col("s_acctbal") / width).as("band"))
+      .withColumn("probe", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("band", col("band") + col("probe"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        floor(col("c_acctbal") / width).as("band"))
+    sup.join(cust, Seq("band"))
+      .filter(abs(col("s_acctbal") - col("c_acctbal")) < width)
+      .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"),
+        col("c_acctbal"))
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
   /** Correlated scalar subquery — Catalyst decorrelates it into an
     * aggregate + left outer join (no per-row re-execution; verify with
     * explain that the plan is a join, which is why this scales). */
@@ -99,6 +123,7 @@ object MiscQueries {
     "q_array_ops" -> qArrayOps,
     "q_union_byname" -> qUnionByname,
     "q_percentile" -> qPercentile,
+    "q_join_band" -> qJoinBand,
     "q_scalar_subquery" -> qScalarSubquery)
 
   val oracleSql: Map[String, String] = Map(
@@ -140,6 +165,11 @@ object MiscQueries {
            UNION ALL BY NAME
            SELECT c_custkey AS key, c_name AS name FROM customer)
          ORDER BY key ASC, price ASC NULLS FIRST""",
+    "q_join_band" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+         FROM supplier JOIN customer
+           ON abs(s_acctbal - c_acctbal) < 10
+         ORDER BY s_suppkey, c_custkey""",
     "q_scalar_subquery" ->
       """SELECT c_custkey,
            (SELECT COUNT(*) FROM orders o
