@@ -140,6 +140,19 @@ object AggQueries {
       .orderBy("event_id")
   }
 
+  /** RANGE frame over event time: per user, decimal sum of the trailing
+    * hour (value-based frame bounds — peers included — vs the ROWS frames
+    * above). Frame arithmetic runs on unix µs in both engines. */
+  val qWindowRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L) // trailing 1 hour in µs
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast(dec2)).over(w).cast(dec2).as("hour_sum"))
+      .orderBy("event_id")
+  }
+
   /** lag/lead: per-user delta vs previous value, next event type. The
     * delta is a single IEEE-754 subtraction — bit-deterministic in both
     * engines (no reordering), so doubles are safe here. */
@@ -179,6 +192,7 @@ object AggQueries {
     "q_window_running" -> qWindowRunning,
     "q_window_moving" -> qWindowMoving,
     "q_window_lag" -> qWindowLag,
+    "q_window_range_frame" -> qWindowRangeFrame,
     "q_topk_per_group" -> qTopkPerGroup)
 
   val oracleSql: Map[String, String] = Map(
@@ -243,6 +257,13 @@ object AggQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
          ORDER BY event_id""",
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS DECIMAL(18,2)) AS hour_sum
+         FROM events ORDER BY event_id""",
     "q_window_lag" ->
       """SELECT event_id, user_id, value,
            LAG(value, 1) OVER w AS prev_value,
