@@ -212,13 +212,41 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding near-dup with an EXACT oracle: quantize to milli-units
+    * (round(x·1000) — never a .5 tie since (2k+1)/2000 has no exact
+    * binary-float representation, so both engines round identically),
+    * then pure int64 arithmetic: pair qualifies iff dot > 0 and
+    * dot²·10⁴ ≥ 2025·‖a‖²·‖b‖² (⇔ cosine ≥ 0.45). No floats cross the
+    * engine boundary, so this hash-matches DuckDB exactly — the
+    * oracle-checkable complement of [[qDedupEmbed]]. */
+  val qDedupEmbedQ: Q = (s, d) => {
+    val quant = transform(col("embedding"),
+      x => round(x * 1000, 0).cast(LongType))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quant.as("qv"))
+      .withColumn("nrm2", aggregate(col("qv"), lit(0L),
+        (acc, x) => acc + x * x))
+    val a = e.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+      col("nrm2").as("na2"))
+    val b = e.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+      col("nrm2").as("nb2"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot", aggregate(zip_with(col("qa"), col("qb"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .filter(col("dot") > 0
+        && col("dot") * col("dot") * 10000L >= lit(2025L) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q_dedup_minhash_sig" -> qDedupMinhashSig,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
-    "q_dedup_embed" -> qDedupEmbed)
+    "q_dedup_embed" -> qDedupEmbed,
+    "q_dedup_embed_q" -> qDedupEmbedQ)
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_sig" ->
@@ -249,6 +277,24 @@ object DedupQueries {
            CAST(SUM(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
                 AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_embed_q" ->
+      """WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm2
+           FROM q),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+               t -> t[1] * t[2])) AS BIGINT) AS dot,
+             a.nrm2 AS na2, b.nrm2 AS nb2
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, dot, na2, nb2 FROM p
+         WHERE dot > 0 AND dot * dot * 10000 >= 2025 * na2 * nb2
+         ORDER BY id_a, id_b""",
     "q_dedup_ngram" ->
       """WITH t AS (
            SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
