@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
 import graft.Tables
 
 /** Aggregations, grouping analytics, window functions (SURVEY.md §2.2).
@@ -47,6 +47,22 @@ object AggQueries {
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  /** Multiple distinct aggregates in one pass (Catalyst Expand plan) +
+    * FILTER-style conditional aggregates. */
+  val qAggMultiDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("du"),
+        countDistinct(col("k")).as("dk"),
+        count(when(col("value") > 100, 1)).as("n_big"),
+        sum(when(col("k") > 50, col("value").cast(dec2))).cast(dec2)
+          .as("sum_bigk"))
       .orderBy("event_type")
 
   /** HLL++ approximate distinct — the 100 TB path for distinct counts
@@ -183,6 +199,7 @@ object AggQueries {
   val queries: Map[String, Q] = Map(
     "q_agg_group" -> qAggGroup,
     "q_agg_distinct" -> qAggDistinct,
+    "q_agg_multi_distinct" -> qAggMultiDistinct,
     "q_agg_approx_distinct" -> qAggApproxDistinct,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,
@@ -206,6 +223,15 @@ object AggQueries {
          ORDER BY l_returnflag, l_linestatus""",
     "q_agg_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_agg_multi_distinct" ->
+      """SELECT event_type,
+           COUNT(DISTINCT user_id) AS du,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS dk,
+           COUNT(*) FILTER (WHERE value > 100) AS n_big,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50)
+                AS DECIMAL(18,2)) AS sum_bigk
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_agg_rollup" ->
       """SELECT n_regionkey, n_nationkey, COUNT(*) AS n
