@@ -74,6 +74,53 @@ object MiscQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** ntile / percent_rank / cume_dist over a unique in-partition order —
+    * all three are exact integer-ratio computations (one IEEE division),
+    * deterministic cross-engine. */
+  val qWindowNtile: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Null-safe equality (`<=>` ↔ IS NOT DISTINCT FROM) joining on a
+    * derived nullable key: NULL keys match each other. */
+  val qNullsafeEq: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "P", col("o_orderpriority")).as("pk"))
+    val priorities = Tables.orders(s, d)
+      .select(when(col("o_orderstatus") === "P", col("o_orderpriority")).as("pk"))
+      .distinct()
+      .withColumn("tag", coalesce(col("pk"), lit("none")))
+    o.join(priorities, o("pk") <=> priorities("pk"))
+      .select(col("o_orderkey"), col("tag"))
+      .orderBy("o_orderkey")
+  }
+
+  /** WITH clause referenced twice — CTE reuse surface. */
+  val qCteReuse: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("cte_orders")
+    s.sql("""
+      WITH big AS (
+        SELECT o_custkey, o_totalprice FROM cte_orders
+        WHERE o_totalprice > 300000)
+      SELECT a.o_custkey,
+        COUNT(*) AS n_pairs,
+        CAST(SUM(CAST(a.o_totalprice + b.o_totalprice AS DECIMAL(18,2)))
+             AS DECIMAL(18,2)) AS pair_sum
+      FROM big a JOIN big b
+        ON a.o_custkey = b.o_custkey AND a.o_totalprice < b.o_totalprice
+      GROUP BY a.o_custkey
+      ORDER BY a.o_custkey""")
+  }
+
   /** Banded range join: |s_acctbal − c_acctbal| < 10 without a cartesian.
     * A pure non-equi join plans as BroadcastNestedLoopJoin — O(n·m) at any
     * scale. Binning both sides into width-10 bands and equi-joining each
@@ -124,7 +171,10 @@ object MiscQueries {
     "q_union_byname" -> qUnionByname,
     "q_percentile" -> qPercentile,
     "q_join_band" -> qJoinBand,
-    "q_scalar_subquery" -> qScalarSubquery)
+    "q_scalar_subquery" -> qScalarSubquery,
+    "q_window_ntile" -> qWindowNtile,
+    "q_nullsafe_eq" -> qNullsafeEq,
+    "q_cte_reuse" -> qCteReuse)
 
   val oracleSql: Map[String, String] = Map(
     "q_unpivot" ->
@@ -165,6 +215,39 @@ object MiscQueries {
            UNION ALL BY NAME
            SELECT c_custkey AS key, c_name AS name FROM customer)
          ORDER BY key ASC, price ASC NULLS FIRST""",
+    "q_window_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS prank,
+           CUME_DIST() OVER w AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_nullsafe_eq" ->
+      """SELECT o.o_orderkey, p.tag FROM
+         (SELECT o_orderkey,
+            CASE WHEN o_orderstatus = 'P' THEN o_orderpriority END AS pk
+          FROM orders) o
+         JOIN
+         (SELECT pk, COALESCE(pk, 'none') AS tag FROM
+           (SELECT DISTINCT
+              CASE WHEN o_orderstatus = 'P' THEN o_orderpriority END AS pk
+            FROM orders)) p
+         ON o.pk IS NOT DISTINCT FROM p.pk
+         ORDER BY o.o_orderkey""",
+    "q_cte_reuse" ->
+      """WITH big AS (
+           SELECT o_custkey, o_totalprice FROM orders
+           WHERE o_totalprice > 300000)
+         SELECT a.o_custkey,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(a.o_totalprice + b.o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS pair_sum
+         FROM big a JOIN big b
+           ON a.o_custkey = b.o_custkey AND a.o_totalprice < b.o_totalprice
+         GROUP BY a.o_custkey
+         ORDER BY a.o_custkey""",
     "q_join_band" ->
       """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
          FROM supplier JOIN customer
