@@ -80,9 +80,67 @@ case class CosineSimFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product of two `array<bigint>` columns — the
+  * verification kernel for quantized embedding near-dup
+  * (q_dedup_embed_q). Same motivation as [[CosineSimFloat]]: one fused
+  * primitive loop instead of zip_with+aggregate lambda interpretation per
+  * pair (measured 23 s → ~1 s on the 2M-pair sf0.1 self-join). Integer
+  * math: no ordering concerns at all. */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (t: DataType) => t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"expected array<bigint> args, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $dot = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += $a.getLong($i) * $b.getLong($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level wrapper: cosine similarity of two array<float> columns. */
   def cosineF(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimFloat(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact dot product of two array<bigint> columns. */
+  def dotL(a: Column, b: Column): Column =
+    ColumnBridge.column(LongVecDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -222,17 +222,16 @@ object DedupQueries {
   val qDedupEmbedQ: Q = (s, d) => {
     val quant = transform(col("embedding"),
       x => round(x * 1000, 0).cast(LongType))
+    import graft.functions.VectorFunctions.dotL
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quant.as("qv"))
-      .withColumn("nrm2", aggregate(col("qv"), lit(0L),
-        (acc, x) => acc + x * x))
+      .withColumn("nrm2", dotL(col("qv"), col("qv")))
     val a = e.select(col("vec_id").as("id_a"), col("qv").as("qa"),
       col("nrm2").as("na2"))
     val b = e.select(col("vec_id").as("id_b"), col("qv").as("qb"),
       col("nrm2").as("nb2"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot", aggregate(zip_with(col("qa"), col("qb"),
-        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("dot", dotL(col("qa"), col("qb")))
       .filter(col("dot") > 0
         && col("dot") * col("dot") * 10000L >= lit(2025L) * col("na2") * col("nb2"))
       .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
