@@ -157,6 +157,20 @@ object DedupQueries {
     minhashBands(Tables.documents(s, d), bands = 4, rows = 3)
       .orderBy("doc_id", "band")
 
+  /** MinHash LSH bucket-join: candidate pairs sharing ≥1 band key — the
+    * complete shingle→minhash→band→bucket-join pipeline. The candidate
+    * SET is a deterministic function of the md5 signatures (only its
+    * relation to true Jaccard is probabilistic), so this is exactly
+    * oracle-checkable too. Shuffle key = 32-hex band digest. */
+  val qDedupMinhashPairs: Q = (s, d) => {
+    val bands = minhashBands(Tables.documents(s, d), bands = 4, rows = 3)
+    bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash: 60-bit signature from md5-derived per-token 60-bit hashes
     * weighted by token frequency. One BIGINT per doc; deterministic →
     * exact oracle. Implementation shared with [[Dedup.simhashOf]]. */
@@ -242,6 +256,7 @@ object DedupQueries {
 
   val queries: Map[String, Q] = Map(
     "q_dedup_minhash_sig" -> qDedupMinhashSig,
+    "q_dedup_minhash_pairs" -> qDedupMinhashPairs,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
@@ -276,6 +291,25 @@ object DedupQueries {
            CAST(SUM(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
                 AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_minhash_pairs" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || tok) AS hv
+           FROM tok, (SELECT unnest(generate_series(0, 11)) AS i)),
+         s AS (SELECT doc_id, i, MIN(hv) AS sig FROM h GROUP BY doc_id, i),
+         bands AS (
+           SELECT doc_id, i // 3 AS band,
+             md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || sig,
+                 '|' ORDER BY i)) AS band_key
+           FROM s GROUP BY doc_id, i // 3)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
     "q_dedup_embed_q" ->
       """WITH q AS (
            SELECT vec_id,

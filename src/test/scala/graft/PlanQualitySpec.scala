@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guard: no registered query may plan a
+  * cartesian / nested-loop join except the ones that are cartesian BY
+  * DESIGN (tiny-dim cross join; brute-force all-pairs baselines whose
+  * scalable twins exist alongside). A new query accidentally joining
+  * without a key fails here instead of at 100 TB. */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val intentionallyUnkeyed = Set(
+    "q_join_cross",        // 5×25 dims — the declared CROSS JOIN surface
+    "q_similarity_topk",   // 1-row broadcast query vector
+    "q_similarity_lsh",    // 1-row query vector vs bucketed candidates
+    "q_similarity_ivf",    // same, IVF cells
+    "q_dedup_embed",       // brute-force all-pairs baseline (LSH twin exists)
+    "q_dedup_embed_q",     // quantized all-pairs baseline
+    "q_resample_gapfill")  // grid × 5 event types
+
+  test("no accidental cartesian or nested-loop joins in the registry") {
+    def nestedLoops(p: SparkPlan): Seq[String] = {
+      val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      (p +: expanded).flatMap(_.collect {
+        case _: CartesianProductExec => "CartesianProduct"
+        case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
+      })
+    }
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (n, _) => intentionallyUnkeyed(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan
+        val bad = nestedLoops(plan)
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(",")}") else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
