@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -52,15 +52,43 @@ object CorpusPipeline {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic 80/10/10 train/val/test split by content-independent
+    * id hash — the reproducible, rerun-stable alternative to
+    * `randomSplit` (whose assignment depends on partitioning). md5 makes
+    * it exactly oracle-checkable and stable across engines, runs, and
+    * cluster sizes; at 100 TB the split is a map-side projection. */
+  def splitColumn(idCol: Column): Column = {
+    val pct = pmod(conv(substring(md5(idCol.cast(StringType)), 1, 4), 16, 10)
+      .cast(IntegerType), lit(100))
+    when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+  }
+
+  val qTrainSplit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), splitColumn(col("doc_id")).as("split"))
+      .orderBy("doc_id")
+
   /** Curate the documents fixture: ≥ 15 tokens, ≤ 40% stopwords, near-dup
     * threshold J ≥ 0.9. */
   val qCorpusCurate: Q = (s, d) =>
     curate(Tables.documents(s, d), minTokens = 15, maxStopPct = 40,
       tNum = 9, tDen = 10)
 
-  val queries: Map[String, Q] = Map("q_corpus_curate" -> qCorpusCurate)
+  val queries: Map[String, Q] = Map(
+    "q_corpus_curate" -> qCorpusCurate,
+    "q_train_split" -> qTrainSplit)
 
   val oracleSql: Map[String, String] = Map(
+    "q_train_split" ->
+      """SELECT doc_id,
+           CASE WHEN pct < 80 THEN 'train'
+                WHEN pct < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                      AS INT) % 100 AS pct
+               FROM documents)
+         ORDER BY doc_id""",
     "q_corpus_curate" ->
       """WITH scored AS (
            SELECT doc_id, text,

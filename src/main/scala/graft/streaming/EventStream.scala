@@ -69,6 +69,25 @@ object EventStream {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left_outer")
 
+  /** foreachBatch sink with dynamic-partition-overwrite upsert: each
+    * micro-batch overwrites exactly the date partitions it touches —
+    * idempotent under micro-batch replay (the foreachBatch escape hatch
+    * for sinks without native exactly-once, e.g. JDBC/object stores). */
+  def runForeachBatchUpsert(spark: SparkSession, srcDir: String,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tumblingCounts(readEvents(spark, srcDir)).writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.withColumn("d", to_date(col("wstart")))
+          .write.mode("overwrite").partitionBy("d").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Batch-equivalent one-shot run: AvailableNow trigger + checkpoint →
     * restarts resume exactly-once from the checkpoint (P10's idempotence,
     * done properly). */

@@ -150,6 +150,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch dynamic-overwrite sink is idempotent under re-run") {
+    val dir = Files.createTempDirectory("graft-feb").toString
+    val src = s"$dir/src"; val out = s"$dir/out"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val fixture = new java.io.File(s"${TestSpark.sf}/events.parquet")
+    if (fixture.isDirectory)
+      fixture.listFiles().filter(_.getName.endsWith(".parquet")).foreach(f =>
+        Files.copy(f.toPath, java.nio.file.Paths.get(s"$src/${f.getName}")))
+    else Files.copy(fixture.toPath, java.nio.file.Paths.get(s"$src/events.parquet"))
+
+    val q1 = EventStream.runForeachBatchUpsert(spark, src, out, s"$dir/cp1")
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // replay with a FRESH checkpoint (worst case: everything reprocessed)
+    // → dynamic partition overwrite rewrites the same partitions, no dupes
+    val q2 = EventStream.runForeachBatchUpsert(spark, src, out, s"$dir/cp2")
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == n1)
+  }
+
   test("streaming tumbling counts equal the batch expression on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
