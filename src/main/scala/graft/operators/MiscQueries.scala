@@ -161,6 +161,41 @@ object MiscQueries {
       ORDER BY c_custkey""")
   }
 
+  /** IN (subquery) predicate — planned as a left-semi join like EXISTS,
+    * but a distinct SQL surface (null semantics differ). */
+  val qInSubquery: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("insq_orders")
+    Tables.customer(s, d).createOrReplaceTempView("insq_customer")
+    s.sql("""
+      SELECT o_orderkey, o_custkey FROM insq_orders
+      WHERE o_custkey IN (SELECT c_custkey FROM insq_customer
+                          WHERE c_mktsegment = 'MACHINERY')
+        AND o_totalprice > 350000
+      ORDER BY o_orderkey""")
+  }
+
+  /** Bitwise function family over integer keys. */
+  val qBitwise: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        (col("event_id").bitwiseAND(255L)).as("b_and"),
+        (col("event_id").bitwiseOR(4096L)).as("b_or"),
+        (col("event_id").bitwiseXOR(col("user_id"))).as("b_xor"),
+        expr("shiftleft(event_id % 16, 2)").as("b_shl"),
+        expr("shiftright(event_id, 3)").as("b_shr"),
+        expr("bit_count(event_id)").as("b_cnt"))
+      .orderBy("event_id")
+
+  /** Conditional scalar functions: nullif / ifnull / greatest / least. */
+  val qConditional: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        expr("ifnull(nullif(o_orderstatus, 'O'), 'open')").as("status_tag"),
+        greatest(col("o_totalprice"), lit(250000.0)).as("floor250k"),
+        least(col("o_totalprice"), lit(250000.0)).as("cap250k"))
+      .orderBy("o_orderkey")
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -174,7 +209,10 @@ object MiscQueries {
     "q_scalar_subquery" -> qScalarSubquery,
     "q_window_ntile" -> qWindowNtile,
     "q_nullsafe_eq" -> qNullsafeEq,
-    "q_cte_reuse" -> qCteReuse)
+    "q_cte_reuse" -> qCteReuse,
+    "q_in_subquery" -> qInSubquery,
+    "q_bitwise" -> qBitwise,
+    "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
     "q_unpivot" ->
@@ -215,6 +253,28 @@ object MiscQueries {
            UNION ALL BY NAME
            SELECT c_custkey AS key, c_name AS name FROM customer)
          ORDER BY key ASC, price ASC NULLS FIRST""",
+    "q_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'MACHINERY')
+           AND o_totalprice > 350000
+         ORDER BY o_orderkey""",
+    "q_bitwise" ->
+      """SELECT event_id,
+           event_id & 255 AS b_and,
+           event_id | 4096 AS b_or,
+           xor(event_id, user_id) AS b_xor,
+           (event_id % 16) << 2 AS b_shl,
+           event_id >> 3 AS b_shr,
+           CAST(bit_count(event_id) AS INT) AS b_cnt
+         FROM events ORDER BY event_id""",
+    "q_conditional" ->
+      """SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           ifnull(nullif(o_orderstatus, 'O'), 'open') AS status_tag,
+           greatest(o_totalprice, 250000.0) AS floor250k,
+           least(o_totalprice, 250000.0) AS cap250k
+         FROM orders ORDER BY o_orderkey""",
     "q_window_ntile" ->
       """SELECT o_custkey, o_orderkey,
            NTILE(4) OVER w AS quartile,
