@@ -163,7 +163,13 @@ object DedupQueries {
     * relation to true Jaccard is probabilistic), so this is exactly
     * oracle-checkable too. Shuffle key = 32-hex band digest. */
   val qDedupMinhashPairs: Q = (s, d) => {
-    val bands = minhashBands(Tables.documents(s, d), bands = 4, rows = 3)
+    // 2 bands × 6 rows: threshold ≈ (1/2)^(1/6) ≈ 0.89, the LSH
+    // candidate generator matched to the J ≥ 0.9 near-dup join. (Wider
+    // 4×3 banding targets ~0.63 — on this high-similarity word-soup
+    // corpus that collapses into 3000-doc buckets ⇒ 16M+ candidate
+    // pairs, which no plumbing can make cheap: candidate volume is a
+    // parameter decision, not an execution one.)
+    val bands = minhashBands(Tables.documents(s, d), bands = 2, rows = 6)
     bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -301,10 +307,10 @@ object DedupQueries {
            FROM tok, (SELECT unnest(generate_series(0, 11)) AS i)),
          s AS (SELECT doc_id, i, MIN(hv) AS sig FROM h GROUP BY doc_id, i),
          bands AS (
-           SELECT doc_id, i // 3 AS band,
+           SELECT doc_id, i // 6 AS band,
              md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || sig,
                  '|' ORDER BY i)) AS band_key
-           FROM s GROUP BY doc_id, i // 3)
+           FROM s GROUP BY doc_id, i // 6)
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_key = b.band_key
