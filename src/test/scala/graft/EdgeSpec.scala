@@ -145,6 +145,37 @@ class EdgeSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture should contain simhash near-dups")
   }
 
+  test("train/val/test split is deterministic and roughly 80/10/10") {
+    import graft.operators.CorpusPipeline
+    val a = CorpusPipeline.qTrainSplit(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val b = CorpusPipeline.qTrainSplit(spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq == b.toSeq) // stable across runs
+    val frac = a.groupBy(_._2).view.mapValues(_.length.toDouble / a.length).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.06, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.05, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.05, frac.toString)
+  }
+
+  test("Dedup facade: byDigest equals exact-on-text; embedding brute == lsh-verified subset") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val byText = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byDigest = Dedup.byDigest(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byText == byDigest) // no sha-256 collisions on the fixture
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val brute = Dedup.nearEmbeddingPairs(emb, "vec_id", "embedding",
+      minCosine = 0.45, dim = 64, lsh = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearEmbeddingPairs(emb, "vec_id", "embedding",
+      minCosine = 0.45, dim = 64, lsh = true, nbits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+  }
+
   test("corpus curation invariants: gates hold, no surviving near-dups, idempotent-ish") {
     import graft.operators.CorpusPipeline
     val docs = Tables.documents(spark, TestSpark.sf)
