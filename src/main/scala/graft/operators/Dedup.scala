@@ -34,9 +34,16 @@ object Dedup {
   def nearSimhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
     DedupQueries.simhashPairs(simhashOf(docs), maxHamming)
 
-  /** 60-bit SimHash signature per (doc_id, text) row. */
+  /** 60-bit SimHash signature per (doc_id, text) row.
+    *
+    * Pre-partitioned by doc_id: HashPartitioning(doc_id) satisfies the
+    * clustering requirement of every downstream groupBy whose keys
+    * include doc_id, so the (doc,tok) → (doc,bit) → (doc) aggregation
+    * chain — whose intermediates are 60× the input — runs with ONE
+    * shuffle of the raw tokens instead of three of the exploded bits. */
   def simhashOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10)
