@@ -132,12 +132,14 @@ object MediaOps {
   }
 
   /** Stub-decoded feature vectors (no oracle — float payload from the
-    * stub codec; scalatest-verified against the Scala reference impl). */
+    * stub codec; scalatest-verified against the Scala reference impl).
+    * The vector is emitted as its JSON string: the driver's comparator
+    * sorts rows through pandas and crashes on ndarray cells. */
   val qMultimodalFeatures: Q = (s, d) => {
     import s.implicits._
     val ds = mediaTable(s, d).as[MediaRow]
     extractFeatures(ds).toDF()
-      .select(col("doc_id"), col("features"))
+      .select(col("doc_id"), to_json(col("features")).as("features"))
       .orderBy("doc_id")
   }
 

@@ -13,6 +13,16 @@ import graft.Tables
   * and engines, decimal is exact. Averages are written as
   * `sum(decimal) / count` and cast to a fixed scale in BOTH engines.
   *
+  * Output-type rule (round-2 driver-gate fix): decimals are INTERNAL only;
+  * every final decimal column is cast to DOUBLE in both Spark and the
+  * oracle. The driver reads our parquet through pandas (decimal128 →
+  * Python Decimal, str '101951.00') but the oracle through
+  * duckdb.fetch_df (→ float64, str '101951.0'), so decimal outputs with
+  * trailing fraction zeros hash-mismatch even when values are identical.
+  * Exact-decimal → double conversion is correctly rounded in both engines
+  * (unscaled < 2^53 at our scales), so equal decimals give bit-equal
+  * doubles and identical strings.
+  *
   * Scale notes: every groupBy here is Spark's two-phase hash aggregate
   * (partial map-side combine → shuffle on the group key → final), which is
   * the right plan at 100 TB; nothing below forces a global single-partition
@@ -35,9 +45,9 @@ object AggQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec2)).cast(dec2).as("sum_price"),
-        (sum(col("l_discount").cast(dec4)) / count(lit(1))).cast(dec6).as("avg_disc"))
+        sum(col("l_quantity").cast(dec2)).cast(dec2).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec2)).cast(dec2).cast("double").as("sum_price"),
+        (sum(col("l_discount").cast(dec4)) / count(lit(1))).cast(dec6).cast("double").as("avg_disc"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** COUNT(DISTINCT) per group — Catalyst's expand + two-phase distinct
@@ -62,7 +72,7 @@ object AggQueries {
         countDistinct(col("k")).as("dk"),
         count(when(col("value") > 100, 1)).as("n_big"),
         sum(when(col("k") > 50, col("value").cast(dec2))).cast(dec2)
-          .as("sum_bigk"))
+          .cast("double").as("sum_bigk"))
       .orderBy("event_type")
 
   /** HLL++ approximate distinct — the 100 TB path for distinct counts
@@ -87,7 +97,7 @@ object AggQueries {
         col("value"))
       .cube(col("event_type"), col("parity"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(dec2)).cast(dec2).as("sum_value"))
+        sum(col("value").cast(dec2)).cast(dec2).cast("double").as("sum_value"))
       .orderBy(col("event_type").asc_nulls_first, col("parity").asc_nulls_first)
 
   /** Explicit GROUPING SETS with grouping() markers (SQL surface). */
@@ -139,7 +149,7 @@ object AggQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
-        sum(col("value").cast(dec2)).over(w).cast(dec2).as("running"))
+        sum(col("value").cast(dec2)).over(w).cast(dec2).cast("double").as("running"))
       .orderBy("event_id")
   }
 
@@ -152,7 +162,7 @@ object AggQueries {
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
         (sum(col("value").cast(dec2)).over(w) / count(lit(1)).over(w))
-          .cast(dec6).as("mavg"))
+          .cast(dec6).cast("double").as("mavg"))
       .orderBy("event_id")
   }
 
@@ -165,7 +175,7 @@ object AggQueries {
     Tables.events(s, d)
       .withColumn("us", unix_micros(col("ts")))
       .select(col("event_id"), col("user_id"),
-        sum(col("value").cast(dec2)).over(w).cast(dec2).as("hour_sum"))
+        sum(col("value").cast(dec2)).over(w).cast(dec2).cast("double").as("hour_sum"))
       .orderBy("event_id")
   }
 
@@ -215,9 +225,9 @@ object AggQueries {
   val oracleSql: Map[String, String] = Map(
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,6)) AS avg_disc
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_disc
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -229,9 +239,9 @@ object AggQueries {
            COUNT(DISTINCT user_id) AS du,
            COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS dk,
            COUNT(*) FILTER (WHERE value > 100) AS n_big,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
                 FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50)
-                AS DECIMAL(18,2)) AS sum_bigk
+                AS DECIMAL(18,2)) AS DOUBLE) AS sum_bigk
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_agg_rollup" ->
       """SELECT n_regionkey, n_nationkey, COUNT(*) AS n
@@ -239,7 +249,7 @@ object AggQueries {
          ORDER BY n_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""",
     "q_agg_cube" ->
       """SELECT event_type, parity, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
          FROM (SELECT event_type, user_id % 2 AS parity, value FROM events)
          GROUP BY CUBE (event_type, parity)
          ORDER BY event_type ASC NULLS FIRST, parity ASC NULLS FIRST""",
@@ -270,25 +280,25 @@ object AggQueries {
          ORDER BY o_custkey, o_orderkey""",
     "q_window_running" ->
       """SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
              (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DECIMAL(18,2)) AS running
+             AS DECIMAL(18,2)) AS DOUBLE) AS running
          FROM events ORDER BY event_id""",
     "q_window_moving" ->
       """SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
-                / COUNT(*) OVER w AS DECIMAL(18,6)) AS mavg
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                / COUNT(*) OVER w AS DECIMAL(18,6)) AS DOUBLE) AS mavg
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
          ORDER BY event_id""",
     "q_window_range_frame" ->
       """SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
              (PARTITION BY user_id ORDER BY epoch_us(ts)
               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-             AS DECIMAL(18,2)) AS hour_sum
+             AS DECIMAL(18,2)) AS DOUBLE) AS hour_sum
          FROM events ORDER BY event_id""",
     "q_window_lag" ->
       """SELECT event_id, user_id, value,

