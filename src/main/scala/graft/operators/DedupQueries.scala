@@ -199,6 +199,10 @@ object DedupQueries {
     * never on documents), then exact hamming verification via
     * bit_count(xor). Scales like MinHash banding. */
   def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    // width = 60/(maxHamming+1) must stay >= 1: at width 0 every band_key
+    // collapses to 0 and the join degenerates into a full cross product
+    require(maxHamming >= 0 && maxHamming < 60,
+      s"maxHamming must be in [0, 60), got $maxHamming")
     val bands = maxHamming + 1
     val width = 60 / bands
     val banded = sims.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
@@ -250,10 +254,16 @@ object DedupQueries {
       col("nrm2").as("na2"))
     val b = e.select(col("vec_id").as("id_b"), col("qv").as("qb"),
       col("nrm2").as("nb2"))
+    // threshold test in DECIMAL(38,0): dot²·10⁴ can pass int64 for
+    // embeddings with quantized norm ≳3e7 (non-unit vectors), and under
+    // ANSI mode that aborts the job; 38-digit decimals hold any dim-64
+    // milli-quantized input (oracle side uses HUGEINT for the same reason)
+    val dec38 = DecimalType(38, 0)
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("dot", dotL(col("qa"), col("qb")))
       .filter(col("dot") > 0
-        && col("dot") * col("dot") * 10000L >= lit(2025L) * col("na2") * col("nb2"))
+        && col("dot").cast(dec38) * col("dot") * 10000L
+           >= lit(2025L).cast(dec38) * col("na2") * col("nb2"))
       .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
       .orderBy("id_a", "id_b")
   }
@@ -332,7 +342,9 @@ object DedupQueries {
              a.nrm2 AS na2, b.nrm2 AS nb2
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, dot, na2, nb2 FROM p
-         WHERE dot > 0 AND dot * dot * 10000 >= 2025 * na2 * nb2
+         WHERE dot > 0
+           AND CAST(dot AS HUGEINT) * dot * 10000
+               >= 2025 * CAST(na2 AS HUGEINT) * nb2
          ORDER BY id_a, id_b""",
     "q_dedup_ngram" ->
       """WITH t AS (

@@ -26,6 +26,10 @@ object Salting {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, n: Int,
       joinType: String = "inner"): DataFrame = {
     require(n > 0)
+    // right/full outer would emit n null-extended copies of every
+    // unmatched replicated right row — fail fast instead of being wrong
+    require(Set("inner", "left", "left_outer").contains(joinType.toLowerCase),
+      s"saltedJoin is only correct for inner/left equi-joins, got $joinType")
     val salted = left.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(n.toLong))
         .cast("int"))

@@ -32,10 +32,19 @@ object FeedState {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Existence check through the Hadoop FileSystem API so semantics match
+    * the write path on any store (local, HDFS, s3a object stores) — a
+    * local java.io.File check silently returns false for non-local URIs,
+    * which would disable change detection and drop other feeds' state. */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Last recorded hash for `feed`, if any (missing state table = first
     * run, dags/warsaw-gtfs.py:66-67). */
   def readHash(spark: SparkSession, statePath: String, feed: String): Option[String] =
-    if (!new java.io.File(statePath).exists()) None
+    if (!pathExists(spark, statePath)) None
     else spark.read.schema(LandingSchemas.feedState).parquet(statePath)
       .filter(org.apache.spark.sql.functions.col("feed") === feed)
       .collect().headOption.map(_.getString(1))
@@ -44,7 +53,7 @@ object FeedState {
     * one-row-per-feed state table). */
   def writeHash(spark: SparkSession, statePath: String, feed: String,
       hash: String): Unit = {
-    val others = if (new java.io.File(statePath).exists())
+    val others = if (pathExists(spark, statePath))
       spark.read.schema(LandingSchemas.feedState).parquet(statePath)
         .filter(org.apache.spark.sql.functions.col("feed") =!= feed)
         .collect().toSeq
@@ -55,9 +64,8 @@ object FeedState {
     // stage-then-swap: parquet overwrite of a tiny state table
     val tmp = statePath + ".staging"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(statePath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }

@@ -103,7 +103,12 @@ object WeatherIngest {
       date: LocalDate, hour: Int): Boolean = {
     val target =
       f"$outDir/weather/y=${date.getYear}%04d/m=${date.getMonthValue}%02d/d=${date.getDayOfMonth}%02d/h=$hour%02d"
-    val existed = new java.io.File(target).exists()
+    // Hadoop FS existence check so the returned did-write flag matches
+    // SaveMode.Ignore's own decision on any filesystem, not just local
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val existed = targetPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(targetPath)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(
         Seq(org.apache.spark.sql.Row(f"$hour%02d", payload)), 1),
