@@ -56,8 +56,12 @@ object DedupQueries {
   def ngramPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen)
     val toks = docTokens(docs).filter(col("n") > 0)
+    // Both paths consume the global token-frequency table, so the vocabulary
+    // probe that picks the path also materializes freq — one explode+agg
+    // pass total, not one for the probe plus one inside the path.
     val freq = toks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (freq.count() <= 62) ngramPairsBitmask(toks, freq, tNum, tDen)
     else ngramPairsGeneral(toks, freq, tNum, tDen)
   }
@@ -102,30 +106,50 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** General path: arrays + array_intersect verification. */
+  /** General path (PPJoin-shaped). Scale notes (100 TB):
+    *  - The frequency join is a plain shuffle join on `tok` — the global
+    *    vocabulary is 10⁸–10⁹ rows at corpus scale and must never be
+    *    broadcast (Catalyst/AQE may still pick broadcast when stats say
+    *    it is genuinely tiny, which is the right call in both regimes).
+    *  - Each prefix row carries its doc's rank-sorted key set, so a pair
+    *    is emitted exactly once — at the lowest-ranked common prefix key
+    *    (the same once-only rule as the bitmask path's `cp & -cp`) — and
+    *    verified inline. No multi-million-row candidate `distinct()`, no
+    *    re-join to fetch token arrays.
+    * Token rarity is encoded as a single sortable key `zero-pad(cnt):tok`
+    * (padded numeric strings sort numerically), so "globally rarest"
+    * ordering, once-only emission, and set intersection all run on one
+    * column. */
   private def ngramPairsGeneral(toks: DataFrame, freq: DataFrame,
       tNum: Int, tDen: Int): DataFrame = {
-    val ranked = toks
-      .select(col("doc_id"), col("n"), explode(col("toks")).as("tok"))
-      .join(broadcast(freq), "tok")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy("cnt", "tok")))
-      // prefix length = n − ⌈t·n⌉ + 1, in exact integer arithmetic
-      .filter(col("rn") <=
-        col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + 1)
-      .select(col("tok"), col("doc_id"), col("n"))
-    val cand = ranked.as("a").join(ranked.as("b"), Seq("tok"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .filter(col("a.n") * tDen >= col("b.n") * tNum
-        && col("b.n") * tDen >= col("a.n") * tNum)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val ta = toks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-      col("n").as("na"))
-    val tb = toks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-      col("n").as("nb"))
-    cand.join(ta, "doc_a").join(tb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+    val keyed = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(freq, "tok")
+      .select(col("doc_id"),
+        concat(lpad(col("cnt").cast(StringType), 12, "0"), lit(":"),
+          col("tok")).as("k"))
+    // one shuffle on doc_id: rank-sorted key set + its prefix slice
+    val pre = keyed.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+      .withColumn("n", size(col("ks")))
+      .withColumn("pks", expr(
+        s"slice(ks, 1, n - (($tNum * n + $tDen - 1) div $tDen) + 1)"))
+      .select(col("doc_id"), col("n"), col("ks"), col("pks"),
+        explode(col("pks")).as("k"))
+    val a = pre.select(col("k"), col("doc_id").as("doc_a"), col("n").as("na"),
+      col("pks").as("pks_a"), col("ks").as("ks_a"))
+    val b = pre.select(col("k"), col("doc_id").as("doc_b"), col("n").as("nb"),
+      col("pks").as("pks_b"), col("ks").as("ks_b"))
+    a.join(b, Seq("k"))
+      .filter(col("doc_a") < col("doc_b"))
+      // length-ratio prune: J(A,B) ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t
+      .filter(col("na") * tDen >= col("nb") * tNum
+        && col("nb") * tDen >= col("na") * tNum)
+      // once-only: both prefix arrays are rank-sorted, so the head of
+      // their intersection is the lowest-ranked common prefix key
+      .filter(col("k") ===
+        element_at(array_intersect(col("pks_a"), col("pks_b")), 1))
+      .withColumn("inter", size(array_intersect(col("ks_a"), col("ks_b"))))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))

@@ -128,24 +128,47 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer (MLlib, fixed
-    * seed → deterministic) assigns each corpus vector to a cell; a query
-    * probes only its `nprobe` nearest cells and re-ranks those candidates
-    * exactly. The other standard scale path next to LSH: at 100 TB the
-    * cell assignment is computed once at ingest and stored as a partition
-    * column, so a query reads `nprobe/nlist` of the corpus. */
-  def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
-      query: Array[Float], k: Int, nlist: Int, nprobe: Int): DataFrame = {
+  /** IVF index = fitted coarse quantizer + cell-assigned corpus. At
+    * 100 TB this is an INGEST step: the k-means model is fit once, cell
+    * ids land as a partition column, and queries prune to their probe
+    * cells at the scan. [[ivfCache]] is the in-session stand-in for that
+    * ingest artifact — fitting per query (the round-1/2 shape) re-clusters
+    * the corpus on every call. Keyed by caller-supplied corpus identity. */
+  private val ivfCache = scala.collection.concurrent.TrieMap[
+    (String, Int), (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]()
+
+  def ivfIndex(corpus: DataFrame, embCol: String, nlist: Int,
+      cacheKey: Option[String] = None)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vectors
+    def build() = {
+      val withVec = corpus.withColumn("_vec",
+        array_to_vector(col(embCol).cast(ArrayType(DoubleType))))
+      val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("_vec").setPredictionCol("_cell")
+        .fit(withVec)
+      val assigned = model.transform(withVec).drop("_vec")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (model, assigned)
+    }
+    cacheKey match {
+      case Some(key) => ivfCache.getOrElseUpdate((key, nlist), build())
+      case None      => build()
+    }
+  }
 
-    val withVec = corpus.withColumn("_vec",
-      array_to_vector(col(embCol).cast(ArrayType(DoubleType))))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("_vec").setPredictionCol("_cell")
-      .fit(withVec)
-    val assigned = model.transform(withVec)
+  /** IVF (inverted-file) ANN: the coarse quantizer (MLlib k-means, fixed
+    * seed → deterministic) assigns each corpus vector to a cell; a query
+    * probes only its `nprobe` nearest cells and re-ranks those candidates
+    * exactly. The other standard scale path next to LSH: a query reads
+    * `nprobe/nlist` of the corpus. Pass `cacheKey` to reuse the fitted
+    * index across calls (the ingest-time-artifact semantics). */
+  def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int, nlist: Int, nprobe: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    import org.apache.spark.ml.linalg.Vectors
+    val (model, assigned) = ivfIndex(corpus, embCol, nlist, cacheKey)
     val qVec = Vectors.dense(query.map(_.toDouble))
     val probeCells = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (Vectors.sqdist(c, qVec), i) }
@@ -186,7 +209,7 @@ object Similarity {
       .select(col("embedding")).collect()(0)
       .getSeq[Float](0).toArray
     ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      query, k = 10, nlist = 8, nprobe = 3)
+      query, k = 10, nlist = 8, nprobe = 3, cacheKey = Some(s"ivf:$d"))
   }
 
   val queries: Map[String, Q] = Map(
