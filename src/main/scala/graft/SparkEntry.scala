@@ -26,6 +26,7 @@ object SparkEntry {
       NorthStarQueries.queries ++
       WindowedQueries.queries ++
       DedupQueries.queries ++
+      Clustering.queries ++
       TextQueries.queries ++
       Similarity.queries ++
       MiscQueries.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       NorthStarQueries.oracleSql ++
       WindowedQueries.oracleSql ++
       DedupQueries.oracleSql ++
+      Clustering.oracleSql ++
       TextQueries.oracleSql ++
       Similarity.oracleSql ++
       MiscQueries.oracleSql ++

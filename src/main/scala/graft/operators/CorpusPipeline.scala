@@ -15,9 +15,11 @@ import graft.Tables
   *  2. exact dedup on text (keep lowest doc_id; window, not
   *     dropDuplicates — SURVEY.md §2.2)
   *  3. near-dedup: token-set Jaccard ≥ t via the prefix-filtered
-  *     similarity join ([[DedupQueries.ngramPairs]]); greedy keep-lowest:
-  *     drop every doc that is the higher id of any near-dup pair (the
-  *     standard single-pass rule — no iterative union-find)
+  *     similarity join ([[DedupQueries.ngramPairs]]), then connected
+  *     components over the pair graph ([[Clustering.componentLabels]]) —
+  *     keep exactly the smallest-id representative of each near-dup
+  *     cluster (greedy drop-the-higher-of-any-pair over-drops when two
+  *     docs share a neighbor without being near-dups of each other)
   *  4. annotate survivors: token count, stop ratio, sha-256, fingerprint
   *
   * At 100 TB each stage keeps its shuffle keyed small (digest / prefix
@@ -40,9 +42,12 @@ object CorpusPipeline {
       .withColumn("rn", row_number().over(
         Window.partitionBy("text").orderBy("doc_id")))
       .filter(col("rn") === 1).drop("rn")
-    val dropIds = DedupQueries.ngramPairs(exact, tNum, tDen)
-      .select(col("doc_b").as("doc_id")).distinct()
-    exact.join(dropIds, Seq("doc_id"), "left_anti")
+    val labels = Clustering.componentLabels(
+      DedupQueries.ngramPairs(exact, tNum, tDen))
+    exact
+      .join(labels.select(col("id").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"),
         sha2(col("text"), 256).as("digest"),
         aggregate(transform(split(col("text"), ""), c => ascii(c).cast(LongType)),
@@ -90,7 +95,7 @@ object CorpusPipeline {
                FROM documents)
          ORDER BY doc_id""",
     "q_corpus_curate" ->
-      """WITH scored AS (
+      """WITH RECURSIVE scored AS (
            SELECT doc_id, text,
              CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
              CAST(len(list_filter(string_split(lower(text), ' '),
@@ -106,12 +111,21 @@ object CorpusPipeline {
          tsets AS (
            SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
            FROM exact),
-         neardup_b AS (
-           SELECT DISTINCT b.doc_id AS doc_id
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM tsets a JOIN tsets b ON a.doc_id < b.doc_id
            WHERE len(list_intersect(a.toks, b.toks)) * 10 >=
                  (len(a.toks) + len(b.toks)
-                  - len(list_intersect(a.toks, b.toks))) * 9)
+                  - len(list_intersect(a.toks, b.toks))) * 9),
+         edges AS (
+           SELECT doc_a AS id, doc_b AS nbr FROM p
+           UNION ALL
+           SELECT doc_b AS id, doc_a AS nbr FROM p),
+         reach(id, r) AS (
+           SELECT id, id FROM edges
+           UNION
+           SELECT edges.id, reach.r FROM edges JOIN reach ON reach.id = edges.nbr),
+         labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
          SELECT e.doc_id, e.n_tokens, e.n_stop,
            sha256(e.text) AS digest,
            list_reduce(
@@ -119,7 +133,7 @@ object CorpusPipeline {
                list_transform(string_split(e.text, ''),
                  c -> CAST(ascii(c) AS BIGINT))),
              (h, c) -> (h * 31 + c) % 1000000007) AS fp
-         FROM exact e
-         WHERE e.doc_id NOT IN (SELECT doc_id FROM neardup_b)
+         FROM exact e LEFT JOIN labels l ON l.id = e.doc_id
+         WHERE l.label IS NULL OR l.label = e.doc_id
          ORDER BY e.doc_id""")
 }

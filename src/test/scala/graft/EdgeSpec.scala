@@ -201,4 +201,45 @@ class EdgeSpec extends AnyFunSuite {
       assert(bands((1L, b)) != bands((3L, b))) // disjoint token set
     }
   }
+
+  test("componentLabels: chains, shared neighbors, separate components") {
+    // chain 1-2-3 (min label must travel 2 hops), shared-neighbor
+    // 10-12 / 11-12 (the case where greedy drop-higher over-drops),
+    // isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Clustering.componentLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("componentLabels equals brute-force union-find on random graphs") {
+    val edgeGen = Gen.listOf(for {
+      a <- Gen.chooseNum(0L, 14L); b <- Gen.chooseNum(0L, 14L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    check(Prop.forAll(edgeGen) { edges: List[(Long, Long)] =>
+      edges.isEmpty || {
+        val df = edges.toDF("doc_a", "doc_b")
+        val got = graft.operators.Clustering.componentLabels(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute force: repeated relabel until fixpoint
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        var lbl = nodes.map(n => n -> n).toMap
+        var changed = true
+        while (changed) {
+          changed = false
+          edges.foreach { case (a, b) =>
+            val m = math.min(lbl(a), lbl(b))
+            if (lbl(a) != m || lbl(b) != m) {
+              lbl = lbl + (a -> m) + (b -> m); changed = true
+            }
+          }
+        }
+        got == lbl
+      }
+    }, n = 15)
+  }
 }
