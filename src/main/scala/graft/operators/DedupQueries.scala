@@ -294,13 +294,16 @@ object DedupQueries {
 
   // ---- registry ---------------------------------------------------------
 
+  // qDedupEmbed / qDedupEmbedQ are NOT registered: both are all-pairs
+  // self-joins kept only as exactness baselines for the recall tests
+  // (NoOracleSpec). The declared embedding-dedup surface is the
+  // scale-safe q_dedup_embed_lsh (graft.operators.Similarity) — an
+  // equality join on (table, bucket) with the same integer verification.
   val queries: Map[String, Q] = Map(
     "q_dedup_minhash_sig" -> qDedupMinhashSig,
     "q_dedup_minhash_pairs" -> qDedupMinhashPairs,
     "q_dedup_simhash" -> qDedupSimhash,
-    "q_dedup_ngram" -> qDedupNgram,
-    "q_dedup_embed" -> qDedupEmbed,
-    "q_dedup_embed_q" -> qDedupEmbedQ)
+    "q_dedup_ngram" -> qDedupNgram)
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_sig" ->
@@ -350,26 +353,6 @@ object DedupQueries {
            ON a.band = b.band AND a.band_key = b.band_key
          WHERE a.doc_id < b.doc_id
          ORDER BY doc_a, doc_b""",
-    "q_dedup_embed_q" ->
-      """WITH q AS (
-           SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
-           FROM embeddings),
-         n AS (
-           SELECT vec_id, qv,
-             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm2
-           FROM q),
-         p AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
-               t -> t[1] * t[2])) AS BIGINT) AS dot,
-             a.nrm2 AS na2, b.nrm2 AS nb2
-           FROM n a JOIN n b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, dot, na2, nb2 FROM p
-         WHERE dot > 0
-           AND CAST(dot AS HUGEINT) * dot * 10000
-               >= 2025 * CAST(na2 AS HUGEINT) * nb2
-         ORDER BY id_a, id_b""",
     "q_dedup_ngram" ->
       """WITH t AS (
            SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks

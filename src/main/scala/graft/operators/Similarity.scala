@@ -128,6 +128,77 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Integer-quantized hyperplane components: [[planeComponent]] scaled to
+    * milli-units and rounded. A quantized hyperplane is still a (slightly
+    * perturbed) random hyperplane, so sign-bit LSH over these planes keeps
+    * its locality property — and every bucket id becomes a pure function
+    * of integer arithmetic, reproducible bit-for-bit in any engine. */
+  def quantizedPlanes(nplanes: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(nplanes, dim)((b, d) => math.round(planeComponent(b, d) * 1000))
+
+  /** Scale-safe embedding near-dup pairs with an EXACT oracle — the
+    * declared-query twin of [[lshNearDupPairs]] (float recall path).
+    *
+    * Everything is integer arithmetic end-to-end, so the result
+    * hash-matches a DuckDB oracle that recomputes the same buckets:
+    *  1. quantize embeddings to milli-units (round(x·1000), never a .5 tie
+    *     — (2k+1)/2000 has no exact binary-float form, both engines round
+    *     identically);
+    *  2. `tables` independent LSH tables of `nbits` sign bits each, signs
+    *     taken from integer dot products against [[quantizedPlanes]];
+    *  3. candidates = pairs whose buckets agree within hamming ≤ 1 in ANY
+    *     table (side b is exploded under its own bucket + nbits one-bit
+    *     probes; within a table each pair meets at most once);
+    *  4. exact integer verification: dot > 0 and dot²·10⁴ ≥ cosSq1e4·‖a‖²·‖b‖²
+    *     (⇔ cosine ≥ √(cosSq1e4)/100), in DECIMAL(38,0) — dot² can pass
+    *     int64 for non-unit vectors (oracle uses HUGEINT for the same).
+    *
+    * 100 TB design: the only join is an equality join on (table, bucket) —
+    * a narrow int key, never an all-pairs cross product. Multi-table OR-ing
+    * (union of 2×4-bit tables, ~0.8 recall at cos 0.45 on the fixture)
+    * buys recall the way MinHash banding does; raise nbits with corpus
+    * size to hold per-bucket counts flat, add tables to hold recall. The
+    * final distinct dedups the ≤`tables` copies of a verified pair. */
+  def lshNearDupPairsQ(corpus: DataFrame, idCol: String, embCol: String,
+      tables: Int, nbits: Int, dim: Int, cosSq1e4: Long): DataFrame = {
+    import graft.functions.VectorFunctions.dotL
+    val planes = quantizedPlanes(tables * nbits, dim)
+    val quant = transform(col(embCol), x => round(x * 1000, 0).cast(LongType))
+    val base = corpus
+      .select(col(idCol).as("id"), quant.as("qv"))
+      .withColumn("nrm2", dotL(col("qv"), col("qv")))
+    // all `tables` bucket ids computed in one projection, then exploded —
+    // each row's 8 plane dots run once (codegen'd LongVecDot), not per probe
+    val tb = (0 until tables).map { t =>
+      val bits = (0 until nbits).map { j =>
+        val plane = array(planes(t * nbits + j).map(lit): _*)
+        when(dotL(col("qv"), plane) > 0, lit(1 << j)).otherwise(lit(0))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
+    }
+    val bucketed = base.withColumn("tb", explode(array(tb: _*)))
+      .select(col("id"), col("qv"), col("nrm2"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val withProbes = bucketed.withColumn("probe",
+        explode(array((lit(-1) +: (0 until nbits).map(lit)): _*)))
+      .withColumn("pbucket",
+        when(col("probe") < 0, col("bucket"))
+          .otherwise(expr("int(bucket) ^ shiftleft(1, probe)")))
+    val a = bucketed.select(col("id").as("id_a"), col("qv").as("qa"),
+      col("nrm2").as("na2"), col("tbl"), col("bucket").as("pbucket"))
+    val dec38 = DecimalType(38, 0)
+    a.join(withProbes.select(col("id").as("id_b"), col("qv").as("qb"),
+        col("nrm2").as("nb2"), col("tbl"), col("pbucket")), Seq("tbl", "pbucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", dotL(col("qa"), col("qb")))
+      .filter(col("dot") > 0
+        && col("dot").cast(dec38) * col("dot") * 10000L
+           >= lit(cosSq1e4).cast(dec38) * col("na2") * col("nb2"))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
+      .distinct() // a pair can verify in up to `tables` tables
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF index = fitted coarse quantizer + cell-assigned corpus. At
     * 100 TB this is an INGEST step: the k-means model is fit once, cell
     * ids land as a partition column, and queries prune to their probe
@@ -212,9 +283,64 @@ object Similarity {
       query, k = 10, nlist = 8, nprobe = 3, cacheKey = Some(s"ivf:$d"))
   }
 
+  /** Declared scale-safe embedding dedup: cosine ≥ 0.45 pairs through the
+    * 2-table × 4-bit quantized LSH (hamming-1 probes). Exact oracle — the
+    * DuckDB side recomputes the identical integer buckets from the same
+    * plane literals. The all-pairs baselines this replaces in the registry
+    * (DedupQueries.qDedupEmbed/_Q) remain as documented exactness
+    * references for the recall tests. */
+  val qDedupEmbedLsh: Q = (s, d) =>
+    lshNearDupPairsQ(Tables.embeddings(s, d), "vec_id", "embedding",
+      tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L)
+
+  /** DuckDB oracle for [[qDedupEmbedLsh]], generated with the same
+    * quantized-plane literals the Spark plan embeds: candidates = bucket
+    * hamming ≤ 1 in any table, verification in HUGEINT. */
+  private def embedLshOracle(tables: Int, nbits: Int, dim: Int,
+      cosSq1e4: Long): String = {
+    val planes = quantizedPlanes(tables * nbits, dim)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / nbits}, ${i % nbits}, [${p.mkString(",")}]::BIGINT[])"
+    }.mkString(",\n           ")
+    s"""WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm2
+           FROM q),
+         pl AS (SELECT * FROM (VALUES $planeRows) AS t(tbl, b, plane)),
+         bk AS (
+           SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(qv, plane),
+                    t -> t[1] * t[2])) > 0
+                  THEN (1 << b) ELSE 0 END) AS BIGINT) AS bucket
+           FROM n, pl GROUP BY vec_id, tbl),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.vec_id < b.vec_id
+           WHERE bit_count(xor(a.bucket, b.bucket)) <= 1),
+         ver AS (
+           SELECT id_a, id_b,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+               t -> t[1] * t[2])) AS BIGINT) AS dot,
+             a.nrm2 AS na2, b.nrm2 AS nb2
+           FROM cand JOIN n a ON a.vec_id = cand.id_a
+                     JOIN n b ON b.vec_id = cand.id_b)
+         SELECT id_a, id_b, dot, na2, nb2 FROM ver
+         WHERE dot > 0
+           AND CAST(dot AS HUGEINT) * dot * 10000
+               >= $cosSq1e4 * CAST(na2 AS HUGEINT) * nb2
+         ORDER BY id_a, id_b"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q_similarity_lsh" -> qSimilarityLsh,
-    "q_similarity_ivf" -> qSimilarityIvf)
+    "q_similarity_ivf" -> qSimilarityIvf,
+    "q_dedup_embed_lsh" -> qDedupEmbedLsh)
 
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_embed_lsh" ->
+      embedLshOracle(tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L))
 }

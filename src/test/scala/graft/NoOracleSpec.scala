@@ -125,6 +125,19 @@ class NoOracleSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall of ${brute.size} pairs")
   }
 
+  test("q_dedup_embed_lsh: exact subset of the quantized brute-force pairs") {
+    // the quantized all-pairs baseline is the ground truth the LSH query
+    // trades recall against — every LSH pair must appear there verbatim
+    val brute = DedupQueries.qDedupEmbedQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Similarity.qDedupEmbedLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.subsetOf(brute), "LSH pairs must be exactly verified")
+    assert(brute.nonEmpty)
+    val recall = got.size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall of ${brute.size} pairs")
+  }
+
   test("q_multimodal_features equals the stub decoder applied directly") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

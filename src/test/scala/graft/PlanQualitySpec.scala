@@ -18,8 +18,6 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_similarity_topk",   // 1-row broadcast query vector
     "q_similarity_lsh",    // 1-row query vector vs bucketed candidates
     "q_similarity_ivf",    // same, IVF cells
-    "q_dedup_embed",       // brute-force all-pairs baseline (LSH twin exists)
-    "q_dedup_embed_q",     // quantized all-pairs baseline
     "q_resample_gapfill")  // grid × 5 event types
 
   test("no accidental cartesian or nested-loop joins in the registry") {
