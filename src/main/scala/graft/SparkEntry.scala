@@ -26,6 +26,7 @@ object SparkEntry {
       NorthStarQueries.queries ++
       WindowedQueries.queries ++
       DedupQueries.queries ++
+      IncrementalDedup.queries ++
       Clustering.queries ++
       TextQueries.queries ++
       Similarity.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       NorthStarQueries.oracleSql ++
       WindowedQueries.oracleSql ++
       DedupQueries.oracleSql ++
+      IncrementalDedup.oracleSql ++
       Clustering.oracleSql ++
       TextQueries.oracleSql ++
       Similarity.oracleSql ++

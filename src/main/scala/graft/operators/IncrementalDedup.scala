@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Incremental (cross-snapshot) corpus dedup — the reference's defining
+  * change-detection behavior (hash vs stored `latest-feed-hash`,
+  * dags/warsaw-gtfs.py:60-71, engine-side [[graft.pipeline.FeedState]])
+  * lifted from feed-bytes granularity to corpus granularity: the first
+  * thing every recurring training-data ingest does is anti-join the new
+  * batch against the state of everything already ingested.
+  *
+  * State = two append-only parquet tables under `statePath`:
+  *  - `digests/` (digest STRING) — exact-dup state, sha-256 of text
+  *  - `bands/` (band INT, band_key STRING) — near-dup state, MinHash LSH
+  *    band keys at 2 bands × 6 rows (threshold ≈ (1/2)^(1/6) ≈ 0.89,
+  *    matched to the J ≥ 0.9 near-dup joins elsewhere in the engine)
+  *
+  * A batch doc survives iff its digest is unseen AND none of its band
+  * keys is seen — i.e. it is neither an exact copy nor an LSH-candidate
+  * near-dup of any previously ingested doc.
+  *
+  * 100 TB design: both checks are left-anti/left-semi equality joins on
+  * narrow keys (32-byte digest / 32-hex band digest) — shuffle-keyed,
+  * never a scan of prior batches' text, and the text column never
+  * re-shuffles (only ids and digests move). State grows by O(new docs)
+  * rows per ingest; at warehouse scale bucket both state tables by their
+  * key so the anti-joins co-locate without a state-side shuffle, and
+  * compact appends periodically.
+  */
+object IncrementalDedup {
+
+  val Bands = 2
+  val Rows = 6
+
+  /** Exact-dup state rows for a corpus slice. */
+  def digestsOf(docs: DataFrame): DataFrame =
+    docs.select(sha2(col("text"), 256).as("digest"))
+
+  /** Near-dup state rows: (doc_id, band, band_key). */
+  def bandsOf(docs: DataFrame): DataFrame =
+    DedupQueries.minhashBands(docs, bands = Bands, rows = Rows)
+
+  /** Batch docs new w.r.t. state, annotated with their digest. Output
+    * keeps every batch column plus `digest`. */
+  def newDocs(batch: DataFrame, stateDigests: DataFrame,
+      stateBands: DataFrame): DataFrame = {
+    val exactNew = batch.withColumn("digest", sha2(col("text"), 256))
+      .join(stateDigests.select("digest").distinct(), Seq("digest"), "left_anti")
+    // doc-level near-dup drop: any band-key hit in state marks the doc
+    val nearDupIds = bandsOf(exactNew)
+      .join(stateBands.select("band", "band_key").distinct(),
+        Seq("band", "band_key"), "left_semi")
+      .select("doc_id").distinct()
+    exactNew.join(nearDupIds, Seq("doc_id"), "left_anti")
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def readState(spark: SparkSession, path: String,
+      empty: DataFrame): DataFrame =
+    if (pathExists(spark, path)) spark.read.schema(empty.schema).parquet(path)
+    else empty
+
+  /** One ingest round: filter `batch` against the state under `statePath`,
+    * append the survivors' digests and band keys, return the survivors.
+    * State is written AFTER the survivor set materializes (same
+    * state-written-last ordering fix as [[graft.pipeline.GtfsIngest]]);
+    * re-ingesting the same batch is then a no-op (every digest already in
+    * state), which makes crash-rerun safe without a transaction log. */
+  def ingest(spark: SparkSession, batch: DataFrame,
+      statePath: String): DataFrame = {
+    val digestsPath = s"$statePath/digests"
+    val bandsPath = s"$statePath/bands"
+    val emptyDocs = batch.limit(0)
+    val stateDigests = readState(spark, digestsPath, digestsOf(emptyDocs))
+    val stateBands = readState(spark, bandsPath,
+      bandsOf(emptyDocs).select("band", "band_key"))
+    // Eager localCheckpoint, not persist: the survivor plan reads the
+    // state parquet, which the appends below grow — a cache-evicted
+    // recompute after the append would anti-join the batch against its
+    // own digests and silently return empty. Checkpointing cuts that
+    // lineage before state is touched.
+    val survivors = newDocs(batch, stateDigests, stateBands)
+      .localCheckpoint(true)
+    survivors.select("digest")
+      .write.mode(SaveMode.Append).parquet(digestsPath)
+    bandsOf(survivors).select("band", "band_key")
+      .write.mode(SaveMode.Append).parquet(bandsPath)
+    survivors
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Declared incremental-dedup query: even doc_ids are the previously
+    * ingested corpus (state), odd doc_ids are the new batch. Survivors =
+    * odd docs that are neither exact copies nor MinHash-band near-dup
+    * candidates of any even doc. Fully deterministic (sha-256 + md5
+    * band keys) → exact DuckDB oracle. */
+  val qDedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val state = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    newDocs(batch, digestsOf(state), bandsOf(state).select("band", "band_key"))
+      .select(col("doc_id"), col("digest"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_incremental" -> qDedupIncremental)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      """WITH exact_new AS (
+           SELECT doc_id, sha256(text) AS digest FROM documents
+           WHERE doc_id % 2 = 1
+             AND sha256(text) NOT IN
+               (SELECT sha256(text) FROM documents WHERE doc_id % 2 = 0)),
+         tok AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || tok) AS hv
+           FROM tok, (SELECT unnest(generate_series(0, 11)) AS i)),
+         s AS (SELECT doc_id, i, MIN(hv) AS sig FROM h GROUP BY doc_id, i),
+         bands AS (
+           SELECT doc_id, i // 6 AS band,
+             md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || sig,
+                 '|' ORDER BY i)) AS band_key
+           FROM s GROUP BY doc_id, i // 6),
+         near AS (
+           SELECT DISTINCT b.doc_id
+           FROM bands b JOIN bands st
+             ON b.band = st.band AND b.band_key = st.band_key
+           WHERE b.doc_id % 2 = 1 AND st.doc_id % 2 = 0)
+         SELECT doc_id, digest FROM exact_new
+         WHERE doc_id NOT IN (SELECT doc_id FROM near)
+         ORDER BY doc_id""")
+}

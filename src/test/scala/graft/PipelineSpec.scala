@@ -105,6 +105,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IncrementalDedup.ingest: cross-snapshot corpus state round-trip") {
+    import spark.implicits._
+    import graft.operators.IncrementalDedup
+    val state = tmpDir() + "/corpus-state"
+    val b1 = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    assert(IncrementalDedup.ingest(spark, b1, state).count() == 2)
+    val b2 = Seq(
+      (3L, "alpha beta gamma delta"), // exact copy of doc 1
+      (4L, "theta eta zeta epsilon"), // doc 2's token set reordered → near-dup
+      (5L, "iota kappa lambda mu")).toDF("doc_id", "text") // genuinely new
+    val s2 = IncrementalDedup.ingest(spark, b2, state)
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(5L))
+    // crash-rerun safety: re-ingesting the same batch is a no-op
+    assert(IncrementalDedup.ingest(spark, b2, state).count() == 0)
+    // state grew by exactly the survivors' rows
+    assert(spark.read.parquet(s"$state/digests").count() == 3)
+  }
+
   test("WeatherIngest: SaveMode.Ignore gives blob-exists idempotence") {
     val dir = tmpDir()
     val date = LocalDate.of(2024, 12, 23)
