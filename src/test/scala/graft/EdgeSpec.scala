@@ -202,6 +202,24 @@ class EdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("setContractedLabels equals the uncontracted pair-graph labels") {
+    // random word-soup corpora over a tiny vocab maximize identical sets,
+    // reordered sets, and cross-set near-dups — the contraction's cases
+    val vocab = Vector("a", "b", "c", "d")
+    val corpusGen = Gen.listOfN(10,
+      Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(_.mkString(" ")))
+    check(Prop.forAll(corpusGen) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val want = graft.operators.Clustering.componentLabels(
+        DedupQueries.ngramPairs(docs, 7, 10))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = graft.operators.Clustering.setContractedLabels(docs, 7, 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }, n = 8)
+  }
+
   test("componentLabels: chains, shared neighbors, separate components") {
     // chain 1-2-3 (min label must travel 2 hops), shared-neighbor
     // 10-12 / 11-12 (the case where greedy drop-higher over-drops),
