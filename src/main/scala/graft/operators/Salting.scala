@@ -22,14 +22,21 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   /** Inner/left equi-join with the right side replicated `n` ways. The
-    * right side must be the smaller one (it is multiplied n×). */
+    * right side must be the smaller one (it is multiplied n×).
+    *
+    * Semi/anti are salt-safe too: the right side is replicated for every
+    * salt value, so per-(key, salt) existence equals per-key existence.
+    * Right/full outer are NOT (each unmatched replicated right row would
+    * emit n null-extended copies) — fail fast instead of being wrong. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, n: Int,
       joinType: String = "inner"): DataFrame = {
     require(n > 0)
-    // right/full outer would emit n null-extended copies of every
-    // unmatched replicated right row — fail fast instead of being wrong
-    require(Set("inner", "left", "left_outer").contains(joinType.toLowerCase),
-      s"saltedJoin is only correct for inner/left equi-joins, got $joinType")
+    // normalize Spark's accepted aliases (leftouter / left_outer / LEFT)
+    // the same way JoinType.apply does, then whitelist the salt-safe set
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+      "semi", "anti").contains(jt),
+      s"saltedJoin is only correct for inner/left/semi/anti equi-joins, got $joinType")
     val salted = left.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(n.toLong))
         .cast("int"))

