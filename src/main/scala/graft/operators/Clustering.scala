@@ -127,12 +127,8 @@ object Clustering {
   def setContractedLabels(docs: DataFrame, tNum: Int, tDen: Int,
       cacheKey: Option[String] = None): DataFrame = {
     def build(): DataFrame = {
-      val keyed = DedupQueries.docTokens(docs).filter(col("n") > 0)
-        .withColumn("skey", array_join(sort_array(col("toks")), " "))
-        .select("doc_id", "skey")
-        .localCheckpoint(true) // scanned 3×: groups, rep semi-join, final map
-      val groups = keyed.groupBy("skey")
-        .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
+      val (keyed, groups) =
+        DedupQueries.setGroups(docs, cacheKey.map(k => s"$k:groups"))
       // checkpoint: the pair build scans its input corpus several times
       // (vocabulary pass + prefix explode) — don't re-run the semi-join
       val repDocs = docs.join(groups.select(col("rep").as("doc_id")),
@@ -142,7 +138,8 @@ object Clustering {
         DedupQueries.ngramPairs(repDocs, tNum, tDen))
       // a doc is clustered iff its set-group has company (gsize > 1) or
       // its representative pairs with another distinct set
-      keyed.join(groups, "skey")
+      keyed.join(groups.select(col("skey"), col("rep"),
+          size(col("members")).as("gsize")), "skey")
         .join(repLabels.select(col("id").as("rep"), col("label").as("rlabel")),
           Seq("rep"), "left")
         .filter(col("gsize") > 1 || col("rlabel").isNotNull)
