@@ -15,14 +15,15 @@ import graft.Tables
   * Algorithm: smallest-id label propagation. Every node starts labeled
   * with its own id; each round a node takes the min of its own and its
   * neighbors' labels; fixpoint = min id of the connected component.
-  * Rounds = graph diameter. Near-dup graphs at high thresholds are
-  * clique-like (diameter 1–2), so 3–4 rounds end-to-end; for adversarial
-  * long-chain graphs at 100 TB swap the step for alternating
-  * large-star/small-star (Kiveris et al., "Connected Components in
-  * MapReduce and Beyond"), which converges in O(log n) rounds on the
-  * same join+min primitive. Every round is one shuffle join on node id +
-  * one groupBy — no driver-side graph state; the driver holds only the
-  * loop counter and the per-round changed count.
+  * Rounds = graph diameter (halved by the pointer-jump step). Near-dup
+  * graphs at high thresholds are clique-like (diameter 1–2), so a few
+  * rounds end-to-end; for adversarial long-chain graphs at 100 TB use
+  * [[componentLabelsStar]] — alternating large-star/small-star (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond"), which
+  * converges in O(log² n) rounds regardless of diameter on the same
+  * join+min primitive. Every round is one shuffle join on node id + one
+  * groupBy — no driver-side graph state; the driver holds only the loop
+  * counter and the per-round changed count.
   */
 object Clustering {
 
@@ -107,6 +108,67 @@ object Clustering {
     }
     sym.unpersist(false)
     labels
+  }
+
+  /** Diameter-independent connected components: alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — same (id, label) contract as
+    * [[componentLabels]], converging in O(log² n) rounds on ANY graph
+    * shape, including the long chains where label propagation needs
+    * O(diameter) rounds. Use when component structure is unknown or
+    * adversarial; the propagation loop stays the default because on
+    * clique-like near-dup graphs it finishes in fewer, cheaper rounds.
+    *
+    *  - large-star, per node u: emit (v, min(Γ⁺(u))) for every STRICTLY
+    *    LARGER neighbor v — hangs big nodes under the local minimum
+    *  - small-star, per node u: emit (v, min(Γ⁻(u) ∪ u)) for every
+    *    smaller-or-self neighbor — compresses the remaining chains
+    *
+    * Both are one groupBy-min + one keyed join over the edge list;
+    * fixpoint = star graphs whose centers are the component minima.
+    * Every intermediate edge (x, y) is an IN-COMPONENT pair (each step
+    * only rewires a node to another member of its own component), so the
+    * final stars label exactly the input's components. */
+  def componentLabelsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: m(u) = min of closed neighborhood; (m ≤ u < v) ⇒ the
+      // emitted (m, v) is already canonically ordered
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mL = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = sym.join(mL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star: per u over smaller neighbors N (v < u): hang
+      // (N ∪ {u}) \ {m} under m = min(N)
+      val dir = afterLarge.select(col("b").as("u"), col("a").as("v"))
+      val mS = dir.groupBy("u").agg(min("v").as("m"))
+      val afterSmall = dir.join(mS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(mS.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint(true)
+      // set-equality convergence: equal cardinality + empty difference
+      converged = afterSmall.count() == edges.count() &&
+        afterSmall.except(edges).isEmpty
+      edges = afterSmall
+      iter += 1
+    }
+    edges.select(col("a").as("id"), col("a").as("label"))
+      .union(edges.select(col("b").as("id"), col("a").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
   }
 
   /** (doc_id, label) for every doc in a non-singleton J ≥ tNum/tDen

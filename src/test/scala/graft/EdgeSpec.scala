@@ -220,6 +220,29 @@ class EdgeSpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  test("componentLabelsStar equals componentLabels on random graphs and chains") {
+    // the adversarial case for plain propagation: one long path
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val chainGot = graft.operators.Clustering.componentLabelsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot == (0L until 40L).map(_ -> 0L).toMap)
+    val edgeGen = Gen.listOf(for {
+      a <- Gen.chooseNum(0L, 14L); b <- Gen.chooseNum(0L, 14L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    check(Prop.forAll(edgeGen) { edges: List[(Long, Long)] =>
+      edges.isEmpty || {
+        val df = edges.toDF("doc_a", "doc_b")
+        val star = graft.operators.Clustering.componentLabelsStar(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val prop = graft.operators.Clustering.componentLabels(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        star == prop
+      }
+    }, n = 6)
+  }
+
   test("componentLabels: chains, shared neighbors, separate components") {
     // chain 1-2-3 (min label must travel 2 hops), shared-neighbor
     // 10-12 / 11-12 (the case where greedy drop-higher over-drops),
