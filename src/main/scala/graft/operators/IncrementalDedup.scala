@@ -43,13 +43,23 @@ object IncrementalDedup {
     DedupQueries.minhashBands(docs, bands = Bands, rows = Rows)
 
   /** Batch docs new w.r.t. state, annotated with their digest. Output
-    * keeps every batch column plus `digest`. */
+    * keeps every batch column plus `digest`.
+    *
+    * `batchBands`: optionally supply precomputed per-doc band keys
+    * covering (a superset of) the batch — band keys are per-doc, so when
+    * state and batch slice one corpus table the signature pass can run
+    * once for both sides instead of once per side. */
   def newDocs(batch: DataFrame, stateDigests: DataFrame,
-      stateBands: DataFrame): DataFrame = {
+      stateBands: DataFrame,
+      batchBands: Option[DataFrame] = None): DataFrame = {
     val exactNew = batch.withColumn("digest", sha2(col("text"), 256))
       .join(stateDigests.select("digest").distinct(), Seq("digest"), "left_anti")
+    val bands = batchBands match {
+      case Some(b) => b.join(exactNew.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None    => bandsOf(exactNew)
+    }
     // doc-level near-dup drop: any band-key hit in state marks the doc
-    val nearDupIds = bandsOf(exactNew)
+    val nearDupIds = bands
       .join(stateBands.select("band", "band_key").distinct(),
         Seq("band", "band_key"), "left_semi")
       .select("doc_id").distinct()
@@ -105,7 +115,14 @@ object IncrementalDedup {
     val docs = Tables.documents(s, d)
     val state = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
-    newDocs(batch, digestsOf(state), bandsOf(state).select("band", "band_key"))
+    // band keys are per-doc: one signature pass over the whole table
+    // serves both the state side and the batch side (corpus artifact,
+    // same cache as any other 2×6 banding of this fixture)
+    val allBands = DedupQueries.minhashBands(docs, bands = Bands, rows = Rows,
+      cacheKey = Some(s"docs:$d:all"))
+    newDocs(batch, digestsOf(state),
+      allBands.filter(col("doc_id") % 2 === 0).select("band", "band_key"),
+      batchBands = Some(allBands.filter(col("doc_id") % 2 === 1)))
       .select(col("doc_id"), col("digest"))
       .orderBy("doc_id")
   }
