@@ -34,6 +34,9 @@ object Clustering {
   private val labelCache =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
+  /** Drop cached label artifacts (see [[DedupQueries.clearArtifacts]]). */
+  def clearArtifacts(): Unit = labelCache.clear()
+
   /** (id, label) for every node appearing in `pairs` (doc_a, doc_b);
     * label = smallest doc_id reachable through the pair graph. */
   def componentLabels(pairs: DataFrame, maxIter: Int = 25,

@@ -60,6 +60,17 @@ object DedupQueries {
     * and expand back to docs — see [[Clustering.setContractedLabels]] and
     * [[qDedupMinhashPairs]]. Both frames are eagerly checkpointed (each
     * is scanned several times downstream). */
+  /** Drop every session-scoped dedup artifact (pair lists, set groups,
+    * band tables). Checkpoint blocks are released by the ContextCleaner
+    * once unreferenced; persisted frames are unpersisted eagerly. For
+    * long-lived sessions that re-ingest a corpus under the same key. */
+  def clearArtifacts(): Unit = {
+    pairCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    pairCache.clear()
+    groupCache.clear()
+    bandCache.clear()
+  }
+
   private val groupCache =
     scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]()
 

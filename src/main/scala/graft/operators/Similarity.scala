@@ -208,6 +208,14 @@ object Similarity {
   private val ivfCache = scala.collection.concurrent.TrieMap[
     (String, Int), (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]()
 
+  /** Drop cached IVF index artifacts (see [[DedupQueries.clearArtifacts]]). */
+  def clearArtifacts(): Unit = {
+    ivfCache.values.foreach { case (_, df) =>
+      try df.unpersist(false) catch { case _: Throwable => () }
+    }
+    ivfCache.clear()
+  }
+
   def ivfIndex(corpus: DataFrame, embCol: String, nlist: Int,
       cacheKey: Option[String] = None)
       : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {

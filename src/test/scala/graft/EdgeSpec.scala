@@ -220,6 +220,15 @@ class EdgeSpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  test("Artifacts.clearAll: cached artifacts rebuild identically") {
+    val before = DedupQueries.qDedupMinhashPairs(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.operators.Artifacts.clearAll()
+    val after = DedupQueries.qDedupMinhashPairs(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(before == after && before.nonEmpty)
+  }
+
   test("componentLabelsStar equals componentLabels on random graphs and chains") {
     // the adversarial case for plain propagation: one long path
     val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
