@@ -104,6 +104,31 @@ object IncrementalDedup {
     survivors
   }
 
+  /** Streaming corpus ingest: run every micro-batch of a (doc_id, text)
+    * stream through [[ingest]], so the digest/band state dedups ACROSS
+    * micro-batches (and across restarts — the state tables persist).
+    * Survivors append to `outDir`.
+    *
+    * foreachBatch rather than dropDuplicatesWithinWatermark because
+    * corpus identity has no event-time horizon: a document is a dup of
+    * one ingested last month. State here is the same append-only keyed
+    * parquet the batch path uses, not executor state-store rows, so batch
+    * and streaming ingests can interleave against one corpus state.
+    * Micro-batch replay after a crash is absorbed by [[ingest]]'s
+    * idempotence (replayed docs' digests are already in state). */
+  def streamIngest(spark: SparkSession, docs: DataFrame, statePath: String,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val survivors = ingest(batch.sparkSession, batch.toDF(), statePath)
+        survivors.write.mode(SaveMode.Append).parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Declared incremental-dedup query: even doc_ids are the previously

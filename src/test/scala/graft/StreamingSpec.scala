@@ -199,4 +199,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streamIngest dedups across micro-batches through persistent state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-si").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.IncrementalDedup.streamIngest(spark,
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/state", s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      q.processAllAvailable()
+      // batch 2: exact dup of doc 1, reordered (near-dup) of doc 2, one new
+      mem.addData((3L, "alpha beta gamma delta"),
+        (4L, "theta eta zeta epsilon"),
+        (5L, "iota kappa lambda mu"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(1L, 2L, 5L))
+      // the same state serves subsequent BATCH ingests (one corpus state)
+      val b3 = Seq((6L, "iota kappa lambda mu"), (7L, "nu xi omicron pi"))
+        .toDF("doc_id", "text")
+      val s3 = graft.operators.IncrementalDedup.ingest(spark, b3, s"$dir/state")
+      assert(s3.select("doc_id").collect().map(_.getLong(0)).toSet == Set(7L))
+    } finally q.stop()
+  }
 }
