@@ -80,6 +80,27 @@ object CorpusPipeline {
       .select(col("doc_id"), splitColumn(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
+  /** Deterministic stratified sampling: per-stratum (language) rates over
+    * the same md5 id-hash [[splitColumn]] uses, salted so the sample is
+    * independent of the train/val/test assignment. Rerun-stable and
+    * engine-exact like the split; at 100 TB it is a map-side filter with
+    * no shuffle (the hash replaces reservoir/Bernoulli sampling, whose
+    * output depends on partitioning). Rates: es/zh kept at 50%, en at
+    * 25%, everything else at 10% — the downsample-the-majority-language
+    * shape of real corpus curation. */
+  val qSampleStratified: Q = (s, d) => {
+    val pct = pmod(conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit("#sample"))), 1, 4), 16, 10).cast(IntegerType), lit(100))
+    val rate = when(col("lang").isin("es", "zh"), 50)
+      .when(col("lang") === "en", 25)
+      .otherwise(10)
+    Tables.documents(s, d)
+      .withColumn("pct", pct)
+      .filter(col("pct") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("pct"))
+      .orderBy("doc_id")
+  }
+
   /** Curate the documents fixture: ≥ 15 tokens, ≤ 40% stopwords, near-dup
     * threshold J ≥ 0.9. */
   val qCorpusCurate: Q = (s, d) =>
@@ -88,7 +109,8 @@ object CorpusPipeline {
 
   val queries: Map[String, Q] = Map(
     "q_corpus_curate" -> qCorpusCurate,
-    "q_train_split" -> qTrainSplit)
+    "q_train_split" -> qTrainSplit,
+    "q_sample_stratified" -> qSampleStratified)
 
   val oracleSql: Map[String, String] = Map(
     "q_train_split" ->
@@ -100,6 +122,17 @@ object CorpusPipeline {
                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                       AS INT) % 100 AS pct
                FROM documents)
+         ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source, pct
+         FROM (SELECT doc_id, lang, source,
+                 CAST('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 4)
+                      AS INT) % 100 AS pct
+               FROM documents)
+         WHERE pct < CASE WHEN lang IN ('es', 'zh') THEN 50
+                          WHEN lang = 'en' THEN 25
+                          ELSE 10 END
          ORDER BY doc_id""",
     "q_corpus_curate" ->
       """WITH RECURSIVE scored AS (

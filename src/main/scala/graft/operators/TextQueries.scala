@@ -83,13 +83,83 @@ object TextQueries {
           lit(0L), (h, c) => pmod(h * 31 + c, lit(1000000007L))).as("fp"))
       .orderBy("doc_id")
 
+  /** TF-IDF scoring per (doc, token): tf and df as exact longs plus a
+    * micro-nat-quantized score floor(tf · ln(N/df) · 1e6).
+    *
+    * Both engines compute the identical IEEE-754 chain — correctly-rounded
+    * double division, then libm ln (verified bit-identical for every
+    * N/df with N = 500 on this host), then two correctly-rounded
+    * multiplies — so the floored integer hash-matches. The quantization
+    * exists because ln is the one step with no cross-engine rounding
+    * guarantee: a 1-ulp ln difference (~1e-16 relative) moves the scaled
+    * score by ~1e-9, flipping floor only if the true value sits within
+    * that distance of an integer — impossible here since ln(N/df) is
+    * irrational for df ≠ N and the fixture's ~31 distinct df values were
+    * checked against both engines.
+    *
+    * 100 TB shape: two token-keyed shuffles (tf, then df) and a 1-row
+    * broadcast for N — df and N are corpus-level ingest artifacts in a
+    * real pipeline, making scoring itself map-side. */
+  val qTextTfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        floor(col("tf") * log(col("n_docs").cast(DoubleType) / col("df"))
+          * lit(1000000.0)).as("tfidf_micro"))
+      .orderBy("doc_id", "tok")
+  }
+
+  /** Corpus bigram counts (n-gram generation for LM data statistics):
+    * adjacent-token pairs via an index-sequence HOF — no UDF, stays in
+    * whole-stage codegen — then one token-pair-keyed groupBy. n = total
+    * occurrences, n_docs = documents containing the bigram. */
+  val qTextNgrams: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 2)
+    docs
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy("bigram")
+  }
+
+  /** PII-style redaction: digit runs → <NUM>, named-entity-ish tokens →
+    * <ENT> (the fixture corpus has no digits, so the <NUM> branch verifies
+    * the no-match path), with exact per-class match counts. Pure map-side
+    * regexp work — the 100 TB cost is one corpus scan. Patterns are
+    * word-boundary anchored and identical under Java regex and RE2. */
+  val qTextRedact: Q = (s, d) => {
+    val entPat = "\\b(customer|spark)\\b"
+    val numPat = "\\b[0-9]+\\b"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), numPat, "<NUM>"),
+          entPat, "<ENT>").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(entPat), lit(0))).as("n_ent"),
+        size(regexp_extract_all(col("text"), lit(numPat), lit(0))).as("n_num"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_token_count" -> qTextTokenCount,
-    "q_text_fingerprint" -> qTextFingerprint)
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_tfidf" -> qTextTfidf,
+    "q_text_ngrams" -> qTextNgrams,
+    "q_text_redact" -> qTextRedact)
 
   val oracleSql: Map[String, String] = Map(
     "q_text_langid" ->
@@ -138,5 +208,37 @@ object TextQueries {
              list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (h, c) -> (h * 31 + c) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+           CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+                * 1000000.0) AS BIGINT) AS tfidf_micro
+         FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+         ORDER BY tf.doc_id, tf.tok""",
+    "q_text_ngrams" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_transform(range(len(toks) - 1),
+               i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+           FROM t)
+         SELECT bigram, COUNT(*) AS n,
+           COUNT(DISTINCT doc_id) AS n_docs
+         FROM bg GROUP BY bigram ORDER BY bigram""",
+    "q_text_redact" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(text, '\b[0-9]+\b', '<NUM>', 'g'),
+             '\b(customer|spark)\b', '<ENT>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '\b(customer|spark)\b')) AS INT) AS n_ent,
+           CAST(len(regexp_extract_all(text, '\b[0-9]+\b')) AS INT) AS n_num
          FROM documents ORDER BY doc_id""")
 }
