@@ -160,7 +160,16 @@ object Similarity {
     * size to hold per-bucket counts flat, add tables to hold recall. The
     * final distinct dedups the ≤`tables` copies of a verified pair. */
   def lshNearDupPairsQ(corpus: DataFrame, idCol: String, embCol: String,
-      tables: Int, nbits: Int, dim: Int, cosSq1e4: Long): DataFrame = {
+      tables: Int, nbits: Int, dim: Int, cosSq1e4: Long): DataFrame =
+    lshNearDupPairsQUnsorted(corpus, idCol, embCol, tables, nbits, dim,
+      cosSq1e4).orderBy("id_a", "id_b")
+
+  /** [[lshNearDupPairsQ]] without the presentation sort — the artifact
+    * form (an eagerly-materialized sort re-runs the upstream plan for its
+    * range-bound sampling; declared queries sort on top instead). */
+  private def lshNearDupPairsQUnsorted(corpus: DataFrame, idCol: String,
+      embCol: String, tables: Int, nbits: Int, dim: Int,
+      cosSq1e4: Long): DataFrame = {
     import graft.functions.VectorFunctions.dotL
     val planes = quantizedPlanes(tables * nbits, dim)
     val quant = transform(col(embCol), x => round(x * 1000, 0).cast(LongType))
@@ -196,8 +205,21 @@ object Similarity {
            >= lit(cosSq1e4).cast(dec38) * col("na2") * col("nb2"))
       .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
       .distinct() // a pair can verify in up to `tables` tables
-      .orderBy("id_a", "id_b")
   }
+
+  /** Session-scoped verified-pair artifact for the declared embedding
+    * dedup queries — like DedupQueries.pairCache for token sets, the
+    * 100 TB form is a pair table materialized once per landed corpus and
+    * read by both the pair listing and the clustering that follows. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private[operators] def embedPairsArtifact(s: SparkSession,
+      d: String): DataFrame =
+    pairCache.getOrElseUpdate(d,
+      lshNearDupPairsQUnsorted(Tables.embeddings(s, d), "vec_id", "embedding",
+        tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** IVF index = fitted coarse quantizer + cell-assigned corpus. At
     * 100 TB this is an INGEST step: the k-means model is fit once, cell
@@ -208,12 +230,17 @@ object Similarity {
   private val ivfCache = scala.collection.concurrent.TrieMap[
     (String, Int), (org.apache.spark.ml.clustering.KMeansModel, DataFrame)]()
 
-  /** Drop cached IVF index artifacts (see [[DedupQueries.clearArtifacts]]). */
+  /** Drop cached IVF index and embed-pair artifacts (see
+    * [[DedupQueries.clearArtifacts]]). */
   def clearArtifacts(): Unit = {
     ivfCache.values.foreach { case (_, df) =>
       try df.unpersist(false) catch { case _: Throwable => () }
     }
     ivfCache.clear()
+    pairCache.values.foreach { df =>
+      try df.unpersist(false) catch { case _: Throwable => () }
+    }
+    pairCache.clear()
   }
 
   def ivfIndex(corpus: DataFrame, embCol: String, nlist: Int,
@@ -298,19 +325,39 @@ object Similarity {
     * (DedupQueries.qDedupEmbed/_Q) remain as documented exactness
     * references for the recall tests. */
   val qDedupEmbedLsh: Q = (s, d) =>
-    lshNearDupPairsQ(Tables.embeddings(s, d), "vec_id", "embedding",
-      tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L)
+    embedPairsArtifact(s, d).orderBy("id_a", "id_b")
 
-  /** DuckDB oracle for [[qDedupEmbedLsh]], generated with the same
-    * quantized-plane literals the Spark plan embeds: candidates = bucket
-    * hamming ≤ 1 in any table, verification in HUGEINT. */
-  private def embedLshOracle(tables: Int, nbits: Int, dim: Int,
+  /** Embedding near-dup clustering: connected components over the
+    * verified LSH pair graph — [[qDedupEmbedLsh]]'s pairs fed through the
+    * same label propagation as the token-set clustering
+    * ([[Clustering.componentLabels]]): every vector labeled with the
+    * smallest vec_id reachable through cosine ≥ 0.45 edges, singletons
+    * labeling themselves. The pair artifact is shared with
+    * q_dedup_embed_lsh, so the graph build costs once per corpus. */
+  val qDedupEmbedCluster: Q = (s, d) => {
+    val pairs = embedPairsArtifact(s, d)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val labels = Clustering.componentLabels(pairs,
+      cacheKey = Some(s"embed:$d"))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(labels.select(col("id").as("vec_id"), col("label")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  /** Shared oracle CTE chain for the embedding dedup queries, generated
+    * with the same quantized-plane literals the Spark plans embed:
+    * candidates = bucket hamming ≤ 1 in any table, verification in
+    * HUGEINT; the final `vpairs` CTE is the verified pair list. */
+  private def embedLshCtes(tables: Int, nbits: Int, dim: Int,
       cosSq1e4: Long): String = {
     val planes = quantizedPlanes(tables * nbits, dim)
     val planeRows = planes.zipWithIndex.map { case (p, i) =>
       s"(${i / nbits}, ${i % nbits}, [${p.mkString(",")}]::BIGINT[])"
     }.mkString(",\n           ")
-    s"""WITH q AS (
+    s"""q AS (
            SELECT vec_id,
              list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
            FROM embeddings),
@@ -335,20 +382,49 @@ object Similarity {
                t -> t[1] * t[2])) AS BIGINT) AS dot,
              a.nrm2 AS na2, b.nrm2 AS nb2
            FROM cand JOIN n a ON a.vec_id = cand.id_a
-                     JOIN n b ON b.vec_id = cand.id_b)
-         SELECT id_a, id_b, dot, na2, nb2 FROM ver
-         WHERE dot > 0
-           AND CAST(dot AS HUGEINT) * dot * 10000
-               >= $cosSq1e4 * CAST(na2 AS HUGEINT) * nb2
-         ORDER BY id_a, id_b"""
+                     JOIN n b ON b.vec_id = cand.id_b),
+         vpairs AS (
+           SELECT id_a, id_b, dot, na2, nb2 FROM ver
+           WHERE dot > 0
+             AND CAST(dot AS HUGEINT) * dot * 10000
+                 >= $cosSq1e4 * CAST(na2 AS HUGEINT) * nb2)"""
   }
+
+  private def embedLshOracle(tables: Int, nbits: Int, dim: Int,
+      cosSq1e4: Long): String =
+    s"""WITH ${embedLshCtes(tables, nbits, dim, cosSq1e4)}
+         SELECT id_a, id_b, dot, na2, nb2 FROM vpairs
+         ORDER BY id_a, id_b"""
+
+  /** Oracle for [[qDedupEmbedCluster]]: the verified pair list, then
+    * transitive closure by recursive CTE (min reachable id), singleton
+    * vectors labeling themselves — same closure shape as
+    * q_dedup_cluster's oracle. */
+  private def embedClusterOracle(tables: Int, nbits: Int, dim: Int,
+      cosSq1e4: Long): String =
+    s"""WITH RECURSIVE ${embedLshCtes(tables, nbits, dim, cosSq1e4)},
+         e AS (
+           SELECT id_a AS id, id_b AS nbr FROM vpairs
+           UNION ALL
+           SELECT id_b AS id, id_a AS nbr FROM vpairs),
+         reach(id, r) AS (
+           SELECT id, id FROM e
+           UNION
+           SELECT e.id, reach.r FROM e JOIN reach ON reach.id = e.nbr),
+         labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+         SELECT v.vec_id, COALESCE(l.label, v.vec_id) AS cluster
+         FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
+         ORDER BY v.vec_id"""
 
   val queries: Map[String, Q] = Map(
     "q_similarity_lsh" -> qSimilarityLsh,
     "q_similarity_ivf" -> qSimilarityIvf,
-    "q_dedup_embed_lsh" -> qDedupEmbedLsh)
+    "q_dedup_embed_lsh" -> qDedupEmbedLsh,
+    "q_dedup_embed_cluster" -> qDedupEmbedCluster)
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_embed_lsh" ->
-      embedLshOracle(tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L))
+      embedLshOracle(tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L),
+    "q_dedup_embed_cluster" ->
+      embedClusterOracle(tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L))
 }

@@ -97,20 +97,23 @@ object TextQueries {
     * irrational for df ≠ N and the fixture's ~31 distinct df values were
     * checked against both engines.
     *
-    * 100 TB shape: two token-keyed shuffles (tf, then df) and a 1-row
-    * broadcast for N — df and N are corpus-level ingest artifacts in a
-    * real pipeline, making scoring itself map-side. */
+    * 100 TB shape: two token-keyed shuffles (tf, then df) plus one
+    * up-front corpus count for N — df and N are corpus-level ingest
+    * artifacts in a real pipeline, making scoring itself map-side. */
   val qTextTfidf: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // corpus cardinality fetched once up front (like the similarity
+    // queries' single query-vector collect): N is a corpus-level ingest
+    // artifact, and inlining it keeps the scoring plan join-free — a
+    // 1-row cross join would plan as a nested-loop join
+    val nDocs = docs.count()
     val tf = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfreq, "tok")
-      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
-        floor(col("tf") * log(col("n_docs").cast(DoubleType) / col("df"))
+        floor(col("tf") * log(lit(nDocs).cast(DoubleType) / col("df"))
           * lit(1000000.0)).as("tfidf_micro"))
       .orderBy("doc_id", "tok")
   }
