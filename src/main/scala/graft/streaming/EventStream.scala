@@ -1,9 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.Tables
+
+/** Input row for [[EventStream.userSessions]]. */
+case class SessEvent(user_id: Long, ts: Timestamp, value: Double)
+
+/** Open-session state kept per user (epoch millis — a fixed-width state
+  * row; keys expire via event-time timeout, so state size tracks the
+  * number of users active inside the watermark, not stream length). */
+case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+/** One closed session emitted by [[EventStream.userSessions]]. */
+case class SessionOut(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, total_value: Double)
 
 /** Structured Streaming slice (SURVEY.md §2.2 "streaming mode"): the
   * events table as a file-source stream, watermarked event-time windows,
@@ -16,9 +30,10 @@ import graft.Tables
   * The reference's only stream "state" is the latest-feed-hash blob and
   * blob-existence idempotence guards (dags/warsaw-gtfs.py:65-80,
   * dags/warsaw-weather.py:26-28); checkpoint + watermark state subsume
-  * both (SURVEY.md §2.2 streaming note). `mapGroupsWithState` is
-  * deliberately out of v1 — session windows cover the one stateful
-  * pattern.
+  * both (SURVEY.md §2.2 streaming note). [[userSessions]] adds the
+  * custom-state tier — `flatMapGroupsWithState` sessionization with
+  * event-time timeouts — for session payloads `session_window` can't
+  * express.
   */
 object EventStream {
 
@@ -56,6 +71,69 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("sstart"), col("user_id"), col("n"))
 
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * escape hatch for session semantics `session_window` can't express
+    * (per-session running aggregates beyond count, emit-on-close with
+    * arbitrary payload). Gap rule matches `session_window` exactly: an
+    * event within ≤ gap of the session's last event extends it; strictly
+    * greater starts a new one — [[sessionCounts]] and this operator close
+    * identical sessions on identical input (asserted in StreamingSpec).
+    *
+    * State per user is one fixed-width [[SessState]]; the event-time
+    * timeout fires when the watermark passes last + gap, emitting the
+    * closed session and removing the key — state size is bounded by users
+    * active inside the watermark horizon, the property that keeps this
+    * runnable on an unbounded stream. */
+  def userSessions(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    withLateness(events)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionize(gapMs))
+  }
+
+  /** Per-group transition function for [[userSessions]]: fold the batch's
+    * events (event-time order) into the open session, emitting every
+    * session closed by an in-batch gap; on timeout, emit the open session
+    * and drop the key. */
+  private def sessionize(gapMs: Long)(userId: Long, rows: Iterator[SessEvent],
+      state: GroupState[SessState]): Iterator[SessionOut] = {
+    def close(s: SessState) = SessionOut(userId, new Timestamp(s.start),
+      new Timestamp(s.last), s.n, s.sum)
+    val evs = rows.toArray.sortBy(_.ts.getTime)
+    if (evs.isEmpty) {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close).iterator
+        state.remove()
+        out
+      } else Iterator.empty
+    } else {
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = state.getOption
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(SessState(s.start, math.max(s.last, t), s.n + 1,
+              s.sum + e.value))
+          case Some(s) =>
+            closed += close(s)
+            cur = Some(SessState(t, t, 1L, e.value))
+          case None =>
+            cur = Some(SessState(t, t, 1L, e.value))
+        }
+      }
+      val open = cur.get
+      state.update(open)
+      state.setTimeoutTimestamp(open.last + gapMs)
+      closed.iterator
+    }
+  }
+
   /** Streaming exact dedup: drops events with a previously-seen
     * `event_id` while bounding state by the watermark — the streaming
     * form of the training-pipeline dedup operators. State per key is one
@@ -68,6 +146,27 @@ object EventStream {
     * side is re-read per micro-batch (picks up dimension updates). */
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+
+  /** Stream-stream interval join (attribution shape): each click joins
+    * purchases by the same user within the following hour. Both sides
+    * carry the 2 h watermark and the join condition bounds event-time
+    * distance, so Spark can size the join state buffer and expire rows —
+    * the two requirements that make an unbounded stream-stream join
+    * runnable. Self-join on one source stream; at scale the two sides are
+    * separate topics with the same contract. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = withLateness(events)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = withLateness(events)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+  }
 
   /** foreachBatch sink with dynamic-partition-overwrite upsert: each
     * micro-batch overwrites exactly the date partitions it touches —

@@ -200,6 +200,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: in-batch splits, timeout close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.userSessions(mem.toDF()).writeStream
+      .format("memory").queryName("fs_out").outputMode("append").start()
+    try {
+      // user 7: two events 10 min apart (one session), then a 12:00 event
+      // >30 min later — the in-batch gap closes session 1 immediately
+      mem.addData(
+        TestEvent(ts("2024-01-01 10:00:00"), "click", 7L, 1.5),
+        TestEvent(ts("2024-01-01 10:10:00"), "click", 7L, 2.5),
+        TestEvent(ts("2024-01-01 12:00:00"), "click", 7L, 4.0))
+      q.processAllAvailable()
+      val closed1 = spark.table("fs_out").as[graft.streaming.SessionOut].collect()
+      assert(closed1.toSeq == Seq(graft.streaming.SessionOut(7L,
+        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, 4.0)))
+      // advance the watermark past 12:00 + 30 min gap → timeout emits the
+      // open session and drops the key
+      mem.addData(TestEvent(ts("2024-01-02 00:00:00"), "view", 8L, 0.0))
+      q.processAllAvailable()
+      val all = spark.table("fs_out").as[graft.streaming.SessionOut]
+        .collect().toSeq.sortBy(_.session_start.getTime)
+      assert(all.map(s => (s.user_id, s.n_events, s.total_value)) ==
+        Seq((7L, 2L, 4.0), (7L, 1L, 4.0)))
+      assert(all(1).session_start == ts("2024-01-01 12:00:00"))
+    } finally q.stop()
+  }
+
+  test("userSessions closes the same sessions as batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gap-rule edge: 10:00 → 10:30 is EXACTLY the 30-min gap — merged by
+    // session_window (strictly-greater starts a new session) and must be
+    // merged by the custom-state operator too
+    val events = Seq(
+      TestEvent(ts("2024-01-01 10:00:00"), "click", 1L, 1.0),
+      TestEvent(ts("2024-01-01 10:30:00"), "click", 1L, 1.0),
+      TestEvent(ts("2024-01-01 11:30:00"), "click", 1L, 1.0),
+      TestEvent(ts("2024-01-01 09:00:00"), "view", 2L, 1.0))
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.userSessions(mem.toDF()).writeStream
+      .format("memory").queryName("eqs_out").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(TestEvent(ts("2024-01-03 00:00:00"), "view", 9L, 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("eqs_out")
+        .filter(col("user_id").isin(1L, 2L))
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      val batch = events.toDF()
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.clickPurchaseJoin(mem.toDF()).writeStream
+      .format("memory").queryName("ss_out").outputMode("append").start()
+    try {
+      mem.addData(
+        TestEvent(ts("2024-01-01 10:00:00"), "click", 1L, 1.0),
+        TestEvent(ts("2024-01-01 10:30:00"), "purchase", 1L, 9.0), // in window
+        TestEvent(ts("2024-01-01 12:00:00"), "purchase", 1L, 5.0), // beyond 1 h
+        TestEvent(ts("2024-01-01 10:20:00"), "purchase", 2L, 3.0)) // other user
+      q.processAllAvailable()
+      // close the join state: watermark past every buffered row
+      mem.addData(TestEvent(ts("2024-01-02 00:00:00"), "view", 9L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("ss_out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSet
+      assert(out == Set((1L, "2024-01-01 10:30:00.0")))
+    } finally q.stop()
+  }
+
   test("streamIngest dedups across micro-batches through persistent state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
