@@ -32,6 +32,7 @@ object SparkEntry {
       Similarity.queries ++
       MiscQueries.queries ++
       CorpusPipeline.queries ++
+      Salting.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       Similarity.oracleSql ++
       MiscQueries.oracleSql ++
       CorpusPipeline.oracleSql ++
+      Salting.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

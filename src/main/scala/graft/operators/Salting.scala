@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew mitigation for shuffle joins (SURVEY.md "Optimize for scale"):
   * explicit key salting for when AQE's runtime skew-join splitting isn't
@@ -55,4 +56,48 @@ object Salting {
       .groupBy(col("key"))
       .agg(sum(col("partial_n")).as("n"))
   }
+
+  // ---- declared queries -------------------------------------------------
+  // The salt values are nondeterministic (partition-dependent), but both
+  // operators' RESULTS are salt-independent — so the skew machinery itself
+  // sits under the DuckDB oracle gate, checked against the plain unsalted
+  // SQL it must be indistinguishable from.
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Skew-proof per-flag lineitem counts through [[saltedCount]] (8
+    * salts); oracle = the plain GROUP BY it must equal. */
+  val qAggSalted: Q = (s, d) =>
+    saltedCount(Tables.lineitem(s, d), col("l_returnflag"), n = 8)
+      .orderBy("key")
+
+  /** Skew-proof fact⟕dim equi-join through [[saltedJoin]] (lineitem ×
+    * supplier replicated 8×); oracle = the plain inner join. */
+  val qJoinSalted: Q = (s, d) => {
+    val facts = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity"))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    saltedJoin(facts, dim, "l_suppkey", n = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity"), col("s_name"))
+      // (l_orderkey, l_linenumber) is not unique in the fixture — order by
+      // every column so ties are identical rows (SURVEY.md §7.4)
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+        "s_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_salted" -> qAggSalted,
+    "q_join_salted" -> qJoinSalted)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_salted" ->
+      """SELECT l_returnflag AS key, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY key""",
+    "q_join_salted" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         ORDER BY l_orderkey, l_linenumber, l_suppkey, l_quantity, s_name""")
 }
