@@ -37,4 +37,32 @@ class PlanQualitySpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  // Shuffle-count ceilings from graft.tools.ShuffleCensus at HEAD: the
+  // multi-stage pipelines plan 5 exchanges, everything else ≤ 4. A query
+  // exceeding its ceiling has grown an unplanned exchange — typically a
+  // lost broadcast (dimension join falling back to shuffle-hash/sort-merge)
+  // or an accidental repartition — exactly the regression that multiplies
+  // cost at 100 TB while staying invisible in a small-fixture bench.
+  private val shuffleBudget = Map(
+    "q_corpus_curate" -> 5,
+    "q_dedup_cluster" -> 5).withDefaultValue(4)
+
+  test("shuffle-count budget: no query grows an unplanned exchange") {
+    // AQE defers exchange insertion — plan without it so EnsureRequirements
+    // exchanges are visible (same setup as tools/ShuffleCensus)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val over = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+        val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan
+        val sh = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+        if (sh > shuffleBudget(name))
+          Some(s"$name: $sh shuffles > budget ${shuffleBudget(name)}")
+        else None
+      }
+      assert(over.isEmpty, over.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -261,6 +261,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("userSessions equals batch session_window on randomized event sets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fixed-seed randomized corpus: 60 events, 3 users, random minute
+    // offsets across a day — every session closes once the far-future
+    // event advances the watermark, so FULL set equality must hold.
+    // integer-valued doubles keep the per-session sums order-independent.
+    val rnd = new scala.util.Random(42)
+    val events = Seq.fill(60)(TestEvent(
+      new Timestamp(ts("2024-01-01 00:00:00").getTime + rnd.nextInt(24 * 60) * 60_000L),
+      "click", 1L + rnd.nextInt(3), (1 + rnd.nextInt(5)).toDouble))
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.userSessions(mem.toDF()).writeStream
+      .format("memory").queryName("rnd_out").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(TestEvent(ts("2024-01-05 00:00:00"), "view", 99L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("rnd_out")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = events.toDF()
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .select(col("user_id"), col("session_window.start"), col("n"), col("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
