@@ -96,15 +96,29 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout)(sessionize(gapMs))
   }
 
-  /** Per-group transition function for [[userSessions]]: fold the batch's
-    * events (event-time order) into the open session, emitting every
-    * session closed by an in-batch gap; on timeout, emit the open session
-    * and drop the key. */
+  /** Per-group transition function for [[userSessions]]: interval-merge
+    * the open state session with the batch's events. Atoms (each event as
+    * a 1-point interval, plus the stored session) are sorted by start; an
+    * atom starting within ≤ gap of the running interval's end merges into
+    * it (start = min via sort order, end = max — an earlier merging event
+    * DOES lower `session_start`), anything farther starts a new interval.
+    * This is exactly batch `session_window`'s union-of-[t, t+gap] rule, so
+    * out-of-order arrivals across micro-batches behave correctly: an event
+    * more than gap BEFORE the open session forms its own earlier session
+    * instead of being absorbed by the old `t - last <= gap` test (which is
+    * vacuously true for any past event).
+    *
+    * All intervals except the newest are emitted as closed immediately —
+    * the one divergence from a full multi-open-session buffer: a future
+    * late event adjacent to an already-emitted earlier session starts a
+    * fresh session rather than extending it (bounded state; same
+    * trade-off `dropDuplicatesWithinWatermark` makes). The newest interval
+    * stays in state unless the watermark has already passed its close. */
   private def sessionize(gapMs: Long)(userId: Long, rows: Iterator[SessEvent],
       state: GroupState[SessState]): Iterator[SessionOut] = {
     def close(s: SessState) = SessionOut(userId, new Timestamp(s.start),
       new Timestamp(s.last), s.n, s.sum)
-    val evs = rows.toArray.sortBy(_.ts.getTime)
+    val evs = rows.toArray
     if (evs.isEmpty) {
       if (state.hasTimedOut) {
         val out = state.getOption.map(close).iterator
@@ -112,25 +126,26 @@ object EventStream {
         out
       } else Iterator.empty
     } else {
-      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var cur = state.getOption
-      evs.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            cur = Some(SessState(s.start, math.max(s.last, t), s.n + 1,
-              s.sum + e.value))
-          case Some(s) =>
-            closed += close(s)
-            cur = Some(SessState(t, t, 1L, e.value))
-          case None =>
-            cur = Some(SessState(t, t, 1L, e.value))
-        }
+      val atoms = (evs.map(e => SessState(e.ts.getTime, e.ts.getTime, 1L, e.value))
+        ++ state.getOption).sortBy(s => (s.start, s.last))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[SessState]
+      atoms.foreach { a =>
+        if (merged.nonEmpty && a.start <= merged.last.last + gapMs) {
+          val m = merged.last
+          merged(merged.length - 1) = SessState(m.start,
+            math.max(m.last, a.last), m.n + a.n, m.sum + a.sum)
+        } else merged += a
       }
-      val open = cur.get
-      state.update(open)
-      state.setTimeoutTimestamp(open.last + gapMs)
-      closed.iterator
+      val open = merged.last
+      if (open.last + gapMs <= state.getCurrentWatermarkMs()) {
+        // even the newest session is closable already — emit everything
+        state.remove()
+        merged.iterator.map(close)
+      } else {
+        state.update(open)
+        state.setTimeoutTimestamp(open.last + gapMs)
+        merged.init.iterator.map(close)
+      }
     }
   }
 

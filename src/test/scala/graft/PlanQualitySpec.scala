@@ -50,7 +50,9 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements
-    // exchanges are visible (same setup as tools/ShuffleCensus)
+    // exchanges are visible (same setup as tools/ShuffleCensus); restore
+    // whatever value the suite started with, not a hard-coded default
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val over = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -63,6 +65,6 @@ class PlanQualitySpec extends AnyFunSuite {
         else None
       }
       assert(over.isEmpty, over.mkString("\n"))
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
   }
 }

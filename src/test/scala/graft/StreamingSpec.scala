@@ -261,6 +261,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("userSessions handles out-of-order events arriving in a later batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1 opens a session at 12:00-12:10; batch 2 delivers two EARLIER
+    // events still inside the 2 h watermark: 11:00 (more than the 30-min
+    // gap before session start → must become its own earlier session, not
+    // be absorbed) and 11:40 (within gap of 12:00 → must merge and LOWER
+    // session_start to 11:40). Compared against batch session_window.
+    val b1 = Seq(
+      TestEvent(ts("2024-01-01 12:00:00"), "click", 1L, 1.0),
+      TestEvent(ts("2024-01-01 12:10:00"), "click", 1L, 2.0))
+    val b2 = Seq(
+      TestEvent(ts("2024-01-01 11:00:00"), "click", 1L, 4.0),
+      TestEvent(ts("2024-01-01 11:40:00"), "click", 1L, 8.0))
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.userSessions(mem.toDF()).writeStream
+      .format("memory").queryName("ooo_out").outputMode("append").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable() // watermark now 10:10
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      mem.addData(TestEvent(ts("2024-01-03 00:00:00"), "view", 9L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ooo_out")
+        .filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = (b1 ++ b2).toDF()
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .select(col("session_window.start"), col("session_window.end"),
+          col("n"), col("v"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // session_window's end = last + gap; ours = last event time — align
+      val streamedAligned = streamed.map { case (s, e, n, v) =>
+        (s, new Timestamp(e.getTime + 30 * 60 * 1000L), n, v) }
+      assert(streamedAligned == batch)
+      assert(streamed.map(_._1.toString).contains("2024-01-01 11:40:00.0"))
+    } finally q.stop()
+  }
+
   test("userSessions equals batch session_window on randomized event sets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

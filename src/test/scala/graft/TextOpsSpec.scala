@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextQueries
+
+/** In-JVM verification of the text-operator paths the DuckDB oracle can't
+  * or shouldn't carry: the ln-based tf-idf score (single-ln-implementation
+  * determinism instead of a cross-libm hash gate) and the redaction
+  * <NUM> positive path (the fixture corpus contains no digits). */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("tfidfScored matches a plain-Scala Math.log expectation on the fixture") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val n = docs.count()
+    val rows = TextQueries.tfidfScored(docs)
+      .select("doc_id", "tok", "tf", "df", "tfidf_micro")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tf = r.getLong(2); val df = r.getLong(3)
+      val expected = math.floor(tf * math.log(n.toDouble / df) * 1000000.0).toLong
+      assert(r.getLong(4) == expected,
+        s"doc=${r.getLong(0)} tok=${r.getString(1)} tf=$tf df=$df")
+    }
+    // spot-invariants: df ≤ N everywhere; a token appearing in every doc
+    // scores exactly 0 (ln 1)
+    assert(rows.forall(_.getLong(3) <= n))
+    rows.filter(_.getLong(3) == n).foreach(r => assert(r.getLong(4) == 0L))
+  }
+
+  test("redaction replaces digit runs with <NUM> and counts them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "call 555 0123 about order 7"),
+      (2L, "customer 42 paid 100 via spark"),
+      (3L, "no digits here"),
+      (4L, "v2 is not a bare number but 2 is")).toDF("doc_id", "text")
+    val out = TextQueries.redactDocs(docs)
+      .select("doc_id", "redacted", "n_ent", "n_num")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out(0) == ((1L, "call <NUM> <NUM> about order <NUM>", 0, 3)))
+    assert(out(1) == ((2L, "<ENT> <NUM> paid <NUM> via <ENT>", 2, 2)))
+    assert(out(2) == ((3L, "no digits here", 0, 0)))
+    // "v2" has no word boundary before the digits-only token rule's match?
+    // \b[0-9]+\b: in "v2", the boundary between 'v' and '2' does NOT exist
+    // (both word chars) — so "v2" must survive while bare "2" is redacted
+    assert(out(3) == ((4L, "v2 is not a bare number but <NUM> is", 0, 1)))
+  }
+}
