@@ -29,6 +29,7 @@ object SparkEntry {
       IncrementalDedup.queries ++
       Clustering.queries ++
       TextQueries.queries ++
+      CurationOps.queries ++
       Similarity.queries ++
       MiscQueries.queries ++
       CorpusPipeline.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       IncrementalDedup.oracleSql ++
       Clustering.oracleSql ++
       TextQueries.oracleSql ++
+      CurationOps.oracleSql ++
       Similarity.oracleSql ++
       MiscQueries.oracleSql ++
       CorpusPipeline.oracleSql ++

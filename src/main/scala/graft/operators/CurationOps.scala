@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup proper: benchmark-contamination checks, corpus-level
+  * block (line) dedup, Gopher-style repetition signals, and sequence
+  * packing. All four are declared oracle-checked queries.
+  *
+  * Reference basis: the reference's whole curation surface is the
+  * feed-hash change gate (/root/reference/dags/warsaw-gtfs.py:60-71);
+  * these are that idea applied at n-gram / block / document granularity.
+  */
+object CurationOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Token 4-gram shingles of `toks` as strings — the unit of overlap for
+    * contamination checks. 4 tokens over the fixture's 31-token vocabulary
+    * makes shared shingles rare-but-present (19 of 490 docs at sf0.01). */
+  private def shingles(tokCol: Column, n: Int): Column =
+    transform(sequence(lit(0), size(tokCol) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(tokCol, i + k + 1)): _*))
+
+  /** Benchmark-contamination check (training-data hygiene): which corpus
+    * documents share any token 4-gram with a held-out benchmark set
+    * (deterministically `doc_id % 50 = 0` here; in production the
+    * benchmark's own shingle table). Per non-benchmark doc: how many of
+    * its distinct shingles appear in the benchmark, and a contaminated
+    * flag.
+    *
+    * 100 TB shape: the corpus side is one scan + explode keyed by shingle;
+    * the benchmark side is small BY CONSTRUCTION (eval sets are thousands
+    * of rows), so the join is a broadcast — no corpus shuffle at all. The
+    * left_outer keeps clean docs in the report with n_shared = 0. At
+    * larger shingle sizes the join key becomes md5(shingle) — 16 bytes
+    * regardless of n. */
+  val qTextContamination: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn("toks", toks(col("text")))
+    val sh = docs.filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 4))).as("g"))
+    val bench = sh.filter(col("doc_id") % 50 === 0).select("g").distinct()
+    val hits = sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("g"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_shared"))
+    hits
+      .select(col("doc_id"), col("n_shared"),
+        (col("n_shared") > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level block dedup (the C4 "remove duplicate lines across the
+    * corpus" operator; the fixture text has no newlines, so a "line" is a
+    * 3-token block). Every block keeps only its first occurrence ordered
+    * by (doc_id, block_idx); documents are reassembled from surviving
+    * blocks in order. Output: per doc, total blocks, kept blocks, and the
+    * reassembled text (empty when every block was seen earlier).
+    *
+    * 100 TB shape: one shuffle keyed by block content (md5(block) at real
+    * line lengths — bounded key), one doc-keyed reassembly shuffle. The
+    * keep-lowest window is the same deterministic dedup rule as
+    * q_dedup_exact, at sub-document granularity. */
+  val qDedupLines: Q = (s, d) => {
+    val blocks = Tables.documents(s, d)
+      .withColumn("toks", toks(col("text")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), expr("(size(toks) - 1) div 3")),
+          i => concat_ws(" ", slice(col("toks"), i * 3 + 1, lit(3))))))
+      .withColumnRenamed("pos", "bi").withColumnRenamed("col", "blk")
+    val keep = blocks.withColumn("rn",
+      row_number().over(Window.partitionBy("blk").orderBy("doc_id", "bi")))
+    keep.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        array_join(transform(
+          filter(array_sort(collect_list(struct(col("bi"), col("rn"), col("blk")))),
+            x => x.getField("rn") === 1),
+          x => x.getField("blk")), " ").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition quality signals, fully map-side (HOFs only,
+    * no shuffle but the presentation sort): per doc, total vs duplicate
+    * bigram/trigram counts and the duplicate-bigram fraction (one exact
+    * IEEE division). High duplicate fractions flag boilerplate /
+    * low-quality documents before training. */
+  val qTextRepetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", toks(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("bis", shingles(col("toks"), 2))
+      .withColumn("tris", shingles(col("toks"), 3))
+      .select(col("doc_id"),
+        size(col("bis")).as("n_bi"),
+        (size(col("bis")) - size(array_distinct(col("bis")))).as("n_bi_dup"),
+        size(col("tris")).as("n_tri"),
+        (size(col("tris")) - size(array_distinct(col("tris")))).as("n_tri_dup"))
+      .withColumn("dup_bi_frac",
+        col("n_bi_dup").cast(DoubleType) / col("n_bi"))
+      .withColumn("repetitive", col("dup_bi_frac") > 0.1)
+      .orderBy("doc_id")
+
+  /** Sequence packing (concat-then-chunk): documents are packed per
+    * `source` in doc_id order into fixed 512-token bins; a doc's bin is
+    * the bin its first token lands in. The per-group running sum is the
+    * whole computation — one shuffle on `source`.
+    *
+    * 100 TB shape: packing is embarrassingly parallel ACROSS groups — a
+    * real pipeline packs within file-sized partitions (source here), never
+    * globally, so no single-partition window exists. Rerun-stable: bin
+    * assignment is a pure function of (source, doc_id, n_tokens). */
+  val qPackSequences: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks(col("text"))))
+      .withColumn("cum_tokens", sum(col("n_tokens").cast(LongType)).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        expr("(cum_tokens - n_tokens) div 512").as("bin_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q_text_contamination" -> qTextContamination,
+    "q_dedup_lines" -> qDedupLines,
+    "q_text_repetition" -> qTextRepetition,
+    "q_pack_sequences" -> qPackSequences)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents WHERE len(string_split(lower(text), ' ')) >= 4),
+         sh AS (SELECT DISTINCT doc_id, g FROM (
+                  SELECT doc_id,
+                    unnest(list_transform(range(len(toks) - 3),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+                  FROM t)),
+         bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+         SELECT sh.doc_id,
+           COUNT(bench.g) AS n_shared,
+           COUNT(bench.g) > 0 AS contaminated
+         FROM sh LEFT JOIN bench USING (g)
+         WHERE sh.doc_id % 50 <> 0
+         GROUP BY sh.doc_id
+         ORDER BY sh.doc_id""",
+    "q_dedup_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents),
+         blk AS (SELECT doc_id, CAST(i AS INT) AS bi,
+                   list_aggr(toks[i*3+1:i*3+3], 'string_agg', ' ') AS blk
+                 FROM t, unnest(range((len(toks) - 1) // 3 + 1)) AS u(i)),
+         k AS (SELECT doc_id, bi, blk,
+                 row_number() OVER (PARTITION BY blk ORDER BY doc_id, bi) AS rn
+               FROM blk)
+         SELECT doc_id, COUNT(*) AS n_blocks,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY bi),
+             '') AS kept_text
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+         g AS (SELECT doc_id,
+                 list_transform(range(len(toks) - 1),
+                   i -> toks[i+1] || ' ' || toks[i+2]) AS bis,
+                 list_transform(range(len(toks) - 2),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS tris
+               FROM t)
+         SELECT doc_id,
+           CAST(len(bis) AS INT) AS n_bi,
+           CAST(len(bis) - len(list_distinct(bis)) AS INT) AS n_bi_dup,
+           CAST(len(tris) AS INT) AS n_tri,
+           CAST(len(tris) - len(list_distinct(tris)) AS INT) AS n_tri_dup,
+           CAST(len(bis) - len(list_distinct(bis)) AS DOUBLE) / len(bis) AS dup_bi_frac,
+           (CAST(len(bis) - len(list_distinct(bis)) AS DOUBLE) / len(bis)) > 0.1 AS repetitive
+         FROM g ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+                      CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens
+                    FROM documents)
+         SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           (CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) // 512 AS bin_id
+         FROM t
+         WINDOW w AS (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY source, doc_id""")
+}
