@@ -30,6 +30,7 @@ object SparkEntry {
       Clustering.queries ++
       TextQueries.queries ++
       CurationOps.queries ++
+      Layout.queries ++
       Similarity.queries ++
       MiscQueries.queries ++
       CorpusPipeline.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       Clustering.oracleSql ++
       TextQueries.oracleSql ++
       CurationOps.oracleSql ++
+      Layout.oracleSql ++
       Similarity.oracleSql ++
       MiscQueries.oracleSql ++
       CorpusPipeline.oracleSql ++

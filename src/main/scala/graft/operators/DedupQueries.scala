@@ -279,10 +279,13 @@ object DedupQueries {
   val qDedupMinhashPairs: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val (_, groups) = setGroups(docs, Some(s"docs:$d:groups"))
-    val repDocs = docs.join(groups.select(col("rep").as("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val bands = minhashBands(repDocs, bands = 2, rows = 6,
-      cacheKey = Some(s"docs:$d:reps"))
+    // band keys are per-doc, so the whole-corpus signature artifact (the
+    // same one q_dedup_incremental consumes — one signature pass per
+    // corpus, shared across every banding consumer) filtered to set
+    // representatives is identical to banding the representatives alone
+    val bands = minhashBands(docs, bands = 2, rows = 6,
+        cacheKey = Some(s"docs:$d:all"))
+      .join(groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     val repPairs = bands.as("a").join(bands.as("b"), Seq("band", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))

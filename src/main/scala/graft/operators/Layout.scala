@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-layout operators for multi-dimensional data skipping. Z-ordering
+  * (Morton curve) maps points that are close in 2-D key space to nearby
+  * positions on one linear curve, so a table SORTED by zkey before
+  * writing gets parquet row-group min/max stats that are tight in BOTH
+  * dimensions — a range filter on either column prunes row groups, where
+  * a plain lexicographic sort only serves its leading column.
+  *
+  * The reference's layout story is 1-D date partitioning
+  * (/root/reference/dags/warsaw-gtfs.py:90); this is the multi-column
+  * generalization used at warehouse scale. The curve computation is pure
+  * per-row integer bit arithmetic — exact, deterministic, map-side —
+  * which also makes it one of the few layout operators with an exact
+  * cross-engine oracle.
+  */
+object Layout {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 32-bit Morton (Z-order) interleave of the low 16 bits of `x` and
+    * `y`: bit i of x lands at position 2i, bit i of y at 2i+1. Stays in
+    * whole-stage codegen (HOF over a 16-element sequence, integer ops
+    * only). Column names must resolve in the input frame. */
+  def morton16(xCol: String, yCol: String): Column = expr(
+    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+        (acc, i) -> acc
+          + shiftleft(CAST(shiftright($xCol, i) & 1 AS BIGINT), 2 * i)
+          + shiftleft(CAST(shiftright($yCol, i) & 1 AS BIGINT), 2 * i + 1))""")
+
+  /** Sort a frame onto the Z-curve of two integer dimensions — the write
+    * path is `zorderBy(df, "a", "b").write.parquet(...)`: a range
+    * repartition + in-partition sort by zkey (one shuffle), after which
+    * every output file covers a compact curve segment. */
+  def zorderBy(df: DataFrame, xCol: String, yCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val keyed = df.withColumn("__zkey", morton16(xCol, yCol))
+    val ranged =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("__zkey"))
+      else keyed.repartitionByRange(col("__zkey"))
+    ranged.sortWithinPartitions("__zkey").drop("__zkey")
+  }
+
+  /** Declared query: the Z-curve key for events on (user_id low 16 bits,
+    * hour-of-day) — the clustering key a 100 TB events table would be
+    * laid out by so that both per-user and per-hour scans skip. Exact
+    * integer output → DuckDB oracle recomputes the identical interleave. */
+  val qLayoutZorder: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("zx"),
+        hour(col("ts")).as("zy"))
+      .withColumn("zkey", morton16("zx", "zy"))
+      .orderBy("event_id")
+
+  // ---- registry ---------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q_layout_zorder" -> qLayoutZorder)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_layout_zorder" ->
+      """WITH t AS (
+           SELECT event_id,
+             user_id % 65536 AS zx,
+             CAST(hour(ts) AS INT) AS zy
+           FROM events)
+         SELECT event_id, zx, zy,
+           CAST(list_sum(list_transform(range(16), i ->
+             (((zx >> i) & 1) << (2 * i))
+             + (((CAST(zy AS BIGINT) >> i) & 1) << (2 * i + 1))))
+             AS BIGINT) AS zkey
+         FROM t ORDER BY event_id""")
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IncrementalDedup, Layout}
+
+/** Z-order layout + Bloom-prefiltered incremental dedup: the two round-6
+  * scale mechanisms whose guarantees are equalities (curve = reference
+  * interleave; bloom path = plain path) rather than oracle rows. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Plain-Scala Morton reference. */
+  private def mortonRef(x: Long, y: Long): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < 16) {
+      acc += ((x >> i) & 1L) << (2 * i)
+      acc += ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    acc
+  }
+
+  test("morton16 matches the bit-interleave reference on corner and random cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L),
+      (1L, 2L), (21845L, 43690L)) ++
+      Seq.fill(50)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val out = cases.toDF("zx", "zy")
+      .withColumn("zkey", Layout.morton16("zx", "zy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (x, y, z) =>
+      assert(z == mortonRef(x, y), s"morton($x,$y)")
+    }
+    // interleave identities: morton(x,0) spreads x's bits to even positions,
+    // morton(0,y) to odd; the two halves are disjoint and sum to morton(x,y)
+    out.foreach { case (x, y, z) =>
+      assert((mortonRef(x, 0) & mortonRef(0, y)) == 0L)
+      assert(mortonRef(x, 0) + mortonRef(0, y) == z)
+    }
+  }
+
+  test("zorderBy clusters both dimensions into fewer distinct files than a 1-D sort") {
+    import spark.implicits._
+    // 32×32 grid of points; lay out in 16 curve segments vs 16 x-sorted
+    // segments, then measure how many segments a y-band filter touches:
+    // the Z-curve keeps y-locality a lexicographic x-sort throws away.
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("zx", "zy")
+    val z = Layout.zorderBy(grid, "zx", "zy", numPartitions = 16)
+      .withColumn("seg", spark_partition_id())
+    val xs = grid.repartitionByRange(16, col("zx"), col("zy"))
+      .withColumn("seg", spark_partition_id())
+    def segsTouched(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("zy") < 4).select("seg").distinct().count()
+    val zTouched = segsTouched(z)
+    val xTouched = segsTouched(xs)
+    assert(zTouched < xTouched,
+      s"z-curve segments touched $zTouched must beat 1-D sort's $xTouched")
+  }
+
+  test("newDocsBloom returns exactly newDocs' survivors") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val state = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val stateDigests = IncrementalDedup.digestsOf(state)
+    val stateBands = IncrementalDedup.bandsOf(state).select("band", "band_key")
+    val plain = IncrementalDedup.newDocs(batch, stateDigests, stateBands)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = IncrementalDedup.newDocsBloom(batch, stateDigests, stateBands,
+        expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomed == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("bloom pre-filter lets most non-dup digests skip the anti-join") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val state = IncrementalDedup.digestsOf(docs.filter(col("doc_id") % 2 === 0))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("digest", sha2(col("text"), 256))
+    val bloom = state.stat.bloomFilter("digest", 1000L, 0.01)
+    val n = batch.count().toDouble
+    val positives = batch.collect()
+      .count(r => bloom.mightContainString(r.getAs[String]("digest")))
+    // the fixture has no exact dups across the parity split, so nearly the
+    // whole batch should be bloom-negative (≤ a few % false positives)
+    assert(positives / n < 0.05, s"bloom positives $positives of $n")
+  }
+}
