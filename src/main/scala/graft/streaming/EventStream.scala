@@ -10,10 +10,16 @@ import graft.Tables
 /** Input row for [[EventStream.userSessions]]. */
 case class SessEvent(user_id: Long, ts: Timestamp, value: Double)
 
-/** Open-session state kept per user (epoch millis — a fixed-width state
-  * row; keys expire via event-time timeout, so state size tracks the
-  * number of users active inside the watermark, not stream length). */
+/** One open session (epoch millis). */
 case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+/** Per-user state for [[EventStream.userSessions]]: every session still
+  * open w.r.t. the watermark, kept sorted by start. Bounded: sessions at
+  * least `gap` apart inside the watermark horizon H means at most
+  * ⌈H/gap⌉ + 1 entries per user (H = 2 h, gap = 30 min → ≤ 5), and keys
+  * expire via event-time timeout — state tracks users active inside the
+  * watermark, not stream length. */
+case class SessBuf(sessions: List[SessState])
 
 /** One closed session emitted by [[EventStream.userSessions]]. */
 case class SessionOut(user_id: Long, session_start: Timestamp,
@@ -75,15 +81,18 @@ object EventStream {
     * escape hatch for session semantics `session_window` can't express
     * (per-session running aggregates beyond count, emit-on-close with
     * arbitrary payload). Gap rule matches `session_window` exactly: an
-    * event within ≤ gap of the session's last event extends it; strictly
-    * greater starts a new one — [[sessionCounts]] and this operator close
-    * identical sessions on identical input (asserted in StreamingSpec).
+    * event within ≤ gap of a session extends it; strictly greater starts
+    * a new one — [[sessionCounts]] and this operator close identical
+    * sessions on identical input, under ANY in-watermark arrival order
+    * (asserted in StreamingSpec, including out-of-order cross-batch
+    * delivery).
     *
-    * State per user is one fixed-width [[SessState]]; the event-time
-    * timeout fires when the watermark passes last + gap, emitting the
-    * closed session and removing the key — state size is bounded by users
-    * active inside the watermark horizon, the property that keeps this
-    * runnable on an unbounded stream. */
+    * State per user is the [[SessBuf]] of still-open sessions — emitted
+    * only once the watermark passes `last + gap` (append-mode
+    * `session_window` timing), so a late event adjacent to ANY buffered
+    * session merges instead of corrupting an already-emitted one. State
+    * is bounded by ⌈watermark-horizon/gap⌉ sessions per active user, the
+    * property that keeps this runnable on an unbounded stream. */
   def userSessions(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -97,56 +106,49 @@ object EventStream {
   }
 
   /** Per-group transition function for [[userSessions]]: interval-merge
-    * the open state session with the batch's events. Atoms (each event as
-    * a 1-point interval, plus the stored session) are sorted by start; an
-    * atom starting within ≤ gap of the running interval's end merges into
-    * it (start = min via sort order, end = max — an earlier merging event
-    * DOES lower `session_start`), anything farther starts a new interval.
-    * This is exactly batch `session_window`'s union-of-[t, t+gap] rule, so
-    * out-of-order arrivals across micro-batches behave correctly: an event
-    * more than gap BEFORE the open session forms its own earlier session
-    * instead of being absorbed by the old `t - last <= gap` test (which is
-    * vacuously true for any past event).
+    * the buffered open sessions with the batch's events, then emit
+    * exactly the sessions the watermark has passed. Atoms (each event as
+    * a 1-point interval, plus every stored session) are sorted by start;
+    * an atom starting within ≤ gap of the running interval's end merges
+    * into it (start = min via sort order, end = max — an earlier merging
+    * event DOES lower `session_start`), anything farther starts a new
+    * interval. That is batch `session_window`'s union-of-[t, t+gap] rule,
+    * and because ALL still-open sessions stay buffered until the
+    * watermark passes `last + gap`, any in-watermark arrival order —
+    * including a late event adjacent to an older still-open session —
+    * produces the sessions the batch expression would. (This matches
+    * streaming `session_window`'s append-mode emission timing, too:
+    * nothing is emitted before the watermark proves the session can no
+    * longer grow.)
     *
-    * All intervals except the newest are emitted as closed immediately —
-    * the one divergence from a full multi-open-session buffer: a future
-    * late event adjacent to an already-emitted earlier session starts a
-    * fresh session rather than extending it (bounded state; same
-    * trade-off `dropDuplicatesWithinWatermark` makes). The newest interval
-    * stays in state unless the watermark has already passed its close. */
+    * The event-time timeout is set to the EARLIEST open close
+    * (min(last) + gap, strictly above the current watermark by
+    * construction); on timeout the same partition logic emits whatever
+    * the advanced watermark has since closed. */
   private def sessionize(gapMs: Long)(userId: Long, rows: Iterator[SessEvent],
-      state: GroupState[SessState]): Iterator[SessionOut] = {
+      state: GroupState[SessBuf]): Iterator[SessionOut] = {
     def close(s: SessState) = SessionOut(userId, new Timestamp(s.start),
       new Timestamp(s.last), s.n, s.sum)
-    val evs = rows.toArray
-    if (evs.isEmpty) {
-      if (state.hasTimedOut) {
-        val out = state.getOption.map(close).iterator
-        state.remove()
-        out
-      } else Iterator.empty
-    } else {
-      val atoms = (evs.map(e => SessState(e.ts.getTime, e.ts.getTime, 1L, e.value))
-        ++ state.getOption).sortBy(s => (s.start, s.last))
-      val merged = scala.collection.mutable.ArrayBuffer.empty[SessState]
-      atoms.foreach { a =>
-        if (merged.nonEmpty && a.start <= merged.last.last + gapMs) {
-          val m = merged.last
-          merged(merged.length - 1) = SessState(m.start,
-            math.max(m.last, a.last), m.n + a.n, m.sum + a.sum)
-        } else merged += a
-      }
-      val open = merged.last
-      if (open.last + gapMs <= state.getCurrentWatermarkMs()) {
-        // even the newest session is closable already — emit everything
-        state.remove()
-        merged.iterator.map(close)
-      } else {
-        state.update(open)
-        state.setTimeoutTimestamp(open.last + gapMs)
-        merged.init.iterator.map(close)
-      }
+    val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+    val atoms = (rows.map(e => SessState(e.ts.getTime, e.ts.getTime, 1L, e.value))
+      ++ existing).toArray.sortBy(s => (s.start, s.last))
+    if (atoms.isEmpty) { state.remove(); return Iterator.empty }
+    val merged = scala.collection.mutable.ArrayBuffer.empty[SessState]
+    atoms.foreach { a =>
+      if (merged.nonEmpty && a.start <= merged.last.last + gapMs) {
+        val m = merged.last
+        merged(merged.length - 1) = SessState(m.start,
+          math.max(m.last, a.last), m.n + a.n, m.sum + a.sum)
+      } else merged += a
     }
+    val wm = state.getCurrentWatermarkMs()
+    val (closed, open) = merged.partition(_.last + gapMs <= wm)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessBuf(open.toList))
+      state.setTimeoutTimestamp(open.map(_.last).min + gapMs)
+    }
+    closed.iterator.map(close)
   }
 
   /** Streaming exact dedup: drops events with a previously-seen

@@ -200,7 +200,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("flatMapGroupsWithState sessionization: in-batch splits, timeout close") {
+  test("flatMapGroupsWithState sessionization: watermark-held emit, timeout close") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TestEvent]
@@ -208,15 +208,17 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("fs_out").outputMode("append").start()
     try {
       // user 7: two events 10 min apart (one session), then a 12:00 event
-      // >30 min later — the in-batch gap closes session 1 immediately
+      // >30 min later — the in-batch gap splits them, but NOTHING is
+      // emitted yet: the watermark (12:00 − 2 h = 10:00) has not passed
+      // session 1's close (10:40), and append-mode session semantics emit
+      // only what can no longer grow (a late 10:35 event could still
+      // extend session 1)
       mem.addData(
         TestEvent(ts("2024-01-01 10:00:00"), "click", 7L, 1.5),
         TestEvent(ts("2024-01-01 10:10:00"), "click", 7L, 2.5),
         TestEvent(ts("2024-01-01 12:00:00"), "click", 7L, 4.0))
       q.processAllAvailable()
-      val closed1 = spark.table("fs_out").as[graft.streaming.SessionOut].collect()
-      assert(closed1.toSeq == Seq(graft.streaming.SessionOut(7L,
-        ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L, 4.0)))
+      assert(spark.table("fs_out").count() == 0)
       // advance the watermark past 12:00 + 30 min gap → timeout emits the
       // open session and drops the key
       mem.addData(TestEvent(ts("2024-01-02 00:00:00"), "view", 8L, 0.0))
@@ -304,6 +306,47 @@ class StreamingSpec extends AnyFunSuite {
         (s, new Timestamp(e.getTime + 30 * 60 * 1000L), n, v) }
       assert(streamedAligned == batch)
       assert(streamed.map(_._1.toString).contains("2024-01-01 11:40:00.0"))
+    } finally q.stop()
+  }
+
+  test("late event extends an OLDER still-open session, not just the newest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1 leaves TWO sessions open for user 1: (10:00) and (12:20);
+    // watermark is 10:20, before session 1's 10:30 close. batch 2's late
+    // 10:25 event is within gap of session 1 — it must extend the OLDER
+    // buffered session (10:00–10:25, n=2), which a single-open-session
+    // state cannot represent.
+    val b1 = Seq(
+      TestEvent(ts("2024-01-01 10:00:00"), "click", 1L, 1.0),
+      TestEvent(ts("2024-01-01 12:20:00"), "click", 1L, 2.0))
+    val b2 = Seq(TestEvent(ts("2024-01-01 10:25:00"), "click", 1L, 4.0))
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.userSessions(mem.toDF()).writeStream
+      .format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      mem.addData(TestEvent(ts("2024-01-03 00:00:00"), "view", 9L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("late_out")
+        .filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == Set(
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:25:00.0", 2L, 5.0),
+        ("2024-01-01 12:20:00.0", "2024-01-01 12:20:00.0", 1L, 2.0)))
+      // and it is exactly what batch session_window computes on the union
+      val batch = (b1 ++ b2).toDF()
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .select(col("session_window.start"), col("n"), col("v"))
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed.map(s => (s._1, s._3, s._4)) == batch)
     } finally q.stop()
   }
 
