@@ -204,9 +204,75 @@ object AggQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Statistical aggregates via exact sufficient statistics: per
+    * returnflag, n / Σx / Σx² accumulate in DECIMAL (exact, order
+    * independent), sample variance = (n·Σx² − (Σx)²) / (n·(n−1)) through
+    * the same decimal-division-then-fixed-scale pattern as avg_disc, and
+    * stddev = sqrt(variance) — IEEE sqrt is correctly rounded, so equal
+    * variances give bit-equal stddevs. The point at 100 TB: moments are
+    * one map-side-combinable pass; never use float stddev_samp/var_samp
+    * when results must be partition-count-independent. */
+  val qAggStats: Q = (s, d) => {
+    val q = col("l_quantity").cast(dec2)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast(dec2).as("s"),
+        sum(q * q).cast(dec4).as("ss"))
+      .select(col("l_returnflag"), col("n"),
+        col("s").cast("double").as("sum_qty"),
+        col("ss").cast("double").as("sumsq_qty"),
+        ((col("n") * col("ss") - col("s") * col("s"))
+          / (col("n") * (col("n") - 1))).cast(dec6).cast("double").as("var_qty"))
+      .withColumn("std_qty", sqrt(col("var_qty")))
+      .orderBy("l_returnflag")
+  }
+
+  /** Fixed-width histogram: bucket = floor(value / 10) per event type.
+    * floor(x/10) is one correctly-rounded IEEE divide + floor in both
+    * engines — deterministic without decimals. Map-side bucket projection
+    * + one grouped count; the 100 TB histogram is this exact plan. */
+  val qAggHistogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), floor(col("value") / 10).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+
+  /** Per-group mode with a deterministic tie-break (most frequent
+    * o_orderpriority per status; ties → lexicographically smallest).
+    * Spark's native `mode()` leaves ties unspecified, so the engine rule
+    * is count → row_number window — same two-shuffle plan, reproducible
+    * output. */
+  val qAggMode: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Approximate percentiles (KLL-style sketch, `approx_percentile`) —
+    * the 100 TB path for quantiles: constant sketch memory per partition
+    * + merge, vs the exact percentile's full sort. No oracle (sketch
+    * internals are engine-specific); NoOracleSpec bounds the rank error
+    * against the exact quantiles. */
+  val qAggApproxPercentile: Q = (s, d) =>
+    Tables.events(s, d)
+      .agg(approx_percentile(col("value"), array(lit(0.5), lit(0.9)), lit(10000))
+        .as("p50_p90"))
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q_agg_stats" -> qAggStats,
+    "q_agg_histogram" -> qAggHistogram,
+    "q_agg_mode" -> qAggMode,
+    "q_agg_approx_percentile" -> qAggApproxPercentile,
     "q_agg_group" -> qAggGroup,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_multi_distinct" -> qAggMultiDistinct,
@@ -223,6 +289,34 @@ object AggQueries {
     "q_topk_per_group" -> qTopkPerGroup)
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """WITH a AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS ss
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           CAST(s AS DOUBLE) AS sum_qty,
+           CAST(ss AS DOUBLE) AS sumsq_qty,
+           CAST(CAST((n * ss - s * s) / (n * (n - 1)) AS DECIMAL(18,6)) AS DOUBLE) AS var_qty,
+           sqrt(CAST(CAST((n * ss - s * s) / (n * (n - 1)) AS DECIMAL(18,6)) AS DOUBLE)) AS std_qty
+         FROM a ORDER BY l_returnflag""",
+    "q_agg_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+         FROM events GROUP BY event_type, floor(value / 10)
+         ORDER BY event_type, bucket""",
+    "q_agg_mode" ->
+      """WITH c AS (
+           SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+           FROM orders GROUP BY o_orderstatus, o_orderpriority),
+         r AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+             ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+           FROM c)
+         SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+         FROM r WHERE rn = 1 ORDER BY o_orderstatus""",
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

@@ -28,6 +28,24 @@ class NoOracleSpec extends AnyFunSuite {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  test("q_agg_approx_percentile sketch lands within the exact quantile band") {
+    val got = graft.operators.AggQueries.qAggApproxPercentile(spark, sf)
+      .collect()(0).getSeq[Double](0)
+    val values = Tables.events(spark, sf).select("value")
+      .collect().map(_.getDouble(0)).sorted
+    def exactQ(p: Double) = values(((values.length - 1) * p).toInt)
+    // accuracy 10000 ⇒ rank error ≤ n/10000; band of ±2% ranks is generous
+    val band = math.max(1, values.length / 50)
+    def within(v: Double, p: Double): Boolean = {
+      val r = ((values.length - 1) * p).toInt
+      val lo = values(math.max(0, r - band)); val hi = values(math.min(values.length - 1, r + band))
+      v >= lo && v <= hi
+    }
+    assert(got.length == 2)
+    assert(within(got(0), 0.5), s"p50 ${got(0)} vs exact ${exactQ(0.5)}")
+    assert(within(got(1), 0.9), s"p90 ${got(1)} vs exact ${exactQ(0.9)}")
+  }
+
   test("q_map_ops explodes every props map to (k, v)") {
     val got = FuncQueries.qMapOps(spark, sf).collect()
     val nEvents = Tables.events(spark, sf).count()
