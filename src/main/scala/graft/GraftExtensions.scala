@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSimFloat
+import graft.functions.{CosineSimFloat, MortonInterleave16}
 
 /** Catalyst extension entry point: makes the engine's native functions
   * available in ANY session — including pure-SQL users — via
@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimFloat].getName, "cosine_f"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimFloat(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("morton16"),
+      new ExpressionInfo(classOf[MortonInterleave16].getName, "morton16"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MortonInterleave16(exprs(0), exprs(1))))
   }
 }

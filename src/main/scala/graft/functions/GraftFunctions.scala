@@ -17,6 +17,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_f", exprs => CosineSimFloat(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "morton16", exprs => MortonInterleave16(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("parse_delay", ParseDelay.parseDelayUdf)
     spark.udf.register("weighted_mean",
       org.apache.spark.sql.functions.udaf(WeightedMean,

@@ -133,6 +133,67 @@ case class LongVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 32-bit Morton (Z-order) interleave of the low 16 bits of two BIGINT
+  * columns: bit i of the left lands at position 2i, of the right at
+  * 2i+1. The layout key for [[graft.operators.Layout.zorderBy]].
+  *
+  * Why a custom Expression: the `aggregate(sequence(0,15), ...)` HOF
+  * form materializes a 16-element array and interprets a lambda 16×
+  * per row — the wrong shape for a key computed for EVERY row of a
+  * 100 TB table at write time. This is branch-free magic-number bit
+  * spreading (5 shift-mask steps per operand), inlined into
+  * whole-stage codegen. Bit-identical to the HOF form and the
+  * plain-Scala reference (LayoutSpec). */
+case class MortonInterleave16(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val lt = org.apache.spark.sql.types.LongType
+    if (left.dataType == lt && right.dataType == lt)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"expected bigint args, got ${left.dataType}, ${right.dataType}")
+  }
+
+  @inline private def spread(v: Long): Long = {
+    var s = v & 0xFFFFL
+    s = (s | (s << 8)) & 0x00FF00FFL
+    s = (s | (s << 4)) & 0x0F0F0F0FL
+    s = (s | (s << 2)) & 0x33333333L
+    s = (s | (s << 1)) & 0x55555555L
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    spread(a.asInstanceOf[Long]) | (spread(b.asInstanceOf[Long]) << 1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val sx = ctx.freshName("sx")
+      val sy = ctx.freshName("sy")
+      s"""
+        long $sx = $a & 0xFFFFL;
+        $sx = ($sx | ($sx << 8)) & 0x00FF00FFL;
+        $sx = ($sx | ($sx << 4)) & 0x0F0F0F0FL;
+        $sx = ($sx | ($sx << 2)) & 0x33333333L;
+        $sx = ($sx | ($sx << 1)) & 0x55555555L;
+        long $sy = $b & 0xFFFFL;
+        $sy = ($sy | ($sy << 8)) & 0x00FF00FFL;
+        $sy = ($sy | ($sy << 4)) & 0x0F0F0F0FL;
+        $sy = ($sy | ($sy << 2)) & 0x33333333L;
+        $sy = ($sy | ($sy << 1)) & 0x55555555L;
+        ${ev.value} = $sx | ($sy << 1);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MortonInterleave16 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level wrapper: cosine similarity of two array<float> columns. */
   def cosineF(a: Column, b: Column): Column =
@@ -143,4 +204,9 @@ object VectorFunctions {
   def dotL(a: Column, b: Column): Column =
     ColumnBridge.column(LongVecDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Morton (Z-order) interleave of the low 16 bits of two bigint columns. */
+  def morton(a: Column, b: Column): Column =
+    ColumnBridge.column(MortonInterleave16(
+      ColumnBridge.expression(a.cast("long")), ColumnBridge.expression(b.cast("long"))))
 }

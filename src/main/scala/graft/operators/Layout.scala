@@ -23,14 +23,14 @@ object Layout {
   type Q = (SparkSession, String) => DataFrame
 
   /** 32-bit Morton (Z-order) interleave of the low 16 bits of `x` and
-    * `y`: bit i of x lands at position 2i, bit i of y at 2i+1. Stays in
-    * whole-stage codegen (HOF over a 16-element sequence, integer ops
-    * only). Column names must resolve in the input frame. */
-  def morton16(xCol: String, yCol: String): Column = expr(
-    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT),
-        (acc, i) -> acc
-          + shiftleft(CAST(shiftright($xCol, i) & 1 AS BIGINT), 2 * i)
-          + shiftleft(CAST(shiftright($yCol, i) & 1 AS BIGINT), 2 * i + 1))""")
+    * `y`: bit i of x lands at position 2i, bit i of y at 2i+1. Backed by
+    * the native codegen'd [[graft.functions.MortonInterleave16]]
+    * expression (branch-free magic-number bit spreading — the HOF
+    * `aggregate(sequence(0,15), ...)` form interprets a lambda 16× per
+    * row, the wrong shape for a key computed for every row at write
+    * time). Column names must resolve in the input frame. */
+  def morton16(xCol: String, yCol: String): Column =
+    graft.functions.VectorFunctions.morton(col(xCol), col(yCol))
 
   /** Sort a frame onto the Z-curve of two integer dimensions — the write
     * path is `zorderBy(df, "a", "b").write.parquet(...)`: a range

@@ -42,6 +42,26 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("morton16 runs inside whole-stage codegen and equals the HOF form") {
+    // spark.range (not a literal local table, which constant-folds to a
+    // LocalTableScan with no codegen stage at all)
+    val df = spark.range(200)
+      .selectExpr("(id * 31) % 65536 AS zx", "(id * 17) % 65536 AS zy")
+    val native = df.withColumn("zkey", Layout.morton16("zx", "zy"))
+    // the native expression inlines into a WholeStageCodegen span
+    val plan = native.queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, plan.toString)
+    val hof = df.withColumn("zkey", expr(
+      """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+         (acc, i) -> acc
+           + shiftleft(CAST(shiftright(zx, i) & 1 AS BIGINT), 2 * i)
+           + shiftleft(CAST(shiftright(zy, i) & 1 AS BIGINT), 2 * i + 1))"""))
+    assert(native.collect().map(_.getLong(2)).toSeq ==
+      hof.collect().map(_.getLong(2)).toSeq)
+  }
+
   test("zorderBy clusters both dimensions into fewer distinct files than a 1-D sort") {
     import spark.implicits._
     // 32×32 grid of points; lay out in 16 curve segments vs 16 x-sorted
