@@ -387,6 +387,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("userSessions equals batch session_window under randomized multi-batch out-of-order delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 120 events over 4 h, 3 users; delivered as 8 half-hour batches with
+    // a seeded 30% of each batch HELD BACK one batch (arrival delay ≤ 1 h,
+    // safely inside the 2 h watermark, so nothing is dropped — only
+    // reordered across batches). Full set equality with batch
+    // session_window must survive any such delivery schedule.
+    val rnd = new scala.util.Random(1234)
+    val events = Seq.fill(120)(TestEvent(
+      new Timestamp(ts("2024-01-01 00:00:00").getTime + rnd.nextInt(4 * 60) * 60_000L),
+      "click", 1L + rnd.nextInt(3), (1 + rnd.nextInt(5)).toDouble))
+    val batches0 = (0 until 8).map(i => events.filter { e =>
+      val m = (e.ts.getTime - ts("2024-01-01 00:00:00").getTime) / 60_000L
+      m >= i * 30 && m < (i + 1) * 30
+    })
+    // push a seeded 30% of each batch into the next delivery slot
+    val held = batches0.map(_.filter(_ => rnd.nextDouble() < 0.3))
+    val batches = (0 until 9).map { i =>
+      val fresh = if (i < 8) batches0(i).diff(held(i)) else Seq.empty
+      val late = if (i > 0 && i <= 8) held(i - 1) else Seq.empty
+      fresh ++ late
+    }
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.userSessions(mem.toDF()).writeStream
+      .format("memory").queryName("mb_out").outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { mem.addData(b: _*); q.processAllAvailable() }
+      }
+      mem.addData(TestEvent(ts("2024-01-05 00:00:00"), "view", 99L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("mb_out")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = events.toDF()
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .select(col("user_id"), col("session_window.start"), col("n"), col("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
