@@ -127,15 +127,48 @@ object CurationOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Data mixing: balanced per-language upsampling. Each doc repeats
+    * ⌈max_lang_count / its_lang_count⌉ times (pure integer ceiling — no
+    * float shares), emitting (doc_id, lang, rep_idx) — the deterministic
+    * repeat plan a trainer consumes to equalize language exposure.
+    *
+    * 100 TB shape: language counts are a ~dozen-row corpus-level ingest
+    * artifact — fetched once up front (same precedent as tfidf's N; a
+    * 1-row max frame joined in would plan a nested-loop join) and
+    * broadcast back; the expansion itself is one map-side
+    * explode(sequence). Downsampling is the md5-hash stratified sampler
+    * (q_sample_stratified); together they re-weight a mixture in either
+    * direction, rerun-stable. */
+  val qMixUpsample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val lc = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val maxCnt = lc.agg(max("cnt")).collect()(0).getLong(0)
+    docs.join(broadcast(lc), "lang")
+      .withColumn("reps", expr(s"CAST(($maxCnt + cnt - 1) div cnt AS INT)"))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), col("reps"))).as("rep_idx"))
+      .orderBy("doc_id", "rep_idx")
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q_mix_upsample" -> qMixUpsample,
     "q_text_contamination" -> qTextContamination,
     "q_dedup_lines" -> qDedupLines,
     "q_text_repetition" -> qTextRepetition,
     "q_pack_sequences" -> qPackSequences)
 
   val oracleSql: Map[String, String] = Map(
+    "q_mix_upsample" ->
+      """WITH lc AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+         mx AS (SELECT MAX(cnt) AS m FROM lc),
+         r AS (SELECT d.doc_id, d.lang,
+                 CAST((mx.m + lc.cnt - 1) // lc.cnt AS INT) AS reps
+               FROM documents d JOIN lc USING (lang) CROSS JOIN mx)
+         SELECT doc_id, lang, CAST(u.i AS INT) AS rep_idx
+         FROM r, unnest(generate_series(1, r.reps)) AS u(i)
+         ORDER BY doc_id, rep_idx""",
     "q_text_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
                     FROM documents WHERE len(string_split(lower(text), ' ')) >= 4),

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CurationOps
+
+/** Structural invariants of the curation operators — properties that
+  * must hold on ANY corpus, complementing the exact-value oracles that
+  * pin them on the fixture. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q_dedup_lines: kept blocks are a prefix-closed subset; corpus keeps each block once") {
+    val out = CurationOps.qDedupLines(spark, sf)
+      .select("doc_id", "n_blocks", "n_kept", "kept_text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val kept = r.getLong(2); val total = r.getLong(1)
+      assert(kept <= total && kept >= 0)
+      val keptTokens = r.getString(3)
+      // reassembled text token count consistent with 3-token blocks
+      // (last block of a doc may be shorter, so ≤ 3·kept)
+      val nTok = if (keptTokens.isEmpty) 0 else keptTokens.split(" ").length
+      assert(nTok <= 3 * kept)
+    }
+    // corpus-wide: total kept blocks == number of distinct blocks
+    val docs = Tables.documents(spark, sf)
+    val distinctBlocks = docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .select(explode(expr(
+        """transform(sequence(0, (size(toks) - 1) div 3),
+           i -> concat_ws(' ', slice(toks, i * 3 + 1, 3)))""")).as("blk"))
+      .distinct().count()
+    assert(out.map(_.getLong(2)).sum == distinctBlocks)
+  }
+
+  test("q_text_contamination: benchmark docs excluded; counts bounded by shingle counts") {
+    val out = CurationOps.qTextContamination(spark, sf).collect()
+    assert(out.forall(_.getLong(0) % 50 != 0))
+    assert(out.forall(r => r.getLong(1) >= 0))
+    assert(out.exists(_.getBoolean(2)) || out.forall(!_.getBoolean(2)))
+    // contaminated flag consistent with the count
+    assert(out.forall(r => r.getBoolean(2) == (r.getLong(1) > 0)))
+  }
+
+  test("q_pack_sequences: bins are contiguous per source and respect the budget arithmetic") {
+    val rows = CurationOps.qPackSequences(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      val sorted = grp.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, cumTok, bin) =>
+        assert(cumTok == cum + n)        // running sum is exact
+        assert(bin == (cumTok - n) / 512) // bin = first-token offset / budget
+        cum = cumTok
+      }
+      // bin ids never decrease within a source
+      assert(sorted.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
+  test("q_mix_upsample: per-language totals are balanced within one repeat factor") {
+    val out = CurationOps.qMixUpsample(spark, sf)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxCnt = orig.values.max
+    perLang.foreach { case (lang, total) =>
+      // ceil-repeat puts every language's exposure in [maxCnt, maxCnt + cnt)
+      assert(total >= maxCnt, s"$lang under-sampled: $total < $maxCnt")
+      assert(total < maxCnt + orig(lang), s"$lang over-sampled: $total")
+    }
+    // rep_idx is dense 1..reps per doc
+    val bad = out.groupBy("doc_id").agg(count(lit(1)).as("n"),
+        max("rep_idx").as("mx"), min("rep_idx").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0)
+  }
+}
