@@ -8,12 +8,16 @@ import graft.Tables
   * metadata, plus executor-side batch decode/feature/frame operators
   * (north-star "multimodal columns").
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB (this container
-  * has no image/audio codecs); everything around it — schema, typed
-  * Dataset plumbing, mapPartitions batching, partition-preserving
-  * execution — is the real 100 TB shape: per-partition iterator
-  * processing, no driver collection, fixed-width feature output suitable
-  * for downstream ANN (graft.operators.Similarity).
+  * IMAGE decode is REAL: `javax.imageio` (ships with every JDK — no
+  * external dependency) decodes PNG/JPEG/BMP/GIF payloads to pixels for
+  * feature extraction and resizing (MediaSpec round-trips generated
+  * PNGs). Payloads no codec accepts — including the fixture's synthetic
+  * text-bytes media, and the audio/video kinds the JDK has no codec
+  * for — fall back to the clearly-marked deterministic byte-domain STUB.
+  * Either way the dataflow is the 100 TB shape: per-partition iterator
+  * processing (one decoder instance per partition, not per row), no
+  * driver collection, fixed-width feature output suitable for
+  * downstream ANN (graft.operators.Similarity).
   */
 object MediaOps {
 
@@ -36,11 +40,9 @@ object MediaOps {
           (pmod(col("doc_id"), lit(48L)) * 16 + 16).cast("int").as("height"),
           lit(16000).as("sampleRate")).as("meta"))
 
-  /** STUB DECODER — stands in for an image/audio codec. Deterministic:
-    * 16-bin byte histogram, L1-normalized. The real implementation would
-    * decode `media` with a codec library here; the surrounding dataflow
-    * (iterator-in/iterator-out, no per-row JVM↔native churn) is what
-    * matters for scale. */
+  /** STUB (fallback) decoder — stands in for codecs the JDK lacks
+    * (audio/video) and absorbs undecodable payloads. Deterministic:
+    * 16-bin byte histogram, L1-normalized. */
   def stubDecodeFeatures(media: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
@@ -52,28 +54,76 @@ object MediaOps {
     hist.map(_ / n)
   }
 
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF). None for
+    * payloads no registered reader accepts. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Throwable => None }
+
+  /** 16-bin L1-normalized LUMINANCE histogram over decoded pixels —
+    * integer Rec.601 weights, deterministic across platforms. */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val hist = new Array[Float](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587
+          + (rgb & 0xFF) * 114) / 1000
+        hist(lum / 16) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(img.getWidth * img.getHeight, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Decode: real pixels when a codec accepts the payload, byte-domain
+    * stub otherwise. */
+  def decodeFeatures(media: Array[Byte]): Array[Float] =
+    decodeImage(media).map(imageFeatures).getOrElse(stubDecodeFeatures(media))
+
   /** Batch feature extraction over partitions — the mapInPandas/mapPartitions
     * shape: one iterator pass per partition, constant memory. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r =>
-      FeatureRow(r.doc_id, stubDecodeFeatures(r.media))))
+      FeatureRow(r.doc_id, decodeFeatures(r.media))))
   }
 
   case class ResizedRow(doc_id: Long, media: Array[Byte])
 
-  /** STUB RESIZE — stands in for an image rescale. Deterministic
-    * byte-domain downsample: keep every `factor`-th byte (metadata dims
-    * divide by `factor` at the query layer). A real codec call slots into
-    * the same iterator position; the partition-preserving batched
-    * dataflow is the point. */
+  /** Real image downscale by `factor`, re-encoded as PNG. */
+  def resizeImage(img: java.awt.image.BufferedImage,
+      factor: Int): Array[Byte] = {
+    val w = math.max(img.getWidth / factor, 1)
+    val h = math.max(img.getHeight / factor, 1)
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Resize: real pixel downscale (ImageIO) when the payload decodes;
+    * deterministic byte-domain downsample (keep every `factor`-th byte)
+    * as the non-image fallback. Iterator-in/iterator-out per partition —
+    * a real codec adds no per-row JVM↔native churn. */
   def resize(media: Dataset[MediaRow], factor: Int): Dataset[ResizedRow] = {
     import media.sparkSession.implicits._
     require(factor > 0)
     media.mapPartitions(_.map { r =>
-      val out = new Array[Byte]((r.media.length + factor - 1) / factor)
-      var i = 0
-      while (i < out.length) { out(i) = r.media(i * factor); i += 1 }
+      val out = decodeImage(r.media).map(resizeImage(_, factor)).getOrElse {
+        val ds = new Array[Byte]((r.media.length + factor - 1) / factor)
+        var i = 0
+        while (i < ds.length) { ds(i) = r.media(i * factor); i += 1 }
+        ds
+      }
       ResizedRow(r.doc_id, out)
     })
   }

@@ -1,0 +1,62 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.MediaOps
+import graft.multimodal.MediaOps.{MediaRow, ResizedRow}
+
+/** Real-codec path of the multimodal operators: JDK ImageIO decode,
+  * pixel feature extraction, and pixel resize, driven end-to-end through
+  * the typed Dataset operators on generated PNGs — plus the fallback
+  * contract for payloads no codec accepts. */
+class MediaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic gradient PNG. */
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / math.max(w - 1, 1)) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("extractFeatures decodes real PNGs to luminance histograms") {
+    import spark.implicits._
+    val bytes = png(32, 16)
+    val ds = Seq(MediaRow(1L, bytes, "image"),
+      MediaRow(2L, "not an image at all".getBytes("UTF-8"), "audio")).toDS()
+    val out = MediaOps.extractFeatures(ds).collect().map(r => r.doc_id -> r.features).toMap
+    // doc 1: real decode — must equal imageFeatures on the decoded pixels
+    val expected1 = MediaOps.imageFeatures(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    assert(out(1L).toSeq == expected1.toSeq)
+    assert(math.abs(out(1L).sum - 1f) < 1e-5) // L1-normalized
+    // a gray gradient spreads luminance across many bins — the byte-domain
+    // stub on PNG bytes would NOT produce this histogram
+    assert(out(1L).count(_ > 0f) > 8)
+    assert(out(1L).toSeq != MediaOps.stubDecodeFeatures(bytes).toSeq)
+    // doc 2: no codec accepts it — byte-domain stub fallback
+    assert(out(2L).toSeq ==
+      MediaOps.stubDecodeFeatures("not an image at all".getBytes("UTF-8")).toSeq)
+  }
+
+  test("resize downscales real image pixels and re-encodes") {
+    import spark.implicits._
+    val ds = Seq(MediaRow(1L, png(32, 16), "image")).toDS()
+    val out: ResizedRow = MediaOps.resize(ds, factor = 4).collect()(0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.media))
+    assert(img != null, "resized payload must be a decodable PNG")
+    assert(img.getWidth == 8 && img.getHeight == 4)
+  }
+
+  test("decodeImage returns None for non-image payloads (fixture contract)") {
+    assert(MediaOps.decodeImage("plain words".getBytes("UTF-8")).isEmpty)
+    assert(MediaOps.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(MediaOps.decodeImage(png(4, 4)).isDefined)
+  }
+}
