@@ -54,11 +54,25 @@ object MediaOps {
     hist.map(_ / n)
   }
 
+  /** Container-signature sniff — PNG / JPEG / GIF / BMP magic bytes. Real
+    * pipelines dispatch on the container magic, not on codec exceptions:
+    * at 100 TB the failed-decode exception path (stream + ImageIO reader
+    * probe per row) is pure waste for the non-image majority. */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
   /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF). None for
-    * payloads no registered reader accepts. */
+    * payloads whose magic bytes don't match or no registered reader
+    * accepts. */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Throwable => None }
+    if (!looksLikeImage(bytes)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Throwable => None }
 
   /** 16-bin L1-normalized LUMINANCE histogram over decoded pixels —
     * integer Rec.601 weights, deterministic across platforms. */
