@@ -35,6 +35,9 @@ object SparkEntry {
       MiscQueries.queries ++
       CorpusPipeline.queries ++
       Salting.queries ++
+      Cdc.queries ++
+      Quantize.queries ++
+      Outliers.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +60,8 @@ object SparkEntry {
       MiscQueries.oracleSql ++
       CorpusPipeline.oracleSql ++
       Salting.oracleSql ++
+      Cdc.oracleSql ++
+      Quantize.oracleSql ++
+      Outliers.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

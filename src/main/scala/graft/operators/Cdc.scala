@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Change-data-capture merge: upsert a delta batch into a base snapshot,
+  * latest version wins per key — the row-level generalization of the
+  * reference's feed-level change detection (`dags/warsaw-gtfs.py:60-71`:
+  * keep the latest feed, skip unchanged). Every incremental 100 TB corpus
+  * refresh is this operation at document granularity.
+  *
+  * Two physical strategies, same semantics:
+  *   - [[mergeUpsert]]: union + per-key window. One shuffle on the key —
+  *     the right shape when |delta| ~ |base| (both sides reshuffle anyway,
+  *     and AQE splits skewed keys).
+  *   - [[mergeUpsertSmallDelta]]: broadcast anti-join + union. ZERO
+  *     shuffle of the base when the delta's keys fit in a broadcast —
+  *     the common nightly-increment shape (delta ≪ base). The base
+  *     streams through a BroadcastHashJoin and appends the delta.
+  * `CdcSpec` property-tests the two paths equal on randomized batches.
+  */
+object Cdc {
+
+  /** Latest-wins merge via per-key window. Ties on `versionCol` break
+    * toward the delta row (deterministic). */
+  def mergeUpsert(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    val unioned = base.withColumn("_src", lit(0))
+      .unionByName(delta.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    unioned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+  }
+
+  /** Latest-wins merge assuming every delta row supersedes the base row
+    * with the same key (the snapshot-refresh contract): anti-join the
+    * base against the broadcast delta key set, then append the delta.
+    * No shuffle of the base side. */
+  def mergeUpsertSmallDelta(base: DataFrame, delta: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
+    base.join(broadcast(deltaKeys), keyCols, "left_anti")
+      .unionByName(delta)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Declared CDC merge: base = all orders at version 1; delta = updates
+    * (every 3rd key, re-priced, status 'U') + inserts (every 7th key
+    * offset into fresh key space, status 'N') at version 2. Upsert via
+    * the no-base-shuffle broadcast path. */
+  val qMergeUpsert: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = o.withColumn("version", lit(1))
+    val updates = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+        lit(2).as("version"))
+    val inserts = o.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + lit(1000000L)).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"),
+        lit(2).as("version"))
+    mergeUpsertSmallDelta(base, updates.unionByName(inserts),
+      Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map("q_merge_upsert" -> qMergeUpsert)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  CAST(1 AS INT) AS version FROM orders),
+         delta AS (
+           SELECT o_orderkey, 'U' AS o_orderstatus,
+                  o_totalprice + 100.0 AS o_totalprice,
+                  CAST(2 AS INT) AS version
+           FROM orders WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey + 1000000, 'N', o_totalprice, CAST(2 AS INT)
+           FROM orders WHERE o_orderkey % 7 = 0),
+         merged AS (
+           SELECT * FROM base
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+           UNION ALL
+           SELECT * FROM delta)
+         SELECT o_orderkey, o_orderstatus, o_totalprice, version
+         FROM merged ORDER BY o_orderkey""")
+}

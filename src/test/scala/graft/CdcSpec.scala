@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Cdc, Outliers, Quantize}
+
+/** Round-6 operators: CDC merge/upsert (both physical strategies),
+  * int8 embedding quantization, IQR outlier filtering. */
+class CdcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("mergeUpsert: latest version wins, ties break toward delta") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 5)).toDF("k", "v", "version")
+    val delta = Seq((2L, "B", 2), (3L, "C", 5), (4L, "D", 2)).toDF("k", "v", "version")
+    val out = Cdc.mergeUpsert(base, delta, Seq("k"), "version")
+      .orderBy("k").as[(Long, String, Int)].collect().toSeq
+    // k=3: same version both sides → delta row wins (deterministic tie-break)
+    assert(out == Seq((1L, "a", 1), (2L, "B", 2), (3L, "C", 5), (4L, "D", 2)))
+  }
+
+  test("window and broadcast merge strategies agree on randomized batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    for (_ <- 1 to 5) {
+      val baseKeys = (0L until 200L).filter(_ => rnd.nextDouble() < 0.8)
+      val deltaKeys = (0L until 250L).filter(_ => rnd.nextDouble() < 0.3)
+      val base = baseKeys.map(k => (k, s"b$k", 1)).toDF("k", "v", "version")
+      val delta = deltaKeys.map(k => (k, s"d$k", 2)).toDF("k", "v", "version")
+      val a = Cdc.mergeUpsert(base, delta, Seq("k"), "version")
+        .as[(Long, String, Int)].collect().toSet
+      val b = Cdc.mergeUpsertSmallDelta(base, delta, Seq("k"))
+        .as[(Long, String, Int)].collect().toSet
+      assert(a == b)
+      assert(a.map(_._1) == (baseKeys ++ deltaKeys).toSet)
+    }
+  }
+
+  test("broadcast merge plan shuffles neither side of the base append") {
+    val base = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    val delta = base.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val plan = Cdc.mergeUpsertSmallDelta(base, delta, Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"anti-join must broadcast the delta keys:\n$plan")
+  }
+
+  test("quantize: codes in [-127,127], dequantization error within one step") {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("scale", Quantize.vecScale(col("embedding")))
+      .withColumn("q", Quantize.quantize(col("embedding"), col("scale")))
+      .as[(Long, Array[Float], Double, Array[Int])].collect()
+    assert(rows.nonEmpty)
+    for ((_, emb, scale, q) <- rows) {
+      assert(q.length == emb.length)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      val step = scale / 127.0
+      for (i <- emb.indices)
+        assert(math.abs(q(i) * step - emb(i)) <= step * 0.5 + 1e-9,
+          s"code ${q(i)} too far from ${emb(i)} (step $step)")
+    }
+  }
+
+  test("IQR filter keeps exactly the rows inside its own bounds") {
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    val bounds = Outliers.iqrBounds(ev, "event_type", "value")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(bounds.values.forall { case (lo, hi) => lo <= hi })
+    val kept = Outliers.filterOutliers(ev, "event_type", "value")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val expected = ev.collect()
+      .filter(r => !r.isNullAt(2) && {
+        val (lo, hi) = bounds(r.getString(1))
+        r.getDouble(2) >= lo && r.getDouble(2) <= hi
+      })
+      .map(_.getLong(0)).toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty && kept.size < ev.count())
+  }
+}
