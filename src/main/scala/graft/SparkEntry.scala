@@ -38,6 +38,8 @@ object SparkEntry {
       Cdc.queries ++
       Quantize.queries ++
       Outliers.queries ++
+      TimeSeries.queries ++
+      FuzzyDedup.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,5 +65,7 @@ object SparkEntry {
       Cdc.oracleSql ++
       Quantize.oracleSql ++
       Outliers.oracleSql ++
+      TimeSeries.oracleSql ++
+      FuzzyDedup.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

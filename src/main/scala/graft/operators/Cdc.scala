@@ -47,6 +47,20 @@ object Cdc {
       .unionByName(delta)
   }
 
+  /** SCD Type-2 history: from append-only versioned rows per key, derive
+    * effective-dated intervals — `valid_from` = this row's order value,
+    * `valid_to` = the next row's (NULL while current). One window shuffle
+    * on the key; at 100 TB this is the standard "latest + history" dual
+    * view built once per refresh. */
+  def scd2History(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    df.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Declared CDC merge: base = all orders at version 1; delta = updates
@@ -70,7 +84,17 @@ object Cdc {
       .orderBy("o_orderkey")
   }
 
-  val queries: Map[String, Q] = Map("q_merge_upsert" -> qMergeUpsert)
+  /** Declared SCD2: each user's event stream as effective-dated state
+    * history (each event supersedes the previous at its timestamp). */
+  val qScd2History: Q = (s, d) =>
+    scd2History(Tables.events(s, d), Seq("user_id"), "ts", Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("event_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_merge_upsert" -> qMergeUpsert,
+    "q_scd2_history" -> qScd2History)
 
   val oracleSql: Map[String, String] = Map(
     "q_merge_upsert" ->
@@ -91,5 +115,13 @@ object Cdc {
            UNION ALL
            SELECT * FROM delta)
          SELECT o_orderkey, o_orderstatus, o_totalprice, version
-         FROM merged ORDER BY o_orderkey""")
+         FROM merged ORDER BY o_orderkey""",
+    "q_scd2_history" ->
+      """SELECT event_id, user_id, value,
+           ts AS valid_from,
+           LEAD(ts, 1) OVER w AS valid_to,
+           (LEAD(ts, 1) OVER w IS NULL) AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""")
 }

@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Cdc, Outliers, Quantize}
+import graft.operators.{Cdc, FuzzyDedup, Outliers, Quantize, TimeSeries}
 
-/** Round-6 operators: CDC merge/upsert (both physical strategies),
-  * int8 embedding quantization, IQR outlier filtering. */
+/** Round-6 operators: CDC merge/upsert (both physical strategies), SCD2
+  * history, int8 embedding quantization, IQR outlier filtering,
+  * forward-fill, fuzzy vocabulary dedup. */
 class CdcSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
@@ -63,6 +64,65 @@ class CdcSpec extends AnyFunSuite {
         assert(math.abs(q(i) * step - emb(i)) <= step * 0.5 + 1e-9,
           s"code ${q(i)} too far from ${emb(i)} (step $step)")
     }
+  }
+
+  test("scd2History: intervals tile each key's timeline, one current row") {
+    val h = Cdc.scd2History(Tables.events(spark, sf), Seq("user_id"), "ts",
+      Seq("event_id"))
+      .select("user_id", "event_id", "valid_from", "valid_to", "is_current")
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(h.nonEmpty)
+    for ((_, rows) <- h) {
+      val sorted = rows.sortBy(r =>
+        (r.getTimestamp(2).getTime, r.getLong(1)))
+      // exactly the last row is current
+      assert(sorted.count(_.getBoolean(4)) == 1)
+      assert(sorted.last.getBoolean(4) && sorted.last.isNullAt(3))
+      // each valid_to equals the successor's valid_from
+      for (Array(a, b) <- sorted.sliding(2) if sorted.length > 1)
+        assert(a.getTimestamp(3) == b.getTimestamp(2))
+    }
+  }
+
+  test("fillForward equals a per-key ordered scan carrying the last value") {
+    val out = TimeSeries.fillForward(
+      Tables.events(spark, sf)
+        .withColumn("reading", when(col("event_id") % 3 === 0, col("value"))),
+      Seq("user_id"), "ts", Seq("event_id"), "reading")
+      .select("user_id", "ts", "event_id", "reading", "reading_filled")
+      .collect()
+    val byUser = out.groupBy(_.getLong(0))
+    for ((_, rows) <- byUser) {
+      var carried: Option[Double] = None
+      for (r <- rows.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))) {
+        if (!r.isNullAt(3)) carried = Some(r.getDouble(3))
+        carried match {
+          case Some(v) => assert(!r.isNullAt(4) && r.getDouble(4) == v)
+          case None    => assert(r.isNullAt(4))
+        }
+      }
+    }
+  }
+
+  test("fuzzyPairs matches brute force and the length band is lossless") {
+    val names = Tables.part(spark, sf).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b))).toSet
+    val got = FuzzyDedup.fuzzyPairs(Tables.part(spark, sf), "p_name", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty)
   }
 
   test("IQR filter keeps exactly the rows inside its own bounds") {
