@@ -20,17 +20,23 @@ import graft.Tables
 object FuzzyDedup {
 
   /** All distinct-value pairs (a < b) with levenshtein ≤ maxDist, under
-    * the lossless length-band prefilter. */
+    * the lossless length-band prefilter. The band is an EQUI-join, not a
+    * theta-join: the left side explodes to its `2·maxDist + 1` candidate
+    * lengths (levenshtein ≤ k ⇒ |len(a) − len(b)| ≤ k) and hash-joins the
+    * right side's exact length — a BroadcastHashJoin, never a
+    * nested-loop, so the same plan holds when the vocabulary outgrows a
+    * driver-sized cross product. */
   def fuzzyPairs(values: DataFrame, valueCol: String,
       maxDist: Int): DataFrame = {
     val v = values.select(col(valueCol)).distinct()
       .select(col(valueCol), length(col(valueCol)).as("_len"))
-    val a = v.select(col(valueCol).as("name_a"), col("_len").as("_len_a"))
-    val b = v.select(col(valueCol).as("name_b"), col("_len").as("_len_b"))
-    a.join(broadcast(b),
-        col("name_a") < col("name_b") &&
-          abs(col("_len_a") - col("_len_b")) <= maxDist &&
-          levenshtein(col("name_a"), col("name_b")) <= maxDist)
+    val a = v.select(col(valueCol).as("name_a"),
+        explode(sequence(col("_len") - maxDist, col("_len") + maxDist))
+          .as("_blen"))
+    val b = v.select(col(valueCol).as("name_b"), col("_len").as("_blen"))
+    a.join(broadcast(b), Seq("_blen"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).as("dist"))
   }
