@@ -107,9 +107,30 @@ object CorpusPipeline {
     curate(Tables.documents(s, d), minTokens = 15, maxStopPct = 40,
       tNum = 9, tDen = 10, cacheKey = Some(s"curated:$d:15:40"))
 
+  /** Train→eval leakage check: an eval (val/test) document leaks when its
+    * distinct-token SET matches a train document's — the fixture's
+    * near-dup structure (Jaccard and MinHash are functions of the token
+    * set; see DedupQueries.setGroups), and the membership the split must
+    * not straddle. Set identity travels as a sha-256 digest so the
+    * shuffle carries 32-byte keys, never documents (the q_dedup_hash
+    * rule); the check is one digest semi-join. */
+  val qSplitLeakage: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        splitColumn(col("doc_id")).as("split"),
+        sha2(array_join(array_sort(array_distinct(
+          split(col("text"), " "))), " "), 256).as("skey"))
+    val trainKeys = docs.filter(col("split") === "train").select("skey")
+    docs.filter(col("split") =!= "train")
+      .join(trainKeys, Seq("skey"), "left_semi")
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_corpus_curate" -> qCorpusCurate,
     "q_train_split" -> qTrainSplit,
+    "q_split_leakage" -> qSplitLeakage,
     "q_sample_stratified" -> qSampleStratified)
 
   val oracleSql: Map[String, String] = Map(
@@ -122,6 +143,23 @@ object CorpusPipeline {
                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                       AS INT) % 100 AS pct
                FROM documents)
+         ORDER BY doc_id""",
+    "q_split_leakage" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  CASE WHEN CAST('0x' || substring(
+                         md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100
+                         < 80 THEN 'train'
+                       WHEN CAST('0x' || substring(
+                         md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100
+                         < 90 THEN 'val'
+                       ELSE 'test' END AS split,
+                  sha256(array_to_string(list_sort(list_distinct(
+                    string_split(text, ' '))), ' ')) AS skey
+           FROM documents)
+         SELECT doc_id, split FROM k
+         WHERE split <> 'train'
+           AND skey IN (SELECT skey FROM k WHERE split = 'train')
          ORDER BY doc_id""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source, pct

@@ -150,9 +150,34 @@ object CurationOps {
       .orderBy("doc_id", "rep_idx")
   }
 
+  /** Sliding-window document chunking with overlap — the context-window
+    * prep step (training/RAG): chunks of `chunkTokens` tokens starting
+    * every `strideTokens` (overlap = chunk − stride), short tail chunks
+    * kept. Pure map-side explode(sequence) + slice — no shuffle, no UDF;
+    * at 100 TB the expansion factor is exactly n_tokens/stride. */
+  def chunkOverlap(docs: DataFrame, chunkTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(strideTokens > 0 && chunkTokens >= strideTokens)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(strideTokens)))
+          .as("start"))
+      .select(col("doc_id"), col("start"),
+        array_join(slice(col("toks"), col("start"), lit(chunkTokens)), " ")
+          .as("chunk"),
+        size(slice(col("toks"), col("start"), lit(chunkTokens)))
+          .as("n_tokens"))
+  }
+
+  val qChunkOverlap: Q = (s, d) =>
+    chunkOverlap(Tables.documents(s, d), chunkTokens = 20, strideTokens = 15)
+      .orderBy("doc_id", "start")
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q_chunk_overlap" -> qChunkOverlap,
     "q_mix_upsample" -> qMixUpsample,
     "q_text_contamination" -> qTextContamination,
     "q_dedup_lines" -> qDedupLines,
@@ -160,6 +185,17 @@ object CurationOps {
     "q_pack_sequences" -> qPackSequences)
 
   val oracleSql: Map[String, String] = Map(
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 15))
+                 AS start FROM t)
+         SELECT doc_id, CAST(start AS INT) AS start,
+                array_to_string(toks[start:least(start + 19, len(toks))], ' ')
+                  AS chunk,
+                CAST(least(start + 19, len(toks)) - start + 1 AS INT)
+                  AS n_tokens
+         FROM s ORDER BY doc_id, start""",
     "q_mix_upsample" ->
       """WITH lc AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
          mx AS (SELECT MAX(cnt) AS m FROM lc),

@@ -43,7 +43,30 @@ object TimeSeries {
         col("reading_filled"))
       .orderBy("event_id")
 
-  val queries: Map[String, Q] = Map("q_fill_forward" -> qFillForward)
+  /** Trailing-window distinct aggregation: per day, distinct active users
+    * over the trailing `windowDays` days. Sliding distinct counts have no
+    * per-row running state (you can't subtract from a distinct set), so
+    * the scalable shape is cover-set expansion: each event contributes to
+    * the `windowDays` window-end days it falls inside — a map-side
+    * explode with factor = windowDays — then ONE hash aggregation on
+    * (day, user) cardinality. No self-join, no window re-scan per day. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .select(explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("wday"), col("user_id"))
+      .groupBy("wday")
+      .agg(countDistinct("user_id").as("active_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Declared query: 7-day trailing active users. */
+  val qRollingActive: Q = (s, d) =>
+    rollingActiveUsers(Tables.events(s, d), windowDays = 7)
+      .orderBy("wday")
+
+  val queries: Map[String, Q] = Map(
+    "q_fill_forward" -> qFillForward,
+    "q_rolling_active" -> qRollingActive)
 
   val oracleSql: Map[String, String] = Map(
     "q_fill_forward" ->
@@ -56,5 +79,14 @@ object TimeSeries {
                   PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS reading_filled
-         FROM e ORDER BY event_id""")
+         FROM e ORDER BY event_id""",
+    "q_rolling_active" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+         w AS (SELECT unnest(generate_series(day,
+                 day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wts, user_id
+               FROM e)
+         SELECT CAST(wts AS DATE) AS wday,
+                COUNT(DISTINCT user_id) AS active_users,
+                COUNT(*) AS n_events
+         FROM w GROUP BY 1 ORDER BY wday""")
 }

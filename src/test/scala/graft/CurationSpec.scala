@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.CurationOps
+import graft.operators.{CorpusPipeline, CurationOps, TimeSeries}
 
 /** Structural invariants of the curation operators — properties that
   * must hold on ANY corpus, complementing the exact-value oracles that
@@ -10,6 +10,67 @@ import graft.operators.CurationOps
 class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
+
+  test("chunkOverlap: stride-prefixes + tail reconstruct the document exactly") {
+    val chunks = CurationOps.chunkOverlap(Tables.documents(spark, sf), 20, 15)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet == texts.keySet)
+    for ((id, cs) <- chunks) {
+      val sorted = cs.sortBy(_._2)
+      val toks = texts(id).split(" ", -1)
+      // starts are exactly 1, 16, 31, ... ≤ n_tokens
+      assert(sorted.map(_._2).toSeq == (1 to toks.length by 15))
+      // each chunk is the literal 20-token slice at its start
+      for ((_, start, chunk, n) <- sorted) {
+        val expect = toks.slice(start - 1, start - 1 + 20)
+        assert(chunk == expect.mkString(" ") && n == expect.length)
+      }
+      // concatenating each chunk's first 15 tokens plus the final tail
+      // reproduces the document (overlap sanity)
+      val rebuilt = sorted.init.flatMap(_._3.split(" ", -1).take(15)) ++
+        sorted.last._3.split(" ", -1)
+      assert(rebuilt.toSeq == toks.toSeq)
+    }
+  }
+
+  test("rollingActiveUsers matches a brute-force trailing-window count") {
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val got = TimeSeries.rollingActiveUsers(Tables.events(spark, sf), 7)
+      .collect()
+      .map(r => r.getDate(0).toLocalDate -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.nonEmpty)
+    for ((wday, (active, nEvents)) <- got) {
+      val inWin = ev.filter { case (d, _) =>
+        !d.isAfter(wday) && !d.isBefore(wday.minusDays(6))
+      }
+      assert(active == inWin.map(_._2).distinct.length,
+        s"$wday distinct mismatch")
+      assert(nEvents == inWin.length, s"$wday event count mismatch")
+    }
+  }
+
+  test("splitLeakage: flagged docs are non-train with a token set seen in train") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), CorpusPipeline.splitColumn(col("doc_id")).as("split"),
+        col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").distinct.sorted.toSeq))
+    val trainSets = docs.collect { case (_, "train", s) => s }.toSet
+    val expected = docs.collect {
+      case (id, sp, s) if sp != "train" && trainSets(s) => id
+    }.toSet
+    val got = CorpusPipeline.qSplitLeakage(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
 
   test("q_dedup_lines: kept blocks are a prefix-closed subset; corpus keeps each block once") {
     val out = CurationOps.qDedupLines(spark, sf)
