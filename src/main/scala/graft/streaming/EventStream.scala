@@ -77,6 +77,22 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("sstart"), col("user_id"), col("n"))
 
+  /** EXACT streaming COUNT(DISTINCT user) per tumbling hour — the
+    * chained-stateful-operator pattern (Spark ≥3.5): a streaming
+    * dropDuplicates on (window, user) makes each user count once per
+    * window, then a plain windowed count aggregates the survivors. Both
+    * stages evict by the same watermark (the window column carries the
+    * event-time), so state is bounded by active-window cardinality — the
+    * streaming mirror of batch `q_rolling_active`'s distinct-per-window
+    * semantics without any sketch. */
+  def tumblingActiveUsers(events: DataFrame): DataFrame =
+    withLateness(events)
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(col("w.start").as("wstart"), col("active_users"))
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * escape hatch for session semantics `session_window` can't express
     * (per-session running aggregates beyond count, emit-on-close with

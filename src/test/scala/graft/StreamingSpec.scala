@@ -171,6 +171,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("streaming distinct actives per hour equal the batch distinct count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      TestEvent(ts("2024-01-01 10:10:00"), "click", 1L, 1.0),
+      TestEvent(ts("2024-01-01 10:20:00"), "click", 1L, 1.0), // dup user in hour
+      TestEvent(ts("2024-01-01 10:40:00"), "view", 2L, 1.0),
+      TestEvent(ts("2024-01-01 11:10:00"), "view", 1L, 1.0))
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.tumblingActiveUsers(mem.toDF()).writeStream
+      .format("memory").queryName("au_out").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData(TestEvent(ts("2024-01-02 00:00:00"), "view", 9L, 1.0)) // closes
+      q.processAllAvailable()
+      val streamed = spark.table("au_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      val batch = events.toDF()
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct("user_id").as("n"))
+        .select(col("window.start"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      // both closed hours emitted with exact distinct counts (10h → 2, 11h → 1)
+      assert(streamed == batch.filter(_._1.before(ts("2024-01-02 00:00:00"))))
+      assert(streamed.values.toSeq.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal the batch expression on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
