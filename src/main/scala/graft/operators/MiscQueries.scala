@@ -198,9 +198,41 @@ object MiscQueries {
         least(col("o_totalprice"), lit(250000.0)).as("cap250k"))
       .orderBy("o_orderkey")
 
+  /** Ordered string aggregation (LISTAGG/string_agg): names per region,
+    * sorted inside the group so the concatenation is deterministic
+    * regardless of partitioning. Bounded-group contract: collect_list
+    * materializes the group in memory — correct for dimension-sized
+    * groups; unbounded groups belong in explode-side processing, not
+    * string aggregation. */
+  val qAggString: Q = (s, d) =>
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
+  /** Share-of-total per group: the corpus-level total is ONE driver-side
+    * scalar (the mix_upsample/tfidf-N ingest-artifact precedent — a 1-row
+    * frame joined in would plan a nested-loop), so the share is a single
+    * map-side IEEE division after the group count. Never a
+    * partition-less window (`sum().over()` with no partition moves every
+    * row to one task). */
+  val qShareOfTotal: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val total = Tables.events(s, d).count()
+    counts
+      .select(col("event_type"), col("n"),
+        (col("n").cast("double") / lit(total.toDouble)).as("share"))
+      .orderBy("event_type")
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q_agg_string" -> qAggString,
+    "q_share_of_total" -> qShareOfTotal,
     "q_unpivot" -> qUnpivot,
     "q_explode_outer" -> qExplodeOuter,
     "q_minmax_by" -> qMinmaxBy,
@@ -217,6 +249,16 @@ object MiscQueries {
     "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_string" ->
+      """SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           COUNT(*) AS n
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_share_of_total" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE) /
+             CAST((SELECT COUNT(*) FROM events) AS DOUBLE) AS share
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber,
            CAST(metric AS VARCHAR) AS metric, val FROM
