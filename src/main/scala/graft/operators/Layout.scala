@@ -45,6 +45,21 @@ object Layout {
     ranged.sortWithinPartitions("__zkey").drop("__zkey")
   }
 
+  /** Bucketed write: pay the shuffle ONCE at write time. A table
+    * bucketed (and sorted) by its join/agg key reads back with
+    * `HashPartitioning(key, n)` already satisfied, so every later
+    * equi-join or aggregation on that key plans ZERO exchanges — the
+    * warehouse-scale answer to a fact-fact join that would otherwise
+    * reshuffle 100 TB on every query. Both sides must share the bucket
+    * count; LayoutSpec asserts the joined plan is exchange-free and
+    * result-identical to the plain join. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Declared query: the Z-curve key for events on (user_id low 16 bits,
     * hour-of-day) — the clustering key a 100 TB events table would be
     * laid out by so that both per-user and per-hour scans skip. Exact

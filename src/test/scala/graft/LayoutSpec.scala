@@ -109,4 +109,43 @@ class LayoutSpec extends AnyFunSuite {
     // whole batch should be bloom-negative (≤ a few % false positives)
     assert(positives / n < 0.05, s"bloom positives $positives of $n")
   }
+
+  test("bucketed tables join with zero exchanges and identical results") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val orders = Tables.orders(spark, TestSpark.sf)
+    val customer = Tables.customer(spark, TestSpark.sf)
+    Layout.writeBucketed(orders, "bkt_orders", "o_custkey", 4)
+    Layout.writeBucketed(customer, "bkt_customer", "c_custkey", 4)
+    val priorBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("bkt_orders")
+        .join(spark.table("bkt_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: ShuffleExchangeExec => e
+        case a: AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join must plan no exchange:\n$plan")
+      val expected = orders.join(customer,
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val got = joined.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expected && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    }
+  }
 }
