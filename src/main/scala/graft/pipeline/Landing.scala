@@ -77,3 +77,26 @@ object LandingSchemas {
     StructField("fetched_hour", StringType),
     StructField("body", BinaryType)))
 }
+
+/** Schema drift across landed snapshots: feeds grow columns over time
+  * (the reference re-uploads whatever the feed ships —
+  * dags/warsaw-gtfs.py:88-96 — so a GTFS revision adding a column lands
+  * with it). The landing zone is append-only: old snapshots are never
+  * rewritten. Readers reconcile instead. */
+object SchemaDrift {
+
+  /** Union-of-schemas read: `mergeSchema` folds every footer's schema;
+    * columns absent from older files read as NULL. At 100 TB, prefer
+    * pinning [[withDeclared]] for hot paths — mergeSchema lists every
+    * footer — and use this for exploratory/repair reads. */
+  def readMerged(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Declared-schema read over drifted snapshots: the engine's standard
+    * contract (never inferSchema) — extra on-disk columns are pruned,
+    * missing ones come back NULL, and one footer read plans the scan. */
+  def withDeclared(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.schema(schema).parquet(path)
+}

@@ -135,4 +135,36 @@ class PipelineSpec extends AnyFunSuite {
       .collect()(0).getAs[Array[Byte]]("body")
     assert(new String(body) == "payload-1") // first payload survives
   }
+
+  test("schema drift: appended snapshots with a new column reconcile on read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir() + "/landed"
+    // v1 snapshot: 3 columns; v2 snapshot appends rows WITH a new column
+    Seq(("R1", "SV1", "T1"), ("R2", "SV1", "T2"))
+      .toDF("route_id", "service_id", "trip_id")
+      .write.parquet(dir)
+    Seq(("R3", "SV2", "T3", "Downtown"))
+      .toDF("route_id", "service_id", "trip_id", "trip_headsign")
+      .write.mode("append").parquet(dir)
+
+    // merged read: union schema, old rows NULL in the new column
+    val merged = SchemaDrift.readMerged(spark, dir)
+    assert(merged.columns.toSet ==
+      Set("route_id", "service_id", "trip_id", "trip_headsign"))
+    val byTrip = merged.collect()
+      .map(r => r.getAs[String]("trip_id") ->
+        Option(r.getAs[String]("trip_headsign"))).toMap
+    assert(byTrip == Map("T1" -> None, "T2" -> None, "T3" -> Some("Downtown")))
+
+    // declared-schema read: drift is invisible to the v1 consumer, and
+    // the full declared (v2) contract fills the gap with NULLs
+    val v1 = SchemaDrift.withDeclared(spark,
+      org.apache.spark.sql.types.StructType(
+        LandingSchemas.gtfs("trips").filter(_.name != "trip_headsign")), dir)
+    assert(v1.columns.toSet == Set("route_id", "service_id", "trip_id"))
+    assert(v1.count() == 3)
+    val full = SchemaDrift.withDeclared(spark, LandingSchemas.gtfs("trips"), dir)
+    assert(full.filter(col("trip_headsign").isNull).count() == 2)
+  }
 }
