@@ -100,6 +100,70 @@ class ApiSurfaceSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap)
   }
 
+  test("AQE splits the skewed side of a sort-merge join at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec}
+    // one key carries ~90% of a 60k-row fact side; thresholds lowered so
+    // the skew machinery engages at fixture scale
+    val prior = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val facts = Seq.tabulate(60000)(i =>
+        (if (i % 10 < 9) 7L else i % 64L, s"payload-$i-${"x" * 40}"))
+        .toDF("key", "payload").repartition(8)
+      val other = Seq.tabulate(60000)(i => (i % 64L, i)).toDF("key", "w")
+        .repartition(8)
+      // assert on the EXECUTED query (AQE decisions exist only after a
+      // run); aggregate over the payload so the wide column flows through
+      // the shuffle — count(1) alone prunes the fact side down to a
+      // column of identical keys, which compresses below any skew
+      // threshold
+      val agg = facts.join(other, Seq("key"))
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+      val cnt = agg.collect()(0).getLong(0)
+      // exact row count: each fact row matches its key's multiplicity
+      val perKey = (0L until 64L).map(k => k ->
+        (0 until 60000).count(i => i.toLong % 64L == k).toLong).toMap
+      val expected = (0 until 60000).map(i =>
+        perKey(if (i % 10 < 9) 7L else i % 64L)).sum
+      assert(cnt == expected)
+      val finalPlan = agg.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // query stages are leaf nodes — collect() does not descend into
+      // them, so recurse through QueryStageExec.plan explicitly
+      def skewReads(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[AQEShuffleReadExec] =
+        p.collect {
+          case r: AQEShuffleReadExec if r.hasSkewedPartition => Seq(r)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            skewReads(q.plan)
+        }.flatten
+      assert(skewReads(finalPlan).nonEmpty,
+        s"expected a skew-split AQE shuffle read in:\n$finalPlan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salting on a hot-key fixture: equal results AND spread partitions") {
     import spark.implicits._
     val n = 8
