@@ -107,19 +107,23 @@ object CorpusPipeline {
     curate(Tables.documents(s, d), minTokens = 15, maxStopPct = 40,
       tNum = 9, tDen = 10, cacheKey = Some(s"curated:$d:15:40"))
 
+  /** sha-256 digest of the document's distinct-token SET — the identity
+    * every set-based similarity measure keys on (DedupQueries.setGroups),
+    * shipped as a 32-byte digest so shuffles never carry documents (the
+    * q_dedup_hash rule). */
+  def setKeyDigest(text: Column): Column =
+    sha2(array_join(array_sort(array_distinct(split(text, " "))), " "), 256)
+
   /** Train→eval leakage check: an eval (val/test) document leaks when its
     * distinct-token SET matches a train document's — the fixture's
     * near-dup structure (Jaccard and MinHash are functions of the token
     * set; see DedupQueries.setGroups), and the membership the split must
-    * not straddle. Set identity travels as a sha-256 digest so the
-    * shuffle carries 32-byte keys, never documents (the q_dedup_hash
-    * rule); the check is one digest semi-join. */
+    * not straddle. One digest semi-join. */
   val qSplitLeakage: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         splitColumn(col("doc_id")).as("split"),
-        sha2(array_join(array_sort(array_distinct(
-          split(col("text"), " "))), " "), 256).as("skey"))
+        setKeyDigest(col("text")).as("skey"))
     val trainKeys = docs.filter(col("split") === "train").select("skey")
     docs.filter(col("split") =!= "train")
       .join(trainKeys, Seq("skey"), "left_semi")
@@ -127,10 +131,27 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** Canonical-document selection: dedup keeping the BEST duplicate, not
+    * an arbitrary one — per identical-token-set group keep the
+    * highest-quality member (max n_chars, doc_id tiebreak). The policy
+    * layer of dedup: q_dedup_exact keeps lowest-id, this keeps
+    * best-by-score; both are one windowed shuffle on a 32-byte digest. */
+  val qDedupCanonical: Q = (s, d) => {
+    val w = Window.partitionBy("skey")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("skey", setKeyDigest(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_corpus_curate" -> qCorpusCurate,
     "q_train_split" -> qTrainSplit,
     "q_split_leakage" -> qSplitLeakage,
+    "q_dedup_canonical" -> qDedupCanonical,
     "q_sample_stratified" -> qSampleStratified)
 
   val oracleSql: Map[String, String] = Map(
@@ -161,6 +182,18 @@ object CorpusPipeline {
          WHERE split <> 'train'
            AND skey IN (SELECT skey FROM k WHERE split = 'train')
          ORDER BY doc_id""",
+    "q_dedup_canonical" ->
+      """WITH k AS (
+           SELECT doc_id, lang, source, n_chars,
+                  sha256(array_to_string(list_sort(list_distinct(
+                    string_split(text, ' '))), ' ')) AS skey
+           FROM documents)
+         SELECT doc_id, lang, source, n_chars FROM
+           (SELECT doc_id, lang, source, n_chars,
+              ROW_NUMBER() OVER (PARTITION BY skey
+                ORDER BY n_chars DESC, doc_id) AS rn
+            FROM k)
+         WHERE rn = 1 ORDER BY doc_id""",
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source, pct
          FROM (SELECT doc_id, lang, source,
