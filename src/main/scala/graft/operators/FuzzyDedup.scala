@@ -34,11 +34,15 @@ object FuzzyDedup {
         explode(sequence(col("_len") - maxDist, col("_len") + maxDist))
           .as("_blen"))
     val b = v.select(col(valueCol).as("name_b"), col("_len").as("_blen"))
+    // the threshold form early-exits the DP when the running distance
+    // exceeds maxDist (banded O(k·n), not O(n²)) and returns -1 past the
+    // threshold — the per-pair cost that dominates once the band join
+    // scales to a real vocabulary
     a.join(broadcast(b), Seq("_blen"))
-      .filter(col("name_a") < col("name_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= maxDist)
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"))
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -125,6 +125,33 @@ class CdcSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("edge cases: empty delta, empty chunk input, zero-vector quantize") {
+    import spark.implicits._
+    // empty delta → merge returns the base unchanged (both strategies)
+    val base = Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "v", "version")
+    val empty = Seq.empty[(Long, String, Int)].toDF("k", "v", "version")
+    assert(Cdc.mergeUpsert(base, empty, Seq("k"), "version")
+      .as[(Long, String, Int)].collect().toSet ==
+      Set((1L, "a", 1), (2L, "b", 1)))
+    assert(Cdc.mergeUpsertSmallDelta(base, empty, Seq("k"))
+      .as[(Long, String, Int)].collect().toSet ==
+      Set((1L, "a", 1), (2L, "b", 1)))
+    // empty corpus → no chunks, no crash
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.CurationOps.chunkOverlap(noDocs, 20, 15)
+      .count() == 0)
+    // all-zero embedding: the 1e-30 scale guard keeps the division
+    // finite and every code 0
+    val z = Seq((0L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .withColumn("scale", Quantize.vecScale(col("embedding")))
+      .withColumn("q", Quantize.quantize(col("embedding"), col("scale")))
+      .select("q").as[Array[Int]].collect()(0)
+    assert(z.toSeq == Seq(0, 0, 0))
+    // fuzzy pairs on an empty vocabulary
+    assert(FuzzyDedup.fuzzyPairs(noDocs.select(col("text")), "text", 2)
+      .count() == 0)
+  }
+
   test("IQR filter keeps exactly the rows inside its own bounds") {
     val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
     val bounds = Outliers.iqrBounds(ev, "event_type", "value")
