@@ -72,7 +72,9 @@ object MediaOps {
     if (!looksLikeImage(bytes)) None
     else
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: Throwable => None }
+      // NonFatal only: a corrupt payload falls back to the stub, but OOM /
+      // task interruption must still fail the task, not fake features
+      catch { case scala.util.control.NonFatal(_) => None }
 
   /** 16-bin L1-normalized LUMINANCE histogram over decoded pixels —
     * integer Rec.601 weights, deterministic across platforms. */

@@ -107,12 +107,14 @@ object CorpusPipeline {
     curate(Tables.documents(s, d), minTokens = 15, maxStopPct = 40,
       tNum = 9, tDen = 10, cacheKey = Some(s"curated:$d:15:40"))
 
-  /** sha-256 digest of the document's distinct-token SET — the identity
-    * every set-based similarity measure keys on (DedupQueries.setGroups),
-    * shipped as a 32-byte digest so shuffles never carry documents (the
-    * q_dedup_hash rule). */
+  /** sha-256 digest of the document's distinct-token SET — the SAME
+    * identity every set-based similarity measure keys on
+    * (DedupQueries.setGroups lowercases before splitting, so this must
+    * too), shipped as a 32-byte digest so shuffles never carry documents
+    * (the q_dedup_hash rule). */
   def setKeyDigest(text: Column): Column =
-    sha2(array_join(array_sort(array_distinct(split(text, " "))), " "), 256)
+    sha2(array_join(array_sort(array_distinct(split(lower(text), " "))), " "),
+      256)
 
   /** Train→eval leakage check: an eval (val/test) document leaks when its
     * distinct-token SET matches a train document's — the fixture's
@@ -176,7 +178,7 @@ object CorpusPipeline {
                          < 90 THEN 'val'
                        ELSE 'test' END AS split,
                   sha256(array_to_string(list_sort(list_distinct(
-                    string_split(text, ' '))), ' ')) AS skey
+                    string_split(lower(text), ' '))), ' ')) AS skey
            FROM documents)
          SELECT doc_id, split FROM k
          WHERE split <> 'train'
@@ -186,7 +188,7 @@ object CorpusPipeline {
       """WITH k AS (
            SELECT doc_id, lang, source, n_chars,
                   sha256(array_to_string(list_sort(list_distinct(
-                    string_split(text, ' '))), ' ')) AS skey
+                    string_split(lower(text), ' '))), ' ')) AS skey
            FROM documents)
          SELECT doc_id, lang, source, n_chars FROM
            (SELECT doc_id, lang, source, n_chars,

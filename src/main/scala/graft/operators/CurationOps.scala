@@ -38,7 +38,10 @@ object CurationOps {
     * 100 TB shape: the corpus side is one scan + explode keyed by shingle;
     * the benchmark side is small BY CONSTRUCTION (eval sets are thousands
     * of rows), so the join is a broadcast — no corpus shuffle at all. The
-    * left_outer keeps clean docs in the report with n_shared = 0. At
+    * left_outer keeps clean SHINGLE-BEARING docs in the report with
+    * n_shared = 0; docs shorter than the 4-token shingle width have no
+    * shingles to test and are absent (they cannot overlap a benchmark at
+    * this granularity — screen them with the length gate, not here). At
     * larger shingle sizes the join key becomes md5(shingle) — 16 bytes
     * regardless of n. */
   val qTextContamination: Q = (s, d) => {

@@ -97,11 +97,17 @@ object IncrementalDedup {
     val bloom = stateDigests.stat.bloomFilter("digest", expectedItems.max(1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-    val withDigest = batch.withColumn("digest", sha2(col("text"), 256))
-    val definitelyNew = withDigest.filter(!mightContain(col("digest")))
-    val confirmedNew = withDigest.filter(mightContain(col("digest")))
+    // digest + Bloom probe computed ONCE per row (checkpointed) — two
+    // independent filters on the raw batch would scan and sha-256 the
+    // whole batch twice, the exact cost the Bloom path exists to avoid
+    val probed = batch.withColumn("digest", sha2(col("text"), 256))
+      .withColumn("_hit", mightContain(col("digest")))
+      .localCheckpoint(true)
+    val definitelyNew = probed.filter(!col("_hit"))
+    val confirmedNew = probed.filter(col("_hit"))
       .join(stateDigests.select("digest").distinct(), Seq("digest"), "left_anti")
-    dropNearDups(definitelyNew.unionByName(confirmedNew), stateBands, None)
+    dropNearDups(definitelyNew.unionByName(confirmedNew).drop("_hit"),
+      stateBands, None)
   }
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {

@@ -81,7 +81,8 @@ object Layout {
     "q_layout_zorder" ->
       """WITH t AS (
            SELECT event_id,
-             user_id % 65536 AS zx,
+             -- sign-normalized like Spark's pmod (% is sign-preserving)
+             ((user_id % 65536) + 65536) % 65536 AS zx,
              CAST(hour(ts) AS INT) AS zy
            FROM events)
          SELECT event_id, zx, zy,

@@ -158,11 +158,16 @@ object EventStream {
       } else merged += a
     }
     val wm = state.getCurrentWatermarkMs()
-    val (closed, open) = merged.partition(_.last + gapMs <= wm)
+    // STRICT close: an on-time event at ts == wm can still touch-merge a
+    // session whose last + gap == wm (touching windows merge), so the
+    // session is only provably closed once last + gap < wm
+    val (closed, open) = merged.partition(_.last + gapMs < wm)
     if (open.isEmpty) state.remove()
     else {
       state.update(SessBuf(open.toList))
-      state.setTimeoutTimestamp(open.map(_.last).min + gapMs)
+      // min close can equal wm under the strict rule; Spark requires the
+      // timeout strictly above the current watermark
+      state.setTimeoutTimestamp(math.max(open.map(_.last).min + gapMs, wm + 1))
     }
     closed.iterator.map(close)
   }

@@ -62,7 +62,7 @@ class CurationSpec extends AnyFunSuite {
         col("text"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1),
-        r.getString(2).split(" ").distinct.sorted.toSeq))
+        r.getString(2).toLowerCase.split(" ").distinct.sorted.toSeq))
     val trainSets = docs.collect { case (_, "train", s) => s }.toSet
     val expected = docs.collect {
       case (id, sp, s) if sp != "train" && trainSets(s) => id

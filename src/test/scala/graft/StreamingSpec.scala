@@ -292,6 +292,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("userSessions: session is not closed while wm == last + gap (boundary merge)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1 opens [10:00]; batch 2 advances the watermark to EXACTLY
+    // 10:30 = last + gap (12:30 − 2 h). Batch 3 offers an event at
+    // ts == wm — Spark's late-row filter DROPS it (verified here), so it
+    // must neither extend the session nor appear as its own session; the
+    // operator's strict close (last + gap < wm) is defense-in-depth for
+    // the delivered-at-boundary case, and the output must equal batch
+    // session_window over the events Spark actually delivered.
+    val delivered = Seq(
+      TestEvent(ts("2024-01-01 10:00:00"), "click", 1L, 1.0),
+      TestEvent(ts("2024-01-01 12:30:00"), "view", 2L, 1.0))
+    val boundary = TestEvent(ts("2024-01-01 10:30:00"), "click", 1L, 1.0)
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.userSessions(mem.toDF()).writeStream
+      .format("memory").queryName("bnd_out").outputMode("append").start()
+    try {
+      mem.addData(delivered(0))
+      q.processAllAvailable()
+      mem.addData(delivered(1)) // wm := 10:30 exactly
+      q.processAllAvailable()
+      mem.addData(boundary) // ts == wm → filtered as late
+      q.processAllAvailable()
+      mem.addData(TestEvent(ts("2024-01-03 00:00:00"), "view", 9L, 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("bnd_out")
+        .filter(col("user_id") === 1L)
+        .select("session_start", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      val batch = delivered.toDF()
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("user_id") === 1L)
+        .select(col("session_window.start"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"streamed $streamed != batch-over-delivered $batch")
+      assert(streamed == Set((ts("2024-01-01 10:00:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("userSessions handles out-of-order events arriving in a later batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
