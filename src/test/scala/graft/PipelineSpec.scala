@@ -136,6 +136,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(new String(body) == "payload-1") // first payload survives
   }
 
+  test("JSONL round-trip: documents land as json lines and read back identically") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir() + "/docs_jsonl"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    docs.write.json(dir)
+    // declared schema (never inferSchema), same engine contract as parquet
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.schema == docs.schema)
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("schema drift: appended snapshots with a new column reconcile on read") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
