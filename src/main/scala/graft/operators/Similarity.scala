@@ -273,11 +273,23 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
       query: Array[Float], k: Int, nlist: Int, nprobe: Int,
       cacheKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.ml.linalg.Vectors
     val (model, assigned) = ivfIndex(corpus, embCol, nlist, cacheKey)
-    val qVec = Vectors.dense(query.map(_.toDouble))
-    val probeCells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (Vectors.sqdist(c, qVec), i) }
+    probeTopK(assigned, model.clusterCenters.map(_.toArray), idCol, embCol,
+      query, k, nprobe)
+  }
+
+  /** Probe the `nprobe` cells nearest the query (driver-side over the
+    * tiny centroid table) and exactly re-rank only those candidates. */
+  private def probeTopK(assigned: DataFrame, centers: Array[Array[Double]],
+      idCol: String, embCol: String, query: Array[Float], k: Int,
+      nprobe: Int): DataFrame = {
+    def sqdist(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - query(i); s += d * d; i += 1 }
+      s
+    }
+    val probeCells = centers.zipWithIndex
+      .map { case (c, i) => (sqdist(c), i) }
       .sortBy(_._1).take(nprobe).map(_._2)
     val q = array(query.map(lit): _*)
     assigned.filter(col("_cell").isin(probeCells: _*))
@@ -285,6 +297,34 @@ object Similarity {
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Persist a fitted IVF index: the tiny centroid table plus the
+    * cell-assigned corpus. Build ONCE at corpus landing, query from any
+    * later session — the index is data, not process state (the
+    * IncrementalDedup state-table precedent applied to ANN). */
+  def saveIvfIndex(model: org.apache.spark.ml.clustering.KMeansModel,
+      assigned: DataFrame, dir: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("_cell", "center")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+  }
+
+  /** Query a persisted IVF index without refitting: centroids (a
+    * ~nlist-row table) come to the driver for probe selection; only the
+    * probed cells of the assigned corpus are scanned. */
+  def ivfTopKFromIndex(spark: SparkSession, indexDir: String, idCol: String,
+      embCol: String, query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val centers = spark.read.parquet(s"$indexDir/centroids")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val assigned = spark.read.parquet(s"$indexDir/assigned")
+    probeTopK(assigned, centers, idCol, embCol, query, k, nprobe)
   }
 
   // ---- declared queries -------------------------------------------------

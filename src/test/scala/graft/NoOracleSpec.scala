@@ -118,6 +118,24 @@ class NoOracleSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("persisted IVF index answers queries identically to the fitted one") {
+    val corpus = Tables.embeddings(spark, sf)
+    val (model, assigned) = Similarity.ivfIndex(corpus, "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.saveIvfIndex(model, assigned, dir)
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val q = embeddings.find(_._1 == qid).get._2
+      val fitted = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        q, k = 10, nlist = 8, nprobe = 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val loaded = Similarity.ivfTopKFromIndex(spark, dir, "vec_id",
+        "embedding", q, k = 10, nprobe = 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(loaded == fitted, s"query $qid: reloaded index diverged")
+    }
+    assigned.unpersist()
+  }
+
   test("q_dedup_embed pairs equal plain-Scala brute force") {
     val want = (for {
       (ia, ea) <- embeddings; (ib, eb) <- embeddings if ia < ib
