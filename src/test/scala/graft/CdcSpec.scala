@@ -125,6 +125,32 @@ class CdcSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("mergeUpsert on random multi-version batches equals a plain-Scala reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 5) {
+      // both sides may carry SEVERAL versions of the same key
+      def batch(): Seq[(Long, String, Int)] =
+        Seq.fill(300)((rnd.nextInt(40).toLong,
+          s"v${rnd.nextInt(1000)}", rnd.nextInt(5)))
+      val base = batch(); val delta = batch()
+      val got = Cdc.mergeUpsert(base.toDF("k", "v", "version"),
+          delta.toDF("k", "v", "version"), Seq("k"), "version")
+        .as[(Long, String, Int)].collect().toSet
+      // reference: per key, max version wins; delta beats base on ties;
+      // within (key, version, side) the surviving row is whichever the
+      // window picked — compare on (key, version, side) identity
+      val ref = (base.map(r => (r, 0)) ++ delta.map(r => (r, 1)))
+        .groupBy(_._1._1)
+        .map { case (_, rows) => rows.maxBy { case ((_, _, ver), src) => (ver, src) } }
+        .map { case ((k, _, ver), src) => (k, ver, src) }.toSet
+      assert(got.size == ref.size)
+      val gotKeyVer = got.map { case (k, v, ver) =>
+        (k, ver, if (delta.contains((k, v, ver))) 1 else 0) }
+      assert(gotKeyVer == ref)
+    }
+  }
+
   test("edge cases: empty delta, empty chunk input, zero-vector quantize") {
     import spark.implicits._
     // empty delta → merge returns the base unchanged (both strategies)
