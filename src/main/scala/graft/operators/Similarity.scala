@@ -70,17 +70,29 @@ object Similarity {
       .limit(k)
   }
 
-  /** Corpus rows in the query's bucket or any hamming-1 neighbor bucket
-    * (multi-probe). */
+  /** Corpus rows in the query's bucket or any bucket within hamming
+    * distance `probeRadius` (multi-probe). Radius is the recall/scan
+    * knob AFTER nbits is fixed by corpus size: probes grow as
+    * Σ C(nbits, r) while each adds a near-boundary bucket — at nbits=8,
+    * radius 2 scans ~14% for recall hamming-1 can't reach (RecallReport
+    * prints the measured trade-off). */
   def lshCandidates(corpus: DataFrame, embCol: String, query: Array[Float],
-      nbits: Int): DataFrame = {
+      nbits: Int, probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 2, "radius 0-2 supported")
     val dim = query.length
     val planes = hyperplanes(nbits, dim)
     val qBucket = (0 until nbits).map { b =>
       val dot = planes(b).zip(query).map { case (h, x) => h * x.toDouble }.sum
       if (dot > 0) 1 << b else 0
     }.sum
-    val probes = qBucket +: (0 until nbits).map(b => qBucket ^ (1 << b))
+    val h1 = (0 until nbits).map(b => qBucket ^ (1 << b))
+    val h2 = for (b1 <- 0 until nbits; b2 <- b1 + 1 until nbits)
+      yield qBucket ^ (1 << b1) ^ (1 << b2)
+    val probes = probeRadius match {
+      case 0 => Seq(qBucket)
+      case 1 => qBucket +: h1
+      case _ => (qBucket +: h1) ++ h2
+    }
     corpus
       .withColumn("bucket", bucketOf(col(embCol), nbits, dim))
       .filter(col("bucket").isin(probes: _*))
@@ -88,9 +100,10 @@ object Similarity {
 
   /** LSH-bucketed top-k: probe → exact re-rank of candidates only. */
   def lshTopK(corpus: DataFrame, idCol: String, embCol: String,
-      query: Array[Float], k: Int, nbits: Int): DataFrame = {
+      query: Array[Float], k: Int, nbits: Int,
+      probeRadius: Int = 1): DataFrame = {
     val q = array(query.map(lit): _*)
-    lshCandidates(corpus, embCol, query, nbits)
+    lshCandidates(corpus, embCol, query, nbits, probeRadius)
       .withColumn("cosine", cosine(col(embCol), q))
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)

@@ -30,14 +30,14 @@ object RecallReport {
         .bruteForceTopK(corpus.filter(col("vec_id") =!= qid), "vec_id",
           "embedding", q, 10)
         .collect().map(_.getLong(0)).toSeq
-      for (nbits <- Seq(4, 6, 8)) {
+      for (nbits <- Seq(4, 6, 8); radius <- Seq(1, 2)) {
         val cand = Similarity.lshCandidates(
-          corpus.filter(col("vec_id") =!= qid), "embedding", q, nbits)
+          corpus.filter(col("vec_id") =!= qid), "embedding", q, nbits, radius)
         val scanned = cand.count().toDouble / n
         val got = Similarity.lshTopK(corpus.filter(col("vec_id") =!= qid),
-          "vec_id", "embedding", q, 10, nbits)
+          "vec_id", "embedding", q, 10, nbits, radius)
           .collect().map(_.getLong(0)).toSeq
-        println(f"q=$qid lsh  nbits=$nbits%-2d scan=${scanned * 100}%5.1f%% recall@10=${recallOf(got, exact)}%4.2f")
+        println(f"q=$qid lsh  nbits=$nbits%-2d r=$radius scan=${scanned * 100}%5.1f%% recall@10=${recallOf(got, exact)}%4.2f")
       }
       for (nprobe <- Seq(1, 2, 3, 5)) {
         val got = Similarity.ivfTopK(corpus.filter(col("vec_id") =!= qid),
