@@ -40,6 +40,7 @@ object SparkEntry {
       Outliers.queries ++
       TimeSeries.queries ++
       FuzzyDedup.queries ++
+      Behavior.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +68,6 @@ object SparkEntry {
       Outliers.oracleSql ++
       TimeSeries.oracleSql ++
       FuzzyDedup.oracleSql ++
+      Behavior.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral analytics over the event stream: ordered funnels and
+  * cohort retention — the consumer queries of an hourly-scraped event
+  * series (`dags/warsaw-delays.py:182,186` is the landing side of
+  * exactly this data shape).
+  *
+  * Scale shape: both operators are windows/aggregations over ONE
+  * user-keyed shuffle — consecutive windows and the groupBy share the
+  * `user_id` partitioning, so adding funnel steps costs map-side work,
+  * not exchanges. No self-joins: the "step B after step A" ordering
+  * constraint rides per-user window minima, and the retention flag is a
+  * per-row CASE folded by max().
+  */
+object Behavior {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Ordered signup → click → purchase funnel: users counted at step N
+    * only if their earliest step-N event is at or after their earliest
+    * qualifying step-(N−1) event. One row: the three step counts. */
+  def funnelSteps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("ts") >= col("t_signup"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("t_click"), col("ts"))).over(w))
+      .groupBy()
+      .agg(
+        countDistinct(when(col("t_signup").isNotNull, col("user_id")))
+          .as("n_signup"),
+        countDistinct(when(col("t_click").isNotNull, col("user_id")))
+          .as("n_click"),
+        countDistinct(when(col("t_purchase").isNotNull, col("user_id")))
+          .as("n_purchase"))
+  }
+
+  val qFunnelSteps: Q = (s, d) => funnelSteps(Tables.events(s, d))
+
+  /** Cohort retention: users grouped by first-seen day; retained =
+    * active again within the 7 days after that day. */
+  def retentionCohort(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort", min(col("day")).over(w))
+      .groupBy("user_id", "cohort")
+      .agg(max(when(col("day").between(
+        date_add(col("cohort"), 1), date_add(col("cohort"), 7)), 1)
+        .otherwise(0)).as("retained"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("retained") === 1, 1)).as("n_retained"))
+      .orderBy("cohort")
+  }
+
+  val qRetentionCohort: Q = (s, d) => retentionCohort(Tables.events(s, d))
+
+  val queries: Map[String, Q] = Map(
+    "q_funnel_steps" -> qFunnelSteps,
+    "q_retention_cohort" -> qRetentionCohort)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_funnel_steps" ->
+      """WITH u AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'signup' THEN ts END)
+                    AS t_signup
+           FROM events GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN u USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= u.t_signup
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+           GROUP BY e.user_id)
+         SELECT
+           (SELECT COUNT(*) FROM u WHERE t_signup IS NOT NULL) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase""",
+    "q_retention_cohort" ->
+      """WITH d AS (
+           SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         u AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id),
+         r AS (
+           SELECT d.user_id, u.cohort,
+                  max(CASE WHEN d.day BETWEEN u.cohort + 1 AND u.cohort + 7
+                      THEN 1 ELSE 0 END) AS retained
+           FROM d JOIN u USING (user_id)
+           GROUP BY d.user_id, u.cohort)
+         SELECT cohort, COUNT(*) AS n_users,
+                COUNT(*) FILTER (WHERE retained = 1) AS n_retained
+         FROM r GROUP BY cohort ORDER BY cohort""")
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Behavior
+
+/** Ordering semantics of the behavioral queries: funnel step order and
+  * the retention window boundaries, on hand-built event rows. */
+class BehaviorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  private def events(rows: (Long, String, Timestamp)*) =
+    rows.toDF("user_id", "event_type", "ts")
+
+  test("funnel counts a step only when it follows the previous step") {
+    // u1: full ordered funnel. u2: click BEFORE signup (and no later
+    // click) — must not reach step 2. u3: purchase before its first
+    // qualifying click — signup+click only. u4: never signs up.
+    val df = events(
+      (1L, "signup", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "click", ts(1)), (2L, "signup", ts(2)),
+      (3L, "signup", ts(1)), (3L, "purchase", ts(2)), (3L, "click", ts(3)),
+      (4L, "click", ts(1)), (4L, "purchase", ts(2)))
+    val Row(s: Long, c: Long, p: Long) = Behavior.funnelSteps(df).head()
+    assert((s, c, p) === ((3L, 2L, 1L)))
+  }
+
+  test("funnel accepts a same-timestamp next step (>= boundary)") {
+    val df = events(
+      (1L, "signup", ts(1)), (1L, "click", ts(1)), (1L, "purchase", ts(1)))
+    val Row(s: Long, c: Long, p: Long) = Behavior.funnelSteps(df).head()
+    assert((s, c, p) === ((1L, 1L, 1L)))
+  }
+
+  test("retention window is (cohort, cohort+7], same-day is not retention") {
+    // u1: active again day+3 → retained. u2: only same-day repeats →
+    // not retained. u3: next activity day+8 → outside the window.
+    // u4: boundary day+7 → retained. u1,u2 share cohort Jan 1.
+    val df = events(
+      (1L, "click", ts(1)), (1L, "click", ts(4)),
+      (2L, "click", ts(1, hour = 1)), (2L, "click", ts(1, hour = 23)),
+      (3L, "click", ts(2)), (3L, "click", ts(10)),
+      (4L, "click", ts(2)), (4L, "click", ts(9)))
+    val got = Behavior.retentionCohort(df)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got === Array(
+      ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 2L, 1L)))
+  }
+}
