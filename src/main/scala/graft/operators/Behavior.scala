@@ -36,14 +36,21 @@ object Behavior {
       .withColumn("t_purchase",
         min(when(col("event_type") === "purchase" &&
           col("ts") >= col("t_click"), col("ts"))).over(w))
+      // Collapse to one row per user BEFORE counting: this groupBy reuses
+      // the window's user_id hash partitioning (no exchange), and the
+      // global count then aggregates |users| flag rows — vs countDistinct
+      // over raw events, whose Expand would triple the event table and
+      // re-shuffle it for the distinct.
+      .groupBy("user_id")
+      .agg(
+        max(col("t_signup").isNotNull).as("f_signup"),
+        max(col("t_click").isNotNull).as("f_click"),
+        max(col("t_purchase").isNotNull).as("f_purchase"))
       .groupBy()
       .agg(
-        countDistinct(when(col("t_signup").isNotNull, col("user_id")))
-          .as("n_signup"),
-        countDistinct(when(col("t_click").isNotNull, col("user_id")))
-          .as("n_click"),
-        countDistinct(when(col("t_purchase").isNotNull, col("user_id")))
-          .as("n_purchase"))
+        count(when(col("f_signup"), 1)).as("n_signup"),
+        count(when(col("f_click"), 1)).as("n_click"),
+        count(when(col("f_purchase"), 1)).as("n_purchase"))
   }
 
   val qFunnelSteps: Q = (s, d) => funnelSteps(Tables.events(s, d))
