@@ -179,13 +179,74 @@ object CurationOps {
 
   // ---- registry ---------------------------------------------------------
 
+  /** Corpus-internal duplicated-span scoring — the substring-granularity
+    * dedup signal (which fraction of each document's token 4-grams also
+    * appears in some OTHER document). Complements [[qTextContamination]]
+    * (overlap vs an external benchmark) with overlap vs the corpus
+    * itself: the per-doc score that substring-level dedup policies
+    * threshold on before cutting spans.
+    *
+    * 100 TB shape: two shingle-keyed shuffles — distinct-shingle explode
+    * → global doc-frequency count (map-side combinable) → join back on
+    * the shingle key → one doc-keyed aggregation. Never doc-pairs, never
+    * all-pairs: cost is linear in total shingle occurrences. At larger n
+    * the join key becomes md5(shingle) — 16 bytes regardless of span
+    * width. `dup_frac` is one IEEE divide of exact counts. */
+  val qDedupSpans: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn("toks", toks(col("text")))
+      .filter(size(col("toks")) >= 4)
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("toks"), 4))).as("g"))
+    // array_distinct above makes (doc_id, g) unique → count(*) per g is
+    // the number of distinct docs containing g
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("ndocs"))
+    sh.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_shingles").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic training-order shuffle: assign each document a shard
+    * and an in-shard position from an id-keyed md5 hash. Replaces
+    * engine-dependent `orderBy(rand())` (whose output depends on seed
+    * plumbing and partitioning) with a permutation that is exactly
+    * reproducible across engines, reruns, and cluster sizes — and
+    * epoch-salted, so each epoch gets an independent order.
+    *
+    * Scale shape: the hash/shard assignment is a map-side projection; the
+    * only wide operation is the per-shard `row_number`, whose partitions
+    * are corpus/nShards slices — nShards is sized to the writer
+    * parallelism (1000s at 100 TB), never 1, so no global window exists. */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+      epoch: Int): DataFrame = {
+    val h = md5(concat(col(idCol).cast(StringType), lit(s"#epoch$epoch")))
+    val shard = pmod(conv(substring(h, 1, 4), 16, 10).cast(IntegerType),
+      lit(nShards))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("hkey"), col(idCol))
+    docs.select(col(idCol), h.as("hkey"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Declared query: epoch-0 shuffle of documents into 8 shards. */
+  val qShuffleShard: Q = (s, d) =>
+    shuffleShards(Tables.documents(s, d), "doc_id", nShards = 8, epoch = 0)
+      .orderBy("shard", "pos")
+
   val queries: Map[String, Q] = Map(
     "q_chunk_overlap" -> qChunkOverlap,
     "q_mix_upsample" -> qMixUpsample,
     "q_text_contamination" -> qTextContamination,
     "q_dedup_lines" -> qDedupLines,
     "q_text_repetition" -> qTextRepetition,
-    "q_pack_sequences" -> qPackSequences)
+    "q_pack_sequences" -> qPackSequences,
+    "q_shuffle_shard" -> qShuffleShard,
+    "q_dedup_spans" -> qDedupSpans)
 
   val oracleSql: Map[String, String] = Map(
     "q_chunk_overlap" ->
@@ -265,5 +326,35 @@ object CurationOps {
          FROM t
          WINDOW w AS (PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         ORDER BY source, doc_id""")
+         ORDER BY source, doc_id""",
+    "q_shuffle_shard" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || '#epoch0') AS hkey,
+                  CAST('0x' || substring(
+                    md5(CAST(doc_id AS VARCHAR) || '#epoch0'), 1, 4)
+                    AS INT) % 8 AS shard
+           FROM documents)
+         SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard
+             ORDER BY hkey, doc_id) AS pos
+         FROM h ORDER BY shard, pos""",
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents WHERE len(string_split(lower(text), ' ')) >= 4),
+         sh AS (SELECT DISTINCT doc_id, g FROM (
+                  SELECT doc_id,
+                    unnest(list_transform(range(len(toks) - 3),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+                  FROM t)),
+         dfreq AS (SELECT g, COUNT(*) AS ndocs FROM sh GROUP BY g)
+         SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN dfreq.ndocs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN dfreq.ndocs >= 2 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+         FROM sh JOIN dfreq USING (g)
+         GROUP BY sh.doc_id
+         ORDER BY sh.doc_id""")
 }

@@ -230,7 +230,31 @@ object MiscQueries {
 
   // ---- registry ---------------------------------------------------------
 
+  /** Data-profiling audit: one pass over a table producing row count,
+    * per-column null counts, exact distinct cardinalities, and value
+    * ranges — the pre-training sanity report every ingest runs before a
+    * table joins the corpus.
+    *
+    * Scale shape: multiple exact DISTINCT aggregates in one statement plan
+    * through Spark's `Expand` (one row per distinct-column group) — a
+    * constant small multiplier on the scan, partial-aggregated map-side,
+    * never N separate scans of the 100 TB table. Sketches
+    * (`q_agg_approx_distinct`) are the cheaper alternative when exactness
+    * isn't required. */
+  val qProfileTable: Q = (s, d) =>
+    graft.Tables(s, d, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_custkey")).as("nn_custkey"),
+      countDistinct(col("o_custkey")).as("nd_custkey"),
+      countDistinct(col("o_orderstatus")).as("nd_status"),
+      countDistinct(col("o_orderpriority")).as("nd_priority"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
+
   val queries: Map[String, Q] = Map(
+    "q_profile_table" -> qProfileTable,
     "q_agg_string" -> qAggString,
     "q_share_of_total" -> qShareOfTotal,
     "q_unpivot" -> qUnpivot,
@@ -249,6 +273,17 @@ object MiscQueries {
     "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile_table" ->
+      """SELECT COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS nn_custkey,
+           COUNT(DISTINCT o_custkey) AS nd_custkey,
+           COUNT(DISTINCT o_orderstatus) AS nd_status,
+           COUNT(DISTINCT o_orderpriority) AS nd_priority,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+         FROM orders""",
     "q_agg_string" ->
       """SELECT n_regionkey,
            string_agg(n_name, ',' ORDER BY n_name) AS names,

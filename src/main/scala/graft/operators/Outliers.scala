@@ -41,7 +41,59 @@ object Outliers {
       .select(col("event_id"), col("event_type"), col("value"))
       .orderBy("event_id")
 
-  val queries: Map[String, Q] = Map("q_outlier_iqr" -> qOutlierIqr)
+  /** Z-score outlier detection via EXACT integer moments — the
+    * mean/stddev companion to the IQR fences. Float sums are
+    * order-dependent across partitions, so the moments are accumulated on
+    * the centi-unit integers `q = value·100` (events.value is generated at
+    * 2 dp, so `DECIMAL(18,2)·100 → BIGINT` is lossless): `n`, `s = Σq`,
+    * `ss = Σq²` are associative BIGINT sums, identical under any
+    * partitioning and in any engine. The threshold test
+    * `(x − mean)² > k²·var` is cleared of divisions by multiplying through
+    * by `n²(n−1)`:
+    *
+    *   (n·q − s)²·(n−1) > k²·n·(n·ss − s²)
+    *
+    * evaluated in DOUBLE with one rounding per operator on
+    * exactly-representable integer inputs — bit-identical in Spark and
+    * DuckDB because both sides perform the identical IEEE op sequence.
+    *
+    * Scale shape: the moment table is one row per group (single shuffle
+    * with partial aggregation), broadcast back onto the fact stream —
+    * the 100 TB side is flagged map-side with no second shuffle. */
+  def zscoreMoments(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    df.select(col(groupCol),
+        col(valueCol).cast("decimal(18,2)").multiply(lit(100))
+          .cast("long").as("q"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("ss"))
+
+  /** Rows of `df` whose `valueCol` lies more than `k` standard deviations
+    * from its group mean (two-sided), by the exact integer-moment test. */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double): DataFrame = {
+    val fact = df.withColumn("q",
+      col(valueCol).cast("decimal(18,2)").multiply(lit(100)).cast("long"))
+    val dev = (col("n") * col("q") - col("s")).cast("double")
+    val nd = col("n").cast("double")
+    val lhs = dev * dev * (col("n") - lit(1L)).cast("double")
+    val rhs = lit(k * k) * nd *
+      (nd * col("ss").cast("double") -
+        col("s").cast("double") * col("s").cast("double"))
+    fact.join(broadcast(zscoreMoments(df, groupCol, valueCol)), groupCol)
+      .filter(lhs > rhs)
+  }
+
+  /** Declared query: events more than 2σ from their event_type mean. */
+  val qOutlierZscore: Q = (s, d) =>
+    zscoreOutliers(Tables.events(s, d), "event_type", "value", k = 2.0)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  val queries: Map[String, Q] = Map(
+    "q_outlier_iqr" -> qOutlierIqr,
+    "q_outlier_zscore" -> qOutlierZscore)
 
   val oracleSql: Map[String, String] = Map(
     "q_outlier_iqr" ->
@@ -58,5 +110,23 @@ object Outliers {
          SELECT e.event_id, e.event_type, e.value
          FROM events e JOIN f USING (event_type)
          WHERE e.value >= f.lo AND e.value <= f.hi
+         ORDER BY e.event_id""",
+    "q_outlier_zscore" ->
+      """WITH q AS (
+           SELECT event_id, event_type, value,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+           FROM events),
+         m AS (
+           SELECT event_type, COUNT(*) AS n, SUM(q) AS s,
+                  SUM(q * q) AS ss
+           FROM q GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value
+         FROM q e JOIN m USING (event_type)
+         WHERE CAST(e.q * m.n - m.s AS DOUBLE)
+                 * CAST(e.q * m.n - m.s AS DOUBLE)
+                 * CAST(m.n - 1 AS DOUBLE)
+               > 4.0 * CAST(m.n AS DOUBLE)
+                 * (CAST(m.n AS DOUBLE) * CAST(m.ss AS DOUBLE)
+                    - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
          ORDER BY e.event_id""")
 }

@@ -163,6 +163,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary build with coverage: global token counts → top-`k` by
+    * (count desc, token) → rank and cumulative coverage. The
+    * tokenizer/BPE-prep step of a training pipeline: "which k tokens
+    * cover what fraction of the corpus".
+    *
+    * Scale shape: ONE map-side-combinable count aggregation over the
+    * corpus (token-keyed shuffle), then `TakeOrderedAndProject` for the
+    * top-k (per-partition heaps, k rows to the driver side of the
+    * exchange), then rank/cumsum windows over exactly k rows — the
+    * single-partition window is bounded by the constant k, never by
+    * corpus size. The corpus token total is a driver-side scalar
+    * (ingest-artifact precedent, like q_share_of_total); `cum_pct` is one
+    * IEEE divide of exact integers, so it is engine- and
+    * partitioning-independent. */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      explode(split(lower(col("text")), " ")).as("token"))
+    val total = toks.count()
+    val topk = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    topk
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_pct",
+        col("cum_cnt").cast("double") / lit(total).cast("double"))
+  }
+
+  /** Declared query: top-30 vocabulary with cumulative corpus coverage. */
+  val qVocabTopk: Q = (s, d) =>
+    vocabTopK(Tables.documents(s, d), k = 30).orderBy("rank")
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -172,7 +206,8 @@ object TextQueries {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_ngrams" -> qTextNgrams,
-    "q_text_redact" -> qTextRedact)
+    "q_text_redact" -> qTextRedact,
+    "q_vocab_topk" -> qVocabTopk)
 
   val oracleSql: Map[String, String] = Map(
     "q_text_langid" ->
@@ -250,5 +285,23 @@ object TextQueries {
              '\b(customer|spark)\b', '<ENT>', 'g') AS redacted,
            CAST(len(regexp_extract_all(text, '\b(customer|spark)\b')) AS INT) AS n_ent,
            CAST(len(regexp_extract_all(text, '\b[0-9]+\b')) AS INT) AS n_num
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q_vocab_topk" ->
+      """WITH t AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS token
+           FROM documents),
+         c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+         k AS (SELECT token, cnt FROM c
+               ORDER BY cnt DESC, token LIMIT 30),
+         r AS (
+           SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cnt
+           FROM k)
+         SELECT token, cnt, rank, cum_cnt,
+           CAST(cum_cnt AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM t) AS DOUBLE) AS cum_pct
+         FROM r ORDER BY rank""")
 }

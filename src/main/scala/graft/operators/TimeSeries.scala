@@ -64,9 +64,41 @@ object TimeSeries {
     rollingActiveUsers(Tables.events(s, d), windowDays = 7)
       .orderBy("wday")
 
+  /** OHLC bar resampling: per (series, hour) the opening/closing values
+    * (first/last by event time, event_id tiebreak) plus high/low/count —
+    * the downsampling shape every metrics store runs over raw readings
+    * (the reference's scraped delay series at hourly grain,
+    * `dags/warsaw-delays.py:182`).
+    *
+    * Scale shape: a SINGLE hash aggregation — `min_by`/`max_by` over the
+    * `(ts, event_id)` struct are selection aggregates (map-side
+    * combinable, O(1) state), so no window, no self-join, and the result
+    * is exact: selections pick existing doubles rather than folding them,
+    * so partitioning cannot perturb the output. */
+  def ohlcBars(events: DataFrame, seriesCol: String): DataFrame =
+    events
+      .select(col(seriesCol), date_trunc("hour", col("ts")).as("hr"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col(seriesCol), col("hr"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+
+  /** Declared query: hourly OHLC bars per event_type. */
+  val qResampleOhlc: Q = (s, d) =>
+    ohlcBars(Tables.events(s, d), "event_type")
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm").as("hr"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .orderBy("event_type", "hr")
+
   val queries: Map[String, Q] = Map(
     "q_fill_forward" -> qFillForward,
-    "q_rolling_active" -> qRollingActive)
+    "q_rolling_active" -> qRollingActive,
+    "q_resample_ohlc" -> qResampleOhlc)
 
   val oracleSql: Map[String, String] = Map(
     "q_fill_forward" ->
@@ -88,5 +120,25 @@ object TimeSeries {
          SELECT CAST(wts AS DATE) AS wday,
                 COUNT(DISTINCT user_id) AS active_users,
                 COUNT(*) AS n_events
-         FROM w GROUP BY 1 ORDER BY wday""")
+         FROM w GROUP BY 1 ORDER BY wday""",
+    "q_resample_ohlc" ->
+      """WITH h AS (
+           SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,
+                  value
+           FROM events),
+         r AS (
+           SELECT event_type, hr, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hr
+               ORDER BY ts ASC, event_id ASC) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hr
+               ORDER BY ts DESC, event_id DESC) AS rd
+           FROM h)
+         SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M') AS hr,
+                MAX(CASE WHEN ra = 1 THEN value END) AS open,
+                MAX(value) AS high,
+                MIN(value) AS low,
+                MAX(CASE WHEN rd = 1 THEN value END) AS close,
+                COUNT(*) AS n
+         FROM r GROUP BY event_type, hr
+         ORDER BY event_type, hr""")
 }

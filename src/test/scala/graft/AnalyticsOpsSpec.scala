@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CurationOps, MiscQueries, Outliers, TextQueries, TimeSeries}
+
+/** Structural/brute-force checks for the profiling and analytics
+  * operators added late in round 6 — each declared query is also pinned
+  * by its DuckDB oracle; these tests verify the semantics against
+  * independent plain-Scala computations on the collected fixture. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("zscoreOutliers matches an exact BigInt moment computation") {
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // exact integer moments on centi-units, cleared-denominator compare
+    val byType = rows.groupBy(_._2)
+    val expect = (for {
+      (_, g) <- byType
+      qs = g.map(t => BigInt(BigDecimal(t._3)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.unscaledValue()))
+      n = BigInt(g.length)
+      sSum = qs.sum
+      ss = qs.map(q => q * q).sum
+      ((id, _, _), q) <- g.zip(qs)
+      dev = n * q - sSum
+      if dev * dev * (n - 1) > 4 * n * (n * ss - sSum * sSum)
+    } yield id).toSet
+    val got = Outliers
+      .zscoreOutliers(Tables.events(spark, sf), "event_type", "value", 2.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("ohlcBars picks first/last by (ts, event_id) and min/max exactly") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    val expect = rows.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      val ord = g.sortBy(t => (t._3.getTime, t._4))
+      k -> (ord.head._5, g.map(_._5).max, g.map(_._5).min, ord.last._5,
+        g.length.toLong)
+    }
+    val bars = TimeSeries.ohlcBars(Tables.events(spark, sf), "event_type")
+      .collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    assert(bars == expect)
+  }
+
+  test("vocabTopK ranks by (count desc, token) with exact coverage") {
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1))
+    val total = toks.length.toLong
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+    val expect = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(30)
+    val got = TextQueries.vocabTopK(Tables.documents(spark, sf), 30)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(t => (t._1, t._2)).toSeq == expect)
+    // rank is 1..k, cum_cnt is the running sum, cum_pct its exact ratio
+    assert(got.map(_._3).toSeq == (1 to got.length))
+    val running = expect.map(_._2).scanLeft(0L)(_ + _).tail
+    assert(got.map(_._4).toSeq == running)
+    assert(got.map(_._5).toSeq ==
+      running.map(c => c.toDouble / total.toDouble))
+  }
+
+  test("shuffleShards is a permutation: dense in-shard positions, " +
+    "deterministic across reruns, epoch-sensitive") {
+    val docs = Tables.documents(spark, sf)
+    val a = CurationOps.shuffleShards(docs, "doc_id", 8, epoch = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val nDocs = docs.count()
+    assert(a.map(_._1).distinct.length.toLong == nDocs)
+    for ((_, g) <- a.groupBy(_._2))
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length))
+    val b = CurationOps
+      .shuffleShards(docs.repartition(7), "doc_id", 8, epoch = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    val e1 = CurationOps.shuffleShards(docs, "doc_id", 8, epoch = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e1.sortBy(_._1).toSeq != a.sortBy(_._1).toSeq)
+  }
+
+  test("qDedupSpans matches a brute-force cross-doc shingle count") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shingles = texts.map { case (id, t) =>
+      val toks = t.toLowerCase.split(" ", -1)
+      id -> toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val docFreq = shingles.values.flatten
+      .groupBy(identity).view.mapValues(_.size)
+    val expect = shingles.map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(g => docFreq(g) >= 2).toLong)
+    }
+    val got = CurationOps.qDedupSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect && expect.nonEmpty)
+  }
+
+  test("qProfileTable matches plain-Scala profile of orders") {
+    val rows = Tables(spark, sf, "orders")
+      .select("o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice", "o_orderdate").collect()
+    val p = MiscQueries.qProfileTable(spark, sf).collect().head
+    assert(p.getLong(0) == rows.length.toLong)
+    assert(p.getLong(1) == rows.count(!_.isNullAt(0)).toLong)
+    assert(p.getLong(2) ==
+      rows.filter(!_.isNullAt(0)).map(_.getLong(0)).distinct.length.toLong)
+    assert(p.getLong(3) == rows.map(_.getString(1)).distinct.length.toLong)
+    assert(p.getLong(4) == rows.map(_.getString(2)).distinct.length.toLong)
+    assert(p.getDouble(5) == rows.map(_.getDouble(3)).min)
+    assert(p.getDouble(6) == rows.map(_.getDouble(3)).max)
+  }
+}
