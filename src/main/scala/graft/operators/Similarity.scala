@@ -254,6 +254,10 @@ object Similarity {
       try df.unpersist(false) catch { case _: Throwable => () }
     }
     pairCache.clear()
+    pqCache.values.foreach { case (_, df) =>
+      try df.unpersist(false) catch { case _: Throwable => () }
+    }
+    pqCache.clear()
   }
 
   def ivfIndex(corpus: DataFrame, embCol: String, nlist: Int,
@@ -340,6 +344,100 @@ object Similarity {
     probeTopK(assigned, centers, idCol, embCol, query, k, nprobe)
   }
 
+  // ---- product quantization (PQ) ---------------------------------------
+
+  private val pqCache = scala.collection.concurrent.TrieMap[
+    (String, Int, Int), (Array[Array[Array[Double]]], DataFrame)]()
+
+  /** Fit a product-quantization index: split the `dim`-dimensional
+    * embedding into `m` subspaces of `dim/m` dims, k-means each subspace
+    * to `ksub` centroids (deterministic seeds), and encode every corpus
+    * vector as `m` small codes.
+    *
+    * THE memory lever for ANN at 100 TB: codes are `m` bytes per vector
+    * versus `4·dim` float bytes — 32× smaller at (m=8, dim=64), so the
+    * scan side of a query reads codes, not vectors. Fitting is m corpus
+    * passes at INGEST time (ingest-artifact semantics, cached like the
+    * IVF index); queries never refit. Returns (codebooks m×ksub×dsub,
+    * encoded corpus with an `_codes` array column). */
+  def pqIndex(corpus: DataFrame, embCol: String, m: Int, ksub: Int,
+      cacheKey: Option[String] = None)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    def build() = {
+      val dim = corpus.select(size(col(embCol))).head.getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val dsub = dim / m
+      // L2-normalize before encoding: on unit vectors, squared-L2 order
+      // equals cosine order, so the ADC approximation targets the same
+      // ranking the exact re-rank (scale-invariant cosine) reports.
+      val unit = corpus.withColumn("_unit",
+        transform(col(embCol).cast(ArrayType(DoubleType)),
+          x => x / l2norm(col(embCol))))
+      val withSlices = (0 until m).foldLeft(unit) { (df, j) =>
+        df.withColumn(s"_s$j", array_to_vector(
+          slice(col("_unit"), j * dsub + 1, dsub)))
+      }
+      val models = (0 until m).map { j =>
+        new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(5)
+          .setFeaturesCol(s"_s$j").setPredictionCol(s"_c$j")
+          .fit(withSlices)
+      }
+      val encoded = models.foldLeft(withSlices)((df, mod) => mod.transform(df))
+        .withColumn("_codes", array((0 until m).map(j => col(s"_c$j")): _*))
+        .drop("_unit" +: (0 until m).flatMap(j => Seq(s"_s$j", s"_c$j")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val books = models.map(_.clusterCenters.map(_.toArray)).toArray
+      (books, encoded)
+    }
+    cacheKey match {
+      case Some(key) => pqCache.getOrElseUpdate((key, m, ksub), build())
+      case None      => build()
+    }
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: the query builds a tiny
+    * driver-side distance table (m × ksub subspace distances to each
+    * codebook centroid); each corpus vector's approximate distance is m
+    * table lookups summed over its codes — a built-in-HOF fold over the
+    * byte codes, never touching the float vectors. The `rerank` nearest
+    * by ADC are then re-ranked EXACTLY on the original embeddings, so
+    * reported scores are true cosines (approximation affects only which
+    * candidates are considered). Scan cost per query: m lookups per
+    * vector over 32×-compressed data + `rerank` exact dot products. */
+  def pqTopK(corpus: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 50, cacheKey: Option[String] = None): DataFrame = {
+    val (books, encoded) = pqIndex(corpus, embCol, m, ksub, cacheKey)
+    val dsub = query.length / m
+    val qn = {
+      var s = 0.0; var i = 0
+      while (i < query.length) { s += query(i).toDouble * query(i); i += 1 }
+      math.sqrt(s)
+    }
+    val dtab = Array.tabulate(m, ksub) { (j, c) =>
+      var s = 0.0; var i = 0
+      while (i < dsub) {
+        val d = query(j * dsub + i) / qn - books(j)(c)(i); s += d * d; i += 1
+      }
+      s
+    }
+    val dtabLit = array(dtab.flatten.map(lit).toSeq: _*)
+    val adc = aggregate(
+      transform(sequence(lit(0), lit(m - 1)),
+        j => element_at(dtabLit,
+          j * ksub + element_at(col("_codes"), j + 1) + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val qLit = array(query.map(lit).toSeq: _*)
+    encoded.withColumn("_adc", adc)
+      .orderBy(col("_adc").asc, col(idCol).asc).limit(rerank)
+      .withColumn("cosine", cosine(col(embCol), qLit))
+      .select(col(idCol), col("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ---- declared queries -------------------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -369,6 +467,20 @@ object Similarity {
       .getSeq[Float](0).toArray
     ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
       query, k = 10, nlist = 8, nprobe = 3, cacheKey = Some(s"ivf:$d"))
+  }
+
+  /** PQ-ADC ANN top-10 against vec_id=0: 8 subspaces × 16 centroids
+    * (32× code compression), 50 ADC candidates re-ranked exactly. No
+    * oracle (float + iterative clustering); scalatest measures recall vs
+    * brute force and verifies reported scores are exact cosines. */
+  val qSimilarityPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).toArray
+    pqTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      query, k = 10, m = 8, ksub = 16, rerank = 50,
+      cacheKey = Some(s"pq:$d"))
   }
 
   /** Declared scale-safe embedding dedup: cosine ≥ 0.45 pairs through the
@@ -472,6 +584,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q_similarity_lsh" -> qSimilarityLsh,
     "q_similarity_ivf" -> qSimilarityIvf,
+    "q_similarity_pq" -> qSimilarityPq,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_cluster" -> qDedupEmbedCluster)
 

@@ -45,6 +45,13 @@ object RecallReport {
           .collect().map(_.getLong(0)).toSeq
         println(f"q=$qid ivf  nprobe=$nprobe   scan=${nprobe * 100.0 / 8}%5.1f%% recall@10=${recallOf(got, exact)}%4.2f")
       }
+      for (rerank <- Seq(20, 50, 100)) {
+        val got = Similarity.pqTopK(corpus.filter(col("vec_id") =!= qid),
+          "vec_id", "embedding", q, 10, m = 8, ksub = 16, rerank = rerank,
+          cacheKey = Some(s"recall-pq:$sf:$qid"))
+          .collect().map(_.getLong(0)).toSeq
+        println(f"q=$qid pq   rerank=$rerank%-3d  exact=${rerank * 100.0 / n}%5.1f%% recall@10=${recallOf(got, exact)}%4.2f")
+      }
     }
     spark.stop()
   }

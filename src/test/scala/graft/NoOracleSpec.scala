@@ -118,6 +118,26 @@ class NoOracleSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("q_similarity_pq: exact scores, ranked, useful recall, deterministic") {
+    val q = embeddings.find(_._1 == 0L).get._2
+    val brute = embeddings.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cosine(e, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = Similarity.qSimilarityPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    // ADC only selects candidates; reported scores must be exact cosines
+    val exact = embeddings.map { case (id, e) => id -> cosine(e, q) }.toMap
+    got.foreach { case (id, c) => assert(math.abs(c - exact(id)) < 1e-9) }
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    val recall = got.map(_._1).count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall")
+    // deterministic: fixed seeds + cached index ⇒ identical rerun
+    val again = Similarity.qSimilarityPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("persisted IVF index answers queries identically to the fitted one") {
     val corpus = Tables.embeddings(spark, sf)
     val (model, assigned) = Similarity.ivfIndex(corpus, "embedding", nlist = 8)
