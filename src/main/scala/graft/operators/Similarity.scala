@@ -410,6 +410,15 @@ object Similarity {
       query: Array[Float], k: Int, m: Int = 8, ksub: Int = 16,
       rerank: Int = 50, cacheKey: Option[String] = None): DataFrame = {
     val (books, encoded) = pqIndex(corpus, embCol, m, ksub, cacheKey)
+    adcRerank(encoded, books, idCol, embCol, query, k, m, ksub, rerank)
+  }
+
+  /** ADC scan + exact re-rank over an already-encoded frame (`_codes`
+    * column present) — shared by [[pqTopK]] and [[ivfPqTopK]]. */
+  private def adcRerank(encoded: DataFrame,
+      books: Array[Array[Array[Double]]], idCol: String, embCol: String,
+      query: Array[Float], k: Int, m: Int, ksub: Int,
+      rerank: Int): DataFrame = {
     val dsub = query.length / m
     val qn = {
       var s = 0.0; var i = 0
@@ -436,6 +445,32 @@ object Similarity {
       .select(col(idCol), col("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF-PQ — the standard warehouse-scale ANN stack: the coarse IVF
+    * quantizer prunes the corpus to `nprobe`/`nlist` cells, the PQ codes
+    * absorb the distance scan inside those cells (32× compressed reads),
+    * and only `rerank` candidates touch the float vectors for the exact
+    * final ranking. Both indexes are ingest artifacts: k-means fits
+    * happen once per corpus key, queries reuse them. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int, nlist: Int, nprobe: Int, m: Int = 8,
+      ksub: Int = 16, rerank: Int = 50,
+      cacheKey: Option[String] = None): DataFrame = {
+    val (model, assigned) = ivfIndex(corpus, embCol, nlist, cacheKey)
+    val (books, encoded) =
+      pqIndex(assigned, embCol, m, ksub, cacheKey.map(_ + ":pq"))
+    val centers = model.clusterCenters.map(_.toArray)
+    def sqdist(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - query(i); s += d * d; i += 1 }
+      s
+    }
+    val probeCells = centers.zipWithIndex
+      .map { case (c, i) => (sqdist(c), i) }
+      .sortBy(_._1).take(nprobe).map(_._2)
+    adcRerank(encoded.filter(col("_cell").isin(probeCells: _*)), books,
+      idCol, embCol, query, k, m, ksub, rerank)
   }
 
   // ---- declared queries -------------------------------------------------

@@ -138,6 +138,24 @@ class NoOracleSpec extends AnyFunSuite {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("ivfPqTopK: exact scores, candidates within probed cells, useful recall") {
+    val q = embeddings.find(_._1 == 0L).get._2
+    val corpus = Tables.embeddings(spark, sf).filter(
+      org.apache.spark.sql.functions.col("vec_id") =!= 0L)
+    val got = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", q,
+      k = 10, nlist = 8, nprobe = 4, m = 8, ksub = 16, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    val exact = embeddings.map { case (id, e) => id -> cosine(e, q) }.toMap
+    got.foreach { case (id, c) => assert(math.abs(c - exact(id)) < 1e-9) }
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    val brute = embeddings.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cosine(e, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val recall = got.map(_._1).count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("persisted IVF index answers queries identically to the fitted one") {
     val corpus = Tables.embeddings(spark, sf)
     val (model, assigned) = Similarity.ivfIndex(corpus, "embedding", nlist = 8)
