@@ -41,6 +41,7 @@ object SparkEntry {
       TimeSeries.queries ++
       FuzzyDedup.queries ++
       Behavior.queries ++
+      Geo.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,5 +70,6 @@ object SparkEntry {
       TimeSeries.oracleSql ++
       FuzzyDedup.oracleSql ++
       Behavior.oracleSql ++
+      Geo.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Spatial operators for the mobility domain. The reference's GTFS zips
+  * carry stop coordinates per the public GTFS spec (stops.txt
+  * `stop_lat`/`stop_lon`); transit analytics needs "stops near a point"
+  * and "stop pairs within walking distance" over them. The engine's
+  * fixture tables have no coordinate column, so the declared queries
+  * derive deterministic md5-based microdegree coordinates from stable
+  * keys — the same derived-fixture pattern as `q_fill_forward`'s sparse
+  * readings — and the operators themselves take any (id, x, y) frame.
+  *
+  * Coordinates are INTEGER grid units (microdegrees): every cell id and
+  * squared distance is exact 64-bit arithmetic, identical in Spark and
+  * DuckDB, so both declared queries sit under the exact-hash oracle gate
+  * (no floating trig — a production haversine layer belongs above this
+  * integer-exact core, which is the join machinery).
+  *
+  * 100 TB shape (the spatial join): bucket points into radius-sized grid
+  * cells, explode each LEFT point to its 3×3 neighbor cells (constant
+  * factor 9), equi-join on the cell key, verify the exact squared
+  * distance. Cost is linear in points × local density — NEVER an
+  * all-pairs cross join; identical in spirit to the LSH band-join dedup
+  * path, with the grid as the locality-sensitive bucketing.
+  */
+object Geo {
+
+  /** Deterministic microdegree coordinate in [0, range) derived from an
+    * id column — 8 md5 hex digits → BIGINT → mod. */
+  def derivedCoord(idCol: Column, salt: String, range: Long): Column =
+    pmod(conv(substring(md5(concat(idCol.cast(StringType), lit(salt))),
+      1, 8), 16, 10).cast(LongType), lit(range))
+
+  /** Grid cell id for integer coordinates at `cell` spacing: a single
+    * BIGINT key packing (x/cell, y/cell). `coordSpan` bounds the
+    * coordinate range so the packed key cannot collide. */
+  def gridCell(xU: Column, yU: Column, cell: Long,
+      coordSpan: Long = 100000000L): Column =
+    floor(xU / cell).cast(LongType) * lit(2 * coordSpan / cell) +
+      floor(yU / cell).cast(LongType)
+
+  /** All unordered pairs (a < b) of `points` (idCol, xCol, yCol — integer
+    * units) whose squared euclidean distance is ≤ radius². Cell size =
+    * radius, so any qualifying pair shares a cell or sits in adjacent
+    * cells; the 3×3 neighbor explode on one side makes every such pair
+    * meet on an equality key exactly once (pair emitted from the LEFT
+    * point's true cell joined to the RIGHT point's cell). */
+  def neighborPairs(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, radius: Long): DataFrame = {
+    val cell = radius
+    val pts = points.select(col(idCol).as("id"),
+      col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+    val right = pts.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"),
+      gridCell(col("x"), col("y"), cell).as("cell"))
+    val offsets = Seq(-1L, 0L, 1L)
+    val span = 100000000L
+    val left = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), gridCell(col("x"), col("y"), cell).as("cell0"))
+      .withColumn("off", explode(array(
+        (for (dx <- offsets; dy <- offsets)
+          yield lit(dx * (2 * span / cell) + dy)): _*)))
+      .withColumn("cell", col("cell0") + col("off"))
+    left.join(right, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb"))
+        <= lit(radius * radius))
+      .select(col("id_a"), col("id_b"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist_sq"))
+    // no distinct needed: the 9 exploded offset keys are pairwise
+    // different, so a qualifying pair meets on exactly one equality key
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Range = 1000000L // 1°×1° patch in microdegrees
+
+  private def customerPoints(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"),
+      derivedCoord(col("c_custkey"), "#lat", Range).as("lat_u"),
+      derivedCoord(col("c_custkey"), "#lon", Range).as("lon_u"))
+
+  /** Declared query: derived customer points with their 10000-µdeg grid
+    * cell — the bucketing layer of the spatial join, exact integers. */
+  val qGeoCell: Q = (s, d) =>
+    customerPoints(s, d)
+      .withColumn("cell", gridCell(col("lat_u"), col("lon_u"), 10000L))
+      .orderBy("c_custkey")
+
+  /** Declared query: customer pairs within 10000 µdeg (≈1.1 km N-S). */
+  val qGeoNeighbors: Q = (s, d) =>
+    neighborPairs(customerPoints(s, d), "c_custkey", "lat_u", "lon_u",
+      radius = 10000L)
+      .orderBy("id_a", "id_b")
+
+  val queries: Map[String, Q] = Map(
+    "q_geo_cell" -> qGeoCell,
+    "q_geo_neighbors" -> qGeoNeighbors)
+
+  private val coordSql =
+    """SELECT c_custkey,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#lat'), 1, 8)
+              AS BIGINT) % 1000000 AS lat_u,
+         CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '#lon'), 1, 8)
+              AS BIGINT) % 1000000 AS lon_u
+       FROM customer"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_geo_cell" ->
+      s"""WITH p AS ($coordSql)
+         SELECT c_custkey, lat_u, lon_u,
+           (lat_u // 10000) * 20000 + (lon_u // 10000) AS cell
+         FROM p ORDER BY c_custkey""",
+    "q_geo_neighbors" ->
+      s"""WITH p AS ($coordSql)
+         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+             + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS dist_sq
+         FROM p a JOIN p b
+           ON a.c_custkey < b.c_custkey
+          AND abs(a.lat_u - b.lat_u) <= 10000
+          AND abs(a.lon_u - b.lon_u) <= 10000
+         WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+             + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
+             <= 10000 * 10000
+         ORDER BY id_a, id_b""")
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{CurationOps, MiscQueries, Outliers, TextQueries, TimeSeries}
+import graft.operators.{CurationOps, Geo, MiscQueries, Outliers, TextQueries, TimeSeries}
 
 /** Structural/brute-force checks for the profiling and analytics
   * operators added late in round 6 — each declared query is also pinned
@@ -108,6 +108,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val got = CurationOps.qDedupSpans(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expect && expect.nonEmpty)
+  }
+
+  test("neighborPairs equals brute-force radius search at several radii") {
+    val pts = Geo.qGeoCell(spark, sf)
+      .select("c_custkey", "lat_u", "lon_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (radius <- Seq(10000L, 40000L, 120000L)) {
+      val expect = (for {
+        (a, xa, ya) <- pts; (b, xb, yb) <- pts
+        if a < b
+        d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+        if d2 <= radius * radius
+      } yield (a, b, d2)).toSet
+      val base = Tables.customer(spark, sf).select(col("c_custkey"),
+        Geo.derivedCoord(col("c_custkey"), "#lat", 1000000L).as("lat_u"),
+        Geo.derivedCoord(col("c_custkey"), "#lon", 1000000L).as("lon_u"))
+      val got = Geo.neighborPairs(base, "c_custkey", "lat_u", "lon_u", radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"radius=$radius")
+    }
   }
 
   test("qProfileTable matches plain-Scala profile of orders") {
