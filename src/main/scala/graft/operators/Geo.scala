@@ -99,9 +99,37 @@ object Geo {
       radius = 10000L)
       .orderBy("id_a", "id_b")
 
+  /** Declared query: per-user trajectory stats — Manhattan step distance
+    * between consecutive events (derived per-event coordinates, exact
+    * integers), total distance traveled, longest hop. The
+    * distance-traveled rollup of a vehicle/user trace; Manhattan keeps
+    * the whole pipeline in exact 64-bit arithmetic (a euclidean layer
+    * needs sqrt and belongs above the exact core).
+    *
+    * Scale shape: one user-keyed window (lag) whose hash partitioning the
+    * following groupBy reuses — a single wide exchange, same plan family
+    * as the behavioral funnel. */
+  val qGeoTrajectory: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+      col("event_id"),
+      derivedCoord(col("event_id"), "#lat", Range).as("lat_u"),
+      derivedCoord(col("event_id"), "#lon", Range).as("lon_u"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("step",
+        abs(col("lat_u") - lag("lat_u", 1).over(w)) +
+          abs(col("lon_u") - lag("lon_u", 1).over(w)))
+      .groupBy("user_id")
+      .agg(count(col("step")).as("n_moves"),
+        coalesce(sum("step"), lit(0L)).as("dist_total"),
+        max("step").as("max_step"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_geo_cell" -> qGeoCell,
-    "q_geo_neighbors" -> qGeoNeighbors)
+    "q_geo_neighbors" -> qGeoNeighbors,
+    "q_geo_trajectory" -> qGeoTrajectory)
 
   private val coordSql =
     """SELECT c_custkey,
@@ -129,5 +157,22 @@ object Geo {
          WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
              + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
              <= 10000 * 10000
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+    "q_geo_trajectory" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lat'), 1, 8)
+                  AS BIGINT) % 1000000 AS lat_u,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lon'), 1, 8)
+                  AS BIGINT) % 1000000 AS lon_u
+           FROM events),
+         s AS (
+           SELECT user_id,
+             abs(lat_u - lag(lat_u) OVER w)
+               + abs(lon_u - lag(lon_u) OVER w) AS step
+           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, COUNT(step) AS n_moves,
+           COALESCE(CAST(SUM(step) AS BIGINT), 0) AS dist_total,
+           MAX(step) AS max_step
+         FROM s GROUP BY user_id ORDER BY user_id""")
 }
