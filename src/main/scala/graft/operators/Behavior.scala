@@ -74,9 +74,38 @@ object Behavior {
 
   val qRetentionCohort: Q = (s, d) => retentionCohort(Tables.events(s, d))
 
+  /** Gaps-and-islands: maximal runs of consecutive same-type events per
+    * user — the classic relational pattern behind dwell/stop detection on
+    * a trace ("how long did the vehicle keep reporting `error`"), distinct
+    * from time-gap sessionization (`q_window_session` keys on silence,
+    * this keys on value changes).
+    *
+    * The island id is the row_number difference trick — both windows and
+    * the final aggregation hash-partition on user_id-rooted keys, so this
+    * is window-state O(1) per row with no self-join, and the island id is
+    * a pure function of the trace (partitioning-independent). */
+  def runsConsecutive(events: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wTyp = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("grp",
+        row_number().over(wAll) - row_number().over(wTyp))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("run_len"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .drop("grp")
+      .orderBy("user_id", "min_event_id")
+  }
+
+  val qRunsConsecutive: Q = (s, d) => runsConsecutive(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "q_funnel_steps" -> qFunnelSteps,
-    "q_retention_cohort" -> qRetentionCohort)
+    "q_retention_cohort" -> qRetentionCohort,
+    "q_runs_consecutive" -> qRunsConsecutive)
 
   val oracleSql: Map[String, String] = Map(
     "q_funnel_steps" ->
@@ -111,5 +140,18 @@ object Behavior {
            GROUP BY d.user_id, u.cohort)
          SELECT cohort, COUNT(*) AS n_users,
                 COUNT(*) FILTER (WHERE retained = 1) AS n_retained
-         FROM r GROUP BY cohort ORDER BY cohort""")
+         FROM r GROUP BY cohort ORDER BY cohort""",
+    "q_runs_consecutive" ->
+      """WITH g AS (
+           SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS grp
+           FROM events)
+         SELECT user_id, event_type, COUNT(*) AS run_len,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+         FROM g GROUP BY user_id, event_type, grp
+         ORDER BY user_id, min_event_id""")
 }

@@ -38,6 +38,24 @@ class BehaviorSpec extends AnyFunSuite {
     assert((s, c, p) === ((1L, 1L, 1L)))
   }
 
+  test("runsConsecutive finds maximal same-type runs, split by interleaving") {
+    // u1: A A B A → runs (A,2) (B,1) (A,1); u2: single long run
+    val df = Seq(
+      (1L, "A", ts(1, 1), 10L), (1L, "A", ts(1, 2), 11L),
+      (1L, "B", ts(1, 3), 12L), (1L, "A", ts(1, 4), 13L),
+      (2L, "A", ts(2, 1), 20L), (2L, "A", ts(2, 2), 21L),
+      (2L, "A", ts(2, 3), 22L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.runsConsecutive(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "A", 2L, 10L, 11L),
+      (1L, "B", 1L, 12L, 12L),
+      (1L, "A", 1L, 13L, 13L),
+      (2L, "A", 3L, 20L, 22L)))
+  }
+
   test("retention window is (cohort, cohort+7], same-day is not retention") {
     // u1: active again day+3 → retained. u2: only same-day repeats →
     // not retained. u3: next activity day+8 → outside the window.
