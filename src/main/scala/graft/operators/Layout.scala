@@ -60,6 +60,36 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes/targetBytes⌉ files. The operational complement of the layout
+    * writers — streaming ingests and fine partitioning both strew small
+    * files, and at warehouse scale footer/open overhead on millions of
+    * tiny files dominates scan cost long before data volume does.
+    * Row-content preserving (no ordering contract, like any table
+    * rewrite); uses a staging-dir + swap so a crash mid-compaction never
+    * leaves the table half-rewritten (the FeedState overwrite pattern).
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    def parquetFiles() = fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(staging.toString)
+    val bak = new org.apache.hadoop.fs.Path(dir + "__precompact")
+    fs.delete(bak, true)
+    fs.rename(path, bak)
+    fs.rename(staging, path)
+    fs.delete(bak, true)
+    (before.length, parquetFiles().length)
+  }
+
   /** Declared query: the Z-curve key for events on (user_id low 16 bits,
     * hour-of-day) — the clustering key a 100 TB events table would be
     * laid out by so that both per-user and per-hour scans skip. Exact

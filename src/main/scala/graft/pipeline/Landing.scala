@@ -99,4 +99,20 @@ object SchemaDrift {
   def withDeclared(spark: org.apache.spark.sql.SparkSession,
       schema: StructType, path: String): org.apache.spark.sql.DataFrame =
     spark.read.schema(schema).parquet(path)
+
+  /** Corrupt-tolerant JSONL landing read: PERMISSIVE mode with an
+    * explicit quarantine column — a malformed line survives as its raw
+    * text with every schema column NULL, instead of silently vanishing
+    * (DROPMALFORMED) or aborting a 100 TB job for one bad scrape line
+    * (FAILFAST). Callers split on `_corrupt_record IS NULL` into the
+    * clean stream and a quarantine sink for repair — the
+    * landing-robustness contract the reference's scrapers need (their
+    * pandas parse dies on the first malformed payload). */
+  def readJsonQuarantine(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, path: String): org.apache.spark.sql.DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 }

@@ -148,4 +148,25 @@ class LayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_customer")
     }
   }
+
+  test("compact merges a many-small-file table, preserving row content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString + "/events"
+    // strew the table across many tiny files
+    Tables.events(spark, TestSpark.sf).repartition(32)
+      .write.parquet(dir)
+    val before = Tables.events(spark, TestSpark.sf).count()
+    val (nBefore, nAfter) =
+      graft.operators.Layout.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(nBefore >= 32 && nAfter == 1, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == before)
+    // content identical (sorted by the unique event_id)
+    val a = after.select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
 }

@@ -149,6 +149,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("corrupt JSONL lines quarantine instead of poisoning the batch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = tmpDir() + "/quarantine"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part-0.json"),
+      Seq(
+        """{"route_id":"R1","delay":5}""",
+        """{"route_id":"R2","delay":}""", // malformed
+        """not json at all""",            // malformed
+        """{"route_id":"R3","delay":9}"""
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("route_id", StringType),
+      StructField("delay", IntegerType)))
+    val back = graft.pipeline.SchemaDrift
+      .readJsonQuarantine(spark, schema, dir).cache()
+    try {
+      val clean = back.filter(col("_corrupt_record").isNull)
+      val bad = back.filter(col("_corrupt_record").isNotNull)
+      assert(clean.count() == 2 && bad.count() == 2)
+      assert(clean.select("route_id").collect().map(_.getString(0)).sorted
+        .toSeq == Seq("R1", "R3"))
+      // the raw malformed lines survive verbatim for repair
+      val raw = bad.select("_corrupt_record").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(raw == Seq("""not json at all""",
+        """{"route_id":"R2","delay":}"""))
+    } finally { back.unpersist(); () }
+  }
+
   test("schema drift: appended snapshots with a new column reconcile on read") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
