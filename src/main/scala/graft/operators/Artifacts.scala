@@ -11,5 +11,6 @@ object Artifacts {
     DedupQueries.clearArtifacts()
     Clustering.clearArtifacts()
     Similarity.clearArtifacts()
+    CurationOps.clearArtifacts()
   }
 }

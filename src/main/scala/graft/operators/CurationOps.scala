@@ -28,6 +28,33 @@ object CurationOps {
     transform(sequence(lit(0), size(tokCol) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(tokCol, i + k + 1)): _*))
 
+  /** Session-scoped distinct-shingle artifact (doc_id, g): one explode
+    * pass per corpus serves every shingle consumer — the contamination
+    * check and the duplicated-span scorer read the SAME table (same
+    * ingest-artifact semantics as the MinHash band table). */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]()
+
+  /** Drop cached shingle artifacts (see DedupQueries.clearArtifacts). */
+  def clearArtifacts(): Unit = {
+    shingleCache.values.foreach(df =>
+      try df.unpersist(false) catch { case _: Throwable => () })
+    shingleCache.clear()
+  }
+
+  private[operators] def shingleTable(docs: DataFrame, n: Int,
+      cacheKey: Option[String]): DataFrame = {
+    def build() = docs.withColumn("toks", toks(col("text")))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), n))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cacheKey match {
+      case Some(k) => shingleCache.getOrElseUpdate((k, n), build())
+      case None    => build()
+    }
+  }
+
   /** Benchmark-contamination check (training-data hygiene): which corpus
     * documents share any token 4-gram with a held-out benchmark set
     * (deterministically `doc_id % 50 = 0` here; in production the
@@ -45,9 +72,8 @@ object CurationOps {
     * larger shingle sizes the join key becomes md5(shingle) — 16 bytes
     * regardless of n. */
   val qTextContamination: Q = (s, d) => {
-    val docs = Tables.documents(s, d).withColumn("toks", toks(col("text")))
-    val sh = docs.filter(size(col("toks")) >= 4)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 4))).as("g"))
+    val sh = shingleTable(Tables.documents(s, d), 4,
+      cacheKey = Some(s"docs:$d"))
     val bench = sh.filter(col("doc_id") % 50 === 0).select("g").distinct()
     val hits = sh.filter(col("doc_id") % 50 =!= 0)
       .join(broadcast(bench.withColumn("hit", lit(1))), Seq("g"), "left_outer")
@@ -193,12 +219,10 @@ object CurationOps {
     * the join key becomes md5(shingle) — 16 bytes regardless of span
     * width. `dup_frac` is one IEEE divide of exact counts. */
   val qDedupSpans: Q = (s, d) => {
-    val docs = Tables.documents(s, d).withColumn("toks", toks(col("text")))
-      .filter(size(col("toks")) >= 4)
-    val sh = docs.select(col("doc_id"),
-      explode(array_distinct(shingles(col("toks"), 4))).as("g"))
-    // array_distinct above makes (doc_id, g) unique → count(*) per g is
-    // the number of distinct docs containing g
+    val sh = shingleTable(Tables.documents(s, d), 4,
+      cacheKey = Some(s"docs:$d"))
+    // the artifact's array_distinct makes (doc_id, g) unique → count(*)
+    // per g is the number of distinct docs containing g
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("ndocs"))
     sh.join(dfreq, "g")
       .groupBy("doc_id")
