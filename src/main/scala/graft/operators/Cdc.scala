@@ -92,9 +92,39 @@ object Cdc {
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy("event_id")
 
+  /** Point-in-time (temporal) join: each probe row joins the ONE
+    * dimension version whose [valid_from, valid_to) interval contains its
+    * timestamp — "what did we believe about this entity when the fact
+    * happened", the standard time-travel read over an SCD2 dimension.
+    * Here: each purchase joins the user's view-state current at purchase
+    * time.
+    *
+    * Scale shape: an equi-join on the entity key carries the shuffle; the
+    * interval predicate is a post-join filter over that user's few
+    * versions (never a range cross product). SCD2 intervals are disjoint
+    * and contiguous per key, so at most one version matches — the join
+    * cannot fan out. */
+  val qJoinTemporal: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val dim = scd2History(ev.filter(col("event_type") === "view"),
+      Seq("user_id"), "ts", Seq("event_id"))
+      .select(col("user_id"), col("event_id").as("state_event_id"),
+        col("value").as("state_value"),
+        col("valid_from"), col("valid_to"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+      .join(dim, Seq("user_id"))
+      .filter(col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("p_event_id"), col("user_id"),
+        col("state_event_id"), col("state_value"))
+      .orderBy("p_event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_merge_upsert" -> qMergeUpsert,
-    "q_scd2_history" -> qScd2History)
+    "q_scd2_history" -> qScd2History,
+    "q_join_temporal" -> qJoinTemporal)
 
   val oracleSql: Map[String, String] = Map(
     "q_merge_upsert" ->
@@ -123,5 +153,21 @@ object Cdc {
            (LEAD(ts, 1) OVER w IS NULL) AS is_current
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+    "q_join_temporal" ->
+      """WITH dim AS (
+           SELECT user_id, event_id AS state_event_id,
+                  value AS state_value,
+                  ts AS valid_from,
+                  LEAD(ts, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS valid_to
+           FROM events WHERE event_type = 'view'),
+         probes AS (
+           SELECT event_id AS p_event_id, user_id, ts
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.p_event_id, p.user_id, d.state_event_id, d.state_value
+         FROM probes p JOIN dim d USING (user_id)
+         WHERE p.ts >= d.valid_from
+           AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+         ORDER BY p_event_id""")
 }
