@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{CurationOps, Geo, MiscQueries, Outliers, TextQueries, TimeSeries}
+import graft.operators.{Behavior, CurationOps, Geo, MiscQueries, Outliers, TextQueries, TimeSeries}
 
 /** Structural/brute-force checks for the profiling and analytics
   * operators added late in round 6 — each declared query is also pinned
@@ -128,6 +129,67 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == expect, s"radius=$radius")
     }
+  }
+
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("neighborPairs property: equals brute force on random point sets") {
+    import spark.implicits._
+    val ptsGen = Gen.listOf(for {
+      x <- Gen.chooseNum(0L, 99999L); y <- Gen.chooseNum(0L, 99999L)
+    } yield (x, y))
+    val radiusGen = Gen.oneOf(1000L, 7000L, 33333L)
+    check(Prop.forAll(ptsGen, radiusGen) { (raw, radius) =>
+      val pts = raw.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      pts.isEmpty || {
+        val expect = (for {
+          (a, xa, ya) <- pts; (b, xb, yb) <- pts
+          if a < b
+          d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+          if d2 <= radius * radius
+        } yield (a, b, d2)).toSet
+        val got = Geo.neighborPairs(pts.toDF("id", "x", "y"),
+          "id", "x", "y", radius)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // exact set AND no duplicate emissions
+        got.toSet == expect && got.length == expect.size
+      }
+    }, n = 15)
+  }
+
+  test("runsConsecutive property: reconstructs any random trace exactly") {
+    import spark.implicits._
+    val evGen = Gen.listOf(for {
+      u <- Gen.chooseNum(1L, 3L); t <- Gen.oneOf("A", "B", "C")
+    } yield (u, t))
+    check(Prop.forAll(evGen) { raw =>
+      val rows = raw.zipWithIndex.map { case ((u, t), i) =>
+        (u, t, new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong)
+      }
+      rows.isEmpty || {
+        val got = Behavior.runsConsecutive(
+          rows.toDF("user_id", "event_type", "ts", "event_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSeq
+        // brute force: fold each user's time-ordered trace into runs
+        val expect = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+          val ordered = es.sortBy(_._4)
+          ordered.foldLeft(Vector.empty[(Long, String, Long, Long, Long)]) {
+            case (acc, (_, t, _, id)) =>
+              if (acc.nonEmpty && acc.last._2 == t) {
+                val l = acc.last
+                acc.init :+ ((u, t, l._3 + 1, l._4, id))
+              } else acc :+ ((u, t, 1L, id, id))
+          }
+        }.sortBy(r => (r._1, r._4))
+        got == expect
+      }
+    }, n = 20)
   }
 
   test("qProfileTable matches plain-Scala profile of orders") {
