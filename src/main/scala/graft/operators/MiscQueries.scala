@@ -253,7 +253,50 @@ object MiscQueries {
       date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
       date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"))
 
+  /** Declarative data-quality constraint report (the Deequ-style ingest
+    * gate): one row per constraint with its violation count and verdict —
+    * primary-key uniqueness, referential integrity into the customer
+    * dimension, NOT NULL, value range, and categorical domain. A batch
+    * joins the corpus only when every row reads `passed`.
+    *
+    * Scale shape: the row-local constraints share ONE aggregation pass
+    * over the fact scan (conditional counts + the pk distinct); the FK
+    * check is a broadcast anti-join count against the dimension. Nothing
+    * scans the 100 TB side twice for N constraints. */
+  val qQualityConstraints: Q = (s, d) => {
+    val orders = graft.Tables(s, d, "orders")
+    val rowLocal = orders.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      sum(when(col("o_totalprice") <= 0.0 ||
+        col("o_totalprice") > 1000000.0, 1L).otherwise(0L)).as("bad_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)).as("bad_status"))
+    val fkViolations = orders.join(
+        broadcast(graft.Tables(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"))),
+        Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    val cs = rowLocal.select(explode(array(
+      struct(lit("pk_unique_orderkey").as("constraint"),
+        col("pk_dup").as("violations")),
+      struct(lit("not_null_custkey").as("constraint"),
+        col("null_cust").as("violations")),
+      struct(lit("price_in_range").as("constraint"),
+        col("bad_price").as("violations")),
+      struct(lit("status_in_domain").as("constraint"),
+        col("bad_status").as("violations")))).as("c"))
+      .select(col("c.constraint"), col("c.violations"))
+      .unionByName(fkViolations.select(
+        lit("fk_custkey_in_customer").as("constraint"),
+        col("fk_orphans").as("violations")))
+    cs.select(col("constraint"), col("violations"),
+        (col("violations") === 0L).as("passed"))
+      .orderBy("constraint")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_quality_constraints" -> qQualityConstraints,
     "q_profile_table" -> qProfileTable,
     "q_agg_string" -> qAggString,
     "q_share_of_total" -> qShareOfTotal,
@@ -273,6 +316,35 @@ object MiscQueries {
     "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
+    "q_quality_constraints" ->
+      """WITH rl AS (
+           SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_cust,
+             CAST(SUM(CASE WHEN o_totalprice <= 0.0
+               OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS bad_price,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+               THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+           FROM orders),
+         fk AS (
+           SELECT COUNT(*) AS fk_orphans FROM orders o
+           WHERE o.o_custkey NOT IN
+             (SELECT c_custkey FROM customer)),
+         c AS (
+           SELECT 'pk_unique_orderkey' AS "constraint",
+                  pk_dup AS violations
+             FROM rl
+           UNION ALL
+           SELECT 'not_null_custkey', null_cust FROM rl
+           UNION ALL
+           SELECT 'price_in_range', bad_price FROM rl
+           UNION ALL
+           SELECT 'status_in_domain', bad_status FROM rl
+           UNION ALL
+           SELECT 'fk_custkey_in_customer', fk_orphans FROM fk)
+         SELECT "constraint", violations, violations = 0 AS passed
+         FROM c ORDER BY "constraint"""",
     "q_profile_table" ->
       """SELECT COUNT(*) AS n_rows,
            COUNT(o_custkey) AS nn_custkey,
