@@ -196,11 +196,29 @@ object IncrementalDedup {
       .orderBy("doc_id")
   }
 
-  val queries: Map[String, Q] = Map(
-    "q_dedup_incremental" -> qDedupIncremental)
+  /** The Bloom-prefilter path under the same oracle: results must be
+    * bit-identical to [[qDedupIncremental]] (the Bloom only reroutes
+    * rows around the anti-join shuffle; false positives are absorbed by
+    * the exact join), so it shares that query's DuckDB oracle — the
+    * q_agg_salted precedent of putting an execution-strategy variant
+    * under the plain-SQL gate it must be indistinguishable from. */
+  val qDedupIncrementalBloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val state = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    newDocsBloom(batch, digestsOf(state),
+      bandsOf(state).select("band", "band_key"))
+      .select(col("doc_id"), col("digest"))
+      .orderBy("doc_id")
+  }
 
-  val oracleSql: Map[String, String] = Map(
-    "q_dedup_incremental" ->
+  val queries: Map[String, Q] = Map(
+    "q_dedup_incremental" -> qDedupIncremental,
+    "q_dedup_incremental_bloom" -> qDedupIncrementalBloom)
+
+  /** Shared by both declared variants — the Bloom path must be
+    * indistinguishable from the plain anti-join in its results. */
+  private val incrementalOracle: String =
       """WITH exact_new AS (
            SELECT doc_id, sha256(text) AS digest FROM documents
            WHERE doc_id % 2 = 1
@@ -226,5 +244,9 @@ object IncrementalDedup {
            WHERE b.doc_id % 2 = 1 AND st.doc_id % 2 = 0)
          SELECT doc_id, digest FROM exact_new
          WHERE doc_id NOT IN (SELECT doc_id FROM near)
-         ORDER BY doc_id""")
+         ORDER BY doc_id"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_incremental" -> incrementalOracle,
+    "q_dedup_incremental_bloom" -> incrementalOracle)
 }

@@ -93,6 +93,24 @@ object EventStream {
       .agg(count(lit(1)).as("active_users"))
       .select(col("w.start").as("wstart"), col("active_users"))
 
+  /** Streaming OHLC bars: the batch [[graft.operators.TimeSeries.ohlcBars]]
+    * semantics as an incremental windowed aggregation — `min_by`/`max_by`
+    * over the `(ts, event_id)` struct are ordinary declarative aggregates,
+    * so their partial states (current best + its key) merge across
+    * micro-batches like any min/max, and the watermark evicts closed
+    * windows. Asserted equal to the batch bars in StreamingSpec. */
+  def hourlyOhlc(events: DataFrame): DataFrame =
+    withLateness(events)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** Custom-state sessionization via `flatMapGroupsWithState` — the
     * escape hatch for session semantics `session_window` can't express
     * (per-session running aggregates beyond count, emit-on-close with

@@ -10,6 +10,8 @@ import graft.streaming.EventStream
 
 case class TestEvent(ts: Timestamp, event_type: String, user_id: Long, value: Double)
 
+case class OhlcEvent(ts: Timestamp, event_type: String, event_id: Long, value: Double)
+
 /** Structured-streaming behavior (SURVEY.md §5.2 item 4): watermark
   * late-row dropping, checkpointed exactly-once AvailableNow runs, and
   * batch/stream equivalence of the window expressions. */
@@ -65,6 +67,46 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = EventStream.runTumblingAvailableNow(spark, src, out, cp)
     q2.awaitTermination()
     assert(spark.read.parquet(out).count() == n1)
+  }
+
+  test("streaming hourly OHLC equals batch bars across out-of-order batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[OhlcEvent]
+    val q = graft.streaming.EventStream.hourlyOhlc(mem.toDF()).writeStream
+      .format("memory").queryName("ohlc_out").outputMode("append").start()
+    val batch1 = Seq(
+      OhlcEvent(ts("2024-01-01 10:05:00"), "click", 3L, 5.0),
+      OhlcEvent(ts("2024-01-01 10:01:00"), "click", 1L, 9.0),
+      OhlcEvent(ts("2024-01-01 10:01:00"), "click", 2L, 2.0), // ts tie → id
+      OhlcEvent(ts("2024-01-01 10:40:00"), "view", 4L, 7.0))
+    val batch2 = Seq( // arrives later but EARLIER in event time (in-watermark)
+      OhlcEvent(ts("2024-01-01 10:55:00"), "click", 5L, 1.0),
+      OhlcEvent(ts("2024-01-01 11:30:00"), "click", 6L, 4.0))
+    val closer = OhlcEvent(ts("2024-01-02 00:00:00"), "view", 99L, 0.0)
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      mem.addData(closer); q.processAllAvailable()
+      val got = spark.table("ohlc_out")
+        .select(date_format(col("wstart"), "yyyy-MM-dd HH:mm").as("hr"),
+          col("event_type"), col("open"), col("high"), col("low"),
+          col("close"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6)))).toMap
+      // the closer's own window never closes → batch side excludes it
+      val want = graft.operators.TimeSeries
+        .ohlcBars((batch1 ++ batch2).toDF(), "event_type")
+        .collect().map(r =>
+          (new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm")
+            .format(r.getTimestamp(1)), r.getString(0)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6)))).toMap
+      assert(got == want && got.nonEmpty)
+      // the tie at 10:01 resolved by event_id: open = id 1's value
+      assert(got(("2024-01-01 10:00", "click"))._1 == 9.0)
+    } finally q.stop()
   }
 
   test("streaming sliding windows assign each event to exactly two windows") {
