@@ -181,9 +181,14 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(
       explode(split(lower(col("text")), " ")).as("token"))
-    val total = toks.count()
-    val topk = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token")).limit(k)
+    // ONE corpus pass: the count table is vocab-sized, so the corpus
+    // total is derived from it (sum of counts) rather than a second
+    // corpus scan; eager checkpoint materializes it once for both the
+    // total and the top-k read
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("cnt"))).head.getLong(0)
+    val topk = counts.orderBy(col("cnt").desc, col("token")).limit(k)
     val w = Window.orderBy(col("cnt").desc, col("token"))
     topk
       .withColumn("rank", row_number().over(w))
