@@ -272,7 +272,11 @@ object MiscQueries {
         col("o_totalprice") > 1000000.0, 1L).otherwise(0L)).as("bad_price"),
       sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
         .otherwise(0L)).as("bad_status"))
-    val fkViolations = orders.join(
+    // NULL keys are the not_null constraint's finding, not an FK orphan —
+    // filtered on BOTH engines (a left_anti keeps null keys while SQL
+    // NOT IN drops them, so leaving nulls in would diverge cross-engine)
+    val fkViolations = orders.filter(col("o_custkey").isNotNull)
+      .join(
         broadcast(graft.Tables(s, d, "customer")
           .select(col("c_custkey").as("o_custkey"))),
         Seq("o_custkey"), "left_anti")
@@ -329,8 +333,9 @@ object MiscQueries {
            FROM orders),
          fk AS (
            SELECT COUNT(*) AS fk_orphans FROM orders o
-           WHERE o.o_custkey NOT IN
-             (SELECT c_custkey FROM customer)),
+           WHERE o.o_custkey IS NOT NULL
+             AND o.o_custkey NOT IN
+               (SELECT c_custkey FROM customer)),
          c AS (
            SELECT 'pk_unique_orderkey' AS "constraint",
                   pk_dup AS violations
