@@ -126,10 +126,41 @@ object Geo {
       .orderBy("user_id")
   }
 
+  /** Declared query: trip/stop segmentation (dwell detection) — the
+    * transit-analytics primitive: split each user's trace into segments
+    * wherever the Manhattan step to the previous event exceeds a
+    * movement threshold; within a segment the entity is "dwelling".
+    * Segment id = running count of breaks (an exact integer cumsum over
+    * the same user-keyed window the step computation uses), so the whole
+    * query is one wide exchange; segments then aggregate on the window's
+    * own partitioning. */
+  val qGeoDwell: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+      col("event_id"),
+      derivedCoord(col("event_id"), "#lat", Range).as("lat_u"),
+      derivedCoord(col("event_id"), "#lon", Range).as("lon_u"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("step",
+        abs(col("lat_u") - lag("lat_u", 1).over(w)) +
+          abs(col("lon_u") - lag("lon_u", 1).over(w)))
+      .withColumn("brk",
+        when(col("step").isNull || col("step") > lit(700000L), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy("user_id", "seg")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_geo_cell" -> qGeoCell,
     "q_geo_neighbors" -> qGeoNeighbors,
-    "q_geo_trajectory" -> qGeoTrajectory)
+    "q_geo_trajectory" -> qGeoTrajectory,
+    "q_geo_dwell" -> qGeoDwell)
 
   private val coordSql =
     """SELECT c_custkey,
@@ -174,5 +205,33 @@ object Geo {
          SELECT user_id, COUNT(step) AS n_moves,
            COALESCE(CAST(SUM(step) AS BIGINT), 0) AS dist_total,
            MAX(step) AS max_step
-         FROM s GROUP BY user_id ORDER BY user_id""")
+         FROM s GROUP BY user_id ORDER BY user_id""",
+    "q_geo_dwell" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lat'), 1, 8)
+                  AS BIGINT) % 1000000 AS lat_u,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lon'), 1, 8)
+                  AS BIGINT) % 1000000 AS lon_u
+           FROM events),
+         s AS (
+           SELECT user_id, ts, event_id,
+             abs(lat_u - lag(lat_u) OVER w)
+               + abs(lon_u - lag(lon_u) OVER w) AS step
+           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         b AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN step IS NULL OR step > 700000 THEN 1 ELSE 0 END AS brk
+           FROM s),
+         g AS (
+           SELECT user_id, event_id,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS seg
+           FROM b)
+         SELECT user_id, seg, COUNT(*) AS n_events,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+         FROM g GROUP BY user_id, seg
+         ORDER BY user_id, seg""")
 }
