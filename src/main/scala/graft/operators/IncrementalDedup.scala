@@ -92,7 +92,8 @@ object IncrementalDedup {
     * mechanism at the granularity the fixture supports. */
   def newDocsBloom(batch: DataFrame, stateDigests: DataFrame,
       stateBands: DataFrame, expectedItems: Long = 100000L,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      batchBands: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     val bloom = stateDigests.stat.bloomFilter("digest", expectedItems.max(1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
@@ -107,7 +108,7 @@ object IncrementalDedup {
     val confirmedNew = probed.filter(col("_hit"))
       .join(stateDigests.select("digest").distinct(), Seq("digest"), "left_anti")
     dropNearDups(definitelyNew.unionByName(confirmedNew).drop("_hit"),
-      stateBands, None)
+      stateBands, batchBands)
   }
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
@@ -206,8 +207,11 @@ object IncrementalDedup {
     val docs = Tables.documents(s, d)
     val state = docs.filter(col("doc_id") % 2 === 0)
     val batch = docs.filter(col("doc_id") % 2 === 1)
+    val allBands = DedupQueries.minhashBands(docs, bands = Bands, rows = Rows,
+      cacheKey = Some(s"docs:$d:all"))
     newDocsBloom(batch, digestsOf(state),
-      bandsOf(state).select("band", "band_key"))
+      allBands.filter(col("doc_id") % 2 === 0).select("band", "band_key"),
+      batchBands = Some(allBands.filter(col("doc_id") % 2 === 1)))
       .select(col("doc_id"), col("digest"))
       .orderBy("doc_id")
   }
