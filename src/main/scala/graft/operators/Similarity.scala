@@ -616,16 +616,53 @@ object Similarity {
          FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
          ORDER BY v.vec_id"""
 
+  /** Cross-snapshot embedding dedup — the IncrementalDedup pattern at
+    * vector granularity: even vec_ids are the ingested corpus (state),
+    * odd vec_ids the new batch; a batch vector survives iff it has NO
+    * verified cosine ≥ 0.45 near-dup among state vectors. Reuses the
+    * whole-corpus verified pair artifact (pairs are parity-agnostic), so
+    * the incremental check is one anti-join over the cross-parity slice
+    * of an ingest-time table — candidates met on (table, bucket)
+    * equality, never batch × state. */
+  val qDedupEmbedIncremental: Q = (s, d) => {
+    val pairs = embedPairsArtifact(s, d)
+    val dupBatchIds = pairs
+      .filter(col("id_a") % 2 =!= col("id_b") % 2)
+      .select(when(col("id_a") % 2 === 1, col("id_a"))
+        .otherwise(col("id_b")).as("vec_id"))
+      .distinct()
+    Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1)
+      .join(dupBatchIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  private def embedIncrementalOracle(tables: Int, nbits: Int, dim: Int,
+      cosSq1e4: Long): String =
+    s"""WITH ${embedLshCtes(tables, nbits, dim, cosSq1e4)},
+         dup AS (
+           SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END
+             AS vec_id
+           FROM vpairs WHERE (id_a % 2) <> (id_b % 2))
+         SELECT v.vec_id FROM embeddings v
+         WHERE v.vec_id % 2 = 1
+           AND v.vec_id NOT IN (SELECT vec_id FROM dup)
+         ORDER BY vec_id"""
+
   val queries: Map[String, Q] = Map(
     "q_similarity_lsh" -> qSimilarityLsh,
     "q_similarity_ivf" -> qSimilarityIvf,
     "q_similarity_pq" -> qSimilarityPq,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
-    "q_dedup_embed_cluster" -> qDedupEmbedCluster)
+    "q_dedup_embed_cluster" -> qDedupEmbedCluster,
+    "q_dedup_embed_incremental" -> qDedupEmbedIncremental)
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_embed_lsh" ->
       embedLshOracle(tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L),
     "q_dedup_embed_cluster" ->
-      embedClusterOracle(tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L))
+      embedClusterOracle(tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L),
+    "q_dedup_embed_incremental" ->
+      embedIncrementalOracle(tables = 2, nbits = 4, dim = 64,
+        cosSq1e4 = 2025L))
 }
