@@ -447,6 +447,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist a fitted PQ index: codebooks (m×ksub tiny rows) plus the
+    * encoded corpus — the [[saveIvfIndex]] contract for the PQ path:
+    * built once at corpus landing, queried from any later session. */
+  def savePqIndex(books: Array[Array[Array[Double]]], encoded: DataFrame,
+      dir: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    (for {
+      (sub, j) <- books.zipWithIndex
+      (centroid, c) <- sub.zipWithIndex
+    } yield (j, c, centroid.toSeq)).toSeq
+      .toDF("sub", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    encoded.write.mode("overwrite").parquet(s"$dir/encoded")
+  }
+
+  /** Query a persisted PQ index without refitting — codebooks come to
+    * the driver (m·ksub rows), the ADC scan reads the encoded corpus. */
+  def pqTopKFromIndex(spark: SparkSession, indexDir: String, idCol: String,
+      embCol: String, query: Array[Float], k: Int, m: Int = 8,
+      ksub: Int = 16, rerank: Int = 50): DataFrame = {
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    spark.read.parquet(s"$indexDir/codebooks").collect().foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    val encoded = spark.read.parquet(s"$indexDir/encoded")
+    adcRerank(encoded, books.map(_.toArray), idCol, embCol, query, k, m,
+      ksub, rerank)
+  }
+
   /** IVF-PQ — the standard warehouse-scale ANN stack: the coarse IVF
     * quantizer prunes the corpus to `nprobe`/`nlist` cells, the PQ codes
     * absorb the distance scan inside those cells (32× compressed reads),

@@ -156,6 +156,24 @@ class NoOracleSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("persisted PQ index answers queries identically to the fitted one") {
+    val corpus = Tables.embeddings(spark, sf).filter(
+      org.apache.spark.sql.functions.col("vec_id") =!= 0L)
+    val (books, encoded) = Similarity.pqIndex(corpus, "embedding", 8, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.savePqIndex(books, encoded, dir)
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val q = embeddings.find(_._1 == qid).get._2
+      val fitted = Similarity.pqTopK(corpus, "vec_id", "embedding", q,
+        k = 10, m = 8, ksub = 16, rerank = 50).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val loaded = Similarity.pqTopKFromIndex(spark, dir, "vec_id",
+        "embedding", q, k = 10, m = 8, ksub = 16, rerank = 50).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(fitted == loaded && fitted.nonEmpty)
+    }
+  }
+
   test("persisted IVF index answers queries identically to the fitted one") {
     val corpus = Tables.embeddings(spark, sf)
     val (model, assigned) = Similarity.ivfIndex(corpus, "embedding", nlist = 8)
