@@ -149,6 +149,34 @@ object IncrementalDedup {
     survivors
   }
 
+  /** [[ingest]] at VECTOR granularity: filter a (vec_id, embedding)
+    * batch against the bucketed-vector state under `statePath/vecs`
+    * (rows in [[Similarity.quantBucketed]] shape — milli-quantized
+    * vectors under their sign-LSH buckets, a narrow keyed table), append
+    * the survivors' bucketed rows AFTER the survivor set materializes,
+    * return the surviving batch rows. Same state-written-last +
+    * rerun-idempotence contract as the text path: re-ingesting a batch
+    * is a no-op because every vector is an exact (cosine = 1) near-dup
+    * of its own state row. Like [[ingest]], the check is batch-vs-state;
+    * in-batch dedup is [[Similarity.lshNearDupPairsQ]]'s job. */
+  def ingestEmbeddings(spark: SparkSession, batch: DataFrame,
+      statePath: String, tables: Int = 2, nbits: Int = 4, dim: Int = 64,
+      cosSq1e4: Long = 2025L): DataFrame = {
+    val vecsPath = s"$statePath/vecs"
+    val emptyState = Similarity.quantBucketed(batch.limit(0), "vec_id",
+      "embedding", tables, nbits, dim)
+    val state = readState(spark, vecsPath, emptyState)
+    val newIds = Similarity.embedNewIds(batch, "vec_id", "embedding",
+      state, tables, nbits, dim, cosSq1e4)
+      .localCheckpoint(true) // cut lineage before the append grows state
+    val survivors = batch.join(newIds.select(col("id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    Similarity.quantBucketed(survivors, "vec_id", "embedding",
+        tables, nbits, dim)
+      .write.mode(SaveMode.Append).parquet(vecsPath)
+    survivors
+  }
+
   /** Streaming corpus ingest: run every micro-batch of a (doc_id, text)
     * stream through [[ingest]], so the digest/band state dedups ACROSS
     * micro-batches (and across restarts — the state tables persist).

@@ -180,17 +180,19 @@ object Similarity {
   /** [[lshNearDupPairsQ]] without the presentation sort — the artifact
     * form (an eagerly-materialized sort re-runs the upstream plan for its
     * range-bound sampling; declared queries sort on top instead). */
-  private def lshNearDupPairsQUnsorted(corpus: DataFrame, idCol: String,
-      embCol: String, tables: Int, nbits: Int, dim: Int,
-      cosSq1e4: Long): DataFrame = {
+  /** (id, qv, nrm2, tbl, bucket) — the milli-quantized, sign-bucketed
+    * form of an embedding frame, one row per (vector, table): the narrow
+    * shape the self-join dedup scans and the cross-snapshot ingest state
+    * table stores. All `tables` bucket ids are computed in one projection
+    * then exploded — each row's plane dots run once (codegen'd
+    * LongVecDot), not per probe. */
+  def quantBucketed(df: DataFrame, idCol: String, embCol: String,
+      tables: Int, nbits: Int, dim: Int): DataFrame = {
     import graft.functions.VectorFunctions.dotL
     val planes = quantizedPlanes(tables * nbits, dim)
     val quant = transform(col(embCol), x => round(x * 1000, 0).cast(LongType))
-    val base = corpus
-      .select(col(idCol).as("id"), quant.as("qv"))
+    val base = df.select(col(idCol).as("id"), quant.as("qv"))
       .withColumn("nrm2", dotL(col("qv"), col("qv")))
-    // all `tables` bucket ids computed in one projection, then exploded —
-    // each row's 8 plane dots run once (codegen'd LongVecDot), not per probe
     val tb = (0 until tables).map { t =>
       val bits = (0 until nbits).map { j =>
         val plane = array(planes(t * nbits + j).map(lit): _*)
@@ -198,9 +200,16 @@ object Similarity {
       }
       struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
     }
-    val bucketed = base.withColumn("tb", explode(array(tb: _*)))
+    base.withColumn("tb", explode(array(tb: _*)))
       .select(col("id"), col("qv"), col("nrm2"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  private def lshNearDupPairsQUnsorted(corpus: DataFrame, idCol: String,
+      embCol: String, tables: Int, nbits: Int, dim: Int,
+      cosSq1e4: Long): DataFrame = {
+    import graft.functions.VectorFunctions.dotL
+    val bucketed = quantBucketed(corpus, idCol, embCol, tables, nbits, dim)
     val withProbes = bucketed.withColumn("probe",
         explode(array((lit(-1) +: (0 until nbits).map(lit)): _*)))
       .withColumn("pbucket",
@@ -218,6 +227,38 @@ object Similarity {
            >= lit(cosSq1e4).cast(dec38) * col("na2") * col("nb2"))
       .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
       .distinct() // a pair can verify in up to `tables` tables
+  }
+
+  /** Batch vectors with NO verified cosine near-dup among `stateBuckets`
+    * (rows in [[quantBucketed]] shape) — the cross-snapshot filter of a
+    * recurring embedding ingest. Candidates meet on (tbl, bucket)
+    * equality: the batch side exploded under its hamming ≤ 1 probes, the
+    * state side at its true buckets — never batch × state — and
+    * verification is the same exact integer test as [[lshNearDupPairsQ]].
+    * Returns the distinct batch ids that are NEW. */
+  def embedNewIds(batch: DataFrame, idCol: String, embCol: String,
+      stateBuckets: DataFrame, tables: Int, nbits: Int, dim: Int,
+      cosSq1e4: Long): DataFrame = {
+    import graft.functions.VectorFunctions.dotL
+    val b = quantBucketed(batch, idCol, embCol, tables, nbits, dim)
+    val withProbes = b.withColumn("probe",
+        explode(array((lit(-1) +: (0 until nbits).map(lit)): _*)))
+      .withColumn("pbucket",
+        when(col("probe") < 0, col("bucket"))
+          .otherwise(expr("int(bucket) ^ shiftleft(1, probe)")))
+      .select(col("id").as("id_b"), col("qv").as("qb"),
+        col("nrm2").as("nb2"), col("tbl"), col("pbucket"))
+    val st = stateBuckets.select(col("qv").as("qa"),
+      col("nrm2").as("na2"), col("tbl"), col("bucket").as("pbucket"))
+    val dec38 = DecimalType(38, 0)
+    val dupIds = withProbes.join(st, Seq("tbl", "pbucket"))
+      .withColumn("dot", dotL(col("qa"), col("qb")))
+      .filter(col("dot") > 0
+        && col("dot").cast(dec38) * col("dot") * 10000L
+           >= lit(cosSq1e4).cast(dec38) * col("na2") * col("nb2"))
+      .select(col("id_b").as("id")).distinct()
+    batch.select(col(idCol).as("id")).distinct()
+      .join(dupIds, Seq("id"), "left_anti")
   }
 
   /** Session-scoped verified-pair artifact for the declared embedding

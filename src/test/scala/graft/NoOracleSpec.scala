@@ -156,6 +156,33 @@ class NoOracleSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("ingestEmbeddings: state round-trip matches the declared " +
+    "incremental query; re-ingest is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-embstate")
+      .toString
+    val emb = Tables.embeddings(spark, sf)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+    // round 1: empty state → every even vector survives
+    val s1 = graft.operators.IncrementalDedup
+      .ingestEmbeddings(spark, even, dir)
+    assert(s1.count() == even.count())
+    // round 2: odd batch against even state — exactly the declared
+    // q_dedup_embed_incremental semantics
+    val s2 = graft.operators.IncrementalDedup
+      .ingestEmbeddings(spark, odd, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val declared = Similarity.qDedupEmbedIncremental(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 == declared && s2.nonEmpty)
+    // round 3: re-ingesting the odd batch is a no-op (survivors are
+    // their own exact dups in state; non-survivors still match state)
+    val s3 = graft.operators.IncrementalDedup
+      .ingestEmbeddings(spark, odd, dir)
+    assert(s3.count() == 0)
+  }
+
   test("persisted PQ index answers queries identically to the fitted one") {
     val corpus = Tables.embeddings(spark, sf).filter(
       org.apache.spark.sql.functions.col("vec_id") =!= 0L)
