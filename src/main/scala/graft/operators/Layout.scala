@@ -68,7 +68,10 @@ object Layout {
     * Row-content preserving (no ordering contract, like any table
     * rewrite); uses a staging-dir + swap so a crash mid-compaction never
     * leaves the table half-rewritten (the FeedState overwrite pattern).
-    * Returns (filesBefore, filesAfter). */
+    * Operates on ONE leaf directory — for a date-partitioned table run it
+    * per partition (compaction is embarrassingly parallel across
+    * partitions, and per-partition swaps keep readers of other partitions
+    * untouched). Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -159,6 +159,13 @@ class LayoutSpec extends AnyFunSuite {
     val (nBefore, nAfter) =
       graft.operators.Layout.compact(spark, dir, targetBytes = Long.MaxValue)
     assert(nBefore >= 32 && nAfter == 1, s"$nBefore -> $nAfter")
+    // re-split to a byte target that needs several files: ceil division
+    val total = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val (_, nAfter2) =
+      graft.operators.Layout.compact(spark, dir, targetBytes = total / 3)
+    assert(nAfter2 == 3 || nAfter2 == 4, // ceil(total/(total/3)) ∈ {3,4}
+      s"expected 3-4 files at a third-of-total byte target, got $nAfter2")
     val after = spark.read.parquet(dir)
     assert(after.count() == before)
     // content identical (sorted by the unique event_id)
