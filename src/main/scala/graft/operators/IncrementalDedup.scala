@@ -202,6 +202,25 @@ object IncrementalDedup {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** [[streamIngest]] at vector granularity: every micro-batch of a
+    * (vec_id, embedding) stream runs through [[ingestEmbeddings]], so
+    * near-dup state spans micro-batches and restarts, and micro-batch
+    * replay is absorbed by each vector being an exact dup of its own
+    * state row — the same batch/stream symmetry the text path has. */
+  def streamIngestEmbeddings(spark: SparkSession, vecs: DataFrame,
+      statePath: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val survivors =
+          ingestEmbeddings(batch.sparkSession, batch.toDF(), statePath)
+        survivors.write.mode(SaveMode.Append).parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Declared incremental-dedup query: even doc_ids are the previously

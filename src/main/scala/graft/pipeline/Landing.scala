@@ -116,3 +116,44 @@ object SchemaDrift {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 }
+
+/** Ingest-integrity manifest, written next to a landed table: row count
+  * plus an ORDER-INDEPENDENT content digest (bit_xor fold of a 60-bit
+  * prefix of each row's sha-256 over its canonical JSON form — XOR is
+  * commutative/associative, so any partitioning or row order produces
+  * the same value, and the fold is a one-pass map-side-combinable
+  * aggregate at any scale). Downstream jobs verify a landing before
+  * trusting it: a partial write, dropped partition, or silent row edit
+  * changes the digest where file counts and sizes can miss it. */
+object Manifest {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  /** (row count, xor-fold digest) of a frame's full content. */
+  def digestOf(df: DataFrame): (Long, Long) = {
+    val r = df
+      .select(conv(substring(
+          sha2(to_json(struct(df.columns.map(col): _*)), 256), 1, 15),
+        16, 10).cast("long").as("p"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(p)").as("x"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  def write(df: DataFrame, manifestPath: String): Unit = {
+    val (n, x) = digestOf(df)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(manifestPath),
+      s"""{"rows":$n,"xor":$x}""")
+    ()
+  }
+
+  /** Recompute from `df` and compare with the stored manifest. */
+  def verify(df: DataFrame, manifestPath: String): Boolean = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(manifestPath)), "UTF-8")
+    val m = """"rows":(-?\d+),"xor":(-?\d+)""".r.findFirstMatchIn(txt)
+    m.exists { g =>
+      digestOf(df) == ((g.group(1).toLong, g.group(2).toLong))
+    }
+  }
+}

@@ -179,6 +179,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally { back.unpersist(); () }
   }
 
+  test("landing manifest: partition-independent digest; detects tampering") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir() + "/manifested"
+    val docs = Tables.documents(spark, TestSpark.sf)
+    docs.repartition(5).write.parquet(dir)
+    val manifest = tmpDir() + "/m.json"
+    graft.pipeline.Manifest.write(spark.read.parquet(dir), manifest)
+    // verify under a DIFFERENT partitioning/order of the same rows
+    assert(graft.pipeline.Manifest.verify(
+      spark.read.parquet(dir).repartition(3), manifest))
+    // same count, one value changed → digest mismatch
+    val tampered = spark.read.parquet(dir)
+      .withColumn("n_chars",
+        when(col("doc_id") === 7, col("n_chars") + 1)
+          .otherwise(col("n_chars")))
+    assert(!graft.pipeline.Manifest.verify(tampered, manifest))
+    // dropped row → row-count mismatch
+    assert(!graft.pipeline.Manifest.verify(
+      spark.read.parquet(dir).filter(col("doc_id") =!= 7), manifest))
+  }
+
   test("schema drift: appended snapshots with a new column reconcile on read") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -598,4 +598,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(s3.select("doc_id").collect().map(_.getLong(0)).toSet == Set(7L))
     } finally q.stop()
   }
+
+  test("streamIngestEmbeddings dedups vectors across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sie").toString
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.operators.IncrementalDedup.streamIngestEmbeddings(spark,
+      mem.toDF().toDF("vec_id", "embedding"),
+      s"$dir/state", s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((1L, unit(0)), (2L, unit(1)))
+      q.processAllAvailable()
+      // batch 2: exact dup of vector 1 (cosine 1), one orthogonal new
+      mem.addData((3L, unit(0)), (4L, unit(2)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(1L, 2L, 4L))
+      // the same state serves subsequent BATCH ingests
+      val b3 = Seq((5L, unit(2)), (6L, unit(3)))
+        .toDF("vec_id", "embedding")
+      val s3 = graft.operators.IncrementalDedup
+        .ingestEmbeddings(spark, b3, s"$dir/state")
+      assert(s3.select("vec_id").collect().map(_.getLong(0)).toSet
+        == Set(6L))
+    } finally q.stop()
+  }
 }
