@@ -299,7 +299,23 @@ object MiscQueries {
       .orderBy("constraint")
   }
 
+  /** Cross-engine ingest manifest: row count + order-independent bit_xor
+    * content digest over a canonical row serialization (NUL-coalesced
+    * string-cast columns joined by \u0001 → sha-256 → 60-bit prefix —
+    * XOR folding is commutative, so any partitioning or row order gives
+    * the same value, and the whole check is ONE map-side-combinable
+    * pass). Declared so the oracle gate proves the digest is
+    * engine-independent: a landing written by Spark can be verified by
+    * DuckDB or any other stack computing the same canonical form.
+    * [[graft.pipeline.Manifest]] is the operational wrapper. */
+  val qIngestManifest: Q = (s, d) => {
+    val docs = graft.Tables(s, d, "documents")
+    docs.select(graft.pipeline.Manifest.rowDigest(docs).as("p"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(p)").as("xor_digest"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ingest_manifest" -> qIngestManifest,
     "q_quality_constraints" -> qQualityConstraints,
     "q_profile_table" -> qProfileTable,
     "q_agg_string" -> qAggString,
@@ -320,6 +336,17 @@ object MiscQueries {
     "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ingest_manifest" ->
+      """SELECT COUNT(*) AS n_rows,
+           bit_xor(CAST('0x' || substring(sha256(
+             concat_ws(chr(1),
+               coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+               coalesce(text, chr(0)),
+               coalesce(lang, chr(0)),
+               coalesce(source, chr(0)),
+               coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 15)
+             AS BIGINT)) AS xor_digest
+         FROM documents""",
     "q_quality_constraints" ->
       """WITH rl AS (
            SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,

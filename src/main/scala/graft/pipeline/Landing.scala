@@ -119,22 +119,32 @@ object SchemaDrift {
 
 /** Ingest-integrity manifest, written next to a landed table: row count
   * plus an ORDER-INDEPENDENT content digest (bit_xor fold of a 60-bit
-  * prefix of each row's sha-256 over its canonical JSON form — XOR is
-  * commutative/associative, so any partitioning or row order produces
+  * prefix of each row's sha-256 over its canonical serialization — XOR
+  * is commutative/associative, so any partitioning or row order produces
   * the same value, and the fold is a one-pass map-side-combinable
   * aggregate at any scale). Downstream jobs verify a landing before
   * trusting it: a partial write, dropped partition, or silent row edit
   * changes the digest where file counts and sizes can miss it. */
 object Manifest {
-  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.functions._
+
+  /** 60-bit per-row digest over the CANONICAL serialization: each column
+    * cast to string (NUL sentinel for NULL — concat_ws would otherwise
+    * silently skip nulls and collide shifted rows), joined by \u0001,
+    * sha-256, leading 15 hex digits. Engine-independent for string and
+    * integer columns (q_ingest_manifest pins the cross-engine equality
+    * under the DuckDB oracle gate); timestamp/double columns verify
+    * Spark-to-Spark but their string casts are engine-specific. */
+  def rowDigest(df: DataFrame): Column =
+    conv(substring(sha2(concat_ws("\u0001",
+      df.columns.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000"))): _*), 256),
+      1, 15), 16, 10).cast("long")
 
   /** (row count, xor-fold digest) of a frame's full content. */
   def digestOf(df: DataFrame): (Long, Long) = {
-    val r = df
-      .select(conv(substring(
-          sha2(to_json(struct(df.columns.map(col): _*)), 256), 1, 15),
-        16, 10).cast("long").as("p"))
+    val r = df.select(rowDigest(df).as("p"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(p)").as("x"))
       .head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
