@@ -31,19 +31,27 @@ object Bench {
     }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
+    val debugReps = sys.env.contains("SPARK_GRAFT_DEBUG_REPS")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+      }
+      if (debugReps)
+        System.err.println(f"[reps] $name%-28s " +
+          times.map(t => f"$t%6.2f").mkString(" "))
+      name -> times.sorted.apply(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // cpus/shuffle/reps ride in the JSON so round-over-round deltas can't
+    // be confounded by a config change (r5/r6 ran local[32] vs the
+    // recorded local[4] baseline — VERDICT r6 item 7).
+    val cfg = s""""cpus":$cpus,"shuffle":$cpus,"reps":$reps"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$cfg,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The full line's head (with "value" and the q_agg_*–q_dedup_* keys)
     // has been lost to tail-truncating log capture twice (BENCH_r02/r03).
@@ -54,7 +62,7 @@ object Bench {
     catch { case _: Throwable => () }
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,"sf":"$sfDir","full":"bench.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$cfg,"slowest":$slowest,"sf":"$sfDir","full":"bench.json"}""")
     spark.stop()
   }
 }

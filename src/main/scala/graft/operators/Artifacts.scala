@@ -9,6 +9,7 @@ package graft.operators
 object Artifacts {
   def clearAll(): Unit = {
     DedupQueries.clearArtifacts()
+    IncrementalDedup.clearArtifacts()
     Clustering.clearArtifacts()
     Similarity.clearArtifacts()
     CurationOps.clearArtifacts()

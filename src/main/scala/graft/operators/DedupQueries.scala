@@ -233,17 +233,36 @@ object DedupQueries {
   def minhashBands(docs: DataFrame, bands: Int, rows: Int,
       cacheKey: Option[String] = None): DataFrame = {
     val k = bands * rows
-    def build(): DataFrame = docTokens(docs)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
-      .withColumn("h", md5(concat(col("i").cast(StringType), lit(":"), col("tok"))))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("h")).as("sig"))
-      .withColumn("band", expr(s"CAST(i div $rows AS INT)"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(
-        sort_array(collect_list(concat(lpad(col("i").cast(StringType), 2, "0"),
-          lit("="), col("sig")))), "|")).as("band_key"))
+    // One hash column per minhash index instead of a k× row explode: the
+    // only shuffle is groupBy(doc_id) with k map-side-combinable string
+    // mins (k · 32 hex bytes per doc), ~k× less shuffle volume than
+    // exploding (tok, i) pairs, and the per-band digest folds map-side
+    // from the k signature columns with no second aggregation. The k
+    // md5s are computed per token OCCURRENCE — measured faster here than
+    // hashing the distinct vocabulary and joining back (the distinct +
+    // join exchanges cost more than the codegen'd md5s they save); on a
+    // corpus where per-occurrence hashing ever did dominate, h(i, tok)
+    // depends only on (i, tok), so a vocab-keyed hash table + equality
+    // join is the drop-in alternative. The band_key bytes are IDENTICAL
+    // to the historical two-shuffle formulation (lpad'd "ii=sig"
+    // fragments, "|"-joined in index order, which equals the sorted
+    // string order the oracle SQL uses).
+    def build(): DataFrame = {
+      val sigs = docTokens(docs)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(min(md5(concat(lit("0:"), col("tok")))).as("s0"),
+          (1 until k).map(i =>
+            min(md5(concat(lit(s"$i:"), col("tok")))).as(s"s$i")): _*)
+      val bandCols = (0 until bands).map { b =>
+        val frags = (b * rows until (b + 1) * rows)
+          .map(i => concat(lit(f"$i%02d="), col(s"s$i")))
+        struct(lit(b).as("band"), md5(concat_ws("|", frags: _*)).as("band_key"))
+      }
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.band_key").as("band_key"))
+    }
     cacheKey match {
       case Some(key) =>
         bandCache.getOrElseUpdate((key, bands, rows), build().localCheckpoint(true))

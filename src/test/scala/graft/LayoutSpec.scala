@@ -96,6 +96,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("newDocsBloomBucketed returns exactly newDocs' survivors across buckets") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val state = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val stateDigests = IncrementalDedup.digestsOf(state)
+    val stateBands = IncrementalDedup.bandsOf(state).select("band", "band_key")
+    val plain = IncrementalDedup.newDocs(batch, stateDigests, stateBands)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // nBuckets small enough that every bucket holds many state digests
+    // AND large enough that the fixture provably spans several buckets
+    val bucketed = IncrementalDedup.newDocsBloomBucketed(batch, stateDigests,
+        stateBands, nBuckets = 8, expectedItemsPerBucket = 200L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bucketed == plain)
+    assert(plain.nonEmpty)
+    val distinctBuckets = stateDigests
+      .select(pmod(xxhash64(col("digest")), lit(8L)).as("b"))
+      .distinct().count()
+    assert(distinctBuckets > 1, "fixture must span several buckets")
+  }
+
   test("bloom pre-filter lets most non-dup digests skip the anti-join") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val state = IncrementalDedup.digestsOf(docs.filter(col("doc_id") % 2 === 0))
