@@ -63,8 +63,62 @@ object Ingest {
 
 }
 
+/** Reference blob-layout landing paths, zone-parameterized. The
+  * reference computes its landing paths with wall-clock local time —
+  * `delays` explicitly in Europe/Warsaw (dags/warsaw-delays.py:194-195),
+  * `weather` in whatever zone the worker runs in
+  * (dags/warsaw-weather.py:21) — while the engine pins UTC everywhere.
+  * This helper reproduces the reference layout byte-for-byte when a
+  * migration user asks for it: pass [[LandingPaths.Warsaw]] and the path
+  * is the one the reference would have written, DST jumps included
+  * (spring-forward skips an hour token; fall-back lands two snapshots on
+  * one hour token — the reference's own collision, which its
+  * exists/upload guards then hit). Default stays UTC. */
+object LandingPaths {
+  val Utc: java.time.ZoneId = java.time.ZoneId.of("UTC")
+  val Warsaw: java.time.ZoneId = java.time.ZoneId.of("Europe/Warsaw")
+
+  /** `YYYY/MM/DD/<prefix>-HH` for `ts` rendered in `zone` — the
+    * reference's `strftime("%Y/%m/%d/<prefix>-%H")`. */
+  def blobPath(prefix: String, ts: java.time.Instant,
+      zone: java.time.ZoneId = Utc): String = {
+    val z = ts.atZone(zone)
+    f"${z.getYear}%04d/${z.getMonthValue}%02d/${z.getDayOfMonth}%02d/$prefix-${z.getHour}%02d"
+  }
+
+  /** dags/warsaw-delays.py:194: `traffic/YYYY/MM/DD/delays-HH.csv`. */
+  def delaysCsv(ts: java.time.Instant,
+      zone: java.time.ZoneId = Utc): String =
+    s"traffic/${blobPath("delays", ts, zone)}.csv"
+
+  /** dags/warsaw-weather.py:21: `weather/YYYY/MM/DD/weather-HH.csv`. */
+  def weatherCsv(ts: java.time.Instant,
+      zone: java.time.ZoneId = Utc): String =
+    s"weather/${blobPath("weather", ts, zone)}.csv"
+
+  /** (date, hour) of `ts` in `zone` — the partition key the zone-aware
+    * ingest variants land under. */
+  def datePartition(ts: java.time.Instant,
+      zone: java.time.ZoneId): (LocalDate, Int) = {
+    val z = ts.atZone(zone)
+    (z.toLocalDate, z.getHour)
+  }
+}
+
 /** DAG 1 — daily GTFS feed (dags/warsaw-gtfs.py). */
 object GtfsIngest {
+
+  /** P1 + the full DAG: fetch the feed zip to `stagingZip`, then [[run]].
+    * The fetch is unconditional — the reference downloads BEFORE its
+    * hash short-circuit (dags/warsaw-gtfs.py:49-58, the hash needs the
+    * bytes); change detection is [[run]]'s job. Returns false when the
+    * feed was unchanged and the run short-circuited. */
+  def fetchAndRun(spark: SparkSession, url: String,
+      stagingZip: java.nio.file.Path, warehouseDir: String,
+      statePath: String, date: LocalDate): Boolean = {
+    Fetch.toFile(url, stagingZip)
+    run(spark, stagingZip.toString, warehouseDir, statePath, date)
+  }
 
   /** Full run: hash → short-circuit if unchanged (P5) → expand (P7) →
     * per-table typed parse + date-partitioned parquet (P8/P9) → state
@@ -104,6 +158,16 @@ object GtfsIngest {
   * disappears into lazy lineage (SURVEY.md §3.2). */
 object DelaysIngest {
 
+  /** [[run]] with the partition key derived from an instant rendered in
+    * `zone` (default UTC; pass [[LandingPaths.Warsaw]] to reproduce the
+    * reference's Europe/Warsaw layout, dags/warsaw-delays.py:194-195). */
+  def runAt(spark: SparkSession, csvPath: String, warehouseDir: String,
+      ts: java.time.Instant,
+      zone: java.time.ZoneId = LandingPaths.Utc): Unit = {
+    val (date, hour) = LandingPaths.datePartition(ts, zone)
+    run(spark, csvPath, warehouseDir, date, hour)
+  }
+
   /** Landed CSV → typed parse (delay_raw → delay_seconds, the parse the
     * reference never does) → hour-partitioned parquet (P12/P13). */
   def run(spark: SparkSession, csvPath: String, warehouseDir: String,
@@ -126,24 +190,49 @@ object DelaysIngest {
 /** DAG 3 — hourly weather snapshot (dags/warsaw-weather.py). */
 object WeatherIngest {
 
+  /** Hour-partition target for a snapshot (engine-native Hive layout). */
+  def target(outDir: String, date: LocalDate, hour: Int): String =
+    f"$outDir/weather/y=${date.getYear}%04d/m=${date.getMonthValue}%02d/d=${date.getDayOfMonth}%02d/h=$hour%02d"
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** P2 + P10, the full DAG: the exists short-circuit runs BEFORE the
+    * API call (dags/warsaw-weather.py:26-34 — its whole point is not
+    * hitting the API when this hour's snapshot already landed), then
+    * fetch → land. Returns false when the snapshot existed and the API
+    * was never touched. */
+  def fetchAndRun(spark: SparkSession, url: String, outDir: String,
+      date: LocalDate, hour: Int): Boolean =
+    if (exists(spark, target(outDir, date, hour))) false
+    else run(spark, Fetch.bytes(url), outDir, date, hour)
+
+  /** [[run]] with the partition key derived from an instant rendered in
+    * `zone` — default UTC; the reference lands in the worker's local
+    * zone (dags/warsaw-weather.py:21). */
+  def runAt(spark: SparkSession, payload: Array[Byte], outDir: String,
+      ts: java.time.Instant,
+      zone: java.time.ZoneId = LandingPaths.Utc): Boolean = {
+    val (date, hour) = LandingPaths.datePartition(ts, zone)
+    run(spark, payload, outDir, date, hour)
+  }
+
   /** P10: idempotent write guard — SaveMode.Ignore is the exact semantic
     * match for "skip if blob exists" (dags/warsaw-weather.py:26-28).
     * Returns false when the target already existed. */
   def run(spark: SparkSession, payload: Array[Byte], outDir: String,
       date: LocalDate, hour: Int): Boolean = {
-    val target =
-      f"$outDir/weather/y=${date.getYear}%04d/m=${date.getMonthValue}%02d/d=${date.getDayOfMonth}%02d/h=$hour%02d"
+    val targetDir = target(outDir, date, hour)
     // Hadoop FS existence check so the returned did-write flag matches
     // SaveMode.Ignore's own decision on any filesystem, not just local
-    val targetPath = new org.apache.hadoop.fs.Path(target)
-    val existed = targetPath
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(targetPath)
+    val existed = exists(spark, targetDir)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(
         Seq(org.apache.spark.sql.Row(f"$hour%02d", payload)), 1),
       LandingSchemas.weather)
-    df.write.mode(SaveMode.Ignore).parquet(target)
+    df.write.mode(SaveMode.Ignore).parquet(targetDir)
     !existed
   }
 }

@@ -105,6 +105,127 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  /** Loopback HTTP fixture: serves `body` (or a 404 for unknown paths),
+    * counts hits per path. No real network — 127.0.0.1 ephemeral port. */
+  private def withHttpServer[A](routes: Map[String, Array[Byte]])(
+      f: (String, collection.mutable.Map[String, Int]) => A): A = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = collection.mutable.Map[String, Int]().withDefaultValue(0)
+    server.createContext("/", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      hits.synchronized { hits(path) = hits(path) + 1 }
+      routes.get(path) match {
+        case Some(body) =>
+          exchange.sendResponseHeaders(200, body.length.toLong)
+          exchange.getResponseBody.write(body)
+        case None =>
+          exchange.sendResponseHeaders(404, -1L)
+      }
+      exchange.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", hits)
+    finally server.stop(0)
+  }
+
+  private def zipBytes(members: Map[String, String]): Array[Byte] = {
+    val bout = new ByteArrayOutputStream()
+    val zout = new ZipOutputStream(bout)
+    members.foreach { case (name, content) =>
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    zout.close()
+    bout.toByteArray
+  }
+
+  test("GtfsIngest.fetchAndRun: P1 fetch → land → hash short-circuit on refetch") {
+    val dir = tmpDir()
+    val feed = zipBytes(Map("stops.txt" -> stopsCsv))
+    withHttpServer(Map("/gtfs/warsaw.zip" -> feed)) { (base, hits) =>
+      val staged = java.nio.file.Paths.get(dir, "staging", "warsaw.zip")
+      val date = LocalDate.of(2025, 1, 6)
+      assert(GtfsIngest.fetchAndRun(spark, s"$base/gtfs/warsaw.zip", staged,
+        s"$dir/wh", s"$dir/state.parquet", date))
+      assert(spark.read.parquet(s"$dir/wh/gtfs/stops/y=2025/m=01/d=06").count() == 2)
+      // second run re-fetches (the reference downloads before hashing)
+      // but the unchanged feed short-circuits the ingest
+      assert(!GtfsIngest.fetchAndRun(spark, s"$base/gtfs/warsaw.zip", staged,
+        s"$dir/wh", s"$dir/state.parquet", date))
+      assert(hits("/gtfs/warsaw.zip") == 2)
+    }
+  }
+
+  test("Fetch.toFile raises for status and stages nothing on non-2xx") {
+    val dir = tmpDir()
+    withHttpServer(Map.empty) { (base, _) =>
+      val dest = java.nio.file.Paths.get(dir, "missing.zip")
+      val e = intercept[java.io.IOException](
+        Fetch.toFile(s"$base/nope.zip", dest))
+      assert(e.getMessage.contains("404"))
+      assert(!Files.exists(dest), "failed fetch must not land a file")
+    }
+  }
+
+  test("WeatherIngest.fetchAndRun: exists-guard short-circuits BEFORE the API call") {
+    val dir = tmpDir()
+    val payload = "station,temp\nWarszawa,21.5\n".getBytes("UTF-8")
+    withHttpServer(Map("/api/weather" -> payload)) { (base, hits) =>
+      val date = LocalDate.of(2025, 1, 6)
+      assert(WeatherIngest.fetchAndRun(spark, s"$base/api/weather", dir, date, 9))
+      assert(hits("/api/weather") == 1)
+      val landed = spark.read.schema(LandingSchemas.weather)
+        .parquet(WeatherIngest.target(dir, date, 9))
+      assert(landed.count() == 1)
+      assert(landed.head.getAs[Array[Byte]]("body").sameElements(payload))
+      // snapshot exists → returns false and the API is NOT hit again
+      assert(!WeatherIngest.fetchAndRun(spark, s"$base/api/weather", dir, date, 9))
+      assert(hits("/api/weather") == 1)
+    }
+  }
+
+  test("landing paths: Warsaw zone reproduces the reference layout across the DST jump") {
+    import java.time.Instant
+    // Europe/Warsaw springs forward 2025-03-30: 02:00 CET → 03:00 CEST
+    val beforeJump = Instant.parse("2025-03-30T00:30:00Z") // 01:30 CET
+    val afterJump = Instant.parse("2025-03-30T01:30:00Z")  // 03:30 CEST
+    assert(LandingPaths.delaysCsv(beforeJump, LandingPaths.Warsaw)
+      == "traffic/2025/03/30/delays-01.csv")
+    assert(LandingPaths.delaysCsv(afterJump, LandingPaths.Warsaw)
+      == "traffic/2025/03/30/delays-03.csv") // hour 02 never exists
+    // same instants in the engine default (UTC) keep the skipped hour
+    assert(LandingPaths.delaysCsv(afterJump) == "traffic/2025/03/30/delays-01.csv")
+    // fall-back 2025-10-26: 03:00 CEST → 02:00 CET; two instants one
+    // token apart land on the SAME path — the reference's own collision,
+    // absorbed by its (and our) exists/upload guards
+    val cest = Instant.parse("2025-10-26T00:30:00Z") // 02:30 CEST
+    val cet = Instant.parse("2025-10-26T01:30:00Z")  // 02:30 CET
+    assert(LandingPaths.weatherCsv(cest, LandingPaths.Warsaw)
+      == LandingPaths.weatherCsv(cet, LandingPaths.Warsaw))
+    // cross-midnight divergence: a UTC-evening instant is the NEXT DAY in
+    // Warsaw — the whole reason the layout must be zone-explicit
+    val eve = Instant.parse("2025-07-01T22:30:00Z")
+    assert(LandingPaths.delaysCsv(eve) == "traffic/2025/07/01/delays-22.csv")
+    assert(LandingPaths.delaysCsv(eve, LandingPaths.Warsaw)
+      == "traffic/2025/07/02/delays-00.csv")
+  }
+
+  test("DelaysIngest.runAt lands Warsaw-zone hour partitions across the DST jump") {
+    val dir = tmpDir()
+    val csv = s"$dir/delays.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      "type,vehicle_no,brigade,route,trip_headsign,delay_raw,stop_name,outside,ingest_ts\n" +
+      "bus,1001,A,175,Centrum,3 min,PlacZawiszy,false,2025-03-30 01:30:00\n")
+    val afterJump = java.time.Instant.parse("2025-03-30T01:30:00Z")
+    DelaysIngest.runAt(spark, csv, s"$dir/wh-waw", afterJump, LandingPaths.Warsaw)
+    DelaysIngest.runAt(spark, csv, s"$dir/wh-utc", afterJump)
+    // Warsaw partition is hour 03 (post-jump); UTC keeps hour 01
+    assert(spark.read.parquet(s"$dir/wh-waw/traffic/y=2025/m=3/d=30/h=3").count() == 1)
+    assert(spark.read.parquet(s"$dir/wh-utc/traffic/y=2025/m=3/d=30/h=1").count() == 1)
+  }
+
   test("IncrementalDedup.ingest: cross-snapshot corpus state round-trip") {
     import spark.implicits._
     import graft.operators.IncrementalDedup
