@@ -66,8 +66,22 @@ object Layout {
     * files, and at warehouse scale footer/open overhead on millions of
     * tiny files dominates scan cost long before data volume does.
     * Row-content preserving (no ordering contract, like any table
-    * rewrite); uses a staging-dir + swap so a crash mid-compaction never
-    * leaves the table half-rewritten (the FeedState overwrite pattern).
+    * rewrite).
+    *
+    * Crash story, honestly: the swap is TWO renames (table → backup,
+    * staging → table), and a filesystem rename pair is not atomic — a
+    * crash between them leaves no live directory at `dir`, with the data
+    * intact under `dir__precompact`. So on entry compact() RECOVERS that
+    * state first: if the backup exists and `dir` does not, the backup is
+    * restored (never deleted) before anything else happens, which makes
+    * the crash window self-healing on rerun rather than data-losing. A
+    * true transactional swap needs a format with a commit log (Delta/
+    * Iceberg) or a single-rename layout; on object stores "rename" is
+    * copy+delete, widening the window — run compaction there only under
+    * a table lock or a manifest-pointer layout. Readers concurrent with
+    * the swap can observe `dir` briefly absent; that, too, is a
+    * table-format problem, not one two renames can solve.
+    *
     * Operates on ONE leaf directory — for a date-partitioned table run it
     * per partition (compaction is embarrassingly parallel across
     * partitions, and per-partition swaps keep readers of other partitions
@@ -77,6 +91,10 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(dir + "__precompact")
+    // crash recovery: a previous run that died between its two swap
+    // renames left the table under the backup name — restore, don't drop
+    if (fs.exists(bak) && !fs.exists(path)) fs.rename(bak, path)
     def parquetFiles() = fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = parquetFiles()
@@ -85,7 +103,9 @@ object Layout {
     val staging = new org.apache.hadoop.fs.Path(dir + "__compacting")
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(staging.toString)
-    val bak = new org.apache.hadoop.fs.Path(dir + "__precompact")
+    // the backup slot must be free for THIS run's swap; at this point the
+    // live table exists (recovered above if needed), so a leftover backup
+    // is a stale artifact of a completed-or-recovered run, safe to drop
     fs.delete(bak, true)
     fs.rename(path, bak)
     fs.rename(staging, path)

@@ -311,7 +311,9 @@ object MiscQueries {
   val qIngestManifest: Q = (s, d) => {
     val docs = graft.Tables(s, d, "documents")
     docs.select(graft.pipeline.Manifest.rowDigest(docs).as("p"))
-      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(p)").as("xor_digest"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(p)").as("xor_digest"),
+        sum(expr("shiftright(p, 30)")).as("sum_hi"),
+        sum(expr("p & 1073741823")).as("sum_lo"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -337,16 +339,20 @@ object MiscQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_ingest_manifest" ->
-      """SELECT COUNT(*) AS n_rows,
-           bit_xor(CAST('0x' || substring(sha256(
+      """WITH p AS (
+           SELECT CAST('0x' || substring(sha256(
              concat_ws(chr(1),
                coalesce(CAST(doc_id AS VARCHAR), chr(0)),
                coalesce(text, chr(0)),
                coalesce(lang, chr(0)),
                coalesce(source, chr(0)),
                coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 15)
-             AS BIGINT)) AS xor_digest
-         FROM documents""",
+             AS BIGINT) AS p
+           FROM documents)
+         SELECT COUNT(*) AS n_rows, bit_xor(p) AS xor_digest,
+           CAST(SUM(p >> 30) AS BIGINT) AS sum_hi,
+           CAST(SUM(p & 1073741823) AS BIGINT) AS sum_lo
+         FROM p""",
     "q_quality_constraints" ->
       """WITH rl AS (
            SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,

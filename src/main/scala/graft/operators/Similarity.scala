@@ -251,11 +251,18 @@ object Similarity {
     val st = stateBuckets.select(col("qv").as("qa"),
       col("nrm2").as("na2"), col("tbl"), col("bucket").as("pbucket"))
     val dec38 = DecimalType(38, 0)
+    // exact-qv equality is a dup SHORT-CIRCUIT ahead of the cosine test:
+    // cosine is undefined for a vector whose milli-quantized form is all
+    // zeros (nrm2 = 0, dot > 0 can never hold — not even against its own
+    // state row), which would break ingest rerun-idempotence by
+    // re-emitting such vectors as survivors on every replay. An
+    // identical quantized vector is a duplicate under any threshold.
     val dupIds = withProbes.join(st, Seq("tbl", "pbucket"))
       .withColumn("dot", dotL(col("qa"), col("qb")))
-      .filter(col("dot") > 0
-        && col("dot").cast(dec38) * col("dot") * 10000L
-           >= lit(cosSq1e4).cast(dec38) * col("na2") * col("nb2"))
+      .filter((col("qa") === col("qb"))
+        || (col("dot") > 0
+          && col("dot").cast(dec38) * col("dot") * 10000L
+             >= lit(cosSq1e4).cast(dec38) * col("na2") * col("nb2")))
       .select(col("id_b").as("id")).distinct()
     batch.select(col(idCol).as("id")).distinct()
       .join(dupIds, Seq("id"), "left_anti")

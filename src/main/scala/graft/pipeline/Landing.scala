@@ -104,10 +104,16 @@ object SchemaDrift {
     * explicit quarantine column — a malformed line survives as its raw
     * text with every schema column NULL, instead of silently vanishing
     * (DROPMALFORMED) or aborting a 100 TB job for one bad scrape line
-    * (FAILFAST). Callers split on `_corrupt_record IS NULL` into the
-    * clean stream and a quarantine sink for repair — the
-    * landing-robustness contract the reference's scrapers need (their
-    * pandas parse dies on the first malformed payload). */
+    * (FAILFAST) — the landing-robustness contract the reference's
+    * scrapers need (their pandas parse dies on the first malformed
+    * payload).
+    *
+    * SPLITTING CAVEAT: Spark refuses a query that references ONLY the
+    * internal corrupt-record column of a JSON scan (e.g.
+    * `df.filter($"_corrupt_record".isNotNull).select("_corrupt_record")`
+    * throws AnalysisException) — the raw frame must be cached before
+    * such a split. Use [[readJsonQuarantineSplit]], which does this
+    * correctly, rather than splitting this frame by hand. */
   def readJsonQuarantine(spark: org.apache.spark.sql.SparkSession,
       schema: StructType, path: String): org.apache.spark.sql.DataFrame =
     spark.read
@@ -115,16 +121,41 @@ object SchemaDrift {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+
+  /** [[readJsonQuarantine]] pre-split into (clean, quarantine): clean =
+    * schema rows that parsed, quarantine = the raw text of every
+    * malformed line. The parsed frame is cached HERE because Spark
+    * disallows quarantine-side queries that reference only the internal
+    * corrupt-record column on an uncached JSON scan (see caveat above) —
+    * and both halves read it anyway. Callers may `unpersist()` either
+    * half's parent once both sinks are written. */
+  def readJsonQuarantineSplit(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, path: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val raw = readJsonQuarantine(spark, schema, path).cache()
+    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.filter(col("_corrupt_record").isNotNull).select("_corrupt_record"))
+  }
 }
 
 /** Ingest-integrity manifest, written next to a landed table: row count
-  * plus an ORDER-INDEPENDENT content digest (bit_xor fold of a 60-bit
-  * prefix of each row's sha-256 over its canonical serialization — XOR
-  * is commutative/associative, so any partitioning or row order produces
-  * the same value, and the fold is a one-pass map-side-combinable
-  * aggregate at any scale). Downstream jobs verify a landing before
-  * trusting it: a partial write, dropped partition, or silent row edit
-  * changes the digest where file counts and sizes can miss it. */
+  * plus ORDER-INDEPENDENT content digests (commutative/associative
+  * folds of a 60-bit prefix of each row's sha-256 over its canonical
+  * serialization — any partitioning or row order produces the same
+  * values, and each fold is a one-pass map-side-combinable aggregate at
+  * any scale). Downstream jobs verify a landing before trusting it: a
+  * partial write, dropped partition, or silent row edit changes a
+  * digest where file counts and sizes can miss it.
+  *
+  * TWO folds, because each has a blind spot the other covers: the XOR
+  * fold cancels EVEN multiplicities (swapping two identical copies of
+  * row X for two of row Y preserves count and XOR), so on tables that
+  * permit duplicate rows it is not a general edit detector; the SUM
+  * fold (row digest split into 30-bit halves, each summed — exact in a
+  * BIGINT for any table under 2³¹ rows, no ANSI overflow) is
+  * multiplicity-sensitive, catching exactly that class. Together a
+  * forgery must preserve count, XOR, and both half-sums. */
 object Manifest {
   import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.functions._
@@ -142,28 +173,39 @@ object Manifest {
         coalesce(col(c).cast("string"), lit("\u0000"))): _*), 256),
       1, 15), 16, 10).cast("long")
 
-  /** (row count, xor-fold digest) of a frame's full content. */
-  def digestOf(df: DataFrame): (Long, Long) = {
+  /** Full manifest content: (rows, xor, sum of high 30 bits, sum of low
+    * 30 bits). One aggregation pass computes all four folds. */
+  def digestOf(df: DataFrame): (Long, Long, Long, Long) = {
     val r = df.select(rowDigest(df).as("p"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(p)").as("x"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(p)").as("x"),
+        sum(expr("shiftright(p, 30)")).as("sh"),
+        sum(expr("p & 1073741823")).as("sl"))
       .head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    (r.getLong(0), l(1), l(2), l(3))
   }
 
   def write(df: DataFrame, manifestPath: String): Unit = {
-    val (n, x) = digestOf(df)
+    val (n, x, sh, sl) = digestOf(df)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(manifestPath),
-      s"""{"rows":$n,"xor":$x}""")
+      s"""{"rows":$n,"xor":$x,"sum_hi":$sh,"sum_lo":$sl}""")
     ()
   }
 
-  /** Recompute from `df` and compare with the stored manifest. */
+  /** Recompute from `df` and compare with the stored manifest. Sum
+    * fields are optional on read (pre-sum manifests verify on
+    * rows + xor alone). */
   def verify(df: DataFrame, manifestPath: String): Boolean = {
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(manifestPath)), "UTF-8")
-    val m = """"rows":(-?\d+),"xor":(-?\d+)""".r.findFirstMatchIn(txt)
-    m.exists { g =>
-      digestOf(df) == ((g.group(1).toLong, g.group(2).toLong))
+    def field(k: String): Option[Long] =
+      (s""""$k":(-?\\d+)""").r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    (field("rows"), field("xor")) match {
+      case (Some(n), Some(x)) =>
+        val (gn, gx, gsh, gsl) = digestOf(df)
+        gn == n && gx == x &&
+          field("sum_hi").forall(_ == gsh) && field("sum_lo").forall(_ == gsl)
+      case _ => false
     }
   }
 }

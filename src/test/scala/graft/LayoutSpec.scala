@@ -197,4 +197,25 @@ class LayoutSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b)
   }
+
+  test("compact recovers a crash between its two swap renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash")
+      .toString + "/events"
+    Tables.events(spark, TestSpark.sf).repartition(4).write.parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    // simulate the crash window: table renamed to backup, second rename
+    // never happened — no live directory at `dir`
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__precompact")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // rerun must restore the backup (not delete it) and then compact
+    val (_, nAfter) =
+      graft.operators.Layout.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(nAfter == 1)
+    assert(spark.read.parquet(dir).count() == rows,
+      "every row must survive crash recovery + compaction")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__precompact")))
+  }
 }

@@ -183,6 +183,30 @@ class NoOracleSpec extends AnyFunSuite {
     assert(s3.count() == 0)
   }
 
+  test("ingestEmbeddings rerun is a no-op even for zero-quantized vectors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-embzero")
+      .toString
+    // a vector whose milli-quantized form is all zeros has nrm2 = 0:
+    // cosine is undefined for it, so only the exact-qv short-circuit can
+    // recognize its own state row on replay
+    val zero = Array.fill(64)(1e-9f)
+    val unit = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val batch = Seq((1L, zero), (2L, unit)).toDF("vec_id", "embedding")
+    val s1 = graft.operators.IncrementalDedup
+      .ingestEmbeddings(spark, batch, dir)
+    assert(s1.count() == 2)
+    val replay = graft.operators.IncrementalDedup
+      .ingestEmbeddings(spark, batch, dir)
+    assert(replay.count() == 0,
+      "replay must be a no-op for zero-quantized vectors too")
+    // and state did not grow duplicate bucketed rows
+    val stateRows = spark.read.parquet(s"$dir/vecs").count()
+    val once = graft.operators.Similarity
+      .quantBucketed(batch, "vec_id", "embedding", 2, 4, 64).count()
+    assert(stateRows == once, s"state grew: $stateRows vs $once")
+  }
+
   test("persisted PQ index answers queries identically to the fitted one") {
     val corpus = Tables.embeddings(spark, sf).filter(
       org.apache.spark.sql.functions.col("vec_id") =!= 0L)

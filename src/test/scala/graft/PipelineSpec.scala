@@ -284,20 +284,20 @@ class PipelineSpec extends AnyFunSuite {
       ).mkString("", "\n", "\n").getBytes("UTF-8"))
     val schema = StructType(Seq(StructField("route_id", StringType),
       StructField("delay", IntegerType)))
-    val back = graft.pipeline.SchemaDrift
-      .readJsonQuarantine(spark, schema, dir).cache()
+    // the split helper owns the cache Spark requires before a
+    // corrupt-column-only query — no caller-side .cache() ceremony
+    val (clean, bad) = graft.pipeline.SchemaDrift
+      .readJsonQuarantineSplit(spark, schema, dir)
     try {
-      val clean = back.filter(col("_corrupt_record").isNull)
-      val bad = back.filter(col("_corrupt_record").isNotNull)
       assert(clean.count() == 2 && bad.count() == 2)
+      assert(!clean.columns.contains("_corrupt_record"))
       assert(clean.select("route_id").collect().map(_.getString(0)).sorted
         .toSeq == Seq("R1", "R3"))
       // the raw malformed lines survive verbatim for repair
-      val raw = bad.select("_corrupt_record").collect()
-        .map(_.getString(0)).sorted.toSeq
+      val raw = bad.collect().map(_.getString(0)).sorted.toSeq
       assert(raw == Seq("""not json at all""",
         """{"route_id":"R2","delay":}"""))
-    } finally { back.unpersist(); () }
+    } finally { spark.sharedState.cacheManager.clearCache(); () }
   }
 
   test("landing manifest: partition-independent digest; detects tampering") {
@@ -319,6 +319,29 @@ class PipelineSpec extends AnyFunSuite {
     // dropped row → row-count mismatch
     assert(!graft.pipeline.Manifest.verify(
       spark.read.parquet(dir).filter(col("doc_id") =!= 7), manifest))
+  }
+
+  test("manifest sum fold catches even-multiplicity swaps the XOR fold cancels") {
+    import org.apache.spark.sql.functions._
+    val base = tmpDir()
+    // duplicate-permitting table: two copies of X, count and XOR would
+    // survive swapping them for two copies of Y (x ⊕ x = y ⊕ y = 0)
+    val x = Tables.documents(spark, TestSpark.sf).filter(col("doc_id") === 1)
+    val y = Tables.documents(spark, TestSpark.sf).filter(col("doc_id") === 2)
+    val twoX = x.unionAll(x)
+    val twoY = y.unionAll(y)
+    val (nx, xx, _, _) = graft.pipeline.Manifest.digestOf(twoX)
+    val (ny, xy, _, _) = graft.pipeline.Manifest.digestOf(twoY)
+    assert(nx == ny && xx == xy, "premise: count+XOR are blind to the swap")
+    val manifest = s"$base/m.json"
+    graft.pipeline.Manifest.write(twoX, manifest)
+    assert(graft.pipeline.Manifest.verify(twoX, manifest))
+    assert(!graft.pipeline.Manifest.verify(twoY, manifest),
+      "sum fold must catch the even-multiplicity swap")
+    // pre-sum manifests (rows+xor only) still verify
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/old.json"),
+      s"""{"rows":$nx,"xor":$xx}""")
+    assert(graft.pipeline.Manifest.verify(twoX, s"$base/old.json"))
   }
 
   test("schema drift: appended snapshots with a new column reconcile on read") {
