@@ -77,6 +77,92 @@ object Geo {
     // different, so a qualifying pair meets on exactly one equality key
   }
 
+  // ---- great-circle layer over the integer-exact core ------------------
+  //
+  // The GTFS domain is lat/lon degrees (stops.txt per the public spec),
+  // where euclidean microdegrees misstate east-west distance by cos(lat)
+  // (~36% at Warsaw's 52°N). The haversine layer computes TRUE
+  // great-circle meters; it is float (sin/cos/asin), so its queries sit
+  // in the no-oracle class (property-tested against a plain-Scala
+  // formula and a brute-force sweep — AnalyticsOpsSpec), while the
+  // integer grid stays the bucketing layer underneath the join exactly
+  // as before: coarse candidate cells from exact integer arithmetic,
+  // exact-enough float verification on the original doubles above it.
+
+  /** IUGG mean earth radius, meters. */
+  val EarthRadiusM = 6371008.8
+
+  private val MetersPerDegLat = math.Pi * EarthRadiusM / 180.0 // ≈111195
+
+  /** Great-circle distance in METERS between two (lat, lon) degree
+    * pairs — the haversine formula on codegen'd built-ins (no UDF):
+    * a = sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2), d = 2R·asin(√a), with √a
+    * clamped to 1 against float drift on antipodal pairs. NULL in =
+    * NULL out (the clamp is guarded: `least` alone would swallow the
+    * NULL and return asin(1) — half the planet away). */
+  def haversineMeters(lat1: Column, lon1: Column,
+      lat2: Column, lon2: Column): Column = {
+    val a = pow(sin(radians(lat2 - lat1) / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) *
+        pow(sin(radians(lon2 - lon1) / 2), 2)
+    when(a.isNull, lit(null).cast(DoubleType))
+      .otherwise(lit(2 * EarthRadiusM) * asin(least(lit(1.0), sqrt(a))))
+  }
+
+  /** All unordered pairs (a < b) of `points` (idCol + lat/lon DEGREE
+    * columns) within `radiusMeters` great-circle distance, with the
+    * distance. Same join machinery as [[neighborPairs]] — integer
+    * microdegree grid cells as the bucketing layer, 3×3 neighbor explode
+    * on one side, equality join, exact verification — but the cell
+    * spacing is derived from spherical bounds so recall is total:
+    * latitude from d ≥ R·|Δφ|, longitude from
+    * sin(d/2R) ≥ cos(φ)·|sin(Δλ/2)| at the patch's worst-case
+    * |lat| = `maxAbsLatDeg` (the operator REQUIRES all points inside
+    * that band; 66° covers every human-mobility dataset short of
+    * Svalbard). Lat and lon cells are sized separately and joined as a
+    * two-column key — longitude cells widen toward the poles instead of
+    * inflating the whole grid. Assumes the patch does not cross the
+    * antimeridian (lon discontinuity at ±180°), the standard caveat of
+    * grid-bucketed spatial joins. */
+  def haversineNeighborPairs(points: DataFrame, idCol: String,
+      latCol: String, lonCol: String, radiusMeters: Double,
+      maxAbsLatDeg: Double = 66.0): DataFrame = {
+    require(radiusMeters > 0 && maxAbsLatDeg >= 0 && maxAbsLatDeg < 90)
+    val cosBound = math.cos(math.toRadians(maxAbsLatDeg))
+    val sinHalf = math.sin(radiusMeters / (2 * EarthRadiusM)) / cosBound
+    require(sinHalf < 1,
+      s"radius ${radiusMeters}m degenerates the grid at |lat| <= $maxAbsLatDeg")
+    // +1 µdeg absorbs the floor()-to-integer slop on each coordinate
+    val latCellU = math.ceil(radiusMeters / MetersPerDegLat * 1e6).toLong + 1
+    val lonCellU = math.ceil(
+      math.toDegrees(2 * math.asin(sinHalf)) * 1e6).toLong + 1
+    val pts = points.select(col(idCol).as("id"),
+      col(latCol).cast(DoubleType).as("lat"),
+      col(lonCol).cast(DoubleType).as("lon"),
+      floor(col(latCol).cast(DoubleType) * 1e6 / latCellU)
+        .cast(LongType).as("cla"),
+      floor(col(lonCol).cast(DoubleType) * 1e6 / lonCellU)
+        .cast(LongType).as("clo"))
+    val right = pts.select(col("id").as("id_b"), col("lat").as("lat_b"),
+      col("lon").as("lon_b"), col("cla"), col("clo"))
+    val offsets = for (dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L))
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val left = pts.select(col("id").as("id_a"), col("lat").as("lat_a"),
+        col("lon").as("lon_a"), col("cla").as("cla0"), col("clo").as("clo0"))
+      .withColumn("off", explode(array(offsets: _*)))
+      .select(col("id_a"), col("lat_a"), col("lon_a"),
+        (col("cla0") + col("off.dx")).as("cla"),
+        (col("clo0") + col("off.dy")).as("clo"))
+    left.join(right, Seq("cla", "clo"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist_m", haversineMeters(col("lat_a"), col("lon_a"),
+        col("lat_b"), col("lon_b")))
+      .filter(col("dist_m") <= radiusMeters)
+      .select(col("id_a"), col("id_b"), col("dist_m"))
+    // like neighborPairs: the 9 offset keys are pairwise distinct, so a
+    // qualifying pair meets on exactly one (cla, clo) key — no distinct
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   private val Range = 1000000L // 1°×1° patch in microdegrees
@@ -156,10 +242,44 @@ object Geo {
       .orderBy("user_id", "seg")
   }
 
+  /** Declared query (no oracle — float trig, the permitted float-fold
+    * class; property-tested in AnalyticsOpsSpec at recall 1.0 against a
+    * brute-force haversine sweep): customer pairs within 1200 m
+    * great-circle distance over the derived degree coordinates, with
+    * the true distance in meters. */
+  val qGeoNeighborsHaversine: Q = (s, d) =>
+    haversineNeighborPairs(
+      customerPoints(s, d).select(col("c_custkey"),
+        (col("lat_u") / 1e6).as("lat"), (col("lon_u") / 1e6).as("lon")),
+      "c_custkey", "lat", "lon", radiusMeters = 1200.0)
+
+  /** Declared query (no oracle — float trig; property-tested against a
+    * plain-Scala haversine fold): [[qGeoTrajectory]] with TRUE
+    * great-circle step meters instead of Manhattan microdegrees — same
+    * single-wide-exchange plan (user-keyed window, groupBy reuses the
+    * partitioning). */
+  val qGeoTrajectoryHaversine: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+      col("event_id"),
+      (derivedCoord(col("event_id"), "#lat", Range) / 1e6).as("lat"),
+      (derivedCoord(col("event_id"), "#lon", Range) / 1e6).as("lon"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("step_m", haversineMeters(
+        lag("lat", 1).over(w), lag("lon", 1).over(w),
+        col("lat"), col("lon")))
+      .groupBy("user_id")
+      .agg(count(col("step_m")).as("n_moves"),
+        coalesce(sum("step_m"), lit(0.0)).as("dist_total_m"),
+        max("step_m").as("max_step_m"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_geo_cell" -> qGeoCell,
     "q_geo_neighbors" -> qGeoNeighbors,
+    "q_geo_neighbors_haversine" -> qGeoNeighborsHaversine,
     "q_geo_trajectory" -> qGeoTrajectory,
+    "q_geo_trajectory_haversine" -> qGeoTrajectoryHaversine,
     "q_geo_dwell" -> qGeoDwell)
 
   private val coordSql =

@@ -161,6 +161,110 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }, n = 15)
   }
 
+  /** Reference implementation: plain-Scala haversine, meters. */
+  private def haversineRef(lat1: Double, lon1: Double,
+      lat2: Double, lon2: Double): Double = {
+    val a = math.pow(math.sin(math.toRadians(lat2 - lat1) / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(math.toRadians(lon2 - lon1) / 2), 2)
+    2 * 6371008.8 * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  test("haversineMeters equals the exact formula on random coordinate pairs") {
+    import spark.implicits._
+    val coordGen = for {
+      lat1 <- Gen.chooseNum(-66.0, 66.0); lon1 <- Gen.chooseNum(-179.0, 179.0)
+      lat2 <- Gen.chooseNum(-66.0, 66.0); lon2 <- Gen.chooseNum(-179.0, 179.0)
+    } yield (lat1, lon1, lat2, lon2)
+    check(Prop.forAll(Gen.listOfN(20, coordGen)) { quads =>
+      quads.isEmpty || {
+        val got = quads.toDF("lat1", "lon1", "lat2", "lon2")
+          .select(Geo.haversineMeters(col("lat1"), col("lon1"),
+            col("lat2"), col("lon2")))
+          .collect().map(_.getDouble(0))
+        got.zip(quads).forall { case (g, (a, b, c, d)) =>
+          val want = haversineRef(a, b, c, d)
+          math.abs(g - want) <= 1e-6 * math.max(1.0, want)
+        }
+      }
+    }, n = 10)
+  }
+
+  test("haversineNeighborPairs: recall 1.0 vs brute-force haversine sweep") {
+    val pts = Geo.qGeoCell(spark, sf)
+      .select("c_custkey", "lat_u", "lon_u").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1e6, r.getLong(2) / 1e6))
+    val base = Tables.customer(spark, sf).select(col("c_custkey"),
+      (Geo.derivedCoord(col("c_custkey"), "#lat", 1000000L) / 1e6).as("lat"),
+      (Geo.derivedCoord(col("c_custkey"), "#lon", 1000000L) / 1e6).as("lon"))
+    for (radius <- Seq(400.0, 1200.0, 5000.0)) {
+      val expect = (for {
+        (a, la, oa) <- pts; (b, lb, ob) <- pts
+        if a < b
+        if haversineRef(la, oa, lb, ob) <= radius
+      } yield (a, b)).toSet
+      val got = Geo.haversineNeighborPairs(base, "c_custkey", "lat", "lon",
+          radius).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.toSet == expect, s"radius=$radius")
+      assert(got.length == expect.size, s"duplicate emissions at $radius")
+      assert(expect.nonEmpty || radius < 1000,
+        s"fixture should have pairs at radius $radius")
+    }
+  }
+
+  test("haversineNeighborPairs property: recall 1.0 on random high-latitude patches") {
+    import spark.implicits._
+    // high latitudes are where the naive euclidean grid under-covers
+    // longitude — exactly the regime the spherical cell bounds must survive
+    val ptGen = for {
+      lat <- Gen.chooseNum(58.0, 60.0); lon <- Gen.chooseNum(20.0, 24.0)
+    } yield (lat, lon)
+    check(Prop.forAll(Gen.listOf(ptGen), Gen.oneOf(2000.0, 20000.0, 100000.0)) {
+      (raw, radius) =>
+        val pts = raw.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }
+        pts.isEmpty || {
+          val expect = (for {
+            (a, la, oa) <- pts; (b, lb, ob) <- pts
+            if a < b
+            if haversineRef(la, oa, lb, ob) <= radius
+          } yield (a, b)).toSet
+          val got = Geo.haversineNeighborPairs(
+            pts.toDF("id", "lat", "lon"), "id", "lat", "lon", radius)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          got.toSet == expect && got.length == expect.size
+        }
+    }, n = 15)
+  }
+
+  test("qGeoTrajectoryHaversine matches a plain-Scala great-circle fold") {
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts"),
+        col("event_id"),
+        (Geo.derivedCoord(col("event_id"), "#lat", 1000000L) / 1e6).as("lat"),
+        (Geo.derivedCoord(col("event_id"), "#lon", 1000000L) / 1e6).as("lon"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2)),
+        r.getDouble(3), r.getDouble(4)))
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val steps = rows.sortBy(_._2).sliding(2).collect {
+        case Array((_, _, la1, lo1), (_, _, la2, lo2)) =>
+          haversineRef(la1, lo1, la2, lo2)
+      }.toSeq
+      u -> (steps.size.toLong, steps.sum, if (steps.isEmpty) 0.0 else steps.max)
+    }
+    val got = Geo.qGeoTrajectoryHaversine(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, (n, total, mx)) =>
+      val (gn, gtotal, gmx) = got(u)
+      assert(gn == n, s"user $u moves")
+      assert(math.abs(gtotal - total) <= 1e-6 * math.max(1.0, total), s"user $u total")
+      assert(math.abs(gmx - mx) <= 1e-6 * math.max(1.0, mx), s"user $u max")
+    }
+  }
+
   test("runsConsecutive property: reconstructs any random trace exactly") {
     import spark.implicits._
     val evGen = Gen.listOf(for {
