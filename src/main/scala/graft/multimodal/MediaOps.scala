@@ -169,7 +169,6 @@ object MediaOps {
         col("kind"),
         col("meta.width").as("width"),
         col("meta.height").as("height"))
-      .orderBy("doc_id")
 
   /** Frame sampling through the typed mapPartitions path; frame count and
     * base64 of the first 8-byte frame are exact → oracle-checkable even
@@ -180,7 +179,6 @@ object MediaOps {
     sampleFrames(ds, frameBytes = 8).toDF()
       .select(col("doc_id"), col("n_frames"),
         base64(col("first_frame")).as("first_frame_b64"))
-      .orderBy("doc_id")
   }
 
   /** Resize through the typed mapPartitions path: downsampled payload
@@ -194,7 +192,6 @@ object MediaOps {
       .join(base.select(col("doc_id"),
         (col("meta.width") / 4).cast("int").as("new_width"),
         (col("meta.height") / 4).cast("int").as("new_height")), "doc_id")
-      .orderBy("doc_id")
   }
 
   /** Stub-decoded feature vectors (no oracle — float payload from the
@@ -206,7 +203,6 @@ object MediaOps {
     val ds = mediaTable(s, d).as[MediaRow]
     extractFeatures(ds).toDF()
       .select(col("doc_id"), to_json(col("features")).as("features"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

@@ -48,7 +48,6 @@ object AggQueries {
         sum(col("l_quantity").cast(dec2)).cast(dec2).cast("double").as("sum_qty"),
         sum(col("l_extendedprice").cast(dec2)).cast(dec2).cast("double").as("sum_price"),
         (sum(col("l_discount").cast(dec4)) / count(lit(1))).cast(dec6).cast("double").as("avg_disc"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   /** COUNT(DISTINCT) per group — Catalyst's expand + two-phase distinct
     * aggregate. Reference basis: dedupe-by-hash intent
@@ -57,7 +56,6 @@ object AggQueries {
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy("event_type")
 
   /** Multiple distinct aggregates in one pass (Catalyst Expand plan) +
     * FILTER-style conditional aggregates. */
@@ -73,7 +71,6 @@ object AggQueries {
         count(when(col("value") > 100, 1)).as("n_big"),
         sum(when(col("k") > 50, col("value").cast(dec2))).cast(dec2)
           .cast("double").as("sum_bigk"))
-      .orderBy("event_type")
 
   /** HLL++ approximate distinct — the 100 TB path for distinct counts
     * (constant memory per partition vs. expand shuffle). No oracle: sketch
@@ -88,7 +85,6 @@ object AggQueries {
     Tables.nation(s, d)
       .rollup(col("n_regionkey"), col("n_nationkey"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n_regionkey").asc_nulls_first, col("n_nationkey").asc_nulls_first)
 
   /** CUBE over (event_type, user parity). */
   val qAggCube: Q = (s, d) =>
@@ -98,7 +94,6 @@ object AggQueries {
       .cube(col("event_type"), col("parity"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(dec2)).cast(dec2).cast("double").as("sum_value"))
-      .orderBy(col("event_type").asc_nulls_first, col("parity").asc_nulls_first)
 
   /** Explicit GROUPING SETS with grouping() markers (SQL surface). */
   val qAggGroupingSets: Q = (s, d) => {
@@ -123,7 +118,6 @@ object AggQueries {
       .pivot("event_type", types)
       .count()
       .na.fill(0L, types)
-      .orderBy("hr")
   }
 
   // ---- window functions -------------------------------------------------
@@ -139,7 +133,6 @@ object AggQueries {
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
         row_number().over(w).as("rn"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Running (cumulative) sum per user over event time — the cumulative
@@ -150,7 +143,6 @@ object AggQueries {
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
         sum(col("value").cast(dec2)).over(w).cast(dec2).cast("double").as("running"))
-      .orderBy("event_id")
   }
 
   /** 3-row centered moving average per user (frame-spec surface); written
@@ -163,7 +155,6 @@ object AggQueries {
       .select(col("event_id"), col("user_id"),
         (sum(col("value").cast(dec2)).over(w) / count(lit(1)).over(w))
           .cast(dec6).cast("double").as("mavg"))
-      .orderBy("event_id")
   }
 
   /** RANGE frame over event time: per user, decimal sum of the trailing
@@ -176,7 +167,6 @@ object AggQueries {
       .withColumn("us", unix_micros(col("ts")))
       .select(col("event_id"), col("user_id"),
         sum(col("value").cast(dec2)).over(w).cast(dec2).cast("double").as("hour_sum"))
-      .orderBy("event_id")
   }
 
   /** lag/lead: per-user delta vs previous value, next event type. The
@@ -189,7 +179,6 @@ object AggQueries {
         lag(col("value"), 1).over(w).as("prev_value"),
         (col("value") - lag(col("value"), 1).over(w)).as("delta"),
         lead(col("event_type"), 1).over(w).as("next_type"))
-      .orderBy("event_id")
   }
 
   /** Top-3 orders per customer via row_number ≤ 3 — the page-size cap
@@ -201,7 +190,6 @@ object AggQueries {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).as("rn"))
       .filter(col("rn") <= 3)
-      .orderBy("o_custkey", "rn")
   }
 
   /** Statistical aggregates via exact sufficient statistics: per
@@ -225,7 +213,6 @@ object AggQueries {
         ((col("n") * col("ss") - col("s") * col("s"))
           / (col("n") * (col("n") - 1))).cast(dec6).cast("double").as("var_qty"))
       .withColumn("std_qty", sqrt(col("var_qty")))
-      .orderBy("l_returnflag")
   }
 
   /** Fixed-width histogram: bucket = floor(value / 10) per event type.
@@ -236,7 +223,6 @@ object AggQueries {
     Tables.events(s, d)
       .groupBy(col("event_type"), floor(col("value") / 10).as("bucket"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("event_type", "bucket")
 
   /** Per-group mode with a deterministic tie-break (most frequent
     * o_orderpriority per status; ties → lexicographically smallest).
@@ -253,7 +239,6 @@ object AggQueries {
       .filter(col("rn") === 1)
       .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
         col("cnt"))
-      .orderBy("o_orderstatus")
   }
 
   /** Approximate percentiles (KLL-style sketch, `approx_percentile`) —

@@ -69,7 +69,6 @@ object Behavior {
       .groupBy("cohort")
       .agg(count(lit(1)).as("n_users"),
         count(when(col("retained") === 1, 1)).as("n_retained"))
-      .orderBy("cohort")
   }
 
   val qRetentionCohort: Q = (s, d) => retentionCohort(Tables.events(s, d))
@@ -97,7 +96,6 @@ object Behavior {
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id"))
       .drop("grp")
-      .orderBy("user_id", "min_event_id")
   }
 
   val qRunsConsecutive: Q = (s, d) => runsConsecutive(Tables.events(s, d))

@@ -81,7 +81,6 @@ object Cdc {
         lit(2).as("version"))
     mergeUpsertSmallDelta(base, updates.unionByName(inserts),
       Seq("o_orderkey"))
-      .orderBy("o_orderkey")
   }
 
   /** Declared SCD2: each user's event stream as effective-dated state
@@ -90,7 +89,6 @@ object Cdc {
     scd2History(Tables.events(s, d), Seq("user_id"), "ts", Seq("event_id"))
       .select(col("event_id"), col("user_id"), col("value"),
         col("valid_from"), col("valid_to"), col("is_current"))
-      .orderBy("event_id")
 
   /** Point-in-time (temporal) join: each probe row joins the ONE
     * dimension version whose [valid_from, valid_to) interval contains its
@@ -118,7 +116,6 @@ object Cdc {
         (col("valid_to").isNull || col("ts") < col("valid_to")))
       .select(col("p_event_id"), col("user_id"),
         col("state_event_id"), col("state_value"))
-      .orderBy("p_event_id")
   }
 
   val queries: Map[String, Q] = Map(

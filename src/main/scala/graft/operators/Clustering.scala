@@ -227,7 +227,6 @@ object Clustering {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"))
-      .orderBy("doc_id")
   }
 
   type Q = (SparkSession, String) => DataFrame

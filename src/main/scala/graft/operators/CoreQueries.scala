@@ -37,7 +37,6 @@ object CoreQueries {
         col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
       // sort by every output column so ties are identical rows
-      .orderBy("l_orderkey", "l_linenumber", "qty", "price")
 
   /** Compound predicate AND/OR/IN/BETWEEN/LIKE — all parquet-pushable.
     * Reference basis: empty-row filter (dags/warsaw-delays.py:156). */
@@ -48,7 +47,6 @@ object CoreQueries {
         && (col("o_orderpriority").like("1%") || col("o_orderpriority").like("5%")))
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderpriority"))
-      .orderBy("o_orderkey")
 
   /** Null-handling: when/otherwise derivation, isNotNull filter, coalesce.
     * Reference basis: missing-hash branch (dags/warsaw-gtfs.py:66-67). */
@@ -59,7 +57,6 @@ object CoreQueries {
       .filter(col("maybe_price").isNotNull)
       .select(col("o_orderkey"),
         coalesce(col("maybe_price"), lit(0.0)).as("price"))
-      .orderBy("o_orderkey")
 
   /** 4-way CASE precedence decode, mirroring the chip>link>span>text
     * extraction precedence (dags/warsaw-delays.py:145-154). */
@@ -70,7 +67,6 @@ object CoreQueries {
           .when(col("event_type") === "signup", "growth")
           .when(col("event_type") === "purchase", "revenue")
           .otherwise("engagement").as("category"))
-      .orderBy("event_id")
 
   // ---- joins ------------------------------------------------------------
 
@@ -82,7 +78,6 @@ object CoreQueries {
     val c = Tables.customer(s, d)
     o.join(c, o("o_custkey") === c("c_custkey"), "inner")
       .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
-      .orderBy("o_orderkey")
   }
 
   /** Explicit broadcast join with the `part` dimension: no shuffle of the
@@ -93,7 +88,6 @@ object CoreQueries {
     l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("p_brand"))
       // non-unique (l_orderkey, l_linenumber) → total order over all cols
-      .orderBy("l_orderkey", "l_linenumber", "p_name", "p_brand")
   }
 
   /** Left outer + count per customer, order-less customers included with 0.
@@ -104,7 +98,6 @@ object CoreQueries {
     c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"))
-      .orderBy("c_custkey")
   }
 
   /** Full outer join of partially-overlapping keyed slices; nulls appear on
@@ -118,7 +111,6 @@ object CoreQueries {
       .filter(pmod(col("o_custkey"), lit(3L)) === 0)
       .select(col("o_custkey").as("rkey"), col("n_orders"))
     left.join(right, col("lkey") === col("rkey"), "full_outer")
-      .orderBy(coalesce(col("lkey"), col("rkey")))
   }
 
   /** Left semi = EXISTS. Reference basis: blob-existence check
@@ -128,7 +120,6 @@ object CoreQueries {
     val o = Tables.orders(s, d)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
   }
 
   /** Left anti = NOT EXISTS — the reference's change-detection primitive
@@ -139,7 +130,6 @@ object CoreQueries {
     val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000d)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
   }
 
   /** Cross join of the two tiny dims (5×25 rows) — the dates×files fan-out
@@ -147,7 +137,6 @@ object CoreQueries {
   val qJoinCross: Q = (s, d) =>
     Tables.region(s, d).crossJoin(Tables.nation(s, d))
       .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
-      .orderBy("r_regionkey", "n_nationkey")
 
   /** Theta join: equi part (nationkey) + range part (acctbal <). The equi
     * conjunct keeps it a hash/merge join — never a cartesian. */
@@ -157,7 +146,6 @@ object CoreQueries {
     sup.join(c, sup("s_nationkey") === c("c_nationkey")
         && sup("s_acctbal") < c("c_acctbal"))
       .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"), col("c_acctbal"))
-      .orderBy("s_suppkey", "c_custkey")
   }
 
   /** As-of join: for each `error` event, the most recent strictly-prior
@@ -181,7 +169,6 @@ object CoreQueries {
     ev.withColumn("prior_event_id", last(col("r_id"), ignoreNulls = true).over(w))
       .filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("prior_event_id"))
-      .orderBy("event_id")
   }
 
   // ---- set operations ---------------------------------------------------
@@ -193,7 +180,6 @@ object CoreQueries {
       .select(col("event_id"), col("user_id"), col("event_type"))
     ev.filter(col("event_type") === "click")
       .unionByName(ev.filter(col("event_type") === "view"))
-      .orderBy("event_id")
   }
 
   /** UNION (distinct) of two user-id sets. */
@@ -202,7 +188,6 @@ object CoreQueries {
     ev.filter(col("event_type") === "click").select(col("user_id").as("key"))
       .union(ev.filter(col("value") > 150d).select(col("user_id").as("key")))
       .distinct()
-      .orderBy("key")
   }
 
   /** INTERSECT: customers in a segment who also placed orders —
@@ -211,7 +196,6 @@ object CoreQueries {
     Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("key"))
       .intersect(Tables.orders(s, d).select(col("o_custkey").as("key")))
-      .orderBy("key")
 
   /** EXCEPT: snapshot diff, the file-level analog of change detection
     * (dags/warsaw-gtfs.py:60-71). */
@@ -220,7 +204,6 @@ object CoreQueries {
       .select(col("o_custkey").as("key"))
       .except(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("key")))
-      .orderBy("key")
 
   // ---- sorts / top-k ----------------------------------------------------
 

@@ -59,7 +59,6 @@ object CorpusPipeline {
         sha2(col("text"), 256).as("digest"),
         aggregate(transform(split(col("text"), ""), c => ascii(c).cast(LongType)),
           lit(0L), (h, c) => pmod(h * 31 + c, lit(1000000007L))).as("fp"))
-      .orderBy("doc_id")
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -78,7 +77,6 @@ object CorpusPipeline {
   val qTrainSplit: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), splitColumn(col("doc_id")).as("split"))
-      .orderBy("doc_id")
 
   /** Deterministic stratified sampling: per-stratum (language) rates over
     * the same md5 id-hash [[splitColumn]] uses, salted so the sample is
@@ -98,7 +96,6 @@ object CorpusPipeline {
       .withColumn("pct", pct)
       .filter(col("pct") < rate)
       .select(col("doc_id"), col("lang"), col("source"), col("pct"))
-      .orderBy("doc_id")
   }
 
   /** Curate the documents fixture: ≥ 15 tokens, ≤ 40% stopwords, near-dup
@@ -130,7 +127,6 @@ object CorpusPipeline {
     docs.filter(col("split") =!= "train")
       .join(trainKeys, Seq("skey"), "left_semi")
       .select(col("doc_id"), col("split"))
-      .orderBy("doc_id")
   }
 
   /** Canonical-document selection: dedup keeping the BEST duplicate, not
@@ -146,7 +142,6 @@ object CorpusPipeline {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

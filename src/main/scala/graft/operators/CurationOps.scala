@@ -82,7 +82,6 @@ object CurationOps {
     hits
       .select(col("doc_id"), col("n_shared"),
         (col("n_shared") > 0).as("contaminated"))
-      .orderBy("doc_id")
   }
 
   /** Corpus-level block dedup (the C4 "remove duplicate lines across the
@@ -112,7 +111,6 @@ object CurationOps {
           filter(array_sort(collect_list(struct(col("bi"), col("rn"), col("blk")))),
             x => x.getField("rn") === 1),
           x => x.getField("blk")), " ").as("kept_text"))
-      .orderBy("doc_id")
   }
 
   /** Gopher-style repetition quality signals, fully map-side (HOFs only,
@@ -134,7 +132,6 @@ object CurationOps {
       .withColumn("dup_bi_frac",
         col("n_bi_dup").cast(DoubleType) / col("n_bi"))
       .withColumn("repetitive", col("dup_bi_frac") > 0.1)
-      .orderBy("doc_id")
 
   /** Sequence packing (concat-then-chunk): documents are packed per
     * `source` in doc_id order into fixed 512-token bins; a doc's bin is
@@ -153,7 +150,6 @@ object CurationOps {
       .withColumn("cum_tokens", sum(col("n_tokens").cast(LongType)).over(w))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
         expr("(cum_tokens - n_tokens) div 512").as("bin_id"))
-      .orderBy("source", "doc_id")
   }
 
   /** Data mixing: balanced per-language upsampling. Each doc repeats
@@ -176,7 +172,6 @@ object CurationOps {
       .withColumn("reps", expr(s"CAST(($maxCnt + cnt - 1) div cnt AS INT)"))
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1), col("reps"))).as("rep_idx"))
-      .orderBy("doc_id", "rep_idx")
   }
 
   /** Sliding-window document chunking with overlap — the context-window
@@ -201,7 +196,6 @@ object CurationOps {
 
   val qChunkOverlap: Q = (s, d) =>
     chunkOverlap(Tables.documents(s, d), chunkTokens = 20, strideTokens = 15)
-      .orderBy("doc_id", "start")
 
   // ---- registry ---------------------------------------------------------
 
@@ -231,7 +225,6 @@ object CurationOps {
       .select(col("doc_id"), col("n_shingles"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_shingles").cast("double"))
           .as("dup_frac"))
-      .orderBy("doc_id")
   }
 
   /** Deterministic training-order shuffle: assign each document a shard
@@ -260,7 +253,6 @@ object CurationOps {
   /** Declared query: epoch-0 shuffle of documents into 8 shards. */
   val qShuffleShard: Q = (s, d) =>
     shuffleShards(Tables.documents(s, d), "doc_id", nShards = 8, epoch = 0)
-      .orderBy("shard", "pos")
 
   val queries: Map[String, Q] = Map(
     "q_chunk_overlap" -> qChunkOverlap,

@@ -70,6 +70,5 @@ object Dedup {
         .withColumn("cosine", Similarity.cosine(col("emb_a"), col("emb_b")))
         .filter(col("cosine") >= minCosine)
         .select(col("id_a"), col("id_b"), col("cosine"))
-        .orderBy("id_a", "id_b")
     }
 }

@@ -275,7 +275,6 @@ object DedupQueries {
     * band_key are LSH candidates (threshold ≈ (1/4)^(1/3) ≈ 0.63). */
   val qDedupMinhashSig: Q = (s, d) =>
     minhashBands(Tables.documents(s, d), bands = 4, rows = 3)
-      .orderBy("doc_id", "band")
 
   /** MinHash LSH bucket-join: candidate pairs sharing ≥1 band key — the
     * complete shingle→minhash→band→bucket-join pipeline. The candidate
@@ -322,14 +321,14 @@ object DedupQueries {
       .select(col("x"), explode(col("mb")).as("y"))
       .select(least(col("x"), col("y")).as("doc_a"),
         greatest(col("x"), col("y")).as("doc_b"))
-    within.union(cross).orderBy("doc_a", "doc_b")
+    within.union(cross)
   }
 
   /** SimHash: 60-bit signature from md5-derived per-token 60-bit hashes
     * weighted by token frequency. One BIGINT per doc; deterministic →
     * exact oracle. Implementation shared with [[Dedup.simhashOf]]. */
   val qDedupSimhash: Q = (s, d) =>
-    Dedup.simhashOf(Tables.documents(s, d)).orderBy("doc_id")
+    Dedup.simhashOf(Tables.documents(s, d))
 
   /** Set-similarity self-join: token-set Jaccard ≥ 0.9 pairs via prefix
     * filtering (PPJoin-style). Candidates join only on each doc's
@@ -339,7 +338,6 @@ object DedupQueries {
   val qDedupNgram: Q = (s, d) =>
     ngramPairs(Tables.documents(s, d), tNum = 9, tDen = 10,
       cacheKey = Some(s"docs:$d"))
-      .orderBy("doc_a", "doc_b")
 
   /** SimHash near-duplicate candidate pairs within hamming distance
     * `maxHamming` of the 60-bit signatures, by pigeonhole banding: split
@@ -364,7 +362,6 @@ object DedupQueries {
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.45). No oracle —
@@ -383,7 +380,6 @@ object DedupQueries {
         graft.functions.VectorFunctions.cosineF(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= 0.45)
       .select(col("id_a"), col("id_b"), col("cosine"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Embedding near-dup with an EXACT oracle: quantize to milli-units
@@ -415,7 +411,6 @@ object DedupQueries {
         && col("dot").cast(dec38) * col("dot") * 10000L
            >= lit(2025L).cast(dec38) * col("na2") * col("nb2"))
       .select(col("id_a"), col("id_b"), col("dot"), col("na2"), col("nb2"))
-      .orderBy("id_a", "id_b")
   }
 
   // ---- registry ---------------------------------------------------------

@@ -35,7 +35,6 @@ object FuncQueries {
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
         length(col("p_name")).as("name_len"),
         regexp_replace(col("p_name"), " ", "_").as("snake"))
-      .orderBy("p_partkey")
 
   /** Integer-token extraction from text — the pagination-parse semantic
     * ([int(s) for s in text.split() if s.isdigit()],
@@ -46,7 +45,6 @@ object FuncQueries {
         size(regexp_extract_all(col("props"), lit("\\d+"), lit(0))).as("n_ints"),
         element_at(regexp_extract_all(col("props"), lit("\\d+"), lit(0)), 1)
           .cast(IntegerType).as("first_int"))
-      .orderBy("event_id")
 
   /** Date-part derivation + formatting — the YYYY/MM/DD[/HH] partition-path
     * scheme (dags/warsaw-gtfs.py:90; dags/warsaw-delays.py:194;
@@ -61,7 +59,6 @@ object FuncQueries {
         hour(col("ts")).as("hr"),
         date_format(col("ts"), "yyyy/MM/dd").as("path"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day_str"))
-      .orderBy("event_id")
 
   /** abs/floor/ceil/pmod — numeric compare semantics
     * (dags/warsaw-delays.py:92,168). */
@@ -73,7 +70,6 @@ object FuncQueries {
         ceil(col("value")).as("cl"),
         round(col("value"), 1).as("r1"),
         pmod(col("event_id") * 3 - 1000, lit(7L)).as("pm"))
-      .orderBy("event_id")
 
   /** Date arithmetic over o_orderdate: datediff to a fixed anchor,
     * add-interval, month arithmetic, month/quarter boundaries. */
@@ -86,7 +82,6 @@ object FuncQueries {
         add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
         last_day(to_date(col("o_orderdate"))).as("eom"),
         quarter(col("o_orderdate")).as("qtr"))
-      .orderBy("o_orderkey")
 
   /** lpad/rpad/split_part/repeat/reverse string surface. */
   val qStringPad: Q = (s, d) =>
@@ -97,14 +92,12 @@ object FuncQueries {
         split(col("p_name"), " ").getItem(0).as("first_word"),
         reverse(col("p_name")).as("rev"),
         repeat(col("p_type"), 2).as("rep2"))
-      .orderBy("p_partkey")
 
   /** Row-level SHA-256 — the chunked-file-hash primitive
     * (dags/warsaw-gtfs.py:41-47) applied per document. */
   val qHashSha2: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
-      .orderBy("doc_id")
 
   /** JSON path extraction + typed filter over events.props — structured
     * payload landing (dags/warsaw-weather.py:34). */
@@ -113,7 +106,6 @@ object FuncQueries {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
       .filter(col("k") > 50)
-      .orderBy("event_id")
 
   /** from_json → MapType → explode to rows. No oracle: map literal
     * representation differs across engines (SURVEY.md §2.2);
@@ -123,7 +115,6 @@ object FuncQueries {
       .select(col("event_id"),
         from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
       .select(col("event_id"), explode(col("m")).as(Seq("key", "val")))
-      .orderBy("event_id", "key")
 
   /** Map higher-order functions over the parsed props map:
     * transform_values, map_filter, map_keys/values, back to JSON. The
@@ -138,7 +129,6 @@ object FuncQueries {
         size(map_filter(col("m"), (_, v) => v > 50)).as("n_big"),
         element_at(map_keys(col("m")), 1).as("k1"),
         element_at(map_values(col("m")), 1).as("v1"))
-      .orderBy("event_id")
 
   /** Array basics over the embedding column: size + element access. */
   val qArrayBasic: Q = (s, d) =>
@@ -146,7 +136,6 @@ object FuncQueries {
       .select(col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).as("first"))
-      .orderBy("vec_id")
 
   /** Higher-order array functions: aggregate (L1 norm fold), filter,
     * transform, exists. No oracle (float fold order, SURVEY.md §7.4);
@@ -160,7 +149,6 @@ object FuncQueries {
         exists(col("embedding"), x => x < lit(0.0f)).as("any_neg"),
         element_at(transform(col("embedding"),
           x => least(greatest(x, lit(-0.1f)), lit(0.1f))), 1).as("first_clipped"))
-      .orderBy("vec_id")
 
   // ---- registry ---------------------------------------------------------
 

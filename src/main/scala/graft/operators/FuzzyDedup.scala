@@ -50,7 +50,6 @@ object FuzzyDedup {
   /** Declared query: part-name vocabulary pairs within edit distance 2. */
   val qDedupFuzzy: Q = (s, d) =>
     fuzzyPairs(Tables.part(s, d), "p_name", maxDist = 2)
-      .orderBy("name_a", "name_b")
 
   val queries: Map[String, Q] = Map("q_dedup_fuzzy" -> qDedupFuzzy)
 

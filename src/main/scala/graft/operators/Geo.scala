@@ -177,13 +177,11 @@ object Geo {
   val qGeoCell: Q = (s, d) =>
     customerPoints(s, d)
       .withColumn("cell", gridCell(col("lat_u"), col("lon_u"), 10000L))
-      .orderBy("c_custkey")
 
   /** Declared query: customer pairs within 10000 µdeg (≈1.1 km N-S). */
   val qGeoNeighbors: Q = (s, d) =>
     neighborPairs(customerPoints(s, d), "c_custkey", "lat_u", "lon_u",
       radius = 10000L)
-      .orderBy("id_a", "id_b")
 
   /** Declared query: per-user trajectory stats — Manhattan step distance
     * between consecutive events (derived per-event coordinates, exact
@@ -209,7 +207,6 @@ object Geo {
       .agg(count(col("step")).as("n_moves"),
         coalesce(sum("step"), lit(0L)).as("dist_total"),
         max("step").as("max_step"))
-      .orderBy("user_id")
   }
 
   /** Declared query: trip/stop segmentation (dwell detection) — the
@@ -239,7 +236,6 @@ object Geo {
       .agg(count(lit(1)).as("n_events"),
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id"))
-      .orderBy("user_id", "seg")
   }
 
   /** Declared query (no oracle — float trig, the permitted float-fold

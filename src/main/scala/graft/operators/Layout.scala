@@ -123,7 +123,6 @@ object Layout {
         pmod(col("user_id"), lit(65536L)).as("zx"),
         hour(col("ts")).as("zy"))
       .withColumn("zkey", morton16("zx", "zy"))
-      .orderBy("event_id")
 
   // ---- registry ---------------------------------------------------------
 

@@ -19,8 +19,6 @@ object MiscQueries {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_discount"), col("l_tax")),
         "metric", "val")
-      // non-unique (l_orderkey, l_linenumber) → include val in the order
-      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
 
   /** explode_outer: rows with empty token filters survive with NULL —
     * the outer-generator surface. */
@@ -29,7 +27,6 @@ object MiscQueries {
       .select(col("doc_id"),
         explode_outer(filter(split(lower(col("text")), " "),
           t => t.like("s%"))).as("stok"))
-      .orderBy(col("doc_id"), col("stok").asc_nulls_first)
 
   /** max_by / min_by with a provably-unique ordering key (custkey). */
   val qMinmaxBy: Q = (s, d) =>
@@ -38,7 +35,6 @@ object MiscQueries {
       .agg(max_by(col("c_name"), col("c_custkey")).as("name_of_max_key"),
         min_by(col("c_name"), col("c_custkey")).as("name_of_min_key"),
         count(lit(1)).as("n"))
-      .orderBy("c_nationkey")
 
   /** Array algebra over token arrays: sort, distinct, slice, contains,
     * flatten. Distinct is sorted before output — element order of
@@ -53,7 +49,6 @@ object MiscQueries {
         array_join(slice(array_sort(toks), 2, 3), " ").as("sl"),
         array_contains(toks, "the").as("has_the"),
         size(flatten(array(toks, toks))).as("n_flat"))
-      .orderBy("doc_id")
   }
 
   /** unionByName with allowMissingColumns: schema union, NULL fill —
@@ -64,7 +59,6 @@ object MiscQueries {
     val b = Tables.customer(s, d)
       .select(col("c_custkey").as("key"), col("c_name").as("name"))
     a.unionByName(b, allowMissingColumns = true)
-      .orderBy(col("key").asc, col("price").asc_nulls_first)
   }
 
   /** Exact interpolated median per group (both engines sort exactly and
@@ -74,7 +68,6 @@ object MiscQueries {
       .groupBy(col("event_type"))
       .agg(percentile(col("user_id"), lit(0.5)).as("median_user"),
         count(lit(1)).as("n"))
-      .orderBy("event_type")
 
   /** ntile / percent_rank / cume_dist over a unique in-partition order —
     * all three are exact integer-ratio computations (one IEEE division),
@@ -88,7 +81,6 @@ object MiscQueries {
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("prank"),
         cume_dist().over(w).as("cdist"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Null-safe equality (`<=>` ↔ IS NOT DISTINCT FROM) joining on a
@@ -103,7 +95,6 @@ object MiscQueries {
       .withColumn("tag", coalesce(col("pk"), lit("none")))
     o.join(priorities, o("pk") <=> priorities("pk"))
       .select(col("o_orderkey"), col("tag"))
-      .orderBy("o_orderkey")
   }
 
   /** WITH clause referenced twice — CTE reuse surface. */
@@ -144,7 +135,6 @@ object MiscQueries {
       .filter(abs(col("s_acctbal") - col("c_acctbal")) < width)
       .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"),
         col("c_acctbal"))
-      .orderBy("s_suppkey", "c_custkey")
   }
 
   /** Correlated scalar subquery — Catalyst decorrelates it into an
@@ -186,7 +176,6 @@ object MiscQueries {
         expr("shiftleft(event_id % 16, 2)").as("b_shl"),
         expr("shiftright(event_id, 3)").as("b_shr"),
         expr("bit_count(event_id)").as("b_cnt"))
-      .orderBy("event_id")
 
   /** Conditional scalar functions: nullif / ifnull / greatest / least. */
   val qConditional: Q = (s, d) =>
@@ -196,7 +185,6 @@ object MiscQueries {
         expr("ifnull(nullif(o_orderstatus, 'O'), 'open')").as("status_tag"),
         greatest(col("o_totalprice"), lit(250000.0)).as("floor250k"),
         least(col("o_totalprice"), lit(250000.0)).as("cap250k"))
-      .orderBy("o_orderkey")
 
   /** Ordered string aggregation (LISTAGG/string_agg): names per region,
     * sorted inside the group so the concatenation is deterministic
@@ -210,7 +198,6 @@ object MiscQueries {
       .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
         .as("names"),
         count(lit(1)).as("n"))
-      .orderBy("n_regionkey")
 
   /** Share-of-total per group: the corpus-level total is ONE driver-side
     * scalar (the mix_upsample/tfidf-N ingest-artifact precedent — a 1-row
@@ -225,7 +212,6 @@ object MiscQueries {
     counts
       .select(col("event_type"), col("n"),
         (col("n").cast("double") / lit(total.toDouble)).as("share"))
-      .orderBy("event_type")
   }
 
   // ---- registry ---------------------------------------------------------
@@ -296,7 +282,6 @@ object MiscQueries {
         col("fk_orphans").as("violations")))
     cs.select(col("constraint"), col("violations"),
         (col("violations") === 0L).as("passed"))
-      .orderBy("constraint")
   }
 
   /** Cross-engine ingest manifest: row count + order-independent bit_xor

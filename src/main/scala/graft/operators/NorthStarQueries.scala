@@ -28,7 +28,6 @@ object NorthStarQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy("doc_id")
   }
 
   /** Dedup by SHA-256 digest of the text — at 100 TB the shuffle key is a
@@ -41,7 +40,6 @@ object NorthStarQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("digest"))
-      .orderBy("doc_id")
   }
 
   /** Tokenize → explode → top-20 word counts (tie-broken by word).
@@ -64,7 +62,6 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_docs"),
         avg(col("n_chars")).as("avg_chars"),
         countDistinct(col("source")).as("n_sources"))
-      .orderBy("lang")
 
   /** Positional token explode — the built-in Generator surface
     * (row-index tracking, dags/warsaw-delays.py:106). */
@@ -72,7 +69,6 @@ object NorthStarQueries {
     Tables.documents(s, d)
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-      .orderBy("doc_id", "pos")
 
   /** Brute-force cosine top-10 against vec_id=0 — the correctness baseline
     * for similarity search (no oracle: float fold order, SURVEY.md §7.4;
@@ -107,7 +103,6 @@ object NorthStarQueries {
       .groupBy(col("l_returnflag"))
       .agg(wmean(col("l_quantity"), col("l_extendedprice"))
         .cast(dec6).cast("double").as("wmean_price"))
-      .orderBy("l_returnflag")
   }
 
   /** Scalar UDF surface: parse "N min|s|h" duration strings → seconds. The
@@ -121,7 +116,6 @@ object NorthStarQueries {
             (pmod(col("event_id"), lit(3L)) + 1).cast(IntegerType)))
           .as("delay_raw"))
       .withColumn("delay_seconds", ParseDelay.parseDelay(col("delay_raw")))
-      .orderBy("event_id")
 
   // ---- registry ---------------------------------------------------------
 

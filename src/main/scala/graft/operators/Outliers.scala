@@ -39,7 +39,6 @@ object Outliers {
   val qOutlierIqr: Q = (s, d) =>
     filterOutliers(Tables.events(s, d), "event_type", "value")
       .select(col("event_id"), col("event_type"), col("value"))
-      .orderBy("event_id")
 
   /** Z-score outlier detection via EXACT integer moments — the
     * mean/stddev companion to the IQR fences. Float sums are
@@ -89,7 +88,6 @@ object Outliers {
   val qOutlierZscore: Q = (s, d) =>
     zscoreOutliers(Tables.events(s, d), "event_type", "value", k = 2.0)
       .select(col("event_id"), col("event_type"), col("value"))
-      .orderBy("event_id")
 
   val queries: Map[String, Q] = Map(
     "q_outlier_iqr" -> qOutlierIqr,

@@ -42,7 +42,6 @@ object Quantize {
         array_join(transform(col("q"), _.cast("string")), ",").as("q_csv"),
         aggregate(col("q"), lit(0), (a, v) => a + abs(v)).as("q_l1"),
         size(col("q")).as("n_dims"))
-      .orderBy("vec_id")
   }
 
   val queries: Map[String, Q] = Map("q_quantize_embed" -> qQuantizeEmbed)

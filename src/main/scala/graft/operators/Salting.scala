@@ -69,7 +69,6 @@ object Salting {
     * salts); oracle = the plain GROUP BY it must equal. */
   val qAggSalted: Q = (s, d) =>
     saltedCount(Tables.lineitem(s, d), col("l_returnflag"), n = 8)
-      .orderBy("key")
 
   /** Skew-proof fact⟕dim equi-join through [[saltedJoin]] (lineitem ×
     * supplier replicated 8×); oracle = the plain inner join. */

@@ -138,7 +138,6 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct() // a pair can match via both its own bucket and a probe
-      .orderBy("id_a", "id_b")
   }
 
   /** Integer-quantized hyperplane components: [[planeComponent]] scaled to
@@ -622,7 +621,6 @@ object Similarity {
         Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster"))
-      .orderBy("vec_id")
   }
 
   /** Shared oracle CTE chain for the embedding dedup queries, generated
@@ -712,7 +710,6 @@ object Similarity {
     Tables.embeddings(s, d).filter(col("vec_id") % 2 === 1)
       .join(dupBatchIds, Seq("vec_id"), "left_anti")
       .select(col("vec_id"))
-      .orderBy("vec_id")
   }
 
   private def embedIncrementalOracle(tables: Int, nbits: Int, dim: Int,

@@ -44,7 +44,6 @@ object TextQueries {
         when(greatest(col("score_en"), col("score_de"), col("score_fr"),
           col("score_es")) === 0, "und")
           .otherwise(col("best.lang")).as("pred_lang"))
-      .orderBy("doc_id")
   }
 
   /** Quality scoring: token count, stopword count, stopword ratio (one
@@ -60,7 +59,6 @@ object TextQueries {
           (acc, x) => acc + x).as("char_sum"))
       .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
       .withColumn("is_short", col("n_tokens") < 20)
-      .orderBy("doc_id")
   }
 
   /** BPE-ish token counting: regex token classes (letter runs, digit runs,
@@ -71,7 +69,6 @@ object TextQueries {
         size(regexp_extract_all(col("text"),
           lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("n_bpeish"),
         size(split(col("text"), " ")).as("n_ws"))
-      .orderBy("doc_id")
 
   /** Document fingerprint: polynomial rolling hash over characters,
     * h = fold(h*31 + ascii(c)) mod 1e9+7 — exact integer fold, identical
@@ -81,7 +78,6 @@ object TextQueries {
       .select(col("doc_id"),
         aggregate(transform(split(col("text"), ""), c => ascii(c).cast(LongType)),
           lit(0L), (h, c) => pmod(h * 31 + c, lit(1000000007L))).as("fp"))
-      .orderBy("doc_id")
 
   /** TF-IDF term statistics per (doc, token): tf and df as exact longs.
     * The declared (oracle-hashed) output is integer-only — the ln-based
@@ -137,7 +133,6 @@ object TextQueries {
             element_at(col("toks"), i + 2)))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
-      .orderBy("bigram")
   }
 
   /** PII-style redaction: digit runs → <NUM>, named-entity-ish tokens →
@@ -160,7 +155,6 @@ object TextQueries {
           entPat, "<ENT>").as("redacted"),
         size(regexp_extract_all(col("text"), lit(entPat), lit(0))).as("n_ent"),
         size(regexp_extract_all(col("text"), lit(numPat), lit(0))).as("n_num"))
-      .orderBy("doc_id")
   }
 
   /** Vocabulary build with coverage: global token counts → top-`k` by

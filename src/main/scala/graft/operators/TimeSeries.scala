@@ -41,7 +41,6 @@ object TimeSeries {
       Seq("user_id"), "ts", Seq("event_id"), "reading")
       .select(col("event_id"), col("user_id"), col("reading"),
         col("reading_filled"))
-      .orderBy("event_id")
 
   /** Trailing-window distinct aggregation: per day, distinct active users
     * over the trailing `windowDays` days. Sliding distinct counts have no
@@ -62,7 +61,6 @@ object TimeSeries {
   /** Declared query: 7-day trailing active users. */
   val qRollingActive: Q = (s, d) =>
     rollingActiveUsers(Tables.events(s, d), windowDays = 7)
-      .orderBy("wday")
 
   /** OHLC bar resampling: per (series, hour) the opening/closing values
     * (first/last by event time, event_id tiebreak) plus high/low/count —
@@ -93,7 +91,6 @@ object TimeSeries {
       .select(col("event_type"),
         date_format(col("hr"), "yyyy-MM-dd HH:mm").as("hr"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
-      .orderBy("event_type", "hr")
 
   val queries: Map[String, Q] = Map(
     "q_fill_forward" -> qFillForward,

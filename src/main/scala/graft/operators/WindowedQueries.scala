@@ -28,7 +28,6 @@ object WindowedQueries {
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("window.start"), fmtMin).as("wstart"),
         col("event_type"), col("n"))
-      .orderBy("wstart", "event_type")
 
   /** 1-hour windows sliding every 30 minutes. Spark aligns windows to the
     * epoch; the oracle reproduces that with a 30-min time_bucket and its
@@ -39,7 +38,6 @@ object WindowedQueries {
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("window.start"), fmtMin).as("wstart"),
         col("event_type"), col("n"))
-      .orderBy("wstart", "event_type")
 
   /** Per-user session windows with a 30-minute inactivity gap: count and
     * span per session. Reference basis: the scrape session with
@@ -57,7 +55,6 @@ object WindowedQueries {
       .select(col("user_id"),
         date_format(col("session_window.start"), fmtUs).as("sstart"),
         col("n"), col("span_us"))
-      .orderBy("user_id", "sstart")
 
   /** Resample to a dense hourly grid with zero gap-fill: the canonical
     * consumer query of hourly snapshot feeds (a missing delays-HH.csv
@@ -78,7 +75,6 @@ object WindowedQueries {
     grid.join(counts, Seq("h", "event_type"), "left_outer")
       .select(date_format(col("h"), fmtMin).as("hour"), col("event_type"),
         coalesce(col("cnt"), lit(0L)).as("n"))
-      .orderBy("hour", "event_type")
   }
 
   // ---- registry ---------------------------------------------------------

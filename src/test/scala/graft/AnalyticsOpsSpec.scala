@@ -279,7 +279,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
           rows.toDF("user_id", "event_type", "ts", "event_id"))
           .collect()
           .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
-            r.getLong(4))).toSeq
+            r.getLong(4))).toSeq.sortBy(r => (r._1, r._4))
         // brute force: fold each user's time-ordered trace into runs
         val expect = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
           val ordered = es.sortBy(_._4)
