@@ -86,13 +86,48 @@ object IncrementalDedup {
       stateDigests, stateBands, batchBands)
 
   /** [[newDocs]] for a batch that already carries its `digest` column
-    * (e.g. a [[docDigests]] artifact slice) — skips the sha-256 pass. */
+    * (e.g. a [[docDigests]] artifact slice) — skips the sha-256 pass.
+    * No distinct on the state side: anti-join semantics are insensitive
+    * to right-side duplicates, and state digests are unique by the
+    * ingest contract anyway — a distinct here planned an exchange +
+    * aggregation for nothing. */
   def newDocsDigested(digested: DataFrame, stateDigests: DataFrame,
       stateBands: DataFrame,
       batchBands: Option[DataFrame] = None): DataFrame = {
     val exactNew = digested
-      .join(stateDigests.select("digest").distinct(), Seq("digest"), "left_anti")
+      .join(stateDigests.select("digest"), Seq("digest"), "left_anti")
     dropNearDups(exactNew, stateBands, batchBands)
+  }
+
+  /** The OTHER Bloom direction — the one Catalyst's own runtime-filter
+    * injection uses: build the Bloom over the BATCH digests and prune
+    * the STATE side of the exact anti-join with it, map-side. A state
+    * row whose digest is in no batch row cannot affect a left-anti
+    * join, and Bloom false positives merely leave harmless extra state
+    * rows for the exact join to ignore — so results are bit-identical
+    * to [[newDocs]] by construction. This direction wins when state ≫
+    * batch (the recurring-ingest steady state: the 10-year corpus is
+    * the state, today's crawl is the batch) — the state scan collapses
+    * to ~|batch dups + fpp| rows BEFORE it is broadcast or shuffled,
+    * and the plan keeps the plain path's single-join shape (the probe
+    * is a scan-level filter, not an extra join stage). The batch-probe
+    * form [[newDocsBloomDigested]] wins the opposite regime (batch ≫
+    * state); [[newDocsBloomBucketed]] is the no-single-bitmap scale
+    * path. */
+  def newDocsBloomStatePruned(digested: DataFrame, stateDigests: DataFrame,
+      stateBands: DataFrame, expectedItems: Long = 100000L,
+      fpp: Double = 0.01,
+      batchBands: Option[DataFrame] = None,
+      prebuilt: Option[Array[Byte]] = None): DataFrame = {
+    val bloom = prebuilt.getOrElse(
+      graft.functions.Bloom.build(digested, col("digest"),
+        expectedItems, fpp))
+    val pruned =
+      if (bloom == null) stateDigests.limit(0) // empty batch
+      else stateDigests.filter(coalesce(
+        graft.functions.Bloom.mightContain(bloom, col("digest")),
+        lit(false))) // null state digest equals no batch digest
+    newDocsDigested(digested, pruned, stateBands, batchBands)
   }
 
   /** Near-dup phase shared by [[newDocs]] and [[newDocsBloom]]: drop every
@@ -103,11 +138,14 @@ object IncrementalDedup {
       case Some(b) => b.join(exactNew.select("doc_id"), Seq("doc_id"), "left_semi")
       case None    => bandsOf(exactNew)
     }
-    // doc-level near-dup drop: any band-key hit in state marks the doc
+    // doc-level near-dup drop: any band-key hit in state marks the doc.
+    // No distinct on either semi/anti right side — both joins are
+    // insensitive to right-side duplicates, and each distinct planned an
+    // exchange + aggregation the join didn't need
     val nearDupIds = bands
-      .join(stateBands.select("band", "band_key").distinct(),
+      .join(stateBands.select("band", "band_key"),
         Seq("band", "band_key"), "left_semi")
-      .select("doc_id").distinct()
+      .select("doc_id")
     exactNew.join(nearDupIds, Seq("doc_id"), "left_anti")
   }
 
@@ -169,8 +207,7 @@ object IncrementalDedup {
         // but the downstream near-dup phase consumes exactNew twice,
         // re-evaluating both branches each time — measured slower.)
         val dupIds = digested.select("doc_id", "digest").filter(hit)
-          .join(stateDigests.select("digest").distinct(),
-            Seq("digest"), "left_semi")
+          .join(stateDigests.select("digest"), Seq("digest"), "left_semi")
           .select("doc_id")
         digested.join(dupIds, Seq("doc_id"), "left_anti")
       }
@@ -222,7 +259,7 @@ object IncrementalDedup {
       case None => digested // empty state
       case Some(h) =>
         val dupIds = h
-          .join(stateDigests.select("digest").distinct(), Seq("digest"), "left_semi")
+          .join(stateDigests.select("digest"), Seq("digest"), "left_semi")
           .select("doc_id")
         digested.join(dupIds, Seq("doc_id"), "left_anti")
     }
@@ -366,27 +403,34 @@ object IncrementalDedup {
   }
 
   /** The Bloom-prefilter path under the same oracle: results must be
-    * bit-identical to [[qDedupIncremental]] (the Bloom only reroutes
-    * rows around the anti-join shuffle; false positives are absorbed by
-    * the exact join), so it shares that query's DuckDB oracle — the
-    * q_agg_salted precedent of putting an execution-strategy variant
-    * under the plain-SQL gate it must be indistinguishable from. */
+    * bit-identical to [[qDedupIncremental]] (the Bloom only prunes
+    * state rows that can touch no batch row; false positives are
+    * absorbed by the exact join), so it shares that query's DuckDB
+    * oracle — the q_agg_salted precedent of putting an
+    * execution-strategy variant under the plain-SQL gate it must be
+    * indistinguishable from. */
   val qDedupIncrementalBloom: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val allBands = DedupQueries.minhashBands(docs, bands = Bands, rows = Rows,
       cacheKey = Some(s"docs:$d:all"))
     val allDigests = docDigests(docs, cacheKey = Some(s"docs:$d:digests"))
-    val stateDigests = allDigests.filter(col("doc_id") % 2 === 0).select("digest")
+    val batch = allDigests.filter(col("doc_id") % 2 === 1)
     // the serialized filter is an ingest artifact like the band table:
-    // built once per state slice, reused by every probing run
-    val bloom = bloomCache.get(s"docs:$d:bloom").getOrElse {
-      val b = graft.functions.Bloom.build(stateDigests, col("digest"),
-        100000L, 0.01)
-      if (b != null) bloomCache.put(s"docs:$d:bloom", b) // null = empty state
+    // built once per landed batch, reused by every probing run
+    // sized to the actual batch (fixture ≤ 5k odd docs): a Bloom literal
+    // rides serialized inside every stage that evaluates the probe, so
+    // overshooting expectedItems 20× taxes plan shipping for nothing
+    val bloom = bloomCache.get(s"docs:$d:bloomOdd").getOrElse {
+      val b = graft.functions.Bloom.build(batch, col("digest"), 10000L, 0.01)
+      if (b != null) bloomCache.put(s"docs:$d:bloomOdd", b) // null = empty
       b
     }
-    newDocsBloomDigested(allDigests.filter(col("doc_id") % 2 === 1),
-      stateDigests,
+    // state-pruned direction: state ≫ batch is the recurring-ingest
+    // steady state, so the declared variant demonstrates the regime the
+    // operator family exists for (the batch-probe and bucketed forms are
+    // the library's other two regimes, LayoutSpec-equivalence-tested)
+    newDocsBloomStatePruned(batch,
+      allDigests.filter(col("doc_id") % 2 === 0).select("digest"),
       allBands.filter(col("doc_id") % 2 === 0).select("band", "band_key"),
       batchBands = Some(allBands.filter(col("doc_id") % 2 === 1)),
       prebuilt = Option(bloom))

@@ -96,6 +96,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("newDocsBloomStatePruned returns exactly newDocs' survivors") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val state = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val stateDigests = IncrementalDedup.digestsOf(state)
+    val stateBands = IncrementalDedup.bandsOf(state).select("band", "band_key")
+    val plain = IncrementalDedup.newDocs(batch, stateDigests, stateBands)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pruned = IncrementalDedup.newDocsBloomStatePruned(
+        batch.withColumn("digest", sha2(col("text"), 256)),
+        stateDigests, stateBands, expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pruned == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("newDocsBloomBucketed returns exactly newDocs' survivors across buckets") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val state = docs.filter(col("doc_id") % 2 === 0)
