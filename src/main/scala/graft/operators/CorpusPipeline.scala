@@ -98,6 +98,24 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("pct"))
   }
 
+  /** Per-source quota capping — the anti-domination gate every web-scale
+    * corpus applies before mixing (no single crawl domain may contribute
+    * more than K documents, and the K kept are the BEST by a declared
+    * quality order, not an arbitrary head). One source-keyed window
+    * shuffle; the quality order (n_chars desc, doc_id asc) is total, so
+    * the kept set is deterministic and exactly oracle-checkable. At
+    * 100 TB the window state is O(1)/row and the shuffle key is the
+    * domain — skew on giant domains is the q_agg_salted story (salt
+    * within source, take per-salt heads, re-rank the K·salts rows). */
+  def sourceQuota(docs: DataFrame, k: Int): DataFrame =
+    docs.withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
+
+  val qSourceQuota: Q = (s, d) => sourceQuota(Tables.documents(s, d), k = 100)
+
   /** Curate the documents fixture: ≥ 15 tokens, ≤ 40% stopwords, near-dup
     * threshold J ≥ 0.9. */
   val qCorpusCurate: Q = (s, d) =>
@@ -149,7 +167,8 @@ object CorpusPipeline {
     "q_train_split" -> qTrainSplit,
     "q_split_leakage" -> qSplitLeakage,
     "q_dedup_canonical" -> qDedupCanonical,
-    "q_sample_stratified" -> qSampleStratified)
+    "q_sample_stratified" -> qSampleStratified,
+    "q_source_quota" -> qSourceQuota)
 
   val oracleSql: Map[String, String] = Map(
     "q_train_split" ->
@@ -202,6 +221,13 @@ object CorpusPipeline {
                           WHEN lang = 'en' THEN 25
                           ELSE 10 END
          ORDER BY doc_id""",
+    "q_source_quota" ->
+      """SELECT doc_id, source, n_chars, CAST(rank AS INT) AS rank
+         FROM (SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rank
+               FROM documents)
+         WHERE rank <= 100""",
     "q_corpus_curate" ->
       """WITH RECURSIVE scored AS (
            SELECT doc_id, text,

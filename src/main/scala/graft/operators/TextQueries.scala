@@ -196,6 +196,49 @@ object TextQueries {
   val qVocabTopk: Q = (s, d) =>
     vocabTopK(Tables.documents(s, d), k = 30).orderBy("rank")
 
+  /** Unigram language-model scoring (the cheap perplexity proxy every
+    * corpus-quality pipeline runs — CCNet/Gopher-style filtering uses a
+    * real LM; the unigram form keeps the identical Spark shape): train
+    * token→count on the corpus itself in ONE explode+agg pass, then
+    * score each document by the average negative log-likelihood of its
+    * tokens under the add-one-smoothed unigram distribution, and report
+    * perplexity = exp(avg NLL). Two keyed shuffles (vocab agg; per-doc
+    * agg) + one equality join on `tok` that AQE broadcasts for any
+    * corpus whose vocabulary fits (at web scale the join is
+    * shuffle-keyed — never a cross product). Tokens never seen in
+    * training (impossible here, the corpus scores itself; possible when
+    * `model` comes from a different slice) fall back to the smoothing
+    * floor count of 0. Float logs → no-oracle class, property-tested
+    * against a plain-Scala fold in TextOpsSpec. */
+  def unigramLogLoss(docs: DataFrame, model: DataFrame): DataFrame = {
+    // model: (tok, cnt) with total derived; add-one smoothing over V
+    val stats = model.agg(sum("cnt").as("total"),
+      count(lit(1)).as("vocab")).head()
+    val total = stats.getLong(0)
+    val vocab = stats.getLong(1)
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+    toks.join(model, Seq("tok"), "left")
+      .withColumn("logp",
+        log((coalesce(col("cnt"), lit(0L)) + 1).cast(DoubleType) /
+          lit((total + vocab).toDouble)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (-avg("logp")).as("avg_nll"))
+      .withColumn("ppl", exp(col("avg_nll")))
+  }
+
+  /** Corpus unigram counts — the "model" side of [[unigramLogLoss]]. */
+  def unigramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  val qTextPerplexity: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    unigramLogLoss(docs, unigramCounts(docs))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -206,6 +249,7 @@ object TextQueries {
     "q_text_tfidf" -> qTextTfidf,
     "q_text_ngrams" -> qTextNgrams,
     "q_text_redact" -> qTextRedact,
+    "q_text_perplexity" -> qTextPerplexity,
     "q_vocab_topk" -> qVocabTopk)
 
   val oracleSql: Map[String, String] = Map(

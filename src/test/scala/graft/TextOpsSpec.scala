@@ -30,6 +30,36 @@ class TextOpsSpec extends AnyFunSuite {
     rows.filter(_.getLong(3) == n).foreach(r => assert(r.getLong(4) == 0L))
   }
 
+  test("unigramLogLoss matches a plain-Scala add-one-smoothed LM fold") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1).toSeq))
+    val counts = texts.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    val vocab = counts.size.toLong
+    val want = texts.map { case (id, toks) =>
+      val nll = -toks.map(t => math.log(
+        (counts.getOrElse(t, 0L) + 1).toDouble / (total + vocab))).sum / toks.size
+      id -> (toks.size.toLong, nll, math.exp(nll))
+    }.toMap
+    val got = TextQueries.unigramLogLoss(docs, TextQueries.unigramCounts(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, (n, nll, ppl)) =>
+      val (gn, gnll, gppl) = got(id)
+      assert(gn == n, s"doc $id token count")
+      assert(math.abs(gnll - nll) <= 1e-9 * math.max(1.0, math.abs(nll)),
+        s"doc $id nll $gnll vs $nll")
+      assert(math.abs(gppl - ppl) <= 1e-9 * math.max(1.0, ppl),
+        s"doc $id ppl")
+    }
+    // sanity: a doc of common tokens scores lower perplexity than the
+    // corpus max (the fixture has frequency variation)
+    val ppls = got.values.map(_._3)
+    assert(ppls.max > ppls.min)
+  }
+
   test("redaction replaces digit runs with <NUM> and counts them") {
     import spark.implicits._
     val docs = Seq(
