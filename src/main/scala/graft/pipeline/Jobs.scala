@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   *   graft.pipeline.Jobs gtfs    <zipPath> <warehouseDir> <statePath> <yyyy-MM-dd>
   *   graft.pipeline.Jobs delays  <csvPath> <warehouseDir> <yyyy-MM-dd> <hour>
   *   graft.pipeline.Jobs weather <payloadPath> <outDir> <yyyy-MM-dd> <hour>
+  *   // P1/P2 fetch-inclusive forms (the complete reference DAG per task):
+  *   graft.pipeline.Jobs gtfs-fetch    <url> <stagingZip> <warehouseDir> <statePath> <yyyy-MM-dd>
+  *   graft.pipeline.Jobs weather-fetch <url> <outDir> <yyyy-MM-dd> <hour>
   * }}}
   *
   * Exit code 0 = work done, 3 = skipped (unchanged feed / existing
@@ -36,6 +39,12 @@ object Jobs {
           WeatherIngest.run(spark,
             java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(payload)),
             out, LocalDate.parse(date), hour.toInt)
+        case "gtfs-fetch" :: url :: staging :: wh :: state :: date :: Nil =>
+          GtfsIngest.fetchAndRun(spark, url,
+            java.nio.file.Paths.get(staging), wh, state, LocalDate.parse(date))
+        case "weather-fetch" :: url :: out :: date :: hour :: Nil =>
+          WeatherIngest.fetchAndRun(spark, url, out,
+            LocalDate.parse(date), hour.toInt)
         case other =>
           System.err.println(s"unknown job spec: $other")
           sys.exit(2)
