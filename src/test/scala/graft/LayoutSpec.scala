@@ -133,6 +133,74 @@ class LayoutSpec extends AnyFunSuite {
     assert(distinctBuckets > 1, "fixture must span several buckets")
   }
 
+  /** Total shuffle-write bytes across all jobs triggered by `f`. */
+  private def shuffleBytes(f: => Unit): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val acc = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) acc.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      org.apache.spark.graftx.ListenerBridge.drain(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
+  test("state-pruned Bloom cuts exact-phase shuffle bytes in the no-broadcast regime") {
+    // the regime the operator exists for: state too big to broadcast, so
+    // the exact anti-join sort-merges and BOTH sides shuffle. The Bloom
+    // built over the batch prunes the state side map-side BEFORE its
+    // exchange; on the parity fixture (no exact dups across the split)
+    // that collapses the state side to ~fpp of its rows.
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val digested = IncrementalDedup.docDigests(docs)
+    val batch = digested.filter(col("doc_id") % 2 === 1)
+    val state = digested.filter(col("doc_id") % 2 === 0).select("digest")
+    val bloom = graft.functions.Bloom.build(batch, col("digest"), 1000L, 0.01)
+    val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plainBytes = shuffleBytes {
+        batch.join(state, Seq("digest"), "left_anti").count(); ()
+      }
+      val prunedBytes = shuffleBytes {
+        batch.join(
+          state.filter(coalesce(
+            graft.functions.Bloom.mightContain(bloom, col("digest")),
+            lit(false))),
+          Seq("digest"), "left_anti").count(); ()
+      }
+      assert(plainBytes > 0)
+      assert(prunedBytes < plainBytes * 7 / 10,
+        s"pruned $prunedBytes vs plain $plainBytes: the state side should " +
+          "shrink to ~fpp of its rows before the exchange")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
+  }
+
+  test("Bloom helper: empty build is null; probes find every inserted key at ~fpp noise") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("digest")
+    assert(graft.functions.Bloom.build(empty, col("digest"), 10L, 0.01) == null)
+    val keys = (0 until 2000).map(i => s"key-$i")
+    val bf = graft.functions.Bloom.build(keys.toDF("digest"), col("digest"),
+      2000L, 0.01)
+    // no false negatives, by construction
+    val inserted = keys.toDF("digest")
+      .filter(graft.functions.Bloom.mightContain(bf, col("digest")))
+    assert(inserted.count() == 2000)
+    // false-positive rate on a disjoint probe set stays near fpp
+    val absent = (0 until 2000).map(i => s"other-$i").toDF("digest")
+      .filter(graft.functions.Bloom.mightContain(bf, col("digest")))
+    assert(absent.count() <= 2000 * 5 / 100, s"fp=${absent.count()}")
+  }
+
   test("bloom pre-filter lets most non-dup digests skip the anti-join") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val state = IncrementalDedup.digestsOf(docs.filter(col("doc_id") % 2 === 0))
