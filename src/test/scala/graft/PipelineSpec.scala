@@ -158,6 +158,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Fetch follows redirects (feed URLs move behind CDNs)") {
+    val payload = "moved content".getBytes("UTF-8")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/old", { exchange =>
+      exchange.getResponseHeaders.add("Location",
+        s"http://127.0.0.1:${server.getAddress.getPort}/new")
+      exchange.sendResponseHeaders(302, -1L)
+      exchange.close()
+    })
+    server.createContext("/new", { exchange =>
+      exchange.sendResponseHeaders(200, payload.length.toLong)
+      exchange.getResponseBody.write(payload)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val got = Fetch.bytes(
+        s"http://127.0.0.1:${server.getAddress.getPort}/old")
+      assert(got.sameElements(payload))
+    } finally server.stop(0)
+  }
+
   test("Fetch.toFile raises for status and stages nothing on non-2xx") {
     val dir = tmpDir()
     withHttpServer(Map.empty) { (base, _) =>
