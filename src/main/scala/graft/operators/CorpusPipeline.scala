@@ -116,6 +116,31 @@ object CorpusPipeline {
 
   val qSourceQuota: Q = (s, d) => sourceQuota(Tables.documents(s, d), k = 100)
 
+  /** [[sourceQuota]] under skew salting — the promised story for giant
+    * domains, implemented: top-K selection decomposes, so stage 1 takes
+    * per-(source, salt) heads (bounding any single window partition to
+    * ~|source|/salts rows) and stage 2 re-ranks the ≤ K·salts survivors
+    * per source. Only stage 2's (small) input shuffles on the bare
+    * source key. Output is IDENTICAL to the unsalted form — the same
+    * execution-strategy-variant-under-one-oracle contract as
+    * q_agg_salted — because both stages share the total order
+    * (n_chars desc, doc_id asc). */
+  def sourceQuotaSalted(docs: DataFrame, k: Int, salts: Int): DataFrame = {
+    val salted = docs.withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("source", "salt")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("srank") <= k)
+    salted.withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
+  }
+
+  val qSourceQuotaSalted: Q = (s, d) =>
+    sourceQuotaSalted(Tables.documents(s, d), k = 100, salts = 8)
+
   /** Curate the documents fixture: ≥ 15 tokens, ≤ 40% stopwords, near-dup
     * threshold J ≥ 0.9. */
   val qCorpusCurate: Q = (s, d) =>
@@ -168,7 +193,8 @@ object CorpusPipeline {
     "q_split_leakage" -> qSplitLeakage,
     "q_dedup_canonical" -> qDedupCanonical,
     "q_sample_stratified" -> qSampleStratified,
-    "q_source_quota" -> qSourceQuota)
+    "q_source_quota" -> qSourceQuota,
+    "q_source_quota_salted" -> qSourceQuotaSalted)
 
   val oracleSql: Map[String, String] = Map(
     "q_train_split" ->
@@ -222,6 +248,13 @@ object CorpusPipeline {
                           ELSE 10 END
          ORDER BY doc_id""",
     "q_source_quota" ->
+      """SELECT doc_id, source, n_chars, CAST(rank AS INT) AS rank
+         FROM (SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rank
+               FROM documents)
+         WHERE rank <= 100""",
+    "q_source_quota_salted" ->
       """SELECT doc_id, source, n_chars, CAST(rank AS INT) AS rank
          FROM (SELECT doc_id, source, n_chars,
                  ROW_NUMBER() OVER (PARTITION BY source

@@ -11,6 +11,26 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("sourceQuotaSalted equals sourceQuota on the fixture and under heavy skew") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(2), r.getInt(3))).toSet
+    for (k <- Seq(3, 50)) {
+      assert(rows(CorpusPipeline.sourceQuotaSalted(docs, k, salts = 8))
+        == rows(CorpusPipeline.sourceQuota(docs, k)), s"fixture k=$k")
+    }
+    // one giant source dominating the table — the regime salting exists
+    // for; equality must still be exact including ties in n_chars
+    val skewed = ((1 to 900).map(i => (i.toLong, "mega", i % 7)) ++
+      (901 to 930).map(i => (i.toLong, s"tail-${i % 3}", i % 5)))
+      .toDF("doc_id", "source", "n_chars")
+    for (salts <- Seq(1, 4, 16)) {
+      assert(rows(CorpusPipeline.sourceQuotaSalted(skewed, 10, salts))
+        == rows(CorpusPipeline.sourceQuota(skewed, 10)), s"skew salts=$salts")
+    }
+  }
+
   test("chunkOverlap: stride-prefixes + tail reconstruct the document exactly") {
     val chunks = CurationOps.chunkOverlap(Tables.documents(spark, sf), 20, 15)
       .collect()
