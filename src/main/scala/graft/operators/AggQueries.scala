@@ -79,6 +79,25 @@ object AggQueries {
     Tables.events(s, d)
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
 
+  /** Incremental distinct-count STATE — the warehouse pattern behind
+    * every "daily uniques, updated hourly" dashboard at 100 TB: per
+    * (event_type, day) slice, persist ONE DataSketches HLL sketch row
+    * (`hll_sketch_agg`, binary, mergeable); the rollup is
+    * `hll_union_agg` over sketch rows — bytes-per-slice work, the raw
+    * events never rescan. New slices append sketch rows; history stays
+    * immutable. Estimates are deterministic functions of the input (no
+    * oracle only because DuckDB's HLL is a different sketch
+    * implementation); NoOracleSpec pins merged-vs-direct equality and
+    * the error envelope vs exact distinct. */
+  val qAggHllMerge: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy(col("event_type"))
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+        .as("approx_users"),
+        count(lit(1)).as("n_slices"))
+
   /** ROLLUP over the region→nation hierarchy — the YYYY/MM/DD date
     * hierarchy analog (dags/warsaw-gtfs.py:90). */
   val qAggRollup: Q = (s, d) =>
@@ -262,6 +281,7 @@ object AggQueries {
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_multi_distinct" -> qAggMultiDistinct,
     "q_agg_approx_distinct" -> qAggApproxDistinct,
+    "q_agg_hll_merge" -> qAggHllMerge,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,
     "q_agg_grouping_sets" -> qAggGroupingSets,

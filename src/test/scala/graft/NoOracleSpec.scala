@@ -28,6 +28,30 @@ class NoOracleSpec extends AnyFunSuite {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  test("q_agg_hll_merge: slice-union equals the direct sketch; error envelope holds") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val merged = graft.operators.AggQueries.qAggHllMerge(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // direct single-pass sketch over the same rows — merging per-day
+    // sketches must lose nothing relative to it (same lgK default)
+    val direct = ev.groupBy("event_type")
+      .agg(expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id)) AS BIGINT)")
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"),
+        countDistinct(to_date(col("ts"))).as("days"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged.keySet == exact.keySet)
+    merged.foreach { case (t, (est, slices)) =>
+      assert(est == direct(t), s"$t: slice-union $est vs direct ${direct(t)}")
+      val n = exact(t)._1.toDouble
+      assert(math.abs(est - n) <= 0.05 * n, s"$t: est $est vs exact $n")
+      assert(slices == exact(t)._2, s"$t slice count")
+    }
+  }
+
   test("q_agg_approx_percentile sketch lands within the exact quantile band") {
     val got = graft.operators.AggQueries.qAggApproxPercentile(spark, sf)
       .collect()(0).getSeq[Double](0)
