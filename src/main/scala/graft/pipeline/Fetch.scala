@@ -28,7 +28,9 @@ object Fetch {
     * a failed fetch must fail the job, never land a half payload. */
   def bytes(url: String): Array[Byte] = {
     val res = client.send(
-      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofMinutes(5)) // a stalled feed must FAIL the
+        .GET().build(),                 // task, not hang the scheduler slot
       HttpResponse.BodyHandlers.ofByteArray())
     if (res.statusCode() < 200 || res.statusCode() >= 300)
       throw new java.io.IOException(
