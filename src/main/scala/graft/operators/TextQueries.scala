@@ -211,15 +211,19 @@ object TextQueries {
     * floor count of 0. Float logs → no-oracle class, property-tested
     * against a plain-Scala fold in TextOpsSpec. */
   def unigramLogLoss(docs: DataFrame, model: DataFrame): DataFrame = {
-    // model: (tok, cnt) with total derived; add-one smoothing over V
-    val stats = model.agg(sum("cnt").as("total"),
+    // model: (tok, cnt) with total derived; add-one smoothing over V.
+    // Materialized once (vocab-sized): both the smoothing-denominator
+    // scalars and the scoring join scan it — without this the training
+    // explode+agg would run twice per call.
+    val m = model.localCheckpoint(true)
+    val stats = m.agg(sum("cnt").as("total"),
       count(lit(1)).as("vocab")).head()
     val total = stats.getLong(0)
     val vocab = stats.getLong(1)
     val toks = docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("tok"))
-    toks.join(model, Seq("tok"), "left")
+    toks.join(m, Seq("tok"), "left")
       .withColumn("logp",
         log((coalesce(col("cnt"), lit(0L)) + 1).cast(DoubleType) /
           lit((total + vocab).toDouble)))
