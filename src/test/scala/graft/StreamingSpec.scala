@@ -627,4 +627,40 @@ class StreamingSpec extends AnyFunSuite {
         == Set(6L))
     } finally q.stop()
   }
+
+  test("transformWithState first-seen dedup suppresses dups across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState runs only on the RocksDB state store
+    val priorProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long)]
+    val dir = Files.createTempDirectory("graft-tws").toString
+    val q = graft.streaming.FirstSeen.firstSeen(mem.toDS())
+      .toDF("digest", "doc_id")
+      .writeStream.format("memory").queryName("tws_out").outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // batch 1: in-batch dup of A (keeps min id 1), first B
+      mem.addData(("A", 3L), ("A", 1L), ("B", 2L))
+      q.processAllAvailable()
+      // batch 2: A and B again (cross-batch dups — suppressed), first C
+      mem.addData(("A", 9L), ("B", 8L), ("C", 4L))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT digest, doc_id FROM tws_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(out == Set(("A", 1L), ("B", 2L), ("C", 4L)))
+    } finally {
+      q.stop()
+      priorProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
