@@ -215,10 +215,13 @@ object CurationOps {
   val qDedupSpans: Q = (s, d) => {
     val sh = shingleTable(Tables.documents(s, d), 4,
       cacheKey = Some(s"docs:$d"))
-    // the artifact's array_distinct makes (doc_id, g) unique → count(*)
-    // per g is the number of distinct docs containing g
-    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("ndocs"))
-    sh.join(dfreq, "g")
+    // the artifact's array_distinct makes (doc_id, g) unique → a count
+    // over the g-partition is the number of distinct docs containing g.
+    // Window, not groupBy-then-join-back: the aggregate AND the per-row
+    // annotation share ONE g-keyed exchange (the join form re-shuffled
+    // the whole shingle table on g a second time for the same values).
+    val w = Window.partitionBy("g")
+    sh.withColumn("ndocs", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
