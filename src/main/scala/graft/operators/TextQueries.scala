@@ -61,6 +61,39 @@ object TextQueries {
       .withColumn("is_short", col("n_tokens") < 20)
   }
 
+  /** Gopher-style heuristic quality gate (Rae et al. 2021 §A1.1, public
+    * rule set): word-count bounds, mean-word-length bounds, symbol-word
+    * ratio, alphabetic-word fraction, stop-word floor, AND-composed into
+    * a keep flag. Every ratio rule is stated in cross-multiplied integer
+    * arithmetic (e.g. 5·n_alpha ≥ 4·n_words for the 80% rule) so the
+    * whole gate is float-free and exactly oracle-checkable. Pure
+    * map-side HOF work — zero shuffles, linear at any corpus size. */
+  def gopherGate(docs: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val ruleWc = col("n_words").between(50L, 100000L)
+    val ruleMwl = lit(3) * col("n_words") <= col("char_sum") &&
+      col("char_sum") <= lit(10) * col("n_words")
+    val ruleSym = lit(10) * col("n_sym") <= col("n_words")
+    val ruleAlpha = lit(5) * col("n_alpha") >= lit(4) * col("n_words")
+    val ruleStop = col("n_stop") >= 2
+    docs
+      .select(col("doc_id"),
+        size(toks).cast(LongType).as("n_words"),
+        aggregate(transform(toks, t => length(t).cast(LongType)), lit(0L),
+          (acc, x) => acc + x).as("char_sum"),
+        size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType).as("n_alpha"),
+        size(filter(toks, t => t.rlike("[^a-z0-9]"))).cast(LongType).as("n_sym"),
+        size(filter(toks, t => t.isInCollection(stopwords))).cast(LongType)
+          .as("n_stop"))
+      .select(col("*"),
+        ruleWc.as("r_wordcount"), ruleMwl.as("r_meanlen"),
+        ruleSym.as("r_symbols"), ruleAlpha.as("r_alpha"),
+        ruleStop.as("r_stopwords"),
+        (ruleWc && ruleMwl && ruleSym && ruleAlpha && ruleStop).as("keep"))
+  }
+
+  val qTextGopher: Q = (s, d) => gopherGate(Tables.documents(s, d))
+
   /** BPE-ish token counting: regex token classes (letter runs, digit runs,
     * other non-space singletons) vs whitespace tokens. */
   val qTextTokenCount: Q = (s, d) =>
@@ -248,6 +281,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
+    "q_text_gopher" -> qTextGopher,
     "q_text_token_count" -> qTextTokenCount,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_tfidf" -> qTextTfidf,
@@ -292,6 +326,34 @@ object TextQueries {
          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
                FROM documents)
          ORDER BY doc_id""",
+    "q_text_gopher" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+               AS char_sum,
+             CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '[^a-z0-9]'))) AS BIGINT) AS n_sym,
+             CAST(len(list_filter(toks,
+               t -> t IN ('the','a','of','and','in','to'))) AS BIGINT)
+               AS n_stop
+           FROM t)
+         SELECT doc_id, n_words, char_sum, n_alpha, n_sym, n_stop,
+           (n_words BETWEEN 50 AND 100000) AS r_wordcount,
+           (3*n_words <= char_sum AND char_sum <= 10*n_words) AS r_meanlen,
+           (10*n_sym <= n_words) AS r_symbols,
+           (5*n_alpha >= 4*n_words) AS r_alpha,
+           (n_stop >= 2) AS r_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+             AND (3*n_words <= char_sum AND char_sum <= 10*n_words)
+             AND (10*n_sym <= n_words) AND (5*n_alpha >= 4*n_words)
+             AND (n_stop >= 2)) AS keep
+         FROM m ORDER BY doc_id""",
     "q_text_token_count" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpeish,

@@ -60,6 +60,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ppls.max > ppls.min)
   }
 
+  test("gopherGate trips each rule independently and ANDs them into keep") {
+    import spark.implicits._
+    // 60 ordinary words incl. 2 stopwords: passes every rule
+    val good = (Seq("the", "of") ++ (1 to 58).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, "the of tiny"),                                // r_wordcount: 3 < 50
+      (3L, (Seq("the", "of") ++ (1 to 58).map(_ => "ab")).mkString(" ")),
+      // ^ mean word length 2.13 < 3 → r_meanlen fails, others pass
+      (4L, (Seq("the", "of") ++ (1 to 51).map(_ => "word") ++
+        (1 to 7).map(_ => "##")).mkString(" ")),
+      // ^ 7 symbol words of 60 > 10% → r_symbols fails (## also non-alpha,
+      //   but 53/60 ≥ 80% keeps r_alpha green — isolates the symbol rule)
+      (5L, (Seq("the", "of") ++ (1 to 45).map(_ => "word") ++
+        (1 to 13).map(_ => "42")).mkString(" ")),
+      // ^ 13 digit-only words of 60 → alpha fraction 47/60 < 80%
+      (6L, (1 to 60).map(i => s"word$i").mkString(" ")))  // 0 stopwords
+    .toDF("doc_id", "text")
+    val out = TextQueries.gopherGate(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+          r.getBoolean(10), r.getBoolean(11))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    assert(out(2L)._1 == false && out(2L)._6 == false)
+    assert(out(3L) == ((true, false, true, true, true, false)))
+    assert(out(4L) == ((true, true, false, true, true, false)))
+    assert(out(5L) == ((true, true, true, false, true, false)))
+    assert(out(6L) == ((true, true, true, true, false, false)))
+  }
+
   test("redaction replaces digit runs with <NUM> and counts them") {
     import spark.implicits._
     val docs = Seq(
