@@ -36,25 +36,27 @@ object Dedup {
 
   /** 60-bit SimHash signature per (doc_id, text) row.
     *
-    * Pre-partitioned by doc_id: HashPartitioning(doc_id) satisfies the
-    * clustering requirement of every downstream groupBy whose keys
-    * include doc_id, so the (doc,tok) → (doc,bit) → (doc) aggregation
-    * chain — whose intermediates are 60× the input — runs with ONE
-    * shuffle of the raw tokens instead of three of the exploded bits. */
-  def simhashOf(docs: DataFrame): DataFrame =
+    * The 60 per-bit contribution sums are 60 columnar aggregates over the
+    * raw token occurrences (frequency weighting falls out for free: each
+    * occurrence contributes ±1, so Σ_occurrences ±1 = Σ_tok cnt·±1 in
+    * exact integer arithmetic — identical output to a (doc,tok)-counted
+    * formulation). One hash aggregation, no 60× bit-row explosion, and
+    * partial aggregation means the shuffle carries one 61-long row per
+    * (mapper, doc) — not the raw tokens — which is what survives a
+    * 100 TB corpus. Bit pack is a pure projection on the aggregate. */
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until 60).map(j =>
+      sum(expr(s"(shiftright(h, $j) & 1) * 2 - 1")).as(s"sc$j"))
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .repartition(col("doc_id"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10)
         .cast("long"))
-      .withColumn("j", explode(sequence(lit(0), lit(59))))
-      .withColumn("contrib", col("cnt") * (expr("shiftright(h, j) & 1") * 2 - 1))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("sc"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("sc") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"sc$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** Embedding near-dup pairs: exact when `lsh` is false (O(n²), small
     * corpora), LSH-bucketed when true (the 100 TB path). */
