@@ -27,9 +27,28 @@ object Bloom {
     math.ceil(-n.toDouble * math.log(p) / (math.log(2) * math.log(2))).toLong
   }
 
+  /** Spark enforces session caps on Bloom aggregate sizing —
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M)
+    * and `.maxNumBits` (default 64Mbit ≈ 8 MB) — via a bare
+    * `require(...)` at analysis time, so a [[bloomAgg]] sized past them
+    * fails with an opaque "requirement failed". Raise the caps to fit a
+    * requested (items, fpp) before building anything bigger; no-op when
+    * the current caps already suffice. */
+  def ensureCapacity(spark: org.apache.spark.sql.SparkSession,
+      expectedItems: Long, fpp: Double): Unit = {
+    val items = expectedItems.max(1L)
+    val bits = optimalNumBits(items, fpp)
+    def raiseTo(key: String, v: Long): Unit =
+      if (spark.conf.get(key).toLong < v) spark.conf.set(key, v)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", items)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
+  }
+
   /** Aggregate Column producing a serialized Bloom filter over
     * `xxhash64(c)`. Distributed build: partial sketches merge
-    * executor-side; only the final bitmap leaves the aggregation. */
+    * executor-side; only the final bitmap leaves the aggregation.
+    * Sizing past the session caps fails analysis — see
+    * [[ensureCapacity]]. */
   def bloomAgg(c: Column, expectedItems: Long, fpp: Double): Column = {
     val items = expectedItems.max(1L)
     ColumnBridge.column(new BloomFilterAggregate(
@@ -44,9 +63,11 @@ object Bloom {
     * `optimalNumBits` caps it at ~120 KB per million expected items at
     * 1% fpp, the same driver-side-scalar budget as any broadcast dim. */
   def build(df: DataFrame, c: Column, expectedItems: Long,
-      fpp: Double): Array[Byte] =
+      fpp: Double): Array[Byte] = {
+    ensureCapacity(df.sparkSession, expectedItems, fpp)
     df.select(bloomAgg(c, expectedItems, fpp).as("bf"))
       .head.getAs[Array[Byte]]("bf")
+  }
 
   /** Probe Column: may-contain test of `xxhash64(c)` against a
     * serialized filter from [[build]]/[[bloomAgg]]. Codegen'd predicate —

@@ -136,10 +136,22 @@ object Geo {
     val latCellU = math.ceil(radiusMeters / MetersPerDegLat * 1e6).toLong + 1
     val lonCellU = math.ceil(
       math.toDegrees(2 * math.asin(sinHalf)) * 1e6).toLong + 1
+    // The |lat| <= maxAbsLatDeg precondition is a RECALL bound (cell
+    // widths are sized from cos(maxAbsLat)), so a violating point would
+    // silently drop qualifying pairs — enforce it inline on the scan:
+    // raise_error costs nothing on conforming data (codegen'd branch)
+    // and turns the violation into a loud failure instead of quiet
+    // under-recall.
+    val latChecked = when(
+      abs(col(latCol).cast(DoubleType)) > lit(maxAbsLatDeg),
+      raise_error(concat(lit(s"haversineNeighborPairs: |lat| > " +
+        s"$maxAbsLatDeg deg violates the grid recall bound (got "),
+        col(latCol).cast(StringType), lit(")"))).cast(DoubleType))
+      .otherwise(col(latCol).cast(DoubleType))
     val pts = points.select(col(idCol).as("id"),
-      col(latCol).cast(DoubleType).as("lat"),
+      latChecked.as("lat"),
       col(lonCol).cast(DoubleType).as("lon"),
-      floor(col(latCol).cast(DoubleType) * 1e6 / latCellU)
+      floor(latChecked * 1e6 / latCellU)
         .cast(LongType).as("cla"),
       floor(col(lonCol).cast(DoubleType) * 1e6 / lonCellU)
         .cast(LongType).as("clo"))

@@ -174,6 +174,14 @@ object IncrementalDedup {
       stateBands: DataFrame, expectedItems: Long = 100000L,
       fpp: Double = 0.01,
       batchBands: Option[DataFrame] = None): DataFrame =
+    // Convenience form: the digest column here is LAZY, so the two
+    // downstream scans that read it (the bloom-positive probe and the
+    // survivor recovery join) each recompute sha-256 over the batch
+    // text (scans that don't read `digest` don't pay — column pruning
+    // drops it). For repeated/large-batch use, digest once into a
+    // materialized narrow artifact and call [[newDocsBloomDigested]]
+    // directly — the declared queries do exactly that via the session
+    // docDigests artifact.
     newDocsBloomDigested(batch.withColumn("digest", sha2(col("text"), 256)),
       stateDigests, stateBands, expectedItems, fpp, batchBands)
 
@@ -242,6 +250,8 @@ object IncrementalDedup {
     require(nBuckets > 0)
     val digested = batch.withColumn("digest", sha2(col("text"), 256))
     def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets.toLong))
+    graft.functions.Bloom.ensureCapacity(stateDigests.sparkSession,
+      expectedItemsPerBucket, fpp)
     val blooms = stateDigests
       .groupBy(bucketOf(col("digest")).as("bucket"))
       .agg(graft.functions.Bloom.bloomAgg(col("digest"),

@@ -107,9 +107,19 @@ object Layout {
     // live table exists (recovered above if needed), so a leftover backup
     // is a stale artifact of a completed-or-recovered run, safe to drop
     fs.delete(bak, true)
-    fs.rename(path, bak)
-    fs.rename(staging, path)
-    fs.delete(bak, true)
+    // Hadoop rename reports failure by RETURNING FALSE (missing source,
+    // dest-parent race), not by throwing — an unchecked false on the
+    // second rename followed by delete(bak) would destroy the only copy
+    // of the table. Fail loudly instead, and only drop the backup once
+    // the live table is confirmed back in place.
+    if (!fs.rename(path, bak))
+      throw new java.io.IOException(s"compact: rename $path -> $bak failed")
+    if (!fs.rename(staging, path)) {
+      fs.rename(bak, path) // restore; staging is still intact for retry
+      throw new java.io.IOException(
+        s"compact: rename $staging -> $path failed; original restored")
+    }
+    if (fs.exists(path)) fs.delete(bak, true)
     (before.length, parquetFiles().length)
   }
 

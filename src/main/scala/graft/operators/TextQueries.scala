@@ -251,6 +251,12 @@ object TextQueries {
     val m = model.localCheckpoint(true)
     val stats = m.agg(sum("cnt").as("total"),
       count(lit(1)).as("vocab")).head()
+    // sum() over zero rows aggregates to NULL — surface an empty model
+    // (reachable: the docstring supports a model trained on a different
+    // slice) as a clear error, not a NullPointerException on getLong
+    require(!stats.isNullAt(0),
+      "unigramLogLoss: empty model (no (tok, cnt) rows) — add-one " +
+        "smoothing is undefined with V = 0")
     val total = stats.getLong(0)
     val vocab = stats.getLong(1)
     val toks = docs

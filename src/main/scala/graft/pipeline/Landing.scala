@@ -122,20 +122,24 @@ object SchemaDrift {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
-  /** [[readJsonQuarantine]] pre-split into (clean, quarantine): clean =
-    * schema rows that parsed, quarantine = the raw text of every
+  /** [[readJsonQuarantine]] pre-split into (clean, quarantine, raw):
+    * clean = schema rows that parsed, quarantine = the raw text of every
     * malformed line. The parsed frame is cached HERE because Spark
     * disallows quarantine-side queries that reference only the internal
     * corrupt-record column on an uncached JSON scan (see caveat above) —
-    * and both halves read it anyway. Callers may `unpersist()` either
-    * half's parent once both sinks are written. */
+    * and both halves read it anyway. Spark's `unpersist` is plan-keyed,
+    * so unpersisting a FILTERED half would not release the cached
+    * parent — that's why the raw frame itself is returned: call
+    * `raw.unpersist()` once both sinks are written. */
   def readJsonQuarantineSplit(spark: org.apache.spark.sql.SparkSession,
       schema: StructType, path: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions.col
     val raw = readJsonQuarantine(spark, schema, path).cache()
     (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
-      raw.filter(col("_corrupt_record").isNotNull).select("_corrupt_record"))
+      raw.filter(col("_corrupt_record").isNotNull).select("_corrupt_record"),
+      raw)
   }
 }
 

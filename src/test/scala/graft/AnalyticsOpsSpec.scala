@@ -237,6 +237,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }, n = 15)
   }
 
+  test("haversineNeighborPairs fails loudly when |lat| exceeds the recall band") {
+    import spark.implicits._
+    // a 70°N point under the default 66° band would silently lose pairs
+    // (lon cells sized from cos(66) under-cover at cos(70)) — the inline
+    // raise_error must surface the violation instead
+    val pts = Seq((1L, 70.0, 18.9), (2L, 70.0005, 18.905)).toDF("id", "lat", "lon")
+    val e = intercept[Exception] {
+      Geo.haversineNeighborPairs(pts, "id", "lat", "lon", 1200.0).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("recall bound")), messages(e).mkString("; "))
+    // same points pass once the declared band covers them
+    assert(Geo.haversineNeighborPairs(pts, "id", "lat", "lon", 1200.0,
+      maxAbsLatDeg = 71.0).count() == 1)
+  }
+
   test("qGeoTrajectoryHaversine matches a plain-Scala great-circle fold") {
     val ev = Tables.events(spark, sf).select(col("user_id"), col("ts"),
         col("event_id"),

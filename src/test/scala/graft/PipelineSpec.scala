@@ -309,7 +309,7 @@ class PipelineSpec extends AnyFunSuite {
       StructField("delay", IntegerType)))
     // the split helper owns the cache Spark requires before a
     // corrupt-column-only query — no caller-side .cache() ceremony
-    val (clean, bad) = graft.pipeline.SchemaDrift
+    val (clean, bad, rawParent) = graft.pipeline.SchemaDrift
       .readJsonQuarantineSplit(spark, schema, dir)
     try {
       assert(clean.count() == 2 && bad.count() == 2)
@@ -320,7 +320,15 @@ class PipelineSpec extends AnyFunSuite {
       val raw = bad.collect().map(_.getString(0)).sorted.toSeq
       assert(raw == Seq("""not json at all""",
         """{"route_id":"R2","delay":}"""))
-    } finally { spark.sharedState.cacheManager.clearCache(); () }
+    } finally {
+      // the returned parent is the cache handle — unpersisting it (not a
+      // filtered half, which would miss the plan-keyed cache) releases
+      // the PERMISSIVE-parsed frame without nuking session-wide caches
+      rawParent.unpersist(true)
+      assert(spark.sharedState.cacheManager.lookupCachedData(
+        rawParent.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+        .isEmpty)
+    }
   }
 
   test("landing manifest: partition-independent digest; detects tampering") {
