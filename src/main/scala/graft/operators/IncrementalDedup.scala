@@ -353,14 +353,23 @@ object IncrementalDedup {
     * parquet the batch path uses, not executor state-store rows, so batch
     * and streaming ingests can interleave against one corpus state.
     * Micro-batch replay after a crash is absorbed by [[ingest]]'s
-    * idempotence (replayed docs' digests are already in state). */
+    * idempotence (replayed docs' digests are already in state).
+    *
+    * `gate` runs on each micro-batch BEFORE dedup — the quality→dedup
+    * order of the batch curation pipeline (rejected docs must not claim
+    * digests in state, or a later clean duplicate would be suppressed
+    * by a doc that never landed). Map-side gates (e.g.
+    * `TextQueries.gopherGate(_).filter(col("keep"))
+    * .select("doc_id", "text")`) add no shuffle to the micro-batch. */
   def streamIngest(spark: SparkSession, docs: DataFrame, statePath: String,
-      outDir: String, checkpointDir: String)
+      outDir: String, checkpointDir: String,
+      gate: DataFrame => DataFrame = identity)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val survivors = ingest(batch.sparkSession, batch.toDF(), statePath)
+        val survivors =
+          ingest(batch.sparkSession, gate(batch.toDF()), statePath)
         survivors.write.mode(SaveMode.Append).parquet(outDir)
         ()
       }

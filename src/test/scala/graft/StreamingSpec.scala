@@ -599,6 +599,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamIngest quality gate rejects docs before they claim dedup state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sig").toString
+    // gate: word count >= 4 (a thin stand-in for the full Gopher gate,
+    // which needs 50+ words per doc — same shape: map-side keep filter)
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")) >= 4)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.operators.IncrementalDedup.streamIngest(spark,
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/state", s"$dir/out", s"$dir/ckpt", gate)
+    try {
+      // doc 1 passes; doc 2 fails the gate (3 words)
+      mem.addData((1L, "alpha beta gamma delta"), (2L, "too short doc"))
+      q.processAllAvailable()
+      // CRITICAL ordering property: the rejected doc 2 must not have
+      // claimed state — a later clean duplicate of its text must land
+      mem.addData((3L, "too short doc padded out"),
+        (4L, "alpha beta gamma delta")) // dup of landed doc 1: suppressed
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streamIngestEmbeddings dedups vectors across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
