@@ -98,6 +98,38 @@ object CorpusPipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("pct"))
   }
 
+  /** Quality-bucketed downsampling — the CCNet head/middle/tail shape:
+    * tier documents by a quality signal, then keep each tier at its own
+    * deterministic rate (head 100%, middle 50%, tail 10%), so the mix
+    * skews toward quality without discarding the tail outright. The
+    * tier here is stopword DENSITY in cross-multiplied integers
+    * (head: 10·n_stop ≥ n_words i.e. ≥10%; middle: ≥5%) — a float-free
+    * stand-in for CCNet's perplexity tertiles ([[TextQueries
+    * .unigramLogLoss]] is the perplexity scorer proper, kept off the
+    * oracle path because its ln() is float). Same salted md5 id-hash as
+    * [[qSampleStratified]], so the keep set is rerun-stable,
+    * engine-exact, independent of the train/val/test assignment, and a
+    * map-side filter with no shuffle at any corpus size. */
+  val qSampleQuality: Q = (s, d) => {
+    val toks = split(lower(col("text")), " ")
+    val pct = pmod(conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit("#quality"))), 1, 4), 16, 10).cast(IntegerType), lit(100))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast(LongType).as("n_words"),
+        size(filter(toks, t => t.isInCollection(
+          Seq("the", "a", "of", "and", "in", "to")))).cast(LongType)
+          .as("n_stop"))
+      .withColumn("tier",
+        when(lit(10) * col("n_stop") >= col("n_words"), "head")
+          .when(lit(20) * col("n_stop") >= col("n_words"), "middle")
+          .otherwise("tail"))
+      .withColumn("pct", pct)
+      .filter(col("pct") < when(col("tier") === "head", 100)
+        .when(col("tier") === "middle", 50).otherwise(10))
+      .select(col("doc_id"), col("tier"), col("pct"))
+  }
+
   /** Per-source quota capping — the anti-domination gate every web-scale
     * corpus applies before mixing (no single crawl domain may contribute
     * more than K documents, and the K kept are the BEST by a declared
@@ -193,6 +225,7 @@ object CorpusPipeline {
     "q_split_leakage" -> qSplitLeakage,
     "q_dedup_canonical" -> qDedupCanonical,
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_quality" -> qSampleQuality,
     "q_source_quota" -> qSourceQuota,
     "q_source_quota_salted" -> qSourceQuotaSalted)
 
@@ -245,6 +278,30 @@ object CorpusPipeline {
                FROM documents)
          WHERE pct < CASE WHEN lang IN ('es', 'zh') THEN 50
                           WHEN lang = 'en' THEN 25
+                          ELSE 10 END
+         ORDER BY doc_id""",
+    "q_sample_quality" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(list_filter(toks,
+               t -> t IN ('the','a','of','and','in','to'))) AS BIGINT)
+               AS n_stop,
+             CAST('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || '#quality'), 1, 4)
+                  AS INT) % 100 AS pct
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                 FROM documents)),
+         t AS (
+           SELECT doc_id,
+             CASE WHEN 10*n_stop >= n_words THEN 'head'
+                  WHEN 20*n_stop >= n_words THEN 'middle'
+                  ELSE 'tail' END AS tier,
+             pct
+           FROM m)
+         SELECT doc_id, tier, pct FROM t
+         WHERE pct < CASE WHEN tier = 'head' THEN 100
+                          WHEN tier = 'middle' THEN 50
                           ELSE 10 END
          ORDER BY doc_id""",
     "q_source_quota" ->
