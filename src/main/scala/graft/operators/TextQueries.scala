@@ -168,6 +168,29 @@ object TextQueries {
       .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
   }
 
+  /** BPE merge-pair counting — the tokenizer-training inner loop at
+    * corpus scale: for every adjacent character pair inside a word, the
+    * total corpus occurrence count (weighted by word frequency) and the
+    * number of distinct words containing it; the top pair is the next
+    * BPE merge. Runs SET-CONTRACTED: one corpus pass builds the
+    * (word, freq) vocabulary — at 100 TB the vocab table is MBs where
+    * the corpus is TBs — and the quadratic-ish pair explode touches only
+    * distinct words, weighted by freq on the way back out. Exact longs →
+    * DuckDB oracle. */
+  val qTextBpePairs: Q = (s, d) => {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("word"), col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("freq")).as("n_occ"),
+        count_distinct(col("word")).as("n_words"))
+  }
+
   /** PII-style redaction: digit runs → <NUM>, named-entity-ish tokens →
     * <ENT> (the fixture corpus has no digits, so the oracle verifies the
     * <NUM> no-match path; the positive path is unit-tested on
@@ -288,6 +311,7 @@ object TextQueries {
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_gopher" -> qTextGopher,
+    "q_text_bpe_pairs" -> qTextBpePairs,
     "q_text_token_count" -> qTextTokenCount,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_tfidf" -> qTextTfidf,
@@ -332,6 +356,21 @@ object TextQueries {
          FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
                FROM documents)
          ORDER BY doc_id""",
+    "q_text_bpe_pairs" ->
+      """WITH vocab AS (
+           SELECT word, COUNT(*) AS freq
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                 FROM documents)
+           WHERE len(word) >= 2
+           GROUP BY word),
+         pairs AS (
+           SELECT word, freq,
+             unnest(list_transform(range(len(word) - 1),
+               i -> substring(word, i + 1, 2))) AS pair
+           FROM vocab)
+         SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occ,
+           COUNT(DISTINCT word) AS n_words
+         FROM pairs GROUP BY pair ORDER BY pair""",
     "q_text_gopher" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(text), ' ') AS toks
