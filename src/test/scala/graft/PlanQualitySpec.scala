@@ -40,10 +40,10 @@ class PlanQualitySpec extends AnyFunSuite {
 
   // Shuffle-count ceilings from graft.tools.ShuffleCensus at HEAD
   // (round 7, after presentation sorts were retired, the simhash
-  // columnar-aggregate rewrite, and the Gopher gate): 64 queries plan 0
-  // exchanges, 57 plan 1, 21 plan 2, and exactly six multi-stage
-  // pipelines plan 3-4 — so the blanket ceiling is 2 and the six get
-  // pinned individually. A query exceeding its ceiling has grown an
+  // columnar-aggregate rewrite, and the late-round curation queries):
+  // 65 queries plan 0 exchanges, 57 plan 1, 22 plan 2, and exactly six
+  // multi-stage pipelines plan 3-4 — so the blanket ceiling is 2 and
+  // the six get pinned individually. A query exceeding its ceiling has grown an
   // unplanned exchange — typically a lost broadcast (dimension join
   // falling back to shuffle-hash/sort-merge), an accidental repartition,
   // or a reintroduced presentation sort — exactly the regression that
