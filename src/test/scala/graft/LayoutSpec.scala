@@ -201,6 +201,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(absent.count() <= 2000 * 5 / 100, s"fp=${absent.count()}")
   }
 
+  test("Bloom.build sized past Spark's session caps succeeds via ensureCapacity") {
+    import spark.implicits._
+    // default caps: maxNumItems 4M, maxNumBits 64Mbit — a 10M-item/1%
+    // request exceeds both and fails analysis with a bare 'requirement
+    // failed' unless build() raises the caps first
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    try {
+      val keys = (0 until 100).map(i => s"big-$i")
+      val bf = graft.functions.Bloom.build(keys.toDF("digest"),
+        col("digest"), expectedItems = 10000000L, fpp = 0.01)
+      assert(bf != null)
+      assert(spark.conf.get(itemsKey).toLong >= 10000000L)
+      assert(spark.conf.get(bitsKey).toLong >=
+        graft.functions.Bloom.optimalNumBits(10000000L, 0.01))
+      val found = keys.toDF("digest")
+        .filter(graft.functions.Bloom.mightContain(bf, col("digest")))
+      assert(found.count() == 100)
+    } finally {
+      spark.conf.set(itemsKey, items0); spark.conf.set(bitsKey, bits0)
+    }
+  }
+
   test("bloom pre-filter lets most non-dup digests skip the anti-join") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val state = IncrementalDedup.digestsOf(docs.filter(col("doc_id") % 2 === 0))
