@@ -44,24 +44,37 @@ object Bench {
     }
 
     val debugReps = sys.env.contains("SPARK_GRAFT_DEBUG_REPS")
+    val failed = collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var ok = true
       val times = Seq.fill(reps) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // a failure must NOT be recorded as a (fast) timing — a query
+        // that starts throwing would otherwise read as a perf win
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            if (ok) System.err.println(s"[bench] $name FAILED: $t")
+            ok = false
+        }
         (System.nanoTime() - t0) / 1e9
       }
       if (debugReps)
         System.err.println(f"[reps] $name%-28s " +
           times.map(t => f"$t%6.2f").mkString(" "))
-      name -> times.sorted.apply(times.length / 2)
+      if (!ok) failed += name
+      name -> (if (ok) Some(times.sorted.apply(times.length / 2)) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
     // cpus/shuffle/reps ride in the JSON so round-over-round deltas can't
     // be confounded by a config change (r5/r6 ran local[32] vs the
     // recorded local[4] baseline — VERDICT r6 item 7).
-    val cfg = s""""cpus":$cpus,"shuffle":$cpus,"reps":$reps"""
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val cfg = s""""cpus":$cpus,"shuffle":$cpus,"reps":$reps""" + failedJson
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec",$cfg,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
@@ -72,7 +85,8 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    val slowest = results.sortBy(-_._2).take(8)
+    val slowest = results.collect { case (k, Some(v)) => k -> v }
+      .sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",$cfg,"slowest":$slowest,"sf":"$sfDir","full":"bench.json"}""")
     spark.stop()

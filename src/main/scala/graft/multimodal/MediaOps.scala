@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 import graft.Tables
 
 /** Multimodal column handling: media as opaque `binary` columns with typed
@@ -165,7 +166,12 @@ object MediaOps {
     mediaTable(s, d)
       .select(col("doc_id"),
         octet_length(col("media")).as("n_bytes"),
-        ascii(col("media").cast("string")).as("first_byte"),
+        // BYTE-true (hex of the first payload byte, not the codepoint of
+        // a UTF-8 decode): media is opaque binary, and the previous
+        // ascii(cast-to-string) form silently diverged from the oracle
+        // on any multi-byte first character
+        conv(hex(substring(col("media"), 1, 1)), 16, 10)
+          .cast(IntegerType).as("first_byte"),
         col("kind"),
         col("meta.width").as("width"),
         col("meta.height").as("height"))
@@ -215,7 +221,10 @@ object MediaOps {
     "q_multimodal_meta" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           ascii(substring(text, 1, 1)) AS first_byte,
+           -- first PAYLOAD BYTE via hex slicing (DuckDB cannot slice
+           -- BLOBs directly); byte-true like the Spark side
+           CAST('0x' || substring(hex(encode(text)), 1, 2) AS INT)
+             AS first_byte,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            CAST((doc_id % 64) * 16 + 16 AS INT) AS width,
@@ -230,6 +239,10 @@ object MediaOps {
     "q_multimodal_frames" ->
       """SELECT doc_id,
            CAST((octet_length(encode(text)) + 7) // 8 AS INT) AS n_frames,
-           to_base64(encode(substring(text, 1, 8))) AS first_frame_b64
+           -- first 8 PAYLOAD BYTES via hex slicing: the previous
+           -- substring(text, 1, 8) took 8 CHARACTERS, which diverges
+           -- from the Spark side's byte slice on non-ASCII payloads
+           to_base64(unhex(substring(hex(encode(text)), 1, 16)))
+             AS first_frame_b64
          FROM documents ORDER BY doc_id""")
 }

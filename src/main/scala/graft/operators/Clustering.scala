@@ -110,6 +110,16 @@ object Clustering {
       iter += 1
     }
     sym.unpersist(false)
+    // Non-convergence must be LOUD: returning the last iterate would
+    // split long-chain components into several clusters and let
+    // near-duplicates through curation with no signal. Chains needing
+    // more than maxIter doubled-hop rounds should use
+    // [[componentLabelsStar]] (O(log² n) on any shape).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"componentLabels: not converged after $maxIter rounds " +
+          s"($changed labels still improving) — raise maxIter or use " +
+          "componentLabelsStar for long-chain graphs")
     labels
   }
 
@@ -169,6 +179,10 @@ object Clustering {
       edges = afterSmall
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentLabelsStar: not converged after $maxIter rounds — " +
+          "raise maxIter (O(log² n) bound suggests a data anomaly)")
     edges.select(col("a").as("id"), col("a").as("label"))
       .union(edges.select(col("b").as("id"), col("a").as("label")))
       .groupBy("id").agg(min("label").as("label"))

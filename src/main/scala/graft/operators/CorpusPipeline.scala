@@ -28,7 +28,7 @@ import graft.Tables
   */
 object CorpusPipeline {
 
-  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+  private val stopwords = TextQueries.stopwords
 
   def curate(docs: DataFrame, minTokens: Int, maxStopPct: Int,
       tNum: Int, tDen: Int, cacheKey: Option[String] = None): DataFrame = {
@@ -57,8 +57,7 @@ object CorpusPipeline {
       .filter(col("label").isNull || col("label") === col("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"),
         sha2(col("text"), 256).as("digest"),
-        aggregate(transform(split(col("text"), ""), c => ascii(c).cast(LongType)),
-          lit(0L), (h, c) => pmod(h * 31 + c, lit(1000000007L))).as("fp"))
+        TextQueries.fingerprint(col("text")).as("fp"))
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -117,9 +116,8 @@ object CorpusPipeline {
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(toks).cast(LongType).as("n_words"),
-        size(filter(toks, t => t.isInCollection(
-          Seq("the", "a", "of", "and", "in", "to")))).cast(LongType)
-          .as("n_stop"))
+        size(filter(toks, t => t.isInCollection(TextQueries.stopwords)))
+          .cast(LongType).as("n_stop"))
       .withColumn("tier",
         when(lit(10) * col("n_stop") >= col("n_words"), "head")
           .when(lit(20) * col("n_stop") >= col("n_words"), "middle")

@@ -291,9 +291,31 @@ object IncrementalDedup {
     * State is written AFTER the survivor set materializes (same
     * state-written-last ordering fix as [[graft.pipeline.GtfsIngest]]);
     * re-ingesting the same batch is then a no-op (every digest already in
-    * state), which makes crash-rerun safe without a transaction log. */
+    * state), which makes crash-rerun safe without a transaction log.
+    *
+    * The two state appends cannot be atomic without a commit log, so
+    * their ORDER decides the failure mode of a crash between them:
+    * bands first means a rerun sees the crashed docs' own band keys and
+    * re-drops them — a conservative false-drop (and any later copy is
+    * likewise dropped, so no duplicate ever lands). The reverse order
+    * (digests first) would leave a permanent NEAR-DUP HOLE: rerun finds
+    * the digest, never appends the bands, and later near-dups of those
+    * docs sail through the band check forever. A dedup state prefers
+    * the former. */
   def ingest(spark: SparkSession, batch: DataFrame,
-      statePath: String): DataFrame = {
+      statePath: String): DataFrame =
+    ingestWith(spark, batch, statePath)(_ => ())
+
+  /** [[ingest]] with a survivor sink invoked BEFORE state is appended —
+    * the hook streaming needs for crash-safe output ordering (see
+    * [[streamIngest]]): if the sink commits and the state append
+    * doesn't, a rerun recomputes the same survivors; if state commits
+    * and the sink already ran, the docs are both landed and protected.
+    * Output-after-state (the naive order) silently LOSES docs on
+    * micro-batch replay: state marks them ingested, so the replay
+    * yields zero survivors and the sink never sees them. */
+  def ingestWith(spark: SparkSession, batch: DataFrame,
+      statePath: String)(sink: DataFrame => Unit): DataFrame = {
     val digestsPath = s"$statePath/digests"
     val bandsPath = s"$statePath/bands"
     val emptyDocs = batch.limit(0)
@@ -307,10 +329,11 @@ object IncrementalDedup {
     // lineage before state is touched.
     val survivors = newDocs(batch, stateDigests, stateBands)
       .localCheckpoint(true)
-    survivors.select("digest")
-      .write.mode(SaveMode.Append).parquet(digestsPath)
+    sink(survivors)
     bandsOf(survivors).select("band", "band_key")
       .write.mode(SaveMode.Append).parquet(bandsPath)
+    survivors.select("digest")
+      .write.mode(SaveMode.Append).parquet(digestsPath)
     survivors
   }
 
@@ -326,7 +349,15 @@ object IncrementalDedup {
     * in-batch dedup is [[Similarity.lshNearDupPairsQ]]'s job. */
   def ingestEmbeddings(spark: SparkSession, batch: DataFrame,
       statePath: String, tables: Int = 2, nbits: Int = 4, dim: Int = 64,
-      cosSq1e4: Long = 2025L): DataFrame = {
+      cosSq1e4: Long = 2025L): DataFrame =
+    ingestEmbeddingsWith(spark, batch, statePath, tables, nbits, dim,
+      cosSq1e4)(_ => ())
+
+  /** [[ingestEmbeddings]] with a survivor sink invoked BEFORE the state
+    * append — same crash-safe output ordering as [[ingestWith]]. */
+  def ingestEmbeddingsWith(spark: SparkSession, batch: DataFrame,
+      statePath: String, tables: Int = 2, nbits: Int = 4, dim: Int = 64,
+      cosSq1e4: Long = 2025L)(sink: DataFrame => Unit): DataFrame = {
     val vecsPath = s"$statePath/vecs"
     val emptyState = Similarity.quantBucketed(batch.limit(0), "vec_id",
       "embedding", tables, nbits, dim)
@@ -336,6 +367,7 @@ object IncrementalDedup {
       .localCheckpoint(true) // cut lineage before the append grows state
     val survivors = batch.join(newIds.select(col("id").as("vec_id")),
       Seq("vec_id"), "left_semi")
+    sink(survivors)
     Similarity.quantBucketed(survivors, "vec_id", "embedding",
         tables, nbits, dim)
       .write.mode(SaveMode.Append).parquet(vecsPath)
@@ -352,8 +384,16 @@ object IncrementalDedup {
     * one ingested last month. State here is the same append-only keyed
     * parquet the batch path uses, not executor state-store rows, so batch
     * and streaming ingests can interleave against one corpus state.
-    * Micro-batch replay after a crash is absorbed by [[ingest]]'s
-    * idempotence (replayed docs' digests are already in state).
+    * Crash-replay ordering (foreachBatch is not transactional): each
+    * micro-batch writes its survivors into a BATCH-KEYED subdirectory
+    * of `outDir` BEFORE state is appended ([[ingestWith]]). Replay
+    * after a crash then re-lands the same survivor set over the same
+    * directory — idempotent — where output-after-state would see the
+    * replayed docs already in state and silently drop them from the
+    * corpus forever. The one remaining window (state fully appended,
+    * checkpoint commit lost) replays to an EMPTY survivor set; the
+    * empty-skip guard leaves the previously landed directory intact
+    * rather than overwriting it with nothing.
     *
     * `gate` runs on each micro-batch BEFORE dedup — the quality→dedup
     * order of the batch curation pipeline (rejected docs must not claim
@@ -367,29 +407,34 @@ object IncrementalDedup {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val survivors =
-          ingest(batch.sparkSession, gate(batch.toDF()), statePath)
-        survivors.write.mode(SaveMode.Append).parquet(outDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dest = s"$outDir/batch=$batchId"
+        ingestWith(batch.sparkSession, gate(batch.toDF()), statePath) { s =>
+          if (!s.isEmpty || !pathExists(batch.sparkSession, dest))
+            s.write.mode(SaveMode.Overwrite).parquet(dest)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
 
   /** [[streamIngest]] at vector granularity: every micro-batch of a
-    * (vec_id, embedding) stream runs through [[ingestEmbeddings]], so
-    * near-dup state spans micro-batches and restarts, and micro-batch
-    * replay is absorbed by each vector being an exact dup of its own
-    * state row — the same batch/stream symmetry the text path has. */
+    * (vec_id, embedding) stream runs through [[ingestEmbeddingsWith]],
+    * so near-dup state spans micro-batches and restarts. Same
+    * batch-keyed output-before-state ordering as the text path: replay
+    * re-lands the same survivors idempotently instead of losing them to
+    * an already-appended state. */
   def streamIngestEmbeddings(spark: SparkSession, vecs: DataFrame,
       statePath: String, outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val survivors =
-          ingestEmbeddings(batch.sparkSession, batch.toDF(), statePath)
-        survivors.write.mode(SaveMode.Append).parquet(outDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dest = s"$outDir/batch=$batchId"
+        ingestEmbeddingsWith(batch.sparkSession, batch.toDF(), statePath) { s =>
+          if (!s.isEmpty || !pathExists(batch.sparkSession, dest))
+            s.write.mode(SaveMode.Overwrite).parquet(dest)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -285,8 +285,9 @@ object MiscQueries {
   }
 
   /** Cross-engine ingest manifest: row count + order-independent bit_xor
-    * content digest over a canonical row serialization (NUL-coalesced
-    * string-cast columns joined by \u0001 → sha-256 → 60-bit prefix —
+    * content digest over a canonical row serialization (length-prefixed
+    * string-cast columns joined by `|`, NULL → `n` — a prefix code,
+    * injective for any cell content — → sha-256 → 60-bit prefix —
     * XOR folding is commutative, so any partitioning or row order gives
     * the same value, and the whole check is ONE map-side-combinable
     * pass). Declared so the oracle gate proves the digest is
@@ -326,12 +327,14 @@ object MiscQueries {
     "q_ingest_manifest" ->
       """WITH p AS (
            SELECT CAST('0x' || substring(sha256(
-             concat_ws(chr(1),
-               coalesce(CAST(doc_id AS VARCHAR), chr(0)),
-               coalesce(text, chr(0)),
-               coalesce(lang, chr(0)),
-               coalesce(source, chr(0)),
-               coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 15)
+             concat_ws('|',
+               coalesce(len(CAST(doc_id AS VARCHAR)) || ':'
+                 || CAST(doc_id AS VARCHAR), 'n'),
+               coalesce(len(text) || ':' || text, 'n'),
+               coalesce(len(lang) || ':' || lang, 'n'),
+               coalesce(len(source) || ':' || source, 'n'),
+               coalesce(len(CAST(n_chars AS VARCHAR)) || ':'
+                 || CAST(n_chars AS VARCHAR), 'n'))), 1, 15)
              AS BIGINT) AS p
            FROM documents)
          SELECT COUNT(*) AS n_rows, bit_xor(p) AS xor_digest,

@@ -419,9 +419,19 @@ object Similarity {
       // L2-normalize before encoding: on unit vectors, squared-L2 order
       // equals cosine order, so the ADC approximation targets the same
       // ranking the exact re-rank (scale-invariant cosine) reports.
-      val unit = corpus.withColumn("_unit",
-        transform(col(embCol).cast(ArrayType(DoubleType)),
-          x => x / l2norm(col(embCol))))
+      // The norm is computed ONCE into its own column — a
+      // transform(x => x / l2norm(emb)) lambda would re-evaluate the
+      // whole-array fold per ELEMENT (O(dim²) per row on the ingest
+      // pass). Zero vectors (norm 0) would encode as NaN slices and
+      // poison KMeans.fit — cosine is undefined for them, so they are
+      // excluded from the index rather than silently corrupting it.
+      val unit = corpus
+        .withColumn("_nrm", l2norm(col(embCol)))
+        .filter(col("_nrm") > 0.0)
+        .withColumn("_unit",
+          transform(col(embCol).cast(ArrayType(DoubleType)),
+            x => x / col("_nrm")))
+        .drop("_nrm")
       val withSlices = (0 until m).foldLeft(unit) { (df, j) =>
         df.withColumn(s"_s$j", array_to_vector(
           slice(col("_unit"), j * dsub + 1, dsub)))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -22,7 +22,20 @@ object TextQueries {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
-  private val stopwords = markers("en")
+  /** English function-word markers — the shared stop-word list every
+    * quality/sampling operator scores against (public: CorpusPipeline's
+    * quality tiers use the same list, and two divergent copies would
+    * silently disagree on what "quality" means). */
+  val stopwords: Seq[String] = markers("en")
+
+  /** Polynomial rolling-hash fingerprint of a string column,
+    * h = fold(h·31 + ascii(c)) mod 1e9+7 — exact integer fold, identical
+    * in both engines (DuckDB list_reduce oracle). Shared by
+    * [[qTextFingerprint]] and CorpusPipeline's curate annotation so the
+    * canonical fingerprint cannot fork. */
+  def fingerprint(c: Column): Column =
+    aggregate(transform(split(c, ""), ch => ascii(ch).cast(LongType)),
+      lit(0L), (h, ch) => pmod(h * 31 + ch, lit(1000000007L)))
 
   /** n-gram-heuristic language ID: count function-word markers per
     * language, argmax with 'und' (undetermined) fallback when all scores
@@ -108,9 +121,7 @@ object TextQueries {
     * in both engines (DuckDB list_reduce oracle). */
   val qTextFingerprint: Q = (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        aggregate(transform(split(col("text"), ""), c => ascii(c).cast(LongType)),
-          lit(0L), (h, c) => pmod(h * 31 + c, lit(1000000007L))).as("fp"))
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
   /** TF-IDF term statistics per (doc, token): tf and df as exact longs.
     * The declared (oracle-hashed) output is integer-only — the ln-based

@@ -42,6 +42,18 @@ object Ingest {
     * afterwards (a metadata op) — member BYTES never cross the driver,
     * so archive size is bounded by executor memory per member, not by
     * driver heap. Returns the staged member names. */
+  /** Zip entry names are REMOTE UNTRUSTED INPUT (a fetched feed
+    * archive): a name containing a path separator or `..` could write
+    * outside `stagingDir` (zip-slip) or into a subdirectory the
+    * non-recursive listing below would never surface. A GTFS feed is a
+    * flat archive of `<table>.txt`, so anything non-flat is rejected
+    * loudly rather than sanitized into a guess. */
+  private def requireFlatEntryName(name: String): Unit =
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\\')
+        && name != "." && name != "..",
+      s"stageZip: refusing non-flat zip entry name '$name' " +
+        "(path traversal or nested layout)")
+
   def stageZip(spark: SparkSession, zipPath: String,
       stagingDir: String): Seq[String] = {
     val serConf = new org.apache.spark.util.SerializableConfiguration(
@@ -49,6 +61,7 @@ object Ingest {
     expandZip(spark, zipPath).foreachPartition {
       it: Iterator[(String, Array[Byte])] =>
         it.foreach { case (name, bytes) =>
+          requireFlatEntryName(name)
           val p = new org.apache.hadoop.fs.Path(stagingDir, name)
           val fs = p.getFileSystem(serConf.value)
           val out = fs.create(p, true)
@@ -169,21 +182,28 @@ object DelaysIngest {
   }
 
   /** Landed CSV → typed parse (delay_raw → delay_seconds, the parse the
-    * reference never does) → hour-partitioned parquet (P12/P13). */
+    * reference never does) → hour-partitioned parquet (P12/P13).
+    *
+    * Writes straight to THIS hour's Hive-layout leaf (like
+    * [[WeatherIngest.target]]): `partitionBy` against the shared base
+    * path would make `ErrorIfExists` test the BASE directory, so every
+    * landing after the first throws — the P11 guard must scope to the
+    * snapshot being landed, not the table. Readers of
+    * `$warehouseDir/traffic` get y/m/d/h back via partition discovery
+    * exactly as with partitionBy. */
   def run(spark: SparkSession, csvPath: String, warehouseDir: String,
       date: LocalDate, hour: Int): Unit = {
     val df = spark.read.schema(LandingSchemas.delays)
       .option("header", "true").csv(csvPath)
       .withColumn("delay_seconds", ParseDelay.parseDelay(col("delay_raw")))
       .withColumn("outside_flag", col("outside") === "true")
-    df.withColumn("y", lit(date.getYear))
-      .withColumn("m", lit(date.getMonthValue))
-      .withColumn("d", lit(date.getDayOfMonth))
-      .withColumn("h", lit(hour))
-      .write.mode(SaveMode.ErrorIfExists) // P11: non-overwriting landing
+    // unpadded segment values — byte-identical to the layout partitionBy
+    // wrote, so pre-existing landings and this path interleave in one table
+    val leaf = s"$warehouseDir/traffic/y=${date.getYear}" +
+      s"/m=${date.getMonthValue}/d=${date.getDayOfMonth}/h=$hour"
+    df.write.mode(SaveMode.ErrorIfExists) // P11: non-overwriting landing
       .option("compression", "zstd")
-      .partitionBy("y", "m", "d", "h")
-      .parquet(s"$warehouseDir/traffic")
+      .parquet(leaf)
   }
 }
 

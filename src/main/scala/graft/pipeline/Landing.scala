@@ -165,16 +165,23 @@ object Manifest {
   import org.apache.spark.sql.functions._
 
   /** 60-bit per-row digest over the CANONICAL serialization: each column
-    * cast to string (NUL sentinel for NULL — concat_ws would otherwise
-    * silently skip nulls and collide shifted rows), joined by \u0001,
-    * sha-256, leading 15 hex digits. Engine-independent for string and
+    * rendered LENGTH-PREFIXED (`<len>:<string-cast>`, NULL → the bare
+    * token `n`, which no length-prefixed value can equal), columns
+    * joined by `|`, sha-256, leading 15 hex digits. The length prefix
+    * makes the serialization a prefix code — INJECTIVE for any cell
+    * content: a plain separator-joined form collides e.g. ("a|b", "c")
+    * with ("a", "b|c"), and a NULL with a cell holding the sentinel
+    * literal — exactly the "silent row edit" class the manifest exists
+    * to catch. Engine-independent for string and
     * integer columns (q_ingest_manifest pins the cross-engine equality
     * under the DuckDB oracle gate); timestamp/double columns verify
     * Spark-to-Spark but their string casts are engine-specific. */
   def rowDigest(df: DataFrame): Column =
-    conv(substring(sha2(concat_ws("\u0001",
-      df.columns.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0000"))): _*), 256),
+    conv(substring(sha2(concat_ws("|",
+      df.columns.map { c =>
+        val str = col(c).cast("string")
+        coalesce(concat(length(str).cast("string"), lit(":"), str), lit("n"))
+      }: _*), 256),
       1, 15), 16, 10).cast("long")
 
   /** Full manifest content: (rows, xor, sum of high 30 bits, sum of low

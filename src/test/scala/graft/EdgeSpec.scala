@@ -252,6 +252,22 @@ class EdgeSpec extends AnyFunSuite {
     }, n = 6)
   }
 
+  test("componentLabels throws (never silently truncates) when maxIter is too small") {
+    // a 12-node path cannot converge in 2 doubled-hop rounds: the loop
+    // must fail loudly — a silently returned partial labeling would let
+    // near-duplicates through curation as separate 'clusters'
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.operators.Clustering.componentLabels(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+    // the same graph converges under the default budget
+    val ok = graft.operators.Clustering.componentLabels(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == (0L until 12L).map(_ -> 0L).toMap)
+  }
+
   test("componentLabels: chains, shared neighbors, separate components") {
     // chain 1-2-3 (min label must travel 2 hops), shared-neighbor
     // 10-12 / 11-12 (the case where greedy drop-higher over-drops),

@@ -25,6 +25,23 @@ class MediaSpec extends AnyFunSuite {
     baos.toByteArray
   }
 
+  test("meta/frames slice payload BYTES, not characters, on non-ASCII media") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 'żółw abc' UTF-8: first byte 0xC5 (197), first 8 bytes split the
+    // text's 4th multi-byte char — byte semantics must hold anyway
+    val bytes = "żółw abc".getBytes("UTF-8")
+    val df = Seq(("żółw abc", 1L)).toDF("text", "doc_id")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val got = df.select(
+      conv(hex(substring(col("media"), 1, 1)), 16, 10)
+        .cast("int").as("first_byte"),
+      base64(substring(col("media"), 1, 8)).as("b64")).head
+    assert(got.getInt(0) == (bytes(0) & 0xFF))
+    assert(got.getString(1) ==
+      java.util.Base64.getEncoder.encodeToString(bytes.take(8)))
+  }
+
   test("extractFeatures decodes real PNGs to luminance histograms") {
     import spark.implicits._
     val bytes = png(32, 16)

@@ -84,6 +84,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Map("x.txt" -> "hello", "sub/y.txt" -> "world"))
   }
 
+  test("Ingest.stageZip refuses traversal and nested entry names (zip-slip)") {
+    val dir = tmpDir()
+    // entry names are attacker-controlled remote input: a '..' name must
+    // fail the stage loudly, never write outside the staging dir
+    writeZip(s"$dir/evil.zip", Map("../escape.txt" -> "pwned"))
+    val e = intercept[Exception] {
+      Ingest.stageZip(spark, s"$dir/evil.zip", s"$dir/staging")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-flat zip entry")), msgs(e).take(3))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/escape.txt")))
+    // nested names are also refused: the post-stage listing is
+    // non-recursive, so a nested member would be silently dropped
+    writeZip(s"$dir/nested.zip", Map("sub/y.txt" -> "world"))
+    intercept[Exception] {
+      Ingest.stageZip(spark, s"$dir/nested.zip", s"$dir/staging2")
+    }
+    // flat archives stage exactly as before
+    writeZip(s"$dir/ok.zip", Map("x.txt" -> "hello"))
+    assert(Ingest.stageZip(spark, s"$dir/ok.zip", s"$dir/staging3")
+      == Seq("x.txt"))
+  }
+
   test("DelaysIngest: typed parse + hour partitions + non-overwrite landing") {
     val dir = tmpDir()
     val csv = s"$dir/delays-14.csv"
@@ -103,6 +128,14 @@ class PipelineSpec extends AnyFunSuite {
     intercept[Exception] {
       DelaysIngest.run(spark, csv, wh, LocalDate.of(2024, 12, 23), 14)
     }
+    // ...but the guard scopes to THE SNAPSHOT, not the table: the next
+    // hour (and day) must land into the same base path without error
+    DelaysIngest.run(spark, csv, wh, LocalDate.of(2024, 12, 23), 15)
+    DelaysIngest.run(spark, csv, wh, LocalDate.of(2024, 12, 24), 0)
+    val hours = spark.read.parquet(s"$wh/traffic")
+      .select("d", "h").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(hours == Set((23, 14), (23, 15), (24, 0)))
   }
 
   /** Loopback HTTP fixture: serves `body` (or a 404 for unknown paths),
