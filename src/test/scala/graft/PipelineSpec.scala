@@ -282,6 +282,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/wh-utc/traffic/y=2025/m=3/d=30/h=1").count() == 1)
   }
 
+  test("ingestWith invokes the survivor sink BEFORE any state append") {
+    import spark.implicits._
+    import graft.operators.IncrementalDedup
+    val state = tmpDir() + "/sink-order-state"
+    val batch = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // the ordering contract: at sink time, nothing of this batch may be
+    // in state yet — a crash after the sink commits must replay to the
+    // SAME survivor set (state-marked docs would silently vanish)
+    var stateDuringSink = -1L
+    IncrementalDedup.ingestWith(spark, batch, state) { s =>
+      assert(s.count() == 1)
+      val digests = new java.io.File(s"$state/digests")
+      stateDuringSink = if (digests.exists())
+        spark.read.parquet(s"$state/digests").count() else 0L
+    }
+    assert(stateDuringSink == 0L, "state was appended before the sink ran")
+    assert(spark.read.parquet(s"$state/digests").count() == 1)
+    // a sink failure must abort the round WITHOUT claiming state, so the
+    // retry is a clean rerun
+    val state2 = tmpDir() + "/sink-fail-state"
+    intercept[RuntimeException] {
+      IncrementalDedup.ingestWith(spark, batch, state2) { _ =>
+        throw new RuntimeException("sink exploded")
+      }
+    }
+    assert(!new java.io.File(s"$state2/digests").exists(),
+      "failed sink must not leave state behind")
+  }
+
   test("IncrementalDedup.ingest: cross-snapshot corpus state round-trip") {
     import spark.implicits._
     import graft.operators.IncrementalDedup
