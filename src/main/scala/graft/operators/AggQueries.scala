@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, IntegerType, StringType}
 import graft.Tables
 
 /** Aggregations, grouping analytics, window functions (SURVEY.md §2.2).
@@ -97,6 +97,24 @@ object AggQueries {
       .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
         .as("approx_users"),
         count(lit(1)).as("n_slices"))
+
+  /** Single-pass frequent-items sketch (heavy hitters) — the hot-key
+    * PROBE that feeds the salting machinery: before landing a
+    * table-scale join/agg, one constant-memory pass surfaces every key
+    * whose frequency exceeds the support threshold (with possible false
+    * positives, never false negatives — the superset guarantee
+    * NoOracleSpec pins against exact counts), and the surfaced keys are
+    * what q_agg_salted/q_join_salted then salt. At 100 TB the exact
+    * groupBy-count alternative is itself the skewed shuffle being
+    * avoided. Arrays sorted + joined for stable presentation; no oracle
+    * (sketch contents are engine/partition-order specific). */
+  val qAggFreqItems: Q = (s, d) =>
+    Tables.events(s, d)
+      .stat.freqItems(Array("event_type", "user_id"), 0.1)
+      .select(
+        array_join(array_sort(col("event_type_freqItems")
+          .cast(ArrayType(StringType))), " ").as("freq_event_types"),
+        size(col("user_id_freqItems")).as("n_freq_users"))
 
   /** ROLLUP over the region→nation hierarchy — the YYYY/MM/DD date
     * hierarchy analog (dags/warsaw-gtfs.py:90). */
@@ -282,6 +300,7 @@ object AggQueries {
     "q_agg_multi_distinct" -> qAggMultiDistinct,
     "q_agg_approx_distinct" -> qAggApproxDistinct,
     "q_agg_hll_merge" -> qAggHllMerge,
+    "q_agg_freq_items" -> qAggFreqItems,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,
     "q_agg_grouping_sets" -> qAggGroupingSets,

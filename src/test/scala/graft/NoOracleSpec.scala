@@ -52,6 +52,23 @@ class NoOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_freq_items surfaces every key above the support threshold (superset guarantee)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val n = ev.count().toDouble
+    // exact heavy hitters at the query's 10% support
+    val trueHot = ev.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .filter(col("c") > n * 0.1)
+      .collect().map(_.getString(0)).toSet
+    assert(trueHot.nonEmpty, "fixture should have hot event types")
+    val row = graft.operators.AggQueries.qAggFreqItems(spark, sf).head
+    val got = row.getString(0).split(" ").toSet
+    // the sketch may add false positives, never false negatives
+    assert(trueHot.subsetOf(got), s"missing hot keys: ${trueHot -- got}")
+    // and a hot-user count column exists (uniform users: small, >= 0)
+    assert(row.getInt(1) >= 0)
+  }
+
   test("q_agg_approx_percentile sketch lands within the exact quantile band") {
     val got = graft.operators.AggQueries.qAggApproxPercentile(spark, sf)
       .collect()(0).getSeq[Double](0)
