@@ -162,6 +162,73 @@ object TextQueries {
           * lit(1000000.0)))
   }
 
+  /** BM25 term statistics per (doc, token) with the saturation term as
+    * an EXACT integer rational. With k1 = 1.2, b = 0.75 and
+    * avgdl = T/N (T = corpus token count, N = doc count), the BM25
+    * saturation tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) multiplied
+    * through by 10·T becomes
+    *
+    *   sat = 22·T·tf / (10·T·tf + 3·T + 9·N·dl)
+    *
+    * — a ratio of exact longs, so `sat_num`/`sat_den` are declared
+    * (oracle-hashed) alongside tf, df, dl. The ln-based idf factor lives
+    * in [[bm25Scored]], JVM-verified, for the same 1-ulp floor-flip
+    * reason as [[qTextTfidf]]. Long headroom: sat_num < 22·T·max(tf) —
+    * fine through corpus sizes of ~10¹⁴ tokens; past that, swap the two
+    * product columns to DECIMAL(38,0) (the rationalization itself is
+    * scale-free).
+    *
+    * 100 TB shape: the same two token-keyed shuffles as tf-idf plus one
+    * doc-keyed dl join; T and N are corpus-level scalars (ingest
+    * artifacts in a real pipeline — fetched once here and inlined as
+    * literals so the scoring plan stays free of a 1-row nested-loop
+    * join). */
+  val qTextBm25: Q = (s, d) => bm25Stats(Tables.documents(s, d))
+
+  /** Exact (doc, token) → tf, df, dl, sat_num, sat_den longs over any
+    * (doc_id, text) frame. Two plan choices keep this at two exchanges
+    * (PlanQualitySpec's budget): dl rides THROUGH the tf groupBy
+    * (constant per doc, so max() is exact) instead of joining back on
+    * doc_id, and df is a tok-partitioned window count over the tf frame
+    * instead of a second aggregate + join-back — tf-idf's join shape
+    * only stays at two exchanges because both branches compute an
+    * identical frame (ReusedExchange); here the extra dl column would be
+    * pruned off the df branch, breaking the reuse. */
+  def bm25Stats(docs: DataFrame): DataFrame = {
+    val tot = docs
+      .select(size(split(lower(col("text")), " ")).cast(LongType).as("dl"))
+      .agg(sum(col("dl")), count(lit(1))).head()
+    val t = tot.getLong(0)
+    val n = tot.getLong(1)
+    docs
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast(LongType).as("dl"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("tok")))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("dl"),
+        (lit(22L * t) * col("tf")).as("sat_num"),
+        (lit(10L * t) * col("tf") + lit(3L * t) + lit(9L * n) * col("dl"))
+          .as("sat_den"))
+  }
+
+  /** [[bm25Stats]] plus the micro-quantized Lucene-form score
+    * floor(ln(1 + (N − df + 0.5)/(df + 0.5)) · sat · 1e6) — the
+    * always-positive idf variant, so rare terms score high and terms in
+    * every document score near zero rather than negative. */
+  def bm25Scored(docs: DataFrame): DataFrame = {
+    val nDocs = docs.count()
+    bm25Stats(docs)
+      .withColumn("bm25_micro",
+        floor(log(lit(1.0) +
+            (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)))
+          * col("sat_num") / col("sat_den") * lit(1000000.0)))
+  }
+
   /** Corpus bigram counts (n-gram generation for LM data statistics):
     * adjacent-token pairs via an index-sequence HOF — no UDF, stays in
     * whole-stage codegen — then one token-pair-keyed groupBy. n = total
@@ -326,6 +393,7 @@ object TextQueries {
     "q_text_token_count" -> qTextTokenCount,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_tfidf" -> qTextTfidf,
+    "q_text_bm25" -> qTextBm25,
     "q_text_ngrams" -> qTextNgrams,
     "q_text_redact" -> qTextRedact,
     "q_text_perplexity" -> qTextPerplexity,
@@ -432,6 +500,29 @@ object TextQueries {
          SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df
          FROM tf JOIN dfreq USING (tok)
          ORDER BY tf.doc_id, tf.tok""",
+    "q_text_bm25" ->
+      """WITH dl AS (
+           SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+           FROM documents),
+         tot AS (
+           SELECT CAST(SUM(dl) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM dl),
+         toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+         SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df, dl.dl,
+           CAST(22 * tot.t * tf.tf AS BIGINT) AS sat_num,
+           CAST(10 * tot.t * tf.tf + 3 * tot.t + 9 * tot.n * dl.dl
+             AS BIGINT) AS sat_den
+         FROM tf
+         JOIN dfreq USING (tok)
+         JOIN dl ON tf.doc_id = dl.doc_id
+         CROSS JOIN tot""",
     "q_text_ngrams" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(text), ' ') AS toks

@@ -30,6 +30,40 @@ class TextOpsSpec extends AnyFunSuite {
     rows.filter(_.getLong(3) == n).foreach(r => assert(r.getLong(4) == 0L))
   }
 
+  test("bm25Scored: rational saturation is exact and the score matches plain Scala") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val n = docs.count()
+    val rows = TextQueries.bm25Scored(docs)
+      .select("doc_id", "tok", "tf", "df", "dl", "sat_num", "sat_den", "bm25_micro")
+      .collect()
+    assert(rows.nonEmpty)
+    // corpus scalars recomputed independently of the operator under test
+    val texts = docs.select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ", -1).length.toLong)
+    val t = texts.sum
+    val avgdl = t.toDouble / n
+    rows.foreach { r =>
+      val tf = r.getLong(2); val df = r.getLong(3); val dl = r.getLong(4)
+      val num = r.getLong(5); val den = r.getLong(6)
+      // the integer rational IS the float formula (10·T multiply-through)
+      assert(num == 22L * t * tf)
+      assert(den == 10L * t * tf + 3L * t + 9L * n * dl)
+      val satFloat = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      assert(math.abs(num.toDouble / den - satFloat) < 1e-9,
+        s"tok=${r.getString(1)} tf=$tf dl=$dl")
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val expected = math.floor(idf * num / den * 1000000.0).toLong
+      assert(r.getLong(7) == expected,
+        s"doc=${r.getLong(0)} tok=${r.getString(1)} tf=$tf df=$df dl=$dl")
+    }
+    // invariants: idf > 0 in the Lucene form, so scores are non-negative;
+    // saturation is strictly below the k1+1 asymptote → micro score is
+    // bounded by ln(1 + (N+0.5)/1.5)·2.2·1e6
+    assert(rows.forall(_.getLong(7) >= 0L))
+    val cap = (math.log(1.0 + (n + 0.5) / 1.5) * 2.2 * 1000000.0).toLong
+    assert(rows.forall(_.getLong(7) <= cap))
+  }
+
   test("unigramLogLoss matches a plain-Scala add-one-smoothed LM fold") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val texts = docs.select("doc_id", "text").collect()
