@@ -178,11 +178,11 @@ object TextQueries {
     * product columns to DECIMAL(38,0) (the rationalization itself is
     * scale-free).
     *
-    * 100 TB shape: the same two token-keyed shuffles as tf-idf plus one
-    * doc-keyed dl join; T and N are corpus-level scalars (ingest
-    * artifacts in a real pipeline — fetched once here and inlined as
-    * literals so the scoring plan stays free of a 1-row nested-loop
-    * join). */
+    * 100 TB shape: two exchanges, same count as tf-idf — the (doc, tok)
+    * aggregate then one tok repartition for the df window count; T and
+    * N are corpus-level scalars (ingest artifacts in a real pipeline —
+    * fetched once here and inlined as literals so the scoring plan
+    * stays free of a 1-row nested-loop join). */
   val qTextBm25: Q = (s, d) => bm25Stats(Tables.documents(s, d))
 
   /** Exact (doc, token) → tf, df, dl, sat_num, sat_den longs over any
