@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{ArrayType, DecimalType, IntegerType, StringType}
@@ -97,6 +97,55 @@ object AggQueries {
       .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
         .as("approx_users"),
         count(lit(1)).as("n_slices"))
+
+  /** Count-min sketch dimensions: DEPTH independent hash rows of WIDTH
+    * buckets. Error bound: overshoot ≤ e/WIDTH · N with probability
+    * 1 − e^−DEPTH per key (Cormode & Muthukrishnan 2005). */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
+  /** Count-min sketch CELLS over `key`: a (r, b, n) DataFrame — row r's
+    * bucket b holds the count of occurrences hashing there
+    * (xxhash64 seeded per row — fully codegen'd, no UDF). The sketch IS
+    * a table, so merging is union + re-sum per (r, b): each ingest batch
+    * appends its own cells and the rollup touches DEPTH·WIDTH rows per
+    * batch, never the raw events — same warehouse shape as
+    * [[qAggHllMerge]] but for per-key FREQUENCIES rather than distinct
+    * counts. */
+  def cmsCells(df: DataFrame, key: Column): DataFrame =
+    df.select(posexplode(array((0 until CmsDepth).map(r =>
+        pmod(xxhash64(key, lit(r)), lit(CmsWidth.toLong))): _*))
+        .as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("n"))
+
+  /** Point estimates from CMS cells for a 1-column `k` keys frame: each
+    * key probes its DEPTH cells and takes the MIN — one-sided error,
+    * estimate ≥ true count always. The cells frame is ≤ DEPTH·WIDTH rows
+    * regardless of data size, so the lookup broadcasts; the final min
+    * groupBy reuses the keys frame's k-partitioning (posexplode
+    * preserves it through the broadcast join), keeping the whole
+    * estimate plan at the keys frame's own exchange count. */
+  def cmsEstimates(cells: DataFrame, keys: DataFrame): DataFrame =
+    keys
+      .select(col("k"), posexplode(array((0 until CmsDepth).map(r =>
+          pmod(xxhash64(col("k"), lit(r)), lit(CmsWidth.toLong))): _*))
+          .as(Seq("r", "b")))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy("k").agg(min(col("n")).as("est_n"))
+
+  /** CMS build + probe over event_type — per-key frequency estimation
+    * in constant sketch memory, the third sketch alongside HLL
+    * (distincts) and freqItems (hot keys). Deterministic given the
+    * seeded hash family, but the family is Spark's xxhash64 → no-oracle
+    * sketch class; NoOracleSpec pins the one-sided guarantee
+    * (estimate ≥ exact, exact when key cardinality ≪ WIDTH leaves the
+    * rows collision-free) and cell mergeability (slice-built cells
+    * re-summed ≡ cells built in one pass). */
+  val qAggCms: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    cmsEstimates(cmsCells(ev, col("event_type")),
+      ev.select(col("event_type").as("k")).distinct())
+  }
 
   /** Single-pass frequent-items sketch (heavy hitters) — the hot-key
     * PROBE that feeds the salting machinery: before landing a
@@ -300,6 +349,7 @@ object AggQueries {
     "q_agg_multi_distinct" -> qAggMultiDistinct,
     "q_agg_approx_distinct" -> qAggApproxDistinct,
     "q_agg_hll_merge" -> qAggHllMerge,
+    "q_agg_cms" -> qAggCms,
     "q_agg_freq_items" -> qAggFreqItems,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,

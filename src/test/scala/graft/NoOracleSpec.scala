@@ -52,6 +52,40 @@ class NoOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_cms: estimate >= exact always, exact at low cardinality, cells merge") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.AggQueries
+    val ev = Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = AggQueries.qAggCms(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // one-sided error: never an underestimate
+    exact.foreach { case (k, c) => assert(est(k) >= c, s"$k: ${est(k)} < $c") }
+    // |keys| << WIDTH and depth 4 → collision-free on this fixture: exact
+    assert(est == exact)
+    // mergeability: cells built per user-parity slice, re-summed per
+    // (r, b), answer identically to cells built in one pass
+    val sliced = AggQueries
+      .cmsCells(ev.filter(pmod(col("user_id"), lit(2)) === 0), col("event_type"))
+      .unionAll(AggQueries
+        .cmsCells(ev.filter(pmod(col("user_id"), lit(2)) === 1), col("event_type")))
+      .groupBy("r", "b").agg(sum("n").as("n"))
+    val merged = AggQueries
+      .cmsEstimates(sliced, ev.select(col("event_type").as("k")).distinct())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == est)
+    // higher-cardinality keys (user_id): the bound still holds one-sided
+    val exactUsers = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val estUsers = AggQueries
+      .cmsEstimates(AggQueries.cmsCells(ev, col("user_id")),
+        ev.select(col("user_id").as("k")).distinct())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exactUsers.foreach { case (k, c) => assert(estUsers(k) >= c) }
+  }
+
   test("q_agg_freq_items surfaces every key above the support threshold (superset guarantee)") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf)
