@@ -120,7 +120,11 @@ object AggQueries {
 
   /** Point estimates from CMS cells for a 1-column `k` keys frame: each
     * key probes its DEPTH cells and takes the MIN — one-sided error,
-    * estimate ≥ true count always. The cells frame is ≤ DEPTH·WIDTH rows
+    * estimate ≥ true count always. An ABSENT cell row means nothing
+    * hashed there, i.e. count 0 — hence the left join + coalesce: a
+    * never-ingested key whose probes include one empty cell estimates
+    * exactly 0 (an inner join would instead min over only its colliding
+    * cells and overstate). The cells frame is ≤ DEPTH·WIDTH rows
     * regardless of data size, so the lookup broadcasts; the final min
     * groupBy reuses the keys frame's k-partitioning (posexplode
     * preserves it through the broadcast join), keeping the whole
@@ -130,8 +134,8 @@ object AggQueries {
       .select(col("k"), posexplode(array((0 until CmsDepth).map(r =>
           pmod(xxhash64(col("k"), lit(r)), lit(CmsWidth.toLong))): _*))
           .as(Seq("r", "b")))
-      .join(broadcast(cells), Seq("r", "b"))
-      .groupBy("k").agg(min(col("n")).as("est_n"))
+      .join(broadcast(cells), Seq("r", "b"), "left")
+      .groupBy("k").agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
 
   /** CMS build + probe over event_type — per-key frequency estimation
     * in constant sketch memory, the third sketch alongside HLL

@@ -198,7 +198,8 @@ object TextQueries {
     val tot = docs
       .select(size(split(lower(col("text")), " ")).cast(LongType).as("dl"))
       .agg(sum(col("dl")), count(lit(1))).head()
-    val t = tot.getLong(0)
+    // sum() is null on an empty corpus; the frame below is empty then too
+    val t = if (tot.isNullAt(0)) 0L else tot.getLong(0)
     val n = tot.getLong(1)
     docs
       .select(col("doc_id"),

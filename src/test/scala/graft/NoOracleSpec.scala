@@ -84,6 +84,14 @@ class NoOracleSpec extends AnyFunSuite {
         ev.select(col("user_id").as("k")).distinct())
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     exactUsers.foreach { case (k, c) => assert(estUsers(k) >= c) }
+    // a never-ingested key probes at least one empty cell on this
+    // fixture and estimates exactly 0 (absent cell = count 0, the
+    // left-join semantics of cmsEstimates)
+    val unseen = AggQueries
+      .cmsEstimates(AggQueries.cmsCells(ev, col("event_type")),
+        spark.range(1).select(lit("never_an_event_type").as("k")))
+      .collect()
+    assert(unseen.length == 1 && unseen(0).getLong(1) == 0L)
   }
 
   test("q_agg_freq_items surfaces every key above the support threshold (superset guarantee)") {
