@@ -255,4 +255,38 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming count-min sketch state: each micro-batch lands ITS OWN
+    * cells ([[graft.operators.AggQueries.cmsCells]]) under
+    * `cellsPath/batch=<id>` — the mergeable-sketch warehouse shape
+    * driven from a stream. Batch-keyed OVERWRITE makes crash replay
+    * idempotent: re-running a micro-batch rebuilds byte-identical cells
+    * (the sketch is a deterministic fold of the batch) over the same
+    * directory, where a plain append would double-count the replayed
+    * events. Readers never rescan raw events: [[cmsStateEstimates]]
+    * re-sums ≤ depth·width cell rows per landed batch. `key` is a
+    * column expression over the stream's schema (e.g.
+    * `col("event_type")`). */
+  def streamCmsCells(events: DataFrame, key: org.apache.spark.sql.Column,
+      cellsPath: String, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.AggQueries.cmsCells(batch.toDF(), key)
+          .write.mode("overwrite").parquet(s"$cellsPath/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Merged point estimates over every cell batch at `cellsPath`:
+    * union + re-sum per (r, b) IS the CMS merge, then the usual
+    * min-probe — so a dashboard refresh after each micro-batch costs
+    * cell-table rows, not an events rescan. */
+  def cmsStateEstimates(spark: SparkSession, cellsPath: String,
+      keys: DataFrame): DataFrame =
+    graft.operators.AggQueries.cmsEstimates(
+      spark.read.parquet(cellsPath)
+        .groupBy("r", "b").agg(sum(col("n")).as("n")),
+      keys)
 }

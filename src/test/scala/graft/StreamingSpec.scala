@@ -692,4 +692,30 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming CMS cells merge across micro-batches to exact fixture counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cms").toString
+    val mem = MemoryStream[(String, Long)]
+    val q = EventStream.streamCmsCells(mem.toDF().toDF("k", "v"),
+      col("k"), s"$dir/cells", s"$dir/ckpt")
+    try {
+      mem.addData(("a", 1L), ("a", 2L), ("b", 1L))
+      q.processAllAvailable()
+      mem.addData(("a", 3L), ("b", 2L), ("c", 1L))
+      q.processAllAvailable()
+      val keys = Seq("a", "b", "c").toDF("k")
+      val est = EventStream.cmsStateEstimates(spark, s"$dir/cells", keys)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 3 keys << WIDTH → collision-free: merged estimates are exact
+      assert(est == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+      // merged state ≡ a one-shot batch build over the union of batches
+      val oneShot = graft.operators.AggQueries.cmsEstimates(
+        graft.operators.AggQueries.cmsCells(
+          Seq("a", "a", "b", "a", "b", "c").toDF("k"), col("k")),
+        keys).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est == oneShot)
+    } finally q.stop()
+  }
 }
