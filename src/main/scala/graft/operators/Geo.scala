@@ -286,7 +286,43 @@ object Geo {
         max("step_m").as("max_step_m"))
   }
 
+  /** Convex zone rings (CCW, integer microdegrees inside the derived
+    * [0, 1e6) span) — the transit-zone / geofence layer: stop-to-zone
+    * assignment, fare zones, service areas. Literal dims like the
+    * gapfill grid; declaration order is the classification precedence. */
+  private val zoneRings: Seq[(String, Seq[(Long, Long)])] = Seq(
+    "central" -> Seq((200000L, 200000L), (700000L, 250000L),
+      (650000L, 700000L), (250000L, 650000L)),
+    "east" -> Seq((700000L, 100000L), (950000L, 150000L),
+      (900000L, 500000L), (720000L, 450000L)))
+
+  /** Point-in-convex-polygon via the winding cross-product: inside a CCW
+    * ring iff every edge's cross (x2−x1)·(y−y1) − (y2−y1)·(x−x1) ≥ 0
+    * (boundary counts as inside). Pure 64-bit integer arithmetic —
+    * |dx|·|y−y1| < 1e6·1e6 = 1e12 — so Spark and DuckDB agree bit-exact,
+    * and the k conditions fold into one codegen'd boolean, no UDF. */
+  def inConvex(x: Column, y: Column, ring: Seq[(Long, Long)]): Column =
+    ring.indices.map { i =>
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % ring.size)
+      (lit(x2 - x1) * (y - lit(y1)) - lit(y2 - y1) * (x - lit(x1))) >= 0
+    }.reduce(_ && _)
+
+  /** Declared query: zone classification of every derived customer
+    * point — first matching ring wins, unmatched points land in 'none'.
+    * Map-side only (ZERO shuffles): the zone set is a literal constant,
+    * so at 100 TB this is a pure scan-rate pass; a groupBy rollup on top
+    * would add exactly one exchange carrying one row per zone. */
+  val qGeoZone: Q = (s, d) => {
+    val zone = zoneRings.foldRight(lit("none")) { case ((name, ring), acc) =>
+      when(inConvex(col("lat_u"), col("lon_u"), ring), lit(name))
+        .otherwise(acc)
+    }
+    customerPoints(s, d).withColumn("zone", zone)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_geo_zone" -> qGeoZone,
     "q_geo_cell" -> qGeoCell,
     "q_geo_neighbors" -> qGeoNeighbors,
     "q_geo_neighbors_haversine" -> qGeoNeighborsHaversine,
@@ -302,7 +338,25 @@ object Geo {
               AS BIGINT) % 1000000 AS lon_u
        FROM customer"""
 
+  /** The [[inConvex]] conditions as DuckDB SQL, generated from the SAME
+    * ring literals as the Spark side — no hand transcription to drift. */
+  private def zoneCondSql(ring: Seq[(Long, Long)]): String =
+    ring.indices.map { i =>
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % ring.size)
+      s"(${x2 - x1}) * (lon_u - $y1) - (${y2 - y1}) * (lat_u - $x1) >= 0"
+    }.mkString(" AND ")
+
+  private val zoneCaseSql =
+    zoneRings.map { case (name, ring) =>
+      s"WHEN ${zoneCondSql(ring)} THEN '$name'"
+    }.mkString("CASE ", " ", " ELSE 'none' END")
+
   val oracleSql: Map[String, String] = Map(
+    "q_geo_zone" ->
+      s"""WITH p AS ($coordSql)
+         SELECT c_custkey, lat_u, lon_u, $zoneCaseSql AS zone
+         FROM p""",
     "q_geo_cell" ->
       s"""WITH p AS ($coordSql)
          SELECT c_custkey, lat_u, lon_u,

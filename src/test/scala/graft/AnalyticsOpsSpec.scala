@@ -131,6 +131,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("inConvex: interior, exterior, vertex and edge points classify exactly") {
+    import spark.implicits._
+    // the declared 'central' ring: (200k,200k) (700k,250k) (650k,700k) (250k,650k)
+    val ring = Seq((200000L, 200000L), (700000L, 250000L),
+      (650000L, 700000L), (250000L, 650000L))
+    val cases = Seq(
+      (450000L, 450000L, true),   // centroid-ish interior
+      (200000L, 200000L, true),   // vertex — boundary counts as inside
+      (450000L, 225000L, true),   // on the first edge (midpoint)
+      (100000L, 100000L, false),  // outside, below-left
+      (699999L, 100000L, false),  // outside, below the first edge
+      (950000L, 950000L, false))  // outside, above-right
+    val got = cases.map { case (x, y, _) => (x, y) }.toDF("x", "y")
+      .withColumn("in", Geo.inConvex(col("x"), col("y"), ring))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    cases.foreach { case (x, y, want) =>
+      assert(got((x, y)) == want, s"($x,$y)")
+    }
+    // a plain-Scala winding recompute agrees on every fixture point
+    def cross(x1: Long, y1: Long, x2: Long, y2: Long, x: Long, y: Long) =
+      (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    def inside(x: Long, y: Long) = ring.indices.forall { i =>
+      val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.size)
+      cross(x1, y1, x2, y2, x, y) >= 0L
+    }
+    val zones = Geo.qGeoZone(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(zones.nonEmpty)
+    zones.foreach { case (x, y, z) =>
+      assert((z == "central") == inside(x, y), s"($x,$y) -> $z")
+    }
+    // both declared zones and the complement are populated on the fixture
+    val byZone = zones.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(byZone.keySet == Set("central", "east", "none"), byZone.toString)
+  }
+
   private def check(prop: Prop, n: Int = 20): Unit = {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(n), prop)

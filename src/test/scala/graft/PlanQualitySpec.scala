@@ -41,7 +41,7 @@ class PlanQualitySpec extends AnyFunSuite {
   // Shuffle-count ceilings from graft.tools.ShuffleCensus at HEAD
   // (round 7, after presentation sorts were retired, the simhash
   // columnar-aggregate rewrite, and the late-round curation queries):
-  // 65 queries plan 0 exchanges, 58 plan 1, 24 plan 2, and exactly six
+  // 66 queries plan 0 exchanges, 58 plan 1, 24 plan 2, and exactly six
   // multi-stage pipelines plan 3-4 — so the blanket ceiling is 2 and
   // the six get pinned individually. A query exceeding its ceiling has grown an
   // unplanned exchange — typically a lost broadcast (dimension join
