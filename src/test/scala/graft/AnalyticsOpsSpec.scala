@@ -197,6 +197,56 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }, n = 15)
   }
 
+  test("inConvex property: equals plain-Scala winding on random CCW triangles") {
+    import spark.implicits._
+    val coord = Gen.chooseNum(0L, 999999L)
+    val triGen = for {
+      ax <- coord; ay <- coord; bx <- coord; by <- coord
+      cx <- coord; cy <- coord
+      // non-degenerate, oriented CCW (swap B and C when clockwise)
+      if (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) != 0L
+    } yield {
+      val ccw = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) > 0L
+      if (ccw) Seq((ax, ay), (bx, by), (cx, cy))
+      else Seq((ax, ay), (cx, cy), (bx, by))
+    }
+    val ptsGen = Gen.nonEmptyListOf(Gen.zip(coord, coord))
+    check(Prop.forAll(triGen, ptsGen) { (ring, pts) =>
+      def inside(x: Long, y: Long) = ring.indices.forall { i =>
+        val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.size)
+        (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) >= 0L
+      }
+      val got = pts.toDF("x", "y")
+        .withColumn("in", Geo.inConvex(col("x"), col("y"), ring))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(2)))
+      got.forall { case ((x, y), in) => in == inside(x, y) }
+    }, n = 15)
+  }
+
+  test("CMS property: estimate >= exact on random key multisets, merge-safe") {
+    import spark.implicits._
+    import graft.operators.AggQueries
+    val keysGen = Gen.nonEmptyListOf(Gen.chooseNum(0, 400).map(i => s"k$i"))
+    check(Prop.forAll(keysGen) { raw =>
+      val exact = raw.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val df = raw.toDF("k")
+      val cells = AggQueries.cmsCells(df, col("k"))
+      val est = AggQueries.cmsEstimates(cells, df.distinct())
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every key estimated, never below its true count; and a
+      // two-way split re-summed answers identically to the one-pass
+      val (h1, h2) = raw.splitAt(raw.size / 2)
+      val sliced = AggQueries.cmsCells(h1.toDF("k"), col("k"))
+        .unionAll(AggQueries.cmsCells(h2.toDF("k"), col("k")))
+        .groupBy("r", "b").agg(sum("n").as("n"))
+      val merged = AggQueries.cmsEstimates(sliced, df.distinct())
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      est.keySet == exact.keySet &&
+        exact.forall { case (k, c) => est(k) >= c } &&
+        merged == est
+    }, n = 10)
+  }
+
   /** Reference implementation: plain-Scala haversine, meters. */
   private def haversineRef(lat1: Double, lon1: Double,
       lat2: Double, lon2: Double): Double = {
