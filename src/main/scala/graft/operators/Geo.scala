@@ -321,8 +321,49 @@ object Geo {
     customerPoints(s, d).withColumn("zone", zone)
   }
 
+  /** An L-shaped (CONCAVE) ring: the bottom strip plus the left column
+    * of the coordinate patch — the shape real transit zones take, which
+    * [[inConvex]] cannot express. */
+  private val concaveRing: Seq[(Long, Long)] = Seq(
+    (100000L, 100000L), (900000L, 100000L), (900000L, 400000L),
+    (400000L, 400000L), (400000L, 900000L), (100000L, 900000L))
+
+  /** Even–odd ray casting for ARBITRARY simple rings (concave included),
+    * still pure 64-bit integers: a +y-direction-agnostic ray from
+    * (x, y) toward +x crosses edge i iff the edge spans y half-open
+    * ((y1 > y) ≠ (y2 > y) — the standard vertex-double-count guard) and
+    * the intersection lies strictly right of the point. The division in
+    * x1 + (x2−x1)(y−y1)/(y2−y1) > x is cross-multiplied away by
+    * d = y2−y1 with the comparison flipped when d < 0 (d = 0 edges never
+    * span), so Spark and DuckDB agree bit-exact. Inside = odd crossing
+    * count. Boundary points are half-open (unlike [[inConvex]]'s
+    * closed boundary) — fine for classification, where both engines
+    * make the same deterministic call. */
+  def inPolygon(x: Column, y: Column, ring: Seq[(Long, Long)]): Column =
+    ring.indices.flatMap { i =>
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % ring.size)
+      if (y1 == y2) None // horizontal edges never span — no crossing term
+      else {
+        val spans = (lit(y1) > y) =!= (lit(y2) > y)
+        val lhs = (x - lit(x1)) * lit(y2 - y1)
+        val rhs = lit(x2 - x1) * (y - lit(y1))
+        val right = if (y2 - y1 > 0) lhs < rhs else lhs > rhs
+        Some(when(spans && right, 1).otherwise(0))
+      }
+    }.reduce(_ + _) % 2 === 1
+
+  /** Declared query: [[qGeoZone]]'s concave sibling — membership of
+    * every derived customer point in the L-shaped ring via even–odd ray
+    * casting. Same zero-shuffle scan-rate shape. */
+  val qGeoZoneConcave: Q = (s, d) =>
+    customerPoints(s, d).withColumn("zone",
+      when(inPolygon(col("lat_u"), col("lon_u"), concaveRing), lit("harbor"))
+        .otherwise(lit("none")))
+
   val queries: Map[String, Q] = Map(
     "q_geo_zone" -> qGeoZone,
+    "q_geo_zone_concave" -> qGeoZoneConcave,
     "q_geo_cell" -> qGeoCell,
     "q_geo_neighbors" -> qGeoNeighbors,
     "q_geo_neighbors_haversine" -> qGeoNeighborsHaversine,
@@ -352,10 +393,33 @@ object Geo {
       s"WHEN ${zoneCondSql(ring)} THEN '$name'"
     }.mkString("CASE ", " ", " ELSE 'none' END")
 
+  /** [[inPolygon]]'s crossing sum as DuckDB SQL, generated from the SAME
+    * ring literal — the d<0 comparison flip resolved at generation time. */
+  private def rayCastSql(ring: Seq[(Long, Long)]): String = {
+    val terms = ring.indices.flatMap { i =>
+      val (x1, y1) = ring(i)
+      val (x2, y2) = ring((i + 1) % ring.size)
+      if (y1 == y2) None // horizontal edges never span, as in [[inPolygon]]
+      else {
+        val cmp = if (y2 - y1 > 0) "<" else ">"
+        Some(s"""CASE WHEN ($y1 > lon_u) <> ($y2 > lon_u)
+            AND (lat_u - $x1) * (${y2 - y1}) $cmp (${x2 - x1}) * (lon_u - $y1)
+          THEN 1 ELSE 0 END""")
+      }
+    }
+    s"(${terms.mkString(" + ")}) % 2 = 1"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_geo_zone" ->
       s"""WITH p AS ($coordSql)
          SELECT c_custkey, lat_u, lon_u, $zoneCaseSql AS zone
+         FROM p""",
+    "q_geo_zone_concave" ->
+      s"""WITH p AS ($coordSql)
+         SELECT c_custkey, lat_u, lon_u,
+           CASE WHEN ${rayCastSql(concaveRing)} THEN 'harbor'
+                ELSE 'none' END AS zone
          FROM p""",
     "q_geo_cell" ->
       s"""WITH p AS ($coordSql)

@@ -223,6 +223,54 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }, n = 15)
   }
 
+  test("inPolygon classifies the concave L-zone: notch out, arms in") {
+    import spark.implicits._
+    // the declared L ring: bottom strip [100k,900k]×[100k,400k] plus
+    // left column [100k,400k]×[100k,900k]
+    val ring = Seq((100000L, 100000L), (900000L, 100000L),
+      (900000L, 400000L), (400000L, 400000L), (400000L, 900000L),
+      (100000L, 900000L))
+    val cases = Seq(
+      (250000L, 250000L, true),   // bottom strip
+      (800000L, 250000L, true),   // far end of the bottom strip
+      (250000L, 800000L, true),   // left column
+      (800000L, 800000L, false),  // the concave notch — inConvex can't say this
+      (50000L, 50000L, false),    // outside below-left
+      (950000L, 250000L, false))  // outside right
+    val got = cases.map { case (x, y, _) => (x, y) }.toDF("x", "y")
+      .withColumn("in", Geo.inPolygon(col("x"), col("y"), ring))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    cases.foreach { case (x, y, want) => assert(got((x, y)) == want, s"($x,$y)") }
+  }
+
+  test("inPolygon property: equals the winding rule strictly inside/outside triangles") {
+    import spark.implicits._
+    val coord = Gen.chooseNum(0L, 999999L)
+    val triGen = for {
+      ax <- coord; ay <- coord; bx <- coord; by <- coord
+      cx <- coord; cy <- coord
+      if (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) > 0L // CCW only
+    } yield Seq((ax, ay), (bx, by), (cx, cy))
+    val ptsGen = Gen.nonEmptyListOf(Gen.zip(coord, coord))
+    check(Prop.forAll(triGen, ptsGen) { (ring, pts) =>
+      def crosses(x: Long, y: Long) = ring.indices.map { i =>
+        val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % ring.size)
+        (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+      }
+      // boundary semantics differ by design — compare strict points only
+      val strict = pts.filter { case (x, y) => !crosses(x, y).contains(0L) }
+      strict.isEmpty || {
+        val winding = strict.map { case (x, y) =>
+          (x, y) -> crosses(x, y).forall(_ > 0L)
+        }.toMap
+        val got = strict.toDF("x", "y")
+          .withColumn("in", Geo.inPolygon(col("x"), col("y"), ring))
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(2)))
+        got.forall { case (p, in) => in == winding(p) }
+      }
+    }, n = 15)
+  }
+
   test("CMS property: estimate >= exact on random key multisets, merge-safe") {
     import spark.implicits._
     import graft.operators.AggQueries
