@@ -171,6 +171,26 @@ object CorpusPipeline {
   val qSourceQuotaSalted: Q = (s, d) =>
     sourceQuotaSalted(Tables.documents(s, d), k = 100, salts = 8)
 
+  /** Importance-weighted Bernoulli downsampling — keep each document
+    * with probability proportional to a CONTINUOUS per-row weight
+    * (here min(1, n_chars / cap)), the generalization of
+    * [[qSampleStratified]]'s per-stratum rates to per-row weights (the
+    * length-proportional / score-proportional selection step of
+    * token-budget-aware corpus mixing). The acceptance test is the
+    * salted 16-bit md5 id-hash against the weight, cross-multiplied so
+    * no division or float appears: keep iff u16 · cap < n_chars · 2¹⁶.
+    * Rerun-stable, engine-exact, independent of the other samplers'
+    * salts, and a map-side filter with no shuffle at any corpus size. */
+  val qSampleWeighted: Q = (s, d) => {
+    val cap = 2000L // docs at or above cap chars are always kept
+    val u16 = conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit("#wsample"))), 1, 4), 16, 10).cast(LongType)
+    Tables.documents(s, d)
+      .withColumn("h", u16)
+      .filter(col("h") * lit(cap) < col("n_chars") * lit(65536L))
+      .select(col("doc_id"), col("n_chars"), col("h"))
+  }
+
   /** Curate the documents fixture: ≥ 15 tokens, ≤ 40% stopwords, near-dup
     * threshold J ≥ 0.9. */
   val qCorpusCurate: Q = (s, d) =>
@@ -225,7 +245,8 @@ object CorpusPipeline {
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_quality" -> qSampleQuality,
     "q_source_quota" -> qSourceQuota,
-    "q_source_quota_salted" -> qSourceQuotaSalted)
+    "q_source_quota_salted" -> qSourceQuotaSalted,
+    "q_sample_weighted" -> qSampleWeighted)
 
   val oracleSql: Map[String, String] = Map(
     "q_train_split" ->
@@ -357,5 +378,14 @@ object CorpusPipeline {
              (h, c) -> (h * 31 + c) % 1000000007) AS fp
          FROM exact e LEFT JOIN labels l ON l.id = e.doc_id
          WHERE l.label IS NULL OR l.label = e.doc_id
-         ORDER BY e.doc_id""")
+         ORDER BY e.doc_id""",
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars, h
+         FROM (SELECT doc_id, n_chars,
+                 CAST(CAST('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR) || '#wsample'), 1, 4)
+                      AS INT) AS BIGINT) AS h
+               FROM documents)
+         WHERE h * 2000 < n_chars * 65536
+         ORDER BY doc_id""")
 }

@@ -284,6 +284,31 @@ object MiscQueries {
         (col("violations") === 0L).as("passed"))
   }
 
+  /** Snapshot-to-snapshot distribution drift — the mix-shift audit run
+    * when a corpus is re-crawled: per-(lang, source) document counts of
+    * two snapshots (here even vs odd doc_ids) with each cell's integer
+    * per-mille share of its snapshot and the absolute share shift,
+    * flagged when it exceeds 2%. All-integer (cross-multiplied `div`,
+    * no floats), so the full report is oracle-checked; the PSI variant
+    * with its ln() term lives in the test suite, same float policy as
+    * tf-idf/BM25.
+    *
+    * Scale shape: ONE scan and one map-side-combinable aggregation —
+    * both snapshots' counts are conditional sums in the same groupBy,
+    * so there is no self-join of the corpus. The share window runs
+    * over the already-aggregated |lang × source| frame (~dozens of
+    * rows), the q_vocab_topk precedent for a single-partition window
+    * on a reduced frame. */
+  val qDriftSnapshot: Q = (s, d) =>
+    graft.Tables(s, d, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("pm_a", expr("n_a * 1000 div sum(n_a) over ()"))
+      .withColumn("pm_b", expr("n_b * 1000 div sum(n_b) over ()"))
+      .withColumn("delta_pm", abs(col("pm_a") - col("pm_b")))
+      .withColumn("drifted", col("delta_pm") >= 20)
+
   /** Cross-engine ingest manifest: row count + order-independent bit_xor
     * content digest over a canonical row serialization (length-prefixed
     * string-cast columns joined by `|`, NULL → `n` — a prefix code,
@@ -304,6 +329,7 @@ object MiscQueries {
 
   val queries: Map[String, Q] = Map(
     "q_ingest_manifest" -> qIngestManifest,
+    "q_drift_snapshot" -> qDriftSnapshot,
     "q_quality_constraints" -> qQualityConstraints,
     "q_profile_table" -> qProfileTable,
     "q_agg_string" -> qAggString,
@@ -324,6 +350,21 @@ object MiscQueries {
     "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
+    "q_drift_snapshot" ->
+      """WITH g AS (
+           SELECT lang, source,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM documents GROUP BY lang, source),
+         p AS (
+           SELECT lang, source, n_a, n_b,
+             CAST(n_a * 1000 // CAST(SUM(n_a) OVER () AS BIGINT) AS BIGINT) AS pm_a,
+             CAST(n_b * 1000 // CAST(SUM(n_b) OVER () AS BIGINT) AS BIGINT) AS pm_b
+           FROM g)
+         SELECT lang, source, n_a, n_b, pm_a, pm_b,
+           abs(pm_a - pm_b) AS delta_pm,
+           abs(pm_a - pm_b) >= 20 AS drifted
+         FROM p ORDER BY lang, source""",
     "q_ingest_manifest" ->
       """WITH p AS (
            SELECT CAST('0x' || substring(sha256(

@@ -279,6 +279,26 @@ object TextQueries {
     * regex and RE2. */
   val qTextRedact: Q = (s, d) => redactDocs(Tables.documents(s, d))
 
+  /** C4-style text normalization — the cleaning pass every web corpus
+    * runs before quality scoring: control characters (U+0000–U+001F,
+    * which covers tab/newline/CR) become spaces, space runs collapse to
+    * one, and the result is trimmed (whitespace-only docs normalize to
+    * the empty string). Reports exact before/after char counts so the
+    * downstream mix can audit how much cleaning removed. Pure map-side
+    * regexp work, one corpus scan at any scale; both patterns behave
+    * identically under Java regex and RE2, so the full cleaned text is
+    * oracle-checked byte-for-byte. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[\\x00-\\x1f]", " "), " {2,}", " "))
+
+  val qTextClean: Q = (s, d) => {
+    val cleaned = cleanText(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), cleaned.as("cleaned"),
+        length(col("text")).as("n_before"),
+        length(cleaned).as("n_after"))
+  }
+
   /** Redaction over any (doc_id, text) frame — split out so the <NUM>
     * positive path is testable on synthetic digit-bearing rows. */
   def redactDocs(docs: DataFrame): DataFrame = {
@@ -397,6 +417,7 @@ object TextQueries {
     "q_text_bm25" -> qTextBm25,
     "q_text_ngrams" -> qTextNgrams,
     "q_text_redact" -> qTextRedact,
+    "q_text_clean" -> qTextClean,
     "q_text_perplexity" -> qTextPerplexity,
     "q_vocab_topk" -> qVocabTopk)
 
@@ -542,6 +563,16 @@ object TextQueries {
              '\b(customer|spark)\b', '<ENT>', 'g') AS redacted,
            CAST(len(regexp_extract_all(text, '\b(customer|spark)\b')) AS INT) AS n_ent,
            CAST(len(regexp_extract_all(text, '\b[0-9]+\b')) AS INT) AS n_num
+         FROM documents ORDER BY doc_id""",
+    "q_text_clean" ->
+      """SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(text, '[\x00-\x1f]', ' ', 'g'),
+             ' {2,}', ' ', 'g')) AS cleaned,
+           CAST(length(text) AS INT) AS n_before,
+           CAST(length(trim(regexp_replace(
+             regexp_replace(text, '[\x00-\x1f]', ' ', 'g'),
+             ' {2,}', ' ', 'g'))) AS INT) AS n_after
          FROM documents ORDER BY doc_id""",
     "q_vocab_topk" ->
       """WITH t AS (

@@ -461,4 +461,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(p.getDouble(5) == rows.map(_.getDouble(3)).min)
     assert(p.getDouble(6) == rows.map(_.getDouble(3)).max)
   }
+
+  test("qDriftSnapshot matches a plain-Scala share-shift computation, incl. PSI") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val groups = docs.groupBy(d => (d._2, d._3)).view.mapValues { ds =>
+      (ds.count(_._1 % 2 == 0).toLong, ds.count(_._1 % 2 == 1).toLong)
+    }.toMap
+    val totalA = groups.values.map(_._1).sum
+    val totalB = groups.values.map(_._2).sum
+    val got = MiscQueries.qDriftSnapshot(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getBoolean(7))
+    }.toMap
+    assert(got.keySet == groups.keySet)
+    groups.foreach { case (k, (na, nb)) =>
+      val (gna, gnb, pa, pb, dpm, drifted) = got(k)
+      assert((gna, gnb) == ((na, nb)), s"counts at $k")
+      assert(pa == na * 1000 / totalA && pb == nb * 1000 / totalB, s"pm at $k")
+      assert(dpm == math.abs(pa - pb) && drifted == (dpm >= 20), s"delta at $k")
+    }
+    // the PSI the integer report feeds (kept off the oracle per the float
+    // policy): sum over cells of (pA - pB)·ln(pA/pB) with per-mille
+    // smoothing, non-negative and zero iff the two mixes are identical
+    def share(n: Long, t: Long): Double = math.max(n.toDouble / t, 1e-3)
+    val psi = groups.values.map { case (na, nb) =>
+      val (pa, pb) = (share(na, totalA), share(nb, totalB))
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+    assert(psi >= 0.0)
+    val psiSelf = groups.values.map { case (na, _) =>
+      val p = share(na, totalA); (p - p) * math.log(p / p)
+    }.sum
+    assert(psiSelf == 0.0)
+  }
 }

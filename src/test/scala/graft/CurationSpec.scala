@@ -160,4 +160,32 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("mx") =!= col("n") || col("mn") =!= 1)
     assert(bad.count() == 0)
   }
+
+  test("q_sample_weighted: keep set equals a plain-Scala md5 recomputation") {
+    val kept = CorpusPipeline.qSampleWeighted(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val all = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u16(id: Long): Long = {
+      val hex = md.digest(s"$id#wsample".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16)
+    }
+    all.foreach { case (id, nChars) =>
+      val h = u16(id)
+      val want = h * 2000L < nChars * 65536L
+      assert(kept.contains(id) == want, s"doc $id h=$h n_chars=$nChars")
+      if (want) assert(kept(id) == h, s"doc $id reported hash")
+    }
+    // the acceptance probability is genuinely weight-proportional: any
+    // at-or-above-cap doc must be kept, and splitting the fixture at its
+    // median length, the longer half keeps a strictly larger fraction
+    assert(all.filter(_._2 >= 2000L).forall(d => kept.contains(d._1)))
+    val median = all.map(_._2).sorted.apply(all.length / 2)
+    val (long, short) = all.partition(_._2 >= median)
+    val fLong = long.count(d => kept.contains(d._1)).toDouble / long.size
+    val fShort = short.count(d => kept.contains(d._1)).toDouble / short.size
+    assert(fLong > fShort, s"long $fLong vs short $fShort")
+  }
 }

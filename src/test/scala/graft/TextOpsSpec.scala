@@ -143,4 +143,24 @@ class TextOpsSpec extends AnyFunSuite {
     // (both word chars) — so "v2" must survive while bare "2" is redacted
     assert(out(3) == ((4L, "v2 is not a bare number but <NUM> is", 0, 1)))
   }
+
+  test("cleanText: controls to spaces, runs collapsed, ends trimmed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain text stays"),
+      (2L, "tab\there  and\nnewline"),
+      (3L, "  padded   with   runs  "),
+      (4L, "\u0002ctl\u0001chars"),
+      (5L, "   \t\n  "), // whitespace-only doc → empty
+      (6L, "")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextQueries.cleanText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "plain text stays")
+    assert(out(2L) == "tab here and newline")
+    assert(out(3L) == "padded with runs")
+    assert(out(4L) == "ctl chars")
+    assert(out(5L) == "")
+    assert(out(6L) == "")
+  }
 }
