@@ -42,6 +42,7 @@ object SparkEntry {
       FuzzyDedup.queries ++
       Behavior.queries ++
       Geo.queries ++
+      Graph.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +72,6 @@ object SparkEntry {
       FuzzyDedup.oracleSql ++
       Behavior.oracleSql ++
       Geo.oracleSql ++
+      Graph.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

@@ -13,5 +13,6 @@ object Artifacts {
     Clustering.clearArtifacts()
     Similarity.clearArtifacts()
     CurationOps.clearArtifacts()
+    Graph.clearArtifacts()
   }
 }

@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over edge tables — degree, triangle counting, and
+  * PageRank — the relationship layer a corpus/warehouse needs once
+  * entities link to each other (co-purchase graphs here; citation /
+  * hyperlink / co-click graphs in a training-data pipeline, where link
+  * structure feeds dedup clustering, quality propagation, and crawl
+  * prioritization). The reference has no graph surface; this extends the
+  * connected-components layer ([[Clustering]]) with the other two
+  * classic warehouse graph operators.
+  *
+  * Everything is DataFrame joins/aggregations on narrow (long, long)
+  * edge rows — no vertex-program framework, no driver-side adjacency:
+  *
+  *  - The undirected fixture graph is materialized ONCE per session as a
+  *    canonical `(u < v)` distinct edge artifact (the [[Artifacts]]
+  *    pattern; at 100 TB this is the persisted edge table every graph
+  *    query starts from, bucketed by `u` so degree scans and the wedge
+  *    join co-locate).
+  *  - Triangle counting uses the degree-ordered node-iterator: each
+  *    edge orients from its lower-(degree, id) endpoint to the higher,
+  *    wedges enumerate only from each center's OUT-neighbors, and a
+  *    final equi-join against the edge table closes them. Orienting by
+  *    degree bounds out-degree by O(√m) on any graph, so the wedge
+  *    self-join — the only super-linear step — generates
+  *    O(Σ outdeg²) = O(m^1.5) candidates instead of the unoriented
+  *    Σ deg² blow-up that a hub node turns quadratic; this is the
+  *    standard MapReduce/MPC triangle algorithm and degree-orientation
+  *    is its anti-skew device (same role the rarest-token prefix plays
+  *    in [[DedupQueries]]'s PPJoin).
+  *  - PageRank runs a FIXED number of synchronous iterations as one
+  *    declarative plan: per-iteration cost is one broadcast join of the
+  *    rank table onto the edge list plus one `groupBy(dst)` partial
+  *    aggregation — the rank table is |V| narrow rows and broadcasts
+  *    while edges never re-shuffle on anything but `dst`. Arithmetic is
+  *    INTEGER-scaled (ranks are BIGINTs at scale 10¹²; contributions
+  *    divide by out-degree with integral `div`), so results are exact,
+  *    partitioning-independent, and oracle-checkable — the same
+  *    float-free policy as tf-idf/z-score. At real scale the loop stays
+  *    the same shape with a localCheckpoint every few iterations to cut
+  *    lineage; convergence detection (L1 delta below ε) is a one-row
+  *    aggregate per round.
+  */
+object Graph {
+
+  /** Canonical undirected simple edges: distinct `(u, v)` with `u < v`,
+    * self-loops dropped. Input is any two-column pair frame. */
+  def canonicalEdges(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    pairs.select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+
+  /** Per-node degree of a canonical undirected edge table. Isolated
+    * nodes (no edges) by definition do not appear. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  /** Per-node triangle participation counts: `(node, degree, triangles)`
+    * for every non-isolated node, zero-triangle nodes included.
+    *
+    * Degree-ordered node-iterator (see object doc): every triangle
+    * {a,b,c} is generated exactly once, as a wedge at its minimum-
+    * (degree, id) vertex, closed by the third edge. The degree table is
+    * broadcast onto the edge list twice (|V| narrow rows), so the only
+    * shuffles are the wedge self-join on `src` and the closing
+    * equi-join on `(u, v)`. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val ranked = edges
+      .join(broadcast(deg.select(col("node").as("u"), col("degree").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("degree").as("dv"))), "v")
+    // orient low-(degree, id) → high; (du,u) never equals (dv,v) since
+    // u ≠ v, so the orientation is total
+    val oriented = ranked.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        col("u")).otherwise(col("v")).as("src"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        col("v")).otherwise(col("u")).as("dst"))
+    // wedges at a shared center, out-neighbors canonically ordered by id
+    // — so the closing edge is exactly an (u, v) row of the edge table
+    val o1 = oriented.select(col("src"), col("dst").as("x"))
+    val o2 = oriented.select(col("src"), col("dst").as("y"))
+    val wedges = o1.join(o2, Seq("src")).filter(col("x") < col("y"))
+    val tris = wedges.join(edges,
+      wedges("x") === edges("u") && wedges("y") === edges("v"))
+      .select(col("src"), col("x"), col("y"))
+    val perNode = tris
+      .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Fixed-iteration synchronous PageRank over a DIRECTED edge table
+    * `(src, dst)`, integer-scaled: every node starts at
+    * `scale div N`, and each round sets
+    *
+    *   r'(v) = ((den−num)·(scale div N)) div den
+    *         + (num·Σ_{u→v} (r(u) div outdeg(u))) div den
+    *
+    * with damping `num/den` (default 85/100). All arithmetic is BIGINT
+    * with integral division, so the result is exact and engine-portable.
+    * Dangling nodes (no out-edges) leak their mass — the variant that
+    * redistributes it costs one extra one-row aggregate per round and is
+    * a caller-side fold; documented rather than defaulted because the
+    * leak-free form keeps the per-round plan at one join + one
+    * aggregation. Returns `(node, rank)`. */
+  def pageRankScaled(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, num: Long = 85L,
+      den: Long = 100L): DataFrame = {
+    require(iters >= 0 && scale > 0 && num >= 0 && den > 0)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    // N is ONE driver-side scalar (the share-of-total precedent): the
+    // uniform start rank and teleport term need it as a literal
+    val n = nodes.count()
+    val base = scale / n
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var r = nodes.select(col("node"), lit(base).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(broadcast(r.select(col("node").as("src"), col("rank"))), "src")
+        .join(broadcast(outdeg), "src")
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes
+        .join(broadcast(contribs.select(col("dst").as("node"), col("s"))),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(((den - num) * base) / den) +
+            expr(s"($num * coalesce(s, 0L)) div $den")).as("rank"))
+    }
+    r
+  }
+
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Drop cached edge artifacts (see [[DedupQueries.clearArtifacts]]). */
+  def clearArtifacts(): Unit = {
+    edgeCache.values.foreach(df =>
+      try df.unpersist(false) catch { case _: Throwable => () })
+    edgeCache.clear()
+  }
+
+  /** The fixture's undirected graph, materialized once per session:
+    * parts co-ordered within an order (first three lines per order, so
+    * edge count stays linear in orders and max degree bounded — the
+    * graph survey's standard co-occurrence construction). At 100 TB the
+    * equivalent is the persisted edge table an ingest job writes,
+    * bucketed by `u`. */
+  def coOrderEdges(spark: SparkSession, sfDir: String): DataFrame =
+    edgeCache.getOrElseUpdate(s"coorder:$sfDir", {
+      val li = Tables.lineitem(spark, sfDir)
+        .filter(col("l_linenumber") <= 3)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      canonicalEdges(
+        li.select(col("ok"), col("pk").as("a"))
+          .join(li.select(col("ok"), col("pk").as("b")), "ok")
+          .filter(col("a") < col("b")),
+        "a", "b").localCheckpoint(true)
+    })
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Declared query: per-node degree of the co-order part graph. */
+  val qGraphDegree: Q = (s, d) => degrees(coOrderEdges(s, d))
+
+  /** Declared query: per-node triangle counts on the co-order graph. */
+  val qGraphTriangles: Q = (s, d) => triangleCounts(coOrderEdges(s, d))
+
+  /** Part id offset that makes the supplier→part node spaces disjoint
+    * (both are small positive BIGINTs in the fixture). */
+  val PartOffset = 10000000L
+
+  /** Declared query: 3-iteration integer-exact PageRank over the
+    * supplier→part supply digraph (who supplies what, the bipartite
+    * direction making parts rank by supplier fan-in). */
+  val qGraphPagerank: Q = (s, d) =>
+    pageRankScaled(
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + PartOffset).as("dst"))
+        .distinct(),
+      iters = 3)
+
+  val queries: Map[String, Q] = Map(
+    "q_graph_degree" -> qGraphDegree,
+    "q_graph_triangles" -> qGraphTriangles,
+    "q_graph_pagerank" -> qGraphPagerank)
+
+  /** Shared oracle prelude: the same canonical co-order edge set. */
+  private val edgeCte: String =
+    """WITH p AS (
+         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem WHERE l_linenumber <= 3),
+       e AS (
+         SELECT DISTINCT a.pk AS u, b.pk AS v
+         FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_graph_degree" -> (edgeCte +
+      """
+         SELECT node, count(*) AS degree
+         FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+         GROUP BY node ORDER BY node"""),
+    "q_graph_triangles" -> (edgeCte +
+      """,
+       d AS (
+         SELECT node, count(*) AS degree
+         FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+         GROUP BY node),
+       t AS (
+         SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         FROM e e1
+         JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+       tc AS (
+         SELECT node, count(*) AS tri
+         FROM (SELECT unnest([x, y, z]) AS node FROM t) GROUP BY node)
+       SELECT d.node, d.degree,
+         CAST(COALESCE(tc.tri, 0) AS BIGINT) AS triangles
+       FROM d LEFT JOIN tc USING (node) ORDER BY d.node"""),
+    "q_graph_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT l_suppkey AS src,
+             l_partkey + 10000000 AS dst
+           FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         p AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
+         od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         r0 AS (SELECT node, (SELECT base FROM p) AS rank FROM nodes),
+         s1 AS (
+           SELECT e.dst AS node, CAST(SUM(r0.rank // od.od) AS BIGINT) AS s
+           FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+           GROUP BY e.dst),
+         r1 AS (
+           SELECT n.node,
+             (15 * (SELECT base FROM p)) // 100
+               + (85 * COALESCE(s1.s, 0)) // 100 AS rank
+           FROM nodes n LEFT JOIN s1 ON s1.node = n.node),
+         s2 AS (
+           SELECT e.dst AS node, CAST(SUM(r1.rank // od.od) AS BIGINT) AS s
+           FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src
+           GROUP BY e.dst),
+         r2 AS (
+           SELECT n.node,
+             (15 * (SELECT base FROM p)) // 100
+               + (85 * COALESCE(s2.s, 0)) // 100 AS rank
+           FROM nodes n LEFT JOIN s2 ON s2.node = n.node),
+         s3 AS (
+           SELECT e.dst AS node, CAST(SUM(r2.rank // od.od) AS BIGINT) AS s
+           FROM e JOIN r2 ON r2.node = e.src JOIN od ON od.src = e.src
+           GROUP BY e.dst),
+         r3 AS (
+           SELECT n.node,
+             (15 * (SELECT base FROM p)) // 100
+               + (85 * COALESCE(s3.s, 0)) // 100 AS rank
+           FROM nodes n LEFT JOIN s3 ON s3.node = n.node)
+         SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""")
+}

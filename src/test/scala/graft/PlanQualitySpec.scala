@@ -59,7 +59,14 @@ class PlanQualitySpec extends AnyFunSuite {
     // 2 once the session's band/digest artifacts are checkpointed; 3 when
     // this query is the one that plans the artifact build (order-dependent)
     "q_dedup_incremental" -> 3,
-    "q_dedup_incremental_bloom" -> 3).withDefaultValue(2)
+    "q_dedup_incremental_bloom" -> 3,
+    // iterative/multi-stage graph ops: pagerank plans one aggregation
+    // exchange per damping round (3 rounds) on top of the node/outdeg
+    // builds; triangles is 5 once the co-order edge artifact is
+    // checkpointed, 9 when it plans the artifact build (order-dependent,
+    // same caveat as the incremental pair above)
+    "q_graph_pagerank" -> 10,
+    "q_graph_triangles" -> 9).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements
