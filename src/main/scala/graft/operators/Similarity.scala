@@ -734,13 +734,60 @@ object Similarity {
            AND v.vec_id NOT IN (SELECT vec_id FROM dup)
          ORDER BY vec_id"""
 
+  /** Coverage (diversity-aware) sampling — the selection step that keeps
+    * a training mix REPRESENTATIVE rather than merely deduplicated: the
+    * embedding space is carved into sign-LSH regions (one 8-bit table →
+    * 256 cells over the same deterministic quantized hyperplanes the
+    * dedup layer uses) and each populated region reports its population
+    * and one representative (min vec_id — deterministic; swap in a
+    * quality argmax via max_by for scored corpora). Downsampling to the
+    * representatives flattens the density distribution — dense regions
+    * shed mass, sparse regions keep theirs — the cheap engine-exact
+    * counterpart of k-means/facility-location coreset selection (those
+    * need float centroids; sign-bucket regions keep the exact-oracle
+    * policy).
+    *
+    * Scale shape: bucket assignment is map-side (codegen'd integer dot
+    * products), then ONE partial-aggregating shuffle on the 8-bit
+    * region key; nothing else moves. Region count is a knob (nbits):
+    * raise it with corpus size to hold per-region populations flat —
+    * the same bucket-granularity scaling rule as the LSH dedup
+    * tables. */
+  val qSampleCoverage: Q = (s, d) =>
+    quantBucketed(Tables.embeddings(s, d), "vec_id", "embedding",
+        tables = 1, nbits = 8, dim = 64)
+      .groupBy(col("bucket").cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("rep"))
+
+  private def coverageOracle(nbits: Int, dim: Int): String = {
+    val planes = quantizedPlanes(nbits, dim)
+    val planeRows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(",")}]::BIGINT[])"
+    }.mkString(",\n           ")
+    s"""WITH q AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         pl AS (SELECT * FROM (VALUES $planeRows) AS t(b, plane)),
+         bk AS (
+           SELECT vec_id,
+             CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(qv, plane),
+                    t -> t[1] * t[2])) > 0
+                  THEN (1 << b) ELSE 0 END) AS BIGINT) AS bucket
+           FROM q, pl GROUP BY vec_id)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           MIN(vec_id) AS rep
+         FROM bk GROUP BY bucket ORDER BY bucket"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q_similarity_lsh" -> qSimilarityLsh,
     "q_similarity_ivf" -> qSimilarityIvf,
     "q_similarity_pq" -> qSimilarityPq,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_dedup_embed_cluster" -> qDedupEmbedCluster,
-    "q_dedup_embed_incremental" -> qDedupEmbedIncremental)
+    "q_dedup_embed_incremental" -> qDedupEmbedIncremental,
+    "q_sample_coverage" -> qSampleCoverage)
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_embed_lsh" ->
@@ -749,5 +796,6 @@ object Similarity {
       embedClusterOracle(tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L),
     "q_dedup_embed_incremental" ->
       embedIncrementalOracle(tables = 2, nbits = 4, dim = 64,
-        cosSq1e4 = 2025L))
+        cosSq1e4 = 2025L),
+    "q_sample_coverage" -> coverageOracle(nbits = 8, dim = 64))
 }

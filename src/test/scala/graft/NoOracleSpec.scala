@@ -386,4 +386,24 @@ class NoOracleSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("coverage sample: regions partition the corpus, reps are members") {
+    import org.apache.spark.sql.functions.col
+    val total = Tables.embeddings(spark, sf).count()
+    val regions = Similarity.qSampleCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every vector lands in exactly one region; region ids fit 8 bits
+    assert(regions.map(_._2).sum == total)
+    assert(regions.forall { case (b, n, _) => b >= 0 && b < 256 && n > 0 })
+    // the representative belongs to its own region: recompute its bucket
+    val bucketOf = Similarity.quantBucketed(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", 1, 8, 64)
+      .select(col("id"), col("bucket").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    regions.foreach { case (b, _, rep) =>
+      assert(bucketOf(rep) == b, s"rep $rep not in region $b")
+    }
+    // representatives are distinct (one per region, never shared)
+    assert(regions.map(_._3).distinct.length == regions.length)
+  }
 }
