@@ -72,7 +72,11 @@ object Graph {
     * broadcast onto the edge list twice (|V| narrow rows), so the only
     * shuffles are the wedge self-join on `src` and the closing
     * equi-join on `(u, v)`. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** All triangles of a canonical edge table, one row each, as
+    * `(src, x, y)` — `src` the minimum-(degree, id) vertex, `x < y` its
+    * two co-members. The shared wedge machinery of [[triangleCounts]]
+    * and [[edgeJaccard]]. */
+  def triangleRows(edges: DataFrame): DataFrame = {
     val deg = degrees(edges)
     val ranked = edges
       .join(broadcast(deg.select(col("node").as("u"), col("degree").as("du"))), "u")
@@ -89,15 +93,49 @@ object Graph {
     val o1 = oriented.select(col("src"), col("dst").as("x"))
     val o2 = oriented.select(col("src"), col("dst").as("y"))
     val wedges = o1.join(o2, Seq("src")).filter(col("x") < col("y"))
-    val tris = wedges.join(edges,
+    wedges.join(edges,
       wedges("x") === edges("u") && wedges("y") === edges("v"))
       .select(col("src"), col("x"), col("y"))
-    val perNode = tris
+  }
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val perNode = triangleRows(edges)
       .select(explode(array(col("src"), col("x"), col("y"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("node"), "left")
+    degrees(edges).join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Neighborhood-Jaccard link scores for every EXISTING edge — the
+    * link-prediction / tie-strength primitive (common-neighbor count and
+    * per-mille Jaccard of the two open neighborhoods). A triangle
+    * through edge (u,v) IS a common neighbor of u and v, so the common
+    * count reuses [[triangleRows]] exploded per edge — the wedge join
+    * runs once, degree-oriented, never a neighbor-list × neighbor-list
+    * self-join. |N(u) ∪ N(v)| = deg(u) + deg(v) − common by
+    * inclusion–exclusion (v ∈ N(u) and u ∈ N(v) stay in the union —
+    * open-neighborhood convention), and the score is integer per-mille
+    * (`1000·common div union`) so the whole frame is oracle-exact. */
+  def edgeJaccard(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val perEdge = triangleRows(edges)
+      .select(explode(array(
+        struct(least(col("src"), col("x")).as("u"),
+          greatest(col("src"), col("x")).as("v")),
+        struct(least(col("src"), col("y")).as("u"),
+          greatest(col("src"), col("y")).as("v")),
+        struct(col("x").as("u"), col("y").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+    edges
+      .join(perEdge, Seq("u", "v"), "left")
+      .join(broadcast(deg.select(col("node").as("u"), col("degree").as("du"))), "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("degree").as("dv"))), "v")
+      .select(col("u"), col("v"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        expr("1000 * coalesce(common, 0L) div (du + dv - coalesce(common, 0L))")
+          .as("jac_pm"))
   }
 
   /** Fixed-iteration synchronous PageRank over a DIRECTED edge table
@@ -116,13 +154,15 @@ object Graph {
     * aggregation. Returns `(node, rank)`. */
   def pageRankScaled(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, num: Long = 85L,
-      den: Long = 100L): DataFrame = {
+      den: Long = 100L, knownN: Option[Long] = None): DataFrame = {
     require(iters >= 0 && scale > 0 && num >= 0 && den > 0)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     // N is ONE driver-side scalar (the share-of-total precedent): the
-    // uniform start rank and teleport term need it as a literal
-    val n = nodes.count()
+    // uniform start rank and teleport term need it as a literal.
+    // `knownN` skips the counting job when the caller already persists
+    // the node count next to its edge artifact (the declared query does)
+    val n = knownN.getOrElse(nodes.count())
     val base = scale / n
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var r = nodes.select(col("node"), lit(base).as("rank"))
@@ -150,6 +190,7 @@ object Graph {
     edgeCache.values.foreach(df =>
       try df.unpersist(false) catch { case _: Throwable => () })
     edgeCache.clear()
+    nCache.clear()
   }
 
   /** The fixture's undirected graph, materialized once per session:
@@ -183,30 +224,69 @@ object Graph {
     * (both are small positive BIGINTs in the fixture). */
   val PartOffset = 10000000L
 
+  private val nCache =
+    scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** The supply digraph (supplier → part, distinct), materialized once
+    * per session with its node count — the directed sibling of
+    * [[coOrderEdges]]; at scale both live as persisted edge tables with
+    * stats, and every rank/degree query starts from them instead of
+    * re-distincting the fact table. */
+  def supplyEdges(spark: SparkSession, sfDir: String): DataFrame =
+    edgeCache.getOrElseUpdate(s"supply:$sfDir", {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_suppkey").as("src"),
+          (col("l_partkey") + PartOffset).as("dst"))
+        .distinct().localCheckpoint(true)
+    })
+
   /** Declared query: 3-iteration integer-exact PageRank over the
     * supplier→part supply digraph (who supplies what, the bipartite
     * direction making parts rank by supplier fan-in). */
-  val qGraphPagerank: Q = (s, d) =>
-    pageRankScaled(
-      Tables.lineitem(s, d)
-        .select(col("l_suppkey").as("src"),
-          (col("l_partkey") + PartOffset).as("dst"))
-        .distinct(),
-      iters = 3)
+  val qGraphPagerank: Q = (s, d) => {
+    val edges = supplyEdges(s, d)
+    val n = nCache.getOrElseUpdate(s"supplyN:$d",
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct().count())
+    pageRankScaled(edges, iters = 3, knownN = Some(n))
+  }
+
+  /** Declared query: neighborhood-Jaccard link scores on the co-order
+    * graph. */
+  val qGraphJaccard: Q = (s, d) => edgeJaccard(coOrderEdges(s, d))
+
+  /** Declared query: connected components of the decile subgraph (both
+    * endpoints ≡ 0 mod 10) of the co-order graph — a naturally
+    * fragmented slice (the full graph is one dense component, which
+    * would make the oracle's transitive closure quadratic in |V|;
+    * components on a FRAGMENTED graph are the operator's actual use
+    * case: near-dup groups, not one giant blob). Reuses the
+    * [[Clustering.componentLabels]] frontier label propagation. */
+  val qGraphComponents: Q = (s, d) => {
+    val sub = coOrderEdges(s, d)
+      .filter(col("u") % 10 === 0 && col("v") % 10 === 0)
+    Clustering.componentLabels(
+        sub.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("id").as("node"), col("label").as("component"))
+  }
 
   val queries: Map[String, Q] = Map(
     "q_graph_degree" -> qGraphDegree,
     "q_graph_triangles" -> qGraphTriangles,
+    "q_graph_jaccard" -> qGraphJaccard,
+    "q_graph_components" -> qGraphComponents,
     "q_graph_pagerank" -> qGraphPagerank)
 
   /** Shared oracle prelude: the same canonical co-order edge set. */
-  private val edgeCte: String =
-    """WITH p AS (
+  private val edgeCteBody: String =
+    """p AS (
          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          FROM lineitem WHERE l_linenumber <= 3),
        e AS (
          SELECT DISTINCT a.pk AS u, b.pk AS v
          FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk)"""
+
+  private val edgeCte: String = "WITH " + edgeCteBody
 
   val oracleSql: Map[String, String] = Map(
     "q_graph_degree" -> (edgeCte +
@@ -231,6 +311,44 @@ object Graph {
        SELECT d.node, d.degree,
          CAST(COALESCE(tc.tri, 0) AS BIGINT) AS triangles
        FROM d LEFT JOIN tc USING (node) ORDER BY d.node"""),
+    "q_graph_jaccard" -> (edgeCte +
+      """,
+       d AS (
+         SELECT node, count(*) AS degree
+         FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+         GROUP BY node),
+       t AS (
+         SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         FROM e e1
+         JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+       te AS (
+         SELECT x AS u, y AS v FROM t
+         UNION ALL SELECT x AS u, z AS v FROM t
+         UNION ALL SELECT y AS u, z AS v FROM t),
+       tc AS (SELECT u, v, count(*) AS common FROM te GROUP BY u, v)
+       SELECT e.u, e.v,
+         CAST(COALESCE(tc.common, 0) AS BIGINT) AS common,
+         CAST((1000 * COALESCE(tc.common, 0))
+           // (du.degree + dv.degree - COALESCE(tc.common, 0)) AS BIGINT)
+           AS jac_pm
+       FROM e
+       LEFT JOIN tc ON tc.u = e.u AND tc.v = e.v
+       JOIN d du ON du.node = e.u
+       JOIN d dv ON dv.node = e.v
+       ORDER BY e.u, e.v"""),
+    "q_graph_components" -> ("WITH RECURSIVE " + edgeCteBody +
+      """,
+       sub AS (SELECT u, v FROM e WHERE u % 10 = 0 AND v % 10 = 0),
+       sym AS (
+         SELECT u AS id, v AS nbr FROM sub
+         UNION ALL SELECT v AS id, u AS nbr FROM sub),
+       reach(id, r) AS (
+         SELECT id, id FROM sym
+         UNION
+         SELECT sym.id, reach.r FROM sym JOIN reach ON reach.id = sym.nbr)
+       SELECT id AS node, MIN(r) AS component
+       FROM reach GROUP BY id ORDER BY node"""),
     "q_graph_pagerank" ->
       """WITH e AS (
            SELECT DISTINCT l_suppkey AS src,

@@ -81,6 +81,47 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.sum <= scale && got.values.forall(_ > 0))
   }
 
+  test("edgeJaccard equals brute force on random graphs") {
+    val gen = Gen.listOf(Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))
+    val prop = Prop.forAll(gen) { raw =>
+      val es = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = es.toSet
+      def linked(x: Long, y: Long) = adj((math.min(x, y), math.max(x, y)))
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      def nbrs(n: Long) = nodes.filter(m => m != n && linked(n, m)).toSet
+      val got = Graph.edgeJaccard(edgesDf(es).transform(
+          df => Graph.canonicalEdges(df, "a", "b")))
+        .as[(Long, Long, Long, Long)].collect()
+      got.length == es.length && got.forall { case (u, v, common, jacPm) =>
+        val cn = (nbrs(u) intersect nbrs(v)).size.toLong
+        val un = (nbrs(u) union nbrs(v)).size.toLong
+        cn == common && jacPm == 1000 * cn / un
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("qGraphComponents: labels are component-consistent on the fixture") {
+    val labels = Graph.qGraphComponents(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val sub = Graph.coOrderEdges(spark, sf)
+      .filter(col("u") % 10 === 0 && col("v") % 10 === 0)
+      .as[(Long, Long)].collect()
+    assert(labels.nonEmpty && sub.nonEmpty)
+    // both endpoints of every edge share a label; labels are component
+    // minima (each label labels itself)
+    sub.foreach { case (u, v) =>
+      assert(labels(u) == labels(v), s"edge ($u,$v) split")
+    }
+    labels.values.foreach(l => assert(labels(l) == l, s"label $l not a root"))
+    // the decile subgraph is genuinely fragmented (the reason it is the
+    // declared fixture): more than one component
+    assert(labels.values.toSet.size > 1)
+  }
+
   test("declared co-order graph queries run and agree with each other") {
     val deg = Graph.qGraphDegree(spark, sf).as[(Long, Long)].collect().toMap
     val tri = Graph.qGraphTriangles(spark, sf)

@@ -66,7 +66,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // checkpointed, 9 when it plans the artifact build (order-dependent,
     // same caveat as the incremental pair above)
     "q_graph_pagerank" -> 10,
-    "q_graph_triangles" -> 9).withDefaultValue(2)
+    "q_graph_triangles" -> 9,
+    "q_graph_jaccard" -> 10).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements
