@@ -266,7 +266,9 @@ object Graph {
     val sub = coOrderEdges(s, d)
       .filter(col("u") % 10 === 0 && col("v") % 10 === 0)
     Clustering.componentLabels(
-        sub.select(col("u").as("doc_a"), col("v").as("doc_b")))
+        sub.select(col("u").as("doc_a"), col("v").as("doc_b")),
+        cacheKey = Some(s"graphcc:$d")) // labels are an ingest artifact,
+      // recomputed when the edge table is (the q_dedup_cluster precedent)
       .select(col("id").as("node"), col("label").as("component"))
   }
 
