@@ -43,6 +43,7 @@ object SparkEntry {
       Behavior.queries ++
       Geo.queries ++
       Graph.queries ++
+      Privacy.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +74,6 @@ object SparkEntry {
       Behavior.oracleSql ++
       Geo.oracleSql ++
       Graph.oracleSql ++
+      Privacy.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

@@ -100,9 +100,35 @@ object Behavior {
 
   val qRunsConsecutive: Q = (s, d) => runsConsecutive(Tables.events(s, d))
 
+  /** First-order Markov transition counts over per-user event sequences:
+    * for every (from_type → to_type) adjacent pair in a user's
+    * ts-ordered trace, the total transition count and the number of
+    * distinct users making it — the raw material of a behavioral
+    * transition matrix (and of n-gram sequence models over action
+    * vocabularies). `lead` pairs each event with its successor in ONE
+    * user-keyed window pass — no self-join on (user, rank) — then a
+    * pair-keyed aggregate folds the matrix; two exchanges total, and the
+    * matrix itself is |event types|² rows regardless of corpus size.
+    * Ties within a timestamp are broken by event_id, the same total
+    * order every other trace operator here uses (DuckDB reads the ns
+    * fixture truncated to µs exactly like [[graft.Tables.events]]). */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
+  val qMarkovTransitions: Q = (s, d) => markovTransitions(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "q_funnel_steps" -> qFunnelSteps,
     "q_retention_cohort" -> qRetentionCohort,
+    "q_markov_transitions" -> qMarkovTransitions,
     "q_runs_consecutive" -> qRunsConsecutive)
 
   val oracleSql: Map[String, String] = Map(
@@ -139,6 +165,18 @@ object Behavior {
          SELECT cohort, COUNT(*) AS n_users,
                 COUNT(*) FILTER (WHERE retained = 1) AS n_retained
          FROM r GROUP BY cohort ORDER BY cohort""",
+    "q_markov_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events)
+         SELECT event_type AS from_type, to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM s WHERE to_type IS NOT NULL
+         GROUP BY from_type, to_type
+         ORDER BY from_type, to_type""",
     "q_runs_consecutive" ->
       """WITH g AS (
            SELECT user_id, event_type, event_id,

@@ -134,10 +134,33 @@ object Layout {
         hour(col("ts")).as("zy"))
       .withColumn("zkey", morton16("zx", "zy"))
 
+  /** Zone-map (data-skipping index) construction over the Z-curve: rows
+    * are grouped into 64-key curve segments (`zkey >> 6` — the stand-in
+    * for a parquet row group under a zkey-sorted layout) and each zone
+    * records count + min/max of BOTH clustered dimensions. This is the
+    * index a 100 TB scan consults to skip blocks: because Morton
+    * interleaving bounds each dimension's spread within a curve segment,
+    * the per-zone min/max stay tight in x AND y (the measured 4/16 vs
+    * 16/16 segment-touch gap in LayoutSpec is exactly this map's
+    * selectivity). One map-side-combinable aggregate — a zone-map build
+    * at any scale is a single corpus scan, and the map itself is
+    * |zones| rows. Exact integer output → DuckDB oracle. */
+  val qLayoutZonemap: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("zx"),
+        hour(col("ts")).as("zy"))
+      .withColumn("zone", shiftright(morton16("zx", "zy"), 6))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("zx")).as("min_zx"), max(col("zx")).as("max_zx"),
+        min(col("zy")).as("min_zy"), max(col("zy")).as("max_zy"))
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
-    "q_layout_zorder" -> qLayoutZorder)
+    "q_layout_zorder" -> qLayoutZorder,
+    "q_layout_zonemap" -> qLayoutZonemap)
 
   val oracleSql: Map[String, String] = Map(
     "q_layout_zorder" ->
@@ -152,5 +175,24 @@ object Layout {
              (((zx >> i) & 1) << (2 * i))
              + (((CAST(zy AS BIGINT) >> i) & 1) << (2 * i + 1))))
              AS BIGINT) AS zkey
-         FROM t ORDER BY event_id""")
+         FROM t ORDER BY event_id""",
+    "q_layout_zonemap" ->
+      """WITH t AS (
+           SELECT event_id,
+             ((user_id % 65536) + 65536) % 65536 AS zx,
+             CAST(hour(ts) AS INT) AS zy
+           FROM events),
+         k AS (
+           SELECT zx, zy,
+             CAST(list_sum(list_transform(range(16), i ->
+               (((zx >> i) & 1) << (2 * i))
+               + (((CAST(zy AS BIGINT) >> i) & 1) << (2 * i + 1))))
+               AS BIGINT) AS zkey
+           FROM t)
+         SELECT zkey >> 6 AS zone,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(zx) AS BIGINT) AS min_zx,
+           CAST(MAX(zx) AS BIGINT) AS max_zx,
+           MIN(zy) AS min_zy, MAX(zy) AS max_zy
+         FROM k GROUP BY zone ORDER BY zone""")
 }

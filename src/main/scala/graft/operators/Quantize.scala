@@ -44,7 +44,38 @@ object Quantize {
         size(col("q")).as("n_dims"))
   }
 
-  val queries: Map[String, Q] = Map("q_quantize_embed" -> qQuantizeEmbed)
+  /** Per-label embedding centroids in EXACT milli-quantized integer
+    * arithmetic: each float component is half-up-quantized to integer
+    * milli-units (`floor(v·1000 + 0.5)` — same float-free-of-`round`
+    * trick as [[quantize]]), then summed per (label, dimension). Integer
+    * sums are associative — partition-order-independent, unlike float
+    * sums — so the centroid is bit-identical at any parallelism and
+    * DuckDB-oracle-checkable, where a float centroid would be neither.
+    *
+    * This is the k-means/IVF "update step" shape at 100 TB: `posexplode`
+    * multiplies rows ×dim map-side, but partial aggregation folds them
+    * before the single (label, dim)-keyed shuffle, so what moves is one
+    * partial per (label, dim, input-partition) — the output is
+    * |labels|·dim rows regardless of corpus size. The final mean is one
+    * IEEE divide of exact integers (deterministic, §7.4). */
+  def labelCentroids(vecs: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    vecs
+      .select(col(labelCol).as("label"),
+        posexplode(transform(col(vecCol), v =>
+          floor(v.cast("double") * lit(1000.0) + lit(0.5)).cast("long")))
+          .as(Seq("dim", "milli")))
+      .groupBy("label", "dim")
+      .agg(sum(col("milli")).as("sum_milli"), count(lit(1)).as("n"))
+      .withColumn("mean_milli",
+        col("sum_milli").cast("double") / col("n").cast("double"))
+  }
+
+  val qEmbedCentroid: Q = (s, d) => labelCentroids(Tables.embeddings(s, d))
+
+  val queries: Map[String, Q] = Map(
+    "q_quantize_embed" -> qQuantizeEmbed,
+    "q_embed_centroid" -> qEmbedCentroid)
 
   val oracleSql: Map[String, String] = Map(
     "q_quantize_embed" ->
@@ -64,5 +95,18 @@ object Quantize {
                 CAST(list_sum(list_transform(qv, v -> abs(v))) AS INT)
                   AS q_l1,
                 CAST(len(qv) AS INT) AS n_dims
-         FROM q ORDER BY vec_id""")
+         FROM q ORDER BY vec_id""",
+    "q_embed_centroid" ->
+      """WITH q AS (
+           SELECT label,
+             unnest(list_transform(range(len(embedding)), i ->
+               {'dim': CAST(i AS INT),
+                'milli': CAST(floor(CAST(embedding[i + 1] AS DOUBLE)
+                  * 1000.0 + 0.5) AS BIGINT)})) AS u
+           FROM embeddings)
+         SELECT label, u.dim AS dim,
+           CAST(SUM(u.milli) AS BIGINT) AS sum_milli,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(u.milli) AS DOUBLE) / COUNT(*) AS mean_milli
+         FROM q GROUP BY label, u.dim ORDER BY label, dim""")
 }

@@ -404,6 +404,33 @@ object TextQueries {
     unigramLogLoss(docs, unigramCounts(docs))
   }
 
+  /** Inverted index in its scale-honest FLAT form: one row per (token,
+    * document) posting carrying tf, the in-document position list (CSV —
+    * the driver comparator can't hash array cells) and df. This is how a
+    * 100 TB index is actually stored — a (tok, doc_id)-keyed table,
+    * bucketed by token on disk — NOT per-token array cells: a
+    * collect-per-token posting array for a stop word would be a 10¹⁰
+    * element cell on one executor, where the flat table spreads the same
+    * posting list across ordinary partitions. The position list per
+    * (tok, doc) row IS safely collectable — it is bounded by document
+    * length, not corpus size.
+    *
+    * Two exchanges, same budget as [[bm25Stats]]: the (doc, tok)
+    * aggregate, then a tok-partitioned window for df. */
+  def invertedIndex(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .groupBy("tok", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        array_join(transform(sort_array(collect_list(col("pos"))),
+          _.cast(StringType)), ",").as("pos_csv"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+  }
+
+  val qIndexInverted: Q = (s, d) => invertedIndex(Tables.documents(s, d))
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -419,6 +446,7 @@ object TextQueries {
     "q_text_redact" -> qTextRedact,
     "q_text_clean" -> qTextClean,
     "q_text_perplexity" -> qTextPerplexity,
+    "q_index_inverted" -> qIndexInverted,
     "q_vocab_topk" -> qVocabTopk)
 
   val oracleSql: Map[String, String] = Map(
@@ -574,6 +602,22 @@ object TextQueries {
              regexp_replace(text, '[\x00-\x1f]', ' ', 'g'),
              ' {2,}', ' ', 'g'))) AS INT) AS n_after
          FROM documents ORDER BY doc_id""",
+    "q_index_inverted" ->
+      """WITH sp AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+             unnest(list_transform(range(len(toks)), i ->
+               {'tok': toks[i + 1], 'pos': i})) AS u
+           FROM sp),
+         tf AS (
+           SELECT u.tok AS tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+             array_to_string(list_sort(list(u.pos)), ',') AS pos_csv
+           FROM t GROUP BY u.tok, doc_id)
+         SELECT tok, doc_id, tf, pos_csv,
+           CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS df
+         FROM tf ORDER BY tok, doc_id""",
     "q_vocab_topk" ->
       """WITH t AS (
            SELECT unnest(string_split(lower(text), ' ')) AS token

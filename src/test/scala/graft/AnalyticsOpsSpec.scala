@@ -447,6 +447,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }, n = 20)
   }
 
+  test("labelCentroids equals an exact plain-Scala integer fold") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    // independent recomputation: half-up milli-quantize then exact sums
+    val expect = vecs
+      .flatMap { case (l, v) => v.zipWithIndex.map { case (x, i) =>
+        ((l, i), math.floor(x.toDouble * 1000.0 + 0.5).toLong) } }
+      .groupBy(_._1)
+      .map { case (k, xs) => k -> ((xs.map(_._2).sum, xs.length.toLong)) }
+    val got = graft.operators.Quantize
+      .labelCentroids(Tables.embeddings(spark, sf)).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (k, (s, n)) =>
+      val (gs, gn, gm) = got(k)
+      assert(gs == s && gn == n, s"label/dim $k")
+      assert(gm == s.toDouble / n.toDouble, s"mean at $k")
+    }
+  }
+
+  test("kAnonymityAudit flags exactly the small or uniform-source groups") {
+    import spark.implicits._
+    // group (en, bucket 0): 5 docs over 2 sources → releasable.
+    // group (en, bucket 1): 5 docs, single source → k ok, l fails.
+    // group (de, bucket 0): 2 docs over 2 sources → l ok, k fails.
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "en", if (i <= 2) "web" else "books", 50L)) ++
+      (6 to 10).map(i => (i.toLong, "en", "web", 250L)) ++
+      Seq((11L, "de", "web", 10L), (12L, "de", "books", 20L))
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val got = graft.operators.Privacy.kAnonymityAudit(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6)))).toMap
+    assert(got(("en", 0L)) == ((5L, 2L, true, true, true)))
+    assert(got(("en", 1L)) == ((5L, 1L, true, false, false)))
+    assert(got(("de", 0L)) == ((2L, 2L, false, true, false)))
+  }
+
   test("qProfileTable matches plain-Scala profile of orders") {
     val rows = Tables(spark, sf, "orders")
       .select("o_custkey", "o_orderstatus", "o_orderpriority",

@@ -57,6 +57,22 @@ class BehaviorSpec extends AnyFunSuite {
       (2L, "A", 3L, 20L, 22L)))
   }
 
+  test("markovTransitions counts adjacent pairs per user, event_id tie-break") {
+    // u1: A B A → (A,B) (B,A); u2 has two same-ts events ordered by
+    // event_id: A(20) B(21) → (A,B). No cross-user pair may appear.
+    val df = Seq(
+      (1L, "A", ts(1, 1), 10L), (1L, "B", ts(1, 2), 11L),
+      (1L, "A", ts(1, 3), 12L),
+      (2L, "A", ts(2, 1), 20L), (2L, "B", ts(2, 1), 21L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.markovTransitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("A", "B", 2L, 2L),
+      ("B", "A", 1L, 1L)))
+  }
+
   test("retention window is (cohort, cohort+7], same-day is not retention") {
     // u1: active again day+3 → retained. u2: only same-day repeats →
     // not retained. u3: next activity day+8 → outside the window.

@@ -81,6 +81,27 @@ class LayoutSpec extends AnyFunSuite {
       s"z-curve segments touched $zTouched must beat 1-D sort's $xTouched")
   }
 
+  test("zonemap: per-zone bounds cover exactly the rows on that curve segment") {
+    // independent recompute from the raw fixture rows: quantize, interleave
+    // in plain Scala, bucket by zkey >> 6, take exact count/min/max
+    val rows = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), hour(col("ts")).as("zy")).collect()
+      .map(r => (((r.getLong(0) % 65536L) + 65536L) % 65536L, r.getInt(1)))
+    def interleave(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val expect = rows
+      .map { case (zx, zy) => (interleave(zx, zy.toLong) >> 6, zx, zy) }
+      .groupBy(_._1)
+      .map { case (z, xs) => z -> ((xs.length.toLong,
+        xs.map(_._2).min, xs.map(_._2).max,
+        xs.map(_._3).min, xs.map(_._3).max)) }
+    val got = Layout.qLayoutZonemap(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))).toMap
+    assert(got == expect)
+  }
+
   test("newDocsBloom returns exactly newDocs' survivors") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val state = docs.filter(col("doc_id") % 2 === 0)

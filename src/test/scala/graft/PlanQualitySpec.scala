@@ -67,7 +67,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // same caveat as the incremental pair above)
     "q_graph_pagerank" -> 10,
     "q_graph_triangles" -> 9,
-    "q_graph_jaccard" -> 10).withDefaultValue(2)
+    "q_graph_jaccard" -> 10,
+    // user-keyed lead window + the two-exchange distinct rewrite of
+    // count_distinct(user_id) in the pair aggregate
+    "q_markov_transitions" -> 3).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements

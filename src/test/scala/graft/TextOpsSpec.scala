@@ -144,6 +144,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3) == ((4L, "v2 is not a bare number but <NUM> is", 0, 1)))
   }
 
+  test("invertedIndex: postings carry tf, sorted 0-based positions, df") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog"),
+      (3L, "cat")).toDF("doc_id", "text")
+    val got = TextQueries.invertedIndex(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    // "the" occurs twice in doc 1 (positions 0 and 4), once in doc 2; in
+    // 2 of 3 documents overall
+    assert(got(("the", 1L)) == ((2L, "0,4", 2L)))
+    assert(got(("the", 2L)) == ((1L, "0", 2L)))
+    assert(got(("cat", 1L)) == ((1L, "1", 2L)))
+    assert(got(("cat", 3L)) == ((1L, "0", 2L)))
+    assert(got(("mat", 1L)) == ((1L, "5", 1L)))
+    // every (tok, doc) posting appears exactly once
+    assert(got.size == TextQueries.invertedIndex(docs).count())
+  }
+
   test("cleanText: controls to spaces, runs collapsed, ends trimmed") {
     import spark.implicits._
     val docs = Seq(
