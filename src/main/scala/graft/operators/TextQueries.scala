@@ -431,6 +431,38 @@ object TextQueries {
 
   val qIndexInverted: Q = (s, d) => invertedIndex(Tables.documents(s, d))
 
+  /** Skip-gram pair counts — the word2vec / PMI co-occurrence prep: for
+    * every token and every context token at distance k ≤ `maxDist` to
+    * its right, the corpus occurrence count and distinct-document count,
+    * keyed by (word, context, distance). Pairs are generated MAP-SIDE by
+    * an index-sequence HOF (filter the position list so i+k stays in
+    * range — `sequence` is never called with start > stop, which would
+    * flip it descending), so the only data that shuffles is the
+    * pair-keyed partial counts; per-doc work is O(len · maxDist), never
+    * the len² of an unwindowed co-occurrence join. Exact longs → DuckDB
+    * oracle (PMI's ln() belongs to the JVM-verified float tier, per the
+    * tf-idf precedent). */
+  def skipgramPairs(docs: DataFrame, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1)
+    val withToks = docs.withColumn("toks", split(lower(col("text")), " "))
+    def pairsAt(k: Int): Column =
+      transform(
+        filter(sequence(lit(0), size(col("toks")) - 1),
+          i => i + lit(k) < size(col("toks"))),
+        i => struct(
+          element_at(col("toks"), i + 1).as("w"),
+          element_at(col("toks"), i + lit(k) + 1).as("c"),
+          lit(k).as("k")))
+    withToks
+      .select(col("doc_id"),
+        explode(concat((1 to maxDist).map(pairsAt): _*)).as("p"))
+      .select(col("doc_id"), col("p.w"), col("p.c"), col("p.k"))
+      .groupBy("w", "c", "k")
+      .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
+  }
+
+  val qTextSkipgrams: Q = (s, d) => skipgramPairs(Tables.documents(s, d))
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -447,6 +479,7 @@ object TextQueries {
     "q_text_clean" -> qTextClean,
     "q_text_perplexity" -> qTextPerplexity,
     "q_index_inverted" -> qIndexInverted,
+    "q_text_skipgrams" -> qTextSkipgrams,
     "q_vocab_topk" -> qVocabTopk)
 
   val oracleSql: Map[String, String] = Map(
@@ -618,6 +651,21 @@ object TextQueries {
          SELECT tok, doc_id, tf, pos_csv,
            CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS df
          FROM tf ORDER BY tok, doc_id""",
+    "q_text_skipgrams" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+         p AS (
+           SELECT doc_id, unnest(list_concat(
+             list_transform(range(len(toks) - 1), i ->
+               {'w': toks[i + 1], 'c': toks[i + 2], 'k': 1}),
+             list_transform(range(len(toks) - 2), i ->
+               {'w': toks[i + 1], 'c': toks[i + 3], 'k': 2}))) AS u
+           FROM t)
+         SELECT u.w AS w, u.c AS c, u.k AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM p GROUP BY w, c, k ORDER BY w, c, k""",
     "q_vocab_topk" ->
       """WITH t AS (
            SELECT unnest(string_split(lower(text), ' ')) AS token

@@ -92,9 +92,50 @@ object TimeSeries {
         date_format(col("hr"), "yyyy-MM-dd HH:mm").as("hr"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
 
+  /** Interval-overlap sweep: maximum concurrency per day of the
+    * closed-open activity intervals [ts, ts + holdSeconds) each event
+    * opens — the occupancy/overlap-counting operator class (concurrent
+    * sessions, peak vehicle load, resource saturation) the windowed
+    * aggregates can't express. The classic sweep line, made relational:
+    * every interval contributes a +1 point at its start and a −1 point
+    * at its (day-clipped) end, a running sum over the ordered points IS
+    * the concurrency curve, and a per-day max folds it. Ends sort before
+    * starts at the same instant (`delta` ascending) so closed-open
+    * touching intervals never count as overlapping; `event_id` completes
+    * the total order.
+    *
+    * Scale shape: one union (map-side), ONE day-keyed window shuffle with
+    * O(1) running state, one same-key aggregate — the day partition
+    * bounds window state the way every other trace operator here bounds
+    * it by user. Intervals are clipped to their start day, so each day's
+    * curve is self-contained (no cross-partition carry); a multi-day
+    * occupancy variant would seed each day with the carried-in count. */
+  def concurrencySweep(events: DataFrame, holdSeconds: Int): DataFrame = {
+    val day = to_date(col("ts"))
+    val opens = events.select(day.as("day"), col("ts").as("pt"),
+      lit(1).as("delta"), col("event_id"))
+    val closes = events.select(day.as("day"),
+      least(col("ts") + expr(s"INTERVAL $holdSeconds SECOND"),
+        to_timestamp(date_add(day, 1))).as("pt"),
+      lit(-1).as("delta"), col("event_id"))
+    val w = Window.partitionBy("day")
+      .orderBy(col("pt"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opens.unionByName(closes)
+      .withColumn("conc", sum(col("delta")).over(w))
+      .groupBy("day")
+      .agg(max(col("conc")).as("max_concurrent"),
+        count(when(col("delta") === 1, 1)).as("n_events"))
+  }
+
+  /** Declared query: peak concurrent 5-minute activity windows per day. */
+  val qConcurrencySweep: Q = (s, d) =>
+    concurrencySweep(Tables.events(s, d), holdSeconds = 300)
+
   val queries: Map[String, Q] = Map(
     "q_fill_forward" -> qFillForward,
     "q_rolling_active" -> qRollingActive,
+    "q_concurrency_sweep" -> qConcurrencySweep,
     "q_resample_ohlc" -> qResampleOhlc)
 
   val oracleSql: Map[String, String] = Map(
@@ -118,6 +159,26 @@ object TimeSeries {
                 COUNT(DISTINCT user_id) AS active_users,
                 COUNT(*) AS n_events
          FROM w GROUP BY 1 ORDER BY wday""",
+    "q_concurrency_sweep" ->
+      """WITH pts AS (
+           SELECT CAST(ts AS DATE) AS day, ts AS pt, 1 AS delta, event_id
+           FROM events
+           UNION ALL
+           SELECT CAST(ts AS DATE) AS day,
+             least(ts + INTERVAL 300 SECOND,
+               CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS pt,
+             -1 AS delta, event_id
+           FROM events),
+         run AS (
+           SELECT day, delta,
+             SUM(delta) OVER (PARTITION BY day
+               ORDER BY pt, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+           FROM pts)
+         SELECT day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           CAST(COUNT(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_events
+         FROM run GROUP BY day ORDER BY day""",
     "q_resample_ohlc" ->
       """WITH h AS (
            SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,

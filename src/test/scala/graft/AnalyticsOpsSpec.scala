@@ -447,6 +447,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }, n = 20)
   }
 
+  test("concurrencySweep: closed-open overlap, day clipping, touching intervals") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      // day 1: first two 5-min intervals overlap, third is alone,
+      // fourth is clipped at midnight and overlaps nothing
+      (1L, t("2024-01-01 00:00:00")),
+      (2L, t("2024-01-01 00:01:00")),
+      (3L, t("2024-01-01 00:10:00")),
+      (4L, t("2024-01-01 23:58:00")),
+      // day 2: an interval starting exactly where another ends does NOT
+      // overlap it (closed-open semantics)
+      (5L, t("2024-01-02 08:00:00")),
+      (6L, t("2024-01-02 08:05:00"))
+    ).toDF("event_id", "ts")
+    val got = TimeSeries.concurrencySweep(df, holdSeconds = 300).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("2024-01-01") == ((2L, 4L)))
+    assert(got("2024-01-02") == ((1L, 2L)))
+  }
+
+  test("skipgramPairs counts (w, c, k) pairs within distance 2") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b"),
+      (3L, "x")).toDF("doc_id", "text")
+    val got = TextQueries.skipgramPairs(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", "b", 1)) == ((2L, 2L)))
+    assert(got(("b", "c", 1)) == ((1L, 1L)))
+    assert(got(("a", "c", 2)) == ((1L, 1L)))
+    // single-token doc contributes nothing; no pair invented beyond k=2
+    assert(got.size == 3)
+  }
+
   test("labelCentroids equals an exact plain-Scala integer fold") {
     val vecs = Tables.embeddings(spark, sf)
       .select("label", "embedding").collect()
