@@ -171,6 +171,33 @@ object CoreQueries {
       .select(col("event_id"), col("user_id"), col("prior_event_id"))
   }
 
+  /** [[qJoinAsof]] with a staleness TOLERANCE (pandas `merge_asof
+    * tolerance=` semantics): the match is kept only when the most recent
+    * prior partner is within 1 hour of the probe — otherwise nulled,
+    * with a `fresh` flag either way. Because the as-of partner is by
+    * definition the LATEST prior row, "latest within tolerance" and
+    * "latest, if within tolerance" coincide, so the tolerance is one
+    * more windowed column (the partner's ts) plus a map-side interval
+    * test — the plan keeps the single user-keyed window shuffle. */
+  val qJoinAsofTolerance: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("error", "signup", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        when(col("event_type").isin("signup", "purchase"), col("event_id")).as("r_id"),
+        when(col("event_type").isin("signup", "purchase"), col("ts")).as("r_ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("p_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("p_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .withColumn("fresh", coalesce(
+        col("p_ts") >= col("ts") - expr("INTERVAL 1 HOUR"), lit(false)))
+      .select(col("event_id"), col("user_id"),
+        when(col("fresh"), col("p_id")).as("prior_event_id"),
+        col("fresh"))
+  }
+
   // ---- set operations ---------------------------------------------------
 
   /** UNION ALL of two event slices — append-only snapshot accumulation
@@ -258,6 +285,7 @@ object CoreQueries {
     "q_join_cross" -> qJoinCross,
     "q_join_theta_range" -> qJoinThetaRange,
     "q_join_asof" -> qJoinAsof,
+    "q_join_asof_tolerance" -> qJoinAsofTolerance,
     "q_union_all" -> qUnionAll,
     "q_union_distinct" -> qUnionDistinct,
     "q_intersect" -> qIntersect,
@@ -343,6 +371,26 @@ object CoreQueries {
             ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS prior_event_id
          FROM events e WHERE e.event_type = 'error'
          ORDER BY e.event_id""",
+    "q_join_asof_tolerance" ->
+      """WITH m AS (
+           SELECT e.event_id, e.user_id,
+             (SELECT p.event_id FROM events p
+              WHERE p.user_id = e.user_id
+                AND p.event_type IN ('signup','purchase')
+                AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+              ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS p_id,
+             (SELECT p.ts FROM events p
+              WHERE p.user_id = e.user_id
+                AND p.event_type IN ('signup','purchase')
+                AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+              ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS p_ts,
+             e.ts
+           FROM events e WHERE e.event_type = 'error')
+         SELECT event_id, user_id,
+           CASE WHEN p_ts >= ts - INTERVAL 1 HOUR THEN p_id END
+             AS prior_event_id,
+           COALESCE(p_ts >= ts - INTERVAL 1 HOUR, false) AS fresh
+         FROM m ORDER BY event_id""",
     "q_union_all" ->
       """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
          UNION ALL
