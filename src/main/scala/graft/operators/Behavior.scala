@@ -125,10 +125,43 @@ object Behavior {
 
   val qMarkovTransitions: Q = (s, d) => markovTransitions(Tables.events(s, d))
 
+  /** Per-user feature-store aggregate — the frequency/diversity/
+    * monetary feature block ML pipelines materialize from raw traces:
+    * first/last seen, event count, active-day and event-type
+    * cardinalities, exact total value, and events-per-active-day. ONE
+    * user-keyed aggregation pass; the two distincts ride Spark's
+    * standard Expand rewrite (the q_agg_multi_distinct precedent), so
+    * nothing shuffles but (user, partial) rows. The value sum is
+    * decimal-cast before folding (double summation is
+    * partition-order-dependent; exact decimal is not — §7.4), cast back
+    * to double at the end; the rate is one IEEE divide of exact
+    * integers. No wall-clock recency feature by design: §7.4 bans
+    * wall-clock functions, so recency is expressed against the trace's
+    * own last-seen edge. */
+  def userFeatures(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("event_type"),
+        to_date(col("ts")).as("day"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("v"))
+      .groupBy("user_id")
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        count(lit(1)).as("n_events"),
+        count_distinct(col("day")).as("n_days"),
+        count_distinct(col("event_type")).as("n_types"),
+        sum(col("v")).cast("double").as("total_value"))
+      .withColumn("events_per_day",
+        col("n_events").cast("double") / col("n_days").cast("double"))
+
+  val qFeatureUser: Q = (s, d) => userFeatures(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "q_funnel_steps" -> qFunnelSteps,
     "q_retention_cohort" -> qRetentionCohort,
     "q_markov_transitions" -> qMarkovTransitions,
+    "q_feature_user" -> qFeatureUser,
     "q_runs_consecutive" -> qRunsConsecutive)
 
   val oracleSql: Map[String, String] = Map(
@@ -165,6 +198,18 @@ object Behavior {
          SELECT cohort, COUNT(*) AS n_users,
                 COUNT(*) FILTER (WHERE retained = 1) AS n_retained
          FROM r GROUP BY cohort ORDER BY cohort""",
+    "q_feature_user" ->
+      """SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+             AS events_per_day
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_markov_transitions" ->
       """WITH s AS (
            SELECT user_id, event_type,

@@ -463,6 +463,32 @@ object TextQueries {
 
   val qTextSkipgrams: Q = (s, d) => skipgramPairs(Tables.documents(s, d))
 
+  /** Hashing-trick featurization (Weinberger et al. 2009, the
+    * fixed-width sparse text featurizer): each token hashes to one of
+    * `nBuckets` feature slots (16 md5 bits via the engine's standard
+    * hex-prefix device — deterministic and identical in DuckDB), per-doc
+    * slot counts become a sorted `bucket:count` CSV sparse vector. No
+    * vocabulary pass, no fit/transform state — the dimensionality is
+    * fixed up front, which is the whole point of the trick at corpus
+    * scale. Two doc-keyed exchanges ((doc, bucket) fold, then per-doc
+    * assembly); the per-doc collect is bounded by `nBuckets`. */
+  def hashFeatures(docs: DataFrame, nBuckets: Int = 256): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast(LongType)
+          % nBuckets).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("bucket"), col("cnt")))),
+          x => concat(x.getField("bucket").cast(StringType), lit(":"),
+            x.getField("cnt").cast(StringType))),
+          " ").as("features"))
+
+  val qTextHashFeatures: Q = (s, d) => hashFeatures(Tables.documents(s, d))
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -480,6 +506,7 @@ object TextQueries {
     "q_text_perplexity" -> qTextPerplexity,
     "q_index_inverted" -> qIndexInverted,
     "q_text_skipgrams" -> qTextSkipgrams,
+    "q_text_hash_features" -> qTextHashFeatures,
     "q_vocab_topk" -> qVocabTopk)
 
   val oracleSql: Map[String, String] = Map(
@@ -651,6 +678,20 @@ object TextQueries {
          SELECT tok, doc_id, tf, pos_csv,
            CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS df
          FROM tf ORDER BY tok, doc_id""",
+    "q_text_hash_features" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 4) AS INT) % 256 AS bucket
+           FROM t),
+         c AS (
+           SELECT doc_id, bucket, COUNT(*) AS cnt
+           FROM b GROUP BY doc_id, bucket)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+           string_agg(bucket || ':' || cnt, ' ' ORDER BY bucket) AS features
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q_text_skipgrams" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(text), ' ') AS toks
