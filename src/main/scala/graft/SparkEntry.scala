@@ -44,6 +44,8 @@ object SparkEntry {
       Geo.queries ++
       Graph.queries ++
       Privacy.queries ++
+      Attribution.queries ++
+      Maintenance.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,5 +77,7 @@ object SparkEntry {
       Geo.oracleSql ++
       Graph.oracleSql ++
       Privacy.oracleSql ++
+      Attribution.oracleSql ++
+      Maintenance.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

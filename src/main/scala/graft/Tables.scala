@@ -69,25 +69,21 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `ts` is timestamp[ns] on disk. Spark's TimestampType is µs and the
-    * 4.1 parquet reader rejects TIMESTAMP(NANOS) outright
-    * ([PARQUET_TYPE_ILLEGAL]); we read it as raw Long nanoseconds via
-    * `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to µs in
-    * [[events]]. DuckDB's TIMESTAMP is µs too (it truncates ns parquet on
-    * read), so both engines see identical values (SURVEY.md §7.3).
+  /** `ts` is timestamp[µs] on disk since the round-8 fixture refresh —
+    * Spark's native TimestampType unit and DuckDB's TIMESTAMP unit, so
+    * both engines read identical values with no conversion. (Earlier
+    * fixtures carried TIMESTAMP(NANOS), which Spark 4.1 cannot read
+    * natively and we bridged via `nanosAsLong` + a µs floor-divide;
+    * that shim is gone — a declared-µs read also keeps ts predicates
+    * pushable, see [[eventsRange]].)
     */
-  val eventsRawSchema = StructType(Seq(
+  val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // ns since epoch (nanosAsLong)
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
-
-  val eventsSchema = StructType(eventsRawSchema.map {
-    case StructField("ts", _, n, m) => StructField("ts", TimestampType, n, m)
-    case f => f
-  })
 
   val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -114,8 +110,7 @@ object Tables {
     "embeddings" -> embeddingsSchema)
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") events(spark, sfDir)
-    else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
 
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
@@ -124,28 +119,22 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    apply(spark, sfDir, "events")
 
   /** Time-bounded events scan that PUSHES the range predicate to parquet.
     *
-    * A filter on the converted `ts` column cannot reach the scan (the
-    * ns→µs expression blocks it), so at scale a naive
-    * `events(...).filter(ts between …)` reads every row group. This
-    * reader applies the bounds on the raw ns column — pushable, row-group
-    * skippable — then converts. Bounds are µs since epoch, inclusive
-    * start / exclusive end, matching the truncated-µs view of `ts`. */
+    * The bounds are literal timestamps (constant-folded from µs since
+    * epoch, inclusive start / exclusive end), so the comparison reaches
+    * the scan as `PushedFilters` and skips whole row groups by their
+    * min/max stats — the difference between reading a day and reading
+    * 100 TB. */
   def eventsRange(spark: SparkSession, sfDir: String,
       fromUs: Long, untilUs: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") >= fromUs * 1000L && col("ts") < untilUs * 1000L)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    events(spark, sfDir)
+      .filter(col("ts") >= timestamp_micros(lit(fromUs)) &&
+        col("ts") < timestamp_micros(lit(untilUs)))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.Tables
+
+/** Conversion analytics over the event trace: touch attribution,
+  * top paths, time-to-convert, and deterministic experiment splits —
+  * the marketing-analytics consumers of the hourly event series the
+  * reference lands (`dags/warsaw-delays.py:182,186` is the ingest side
+  * of this data shape).
+  *
+  * Scale shape: every operator here is one user-keyed window/aggregate
+  * chain — the per-user sequence logic (last preceding touch, first N
+  * steps, first conversion at-or-after signup) rides ordered windows
+  * with O(1) state per row, never a self-join on (user, rank), and the
+  * second aggregation reuses the user_id hash partitioning wherever the
+  * grouping key extends it. Outputs are touch ids, path strings, and
+  * integer day/µs arithmetic — exact in both engines (§7.4).
+  */
+object Attribution {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent click at-or-before it (ties within a timestamp break
+    * by event_id, the trace's total order). `last(..., ignoreNulls)`
+    * over a running user-keyed window carries the latest click id
+    * forward — one window pass over only the click/purchase rows, no
+    * purchase×click join; `click_id` is NULL for organic purchases. */
+  def attributionLast(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"))
+  }
+
+  val qAttributionLast: Q = (s, d) => attributionLast(Tables.events(s, d))
+
+  /** Top-20 opening paths: each user's first five event types joined
+    * with '>' (shorter traces yield shorter paths — concat_ws skips the
+    * NULL steps identically in both engines), counted across users.
+    * The rank→pivot uses max-of-CASE per step, so the user collapse
+    * reuses the window's user_id partitioning; only |paths| rows reach
+    * the final count, and the top-k is a TakeOrdered (rank ties break
+    * by path), never a global sort. */
+  def pathTopk(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val step = (n: Int) => max(when(col("rn") === n, col("event_type")))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(concat_ws(">", step(1), step(2), step(3), step(4), step(5))
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  val qPathTopk: Q = (s, d) => pathTopk(Tables.events(s, d))
+
+  /** Time-to-convert histogram: for each signed-up user, whole days
+    * from first signup to first purchase at-or-after it; the NULL
+    * bucket counts signed-up users who never converted. Day arithmetic
+    * is integer datediff over calendar dates — exact in both engines.
+    * The signup time rides a user-keyed window min so conversion can be
+    * conditioned on it in the same pass; the user collapse reuses that
+    * partitioning, and only |users| rows reach the day-bucket count. */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max(col("t_signup")).as("t_signup"),
+        min(when(col("event_type") === "purchase" &&
+          col("ts") >= col("t_signup"), col("ts"))).as("t_conv"))
+      .filter(col("t_signup").isNotNull)
+      .select(datediff(to_date(col("t_conv")), to_date(col("t_signup")))
+        .cast("long").as("days_to_convert"))
+      .groupBy("days_to_convert")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val qTimeToConvert: Q = (s, d) => timeToConvert(Tables.events(s, d))
+
+  /** Deterministic A/B readout: users split into two arms by the same
+    * 16-bit md5 id-hash the train/test splitter uses ([[CorpusPipeline]]
+    * — rerun-stable, partitioning-independent, no RNG), then per arm:
+    * exposed users, converters (≥1 purchase), events, and purchases.
+    * The per-user collapse is one user-keyed aggregate; the arm fold
+    * then touches |users| rows. At 100 TB the arm assignment is a
+    * map-side expression on the grouping key — no assignment table to
+    * join, no skew (md5 spreads users uniformly). */
+  def abtestConversion(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+      .withColumn("arm",
+        when(pmod(conv(substring(md5(col("user_id").cast(StringType)), 1, 4),
+          16, 10).cast("long"), lit(2L)) === 0L, "A").otherwise("B"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("n_purchases") > 0, 1)).as("n_converters"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("n_purchases")).as("n_purchases"))
+
+  val qAbtestConversion: Q = (s, d) => abtestConversion(Tables.events(s, d))
+
+  val queries: Map[String, Q] = Map(
+    "q_attribution_last" -> qAttributionLast,
+    "q_path_topk" -> qPathTopk,
+    "q_time_to_convert" -> qTimeToConvert,
+    "q_abtest_conversion" -> qAbtestConversion)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_attribution_last" ->
+      """WITH s AS (
+           SELECT user_id, event_type, event_id,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS click_id
+           FROM events WHERE event_type IN ('click', 'purchase'))
+         SELECT event_id AS purchase_id, user_id, click_id
+         FROM s WHERE event_type = 'purchase' ORDER BY purchase_id""",
+    "q_path_topk" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, concat_ws('>',
+             max(CASE WHEN rn = 1 THEN event_type END),
+             max(CASE WHEN rn = 2 THEN event_type END),
+             max(CASE WHEN rn = 3 THEN event_type END),
+             max(CASE WHEN rn = 4 THEN event_type END),
+             max(CASE WHEN rn = 5 THEN event_type END)) AS path
+           FROM r WHERE rn <= 5 GROUP BY user_id)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM p GROUP BY path
+         ORDER BY n_users DESC, path LIMIT 20""",
+    "q_time_to_convert" ->
+      """WITH s AS (
+           SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_signup
+           FROM events),
+         u AS (
+           SELECT user_id, max(t_signup) AS t_signup,
+             min(CASE WHEN event_type = 'purchase' AND ts >= t_signup
+                 THEN ts END) AS t_conv
+           FROM s GROUP BY user_id)
+         SELECT CAST(date_diff('day', CAST(t_signup AS DATE),
+             CAST(t_conv AS DATE)) AS BIGINT) AS days_to_convert,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM u WHERE t_signup IS NOT NULL
+         GROUP BY days_to_convert ORDER BY days_to_convert""",
+    "q_abtest_conversion" ->
+      """WITH u AS (
+           SELECT user_id, COUNT(*) AS n_events,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+           FROM events GROUP BY user_id),
+         a AS (
+           SELECT CASE WHEN CAST('0x' || substring(
+               md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT) % 2 = 0
+             THEN 'A' ELSE 'B' END AS arm, n_events, n_purchases
+           FROM u)
+         SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) FILTER (WHERE n_purchases > 0) AS BIGINT)
+             AS n_converters,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(n_purchases) AS BIGINT) AS n_purchases
+         FROM a GROUP BY arm ORDER BY arm""")
+}

@@ -107,8 +107,9 @@ object Behavior {
     * transition matrix (and of n-gram sequence models over action
     * vocabularies). `lead` pairs each event with its successor in ONE
     * user-keyed window pass — no self-join on (user, rank) — then a
-    * pair-keyed aggregate folds the matrix; two exchanges total, and the
-    * matrix itself is |event types|² rows regardless of corpus size.
+    * pair-keyed aggregate folds the matrix; three exchanges total (the
+    * window pass plus the two-exchange `count_distinct` rewrite), and
+    * the matrix itself is |event types|² rows regardless of corpus size.
     * Ties within a timestamp are broken by event_id, the same total
     * order every other trace operator here uses (DuckDB reads the ns
     * fixture truncated to µs exactly like [[graft.Tables.events]]). */

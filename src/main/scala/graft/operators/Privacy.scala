@@ -40,7 +40,7 @@ object Privacy {
   def kAnonymityAudit(docs: DataFrame): DataFrame =
     docs
       .select(col("lang"),
-        (col("n_chars") / lit(200L)).cast("long").as("len_bucket"),
+        expr("n_chars div 200").as("len_bucket"),
         col("source"))
       .groupBy("lang", "len_bucket")
       .agg(count(lit(1)).as("k"),

@@ -46,14 +46,11 @@ object EventStream {
   /** File-source stream with the declared events schema. `maxFilesPerTrigger`
     * bounds micro-batch size — the knob that keeps state/memory flat when
     * replaying a large backlog. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(Tables.eventsRawSchema)
+      .schema(Tables.eventsSchema)
       .option("maxFilesPerTrigger", "4")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Late rows beyond the 2 h watermark are dropped in append mode. */
   def withLateness(events: DataFrame): DataFrame =
