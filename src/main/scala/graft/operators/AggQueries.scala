@@ -341,6 +341,50 @@ object AggQueries {
       .agg(approx_percentile(col("value"), array(lit(0.5), lit(0.9)), lit(10000))
         .as("p50_p90"))
 
+  /** Frame-navigation window functions: first/last/nth event type per
+    * user trace, one output row per user (rn = 1 filter over the same
+    * window pass — no second aggregation). `first`/`last`/`nth_value`
+    * read a full-partition ROWS frame over the (ts, event_id) total
+    * order, so every value is tie-deterministic. One user-keyed
+    * exchange; per-row state is O(1). */
+  val qWindowNth: Q = (s, d) => {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val full = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"),
+        row_number().over(ord).as("rn"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"),
+        nth_value(col("event_type"), 2).over(full).as("second_type"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("first_type"), col("last_type"),
+        col("second_type"))
+  }
+
+  /** Exact distinct-user counts via mergeable roaring-style bitmaps
+    * (`bitmap_bucket_number`/`bitmap_bit_position`/`bitmap_construct_agg`
+    * /`bitmap_count`): the scale path for exact COUNT(DISTINCT) — the
+    * inner aggregate is map-side combinable per (group, bucket) with
+    * fixed 4 KiB bitmap partials, and the outer SUM over bucket counts
+    * is trivially mergeable, so no row-level expand/distinct shuffle of
+    * the kind `count_distinct` plans. Bitmap state is also storable,
+    * making the count incrementally maintainable across snapshots
+    * (unlike HLL, with no approximation). Oracle = plain
+    * COUNT(DISTINCT): the bitmap pipeline must be indistinguishable
+    * from it. */
+  val qAggBitmapDistinct: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("bm_events")
+    s.sql(
+      """SELECT event_type, CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_users
+        |FROM (SELECT event_type,
+        |             bitmap_bucket_number(user_id) AS bkt,
+        |             bitmap_construct_agg(bitmap_bit_position(user_id)) AS b
+        |      FROM bm_events
+        |      GROUP BY event_type, bitmap_bucket_number(user_id))
+        |GROUP BY event_type""".stripMargin)
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -364,6 +408,8 @@ object AggQueries {
     "q_window_moving" -> qWindowMoving,
     "q_window_lag" -> qWindowLag,
     "q_window_range_frame" -> qWindowRangeFrame,
+    "q_window_nth" -> qWindowNth,
+    "q_agg_bitmap_distinct" -> qAggBitmapDistinct,
     "q_topk_per_group" -> qTopkPerGroup)
 
   val oracleSql: Map[String, String] = Map(
@@ -486,5 +532,21 @@ object AggQueries {
             ROW_NUMBER() OVER (PARTITION BY o_custkey
               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
           FROM orders)
-         WHERE rn <= 3 ORDER BY o_custkey, rn""")
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_nth" ->
+      """SELECT user_id, first_type, last_type, second_type FROM
+         (SELECT user_id,
+            ROW_NUMBER() OVER w AS rn,
+            FIRST_VALUE(event_type) OVER wf AS first_type,
+            LAST_VALUE(event_type) OVER wf AS last_type,
+            NTH_VALUE(event_type, 2) OVER wf AS second_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING))
+         WHERE rn = 1 ORDER BY user_id""",
+    "q_agg_bitmap_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }

@@ -153,6 +153,24 @@ object MiscQueries {
       ORDER BY c_custkey""")
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    * top-2 customers by balance. Catalyst decorrelates the limit into a
+    * rank-over-window on the inner side (no per-outer-row re-execution;
+    * the plan is one customer-side window + a keyed join with the tiny
+    * nation dim), which is why a lateral top-k scales: cost is one pass
+    * over the big side regardless of outer cardinality. Ties break on
+    * c_custkey, the inner table's key. */
+  val qJoinLateral: Q = (s, d) => {
+    Tables.nation(s, d).createOrReplaceTempView("lat_nation")
+    Tables.customer(s, d).createOrReplaceTempView("lat_customer")
+    s.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM lat_nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM lat_customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+  }
+
   /** IN (subquery) predicate — planned as a left-semi join like EXISTS,
     * but a distinct SQL surface (null semantics differ). */
   val qInSubquery: Q = (s, d) => {
@@ -346,6 +364,7 @@ object MiscQueries {
     "q_nullsafe_eq" -> qNullsafeEq,
     "q_cte_reuse" -> qCteReuse,
     "q_in_subquery" -> qInSubquery,
+    "q_join_lateral" -> qJoinLateral,
     "q_bitwise" -> qBitwise,
     "q_conditional" -> qConditional)
 
@@ -477,6 +496,13 @@ object MiscQueries {
                              WHERE c_mktsegment = 'MACHINERY')
            AND o_totalprice > 350000
          ORDER BY o_orderkey""",
+    "q_join_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         ORDER BY n.n_name, t.c_custkey""",
     "q_bitwise" ->
       """SELECT event_id,
            event_id & 255 AS b_and,

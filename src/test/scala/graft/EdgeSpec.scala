@@ -308,4 +308,61 @@ class EdgeSpec extends AnyFunSuite {
       }
     }, n = 15)
   }
+
+  test("lateral top-k: under-full and empty groups behave like inner join") {
+    // nation 0 has 3 customers (top-2 kept), nation 1 has one (1 row),
+    // nation 2 has none (dropped entirely — inner LATERAL, not outer)
+    Seq((0, "A"), (1, "B"), (2, "C")).toDF("n_nationkey", "n_name")
+      .createOrReplaceTempView("lat_nation")
+    Seq((10L, 0, 5.0), (11L, 0, 9.0), (12L, 0, 9.0), (20L, 1, 1.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .createOrReplaceTempView("lat_customer")
+    val got = spark.sql(
+      """SELECT n.n_name, t.c_custkey
+        |FROM lat_nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM lat_customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // tie at 9.0 breaks to the lower custkey 11, then 12
+    assert(got == Seq(("A", 11L), ("A", 12L), ("B", 20L)))
+  }
+
+  test("bitmap distinct equals count_distinct across bucket boundaries") {
+    // user ids straddle several 32768-wide bitmap buckets and repeat
+    val ids = Seq(1L, 1L, 5L, 32767L, 32768L, 32769L, 70000L, 70000L,
+      1000000L, 999999L, 1000000L)
+    ids.map(("x", _)).toDF("event_type", "user_id")
+      .createOrReplaceTempView("bm_events")
+    val bm = spark.sql(
+      """SELECT event_type, CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_users
+        |FROM (SELECT event_type,
+        |             bitmap_bucket_number(user_id) AS bkt,
+        |             bitmap_construct_agg(bitmap_bit_position(user_id)) AS b
+        |      FROM bm_events
+        |      GROUP BY event_type, bitmap_bucket_number(user_id))
+        |GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getLong(1)).head
+    assert(bm == ids.distinct.size.toLong)
+  }
+
+  test("window nth: single-event partitions yield NULL second_type") {
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def plus(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    val df = Seq((1L, t0, 100L, "view"), (1L, plus(60), 101L, "click"),
+      (2L, t0, 102L, "signup")).toDF("user_id", "ts", "event_id", "event_type")
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val full = ord.rowsBetween(Long.MinValue, Long.MaxValue)
+    val got = df.select(col("user_id"),
+        row_number().over(ord).as("rn"),
+        first(col("event_type")).over(full).as("f"),
+        last(col("event_type")).over(full).as("l"),
+        nth_value(col("event_type"), 2).over(full).as("s"))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3),
+        Option(r.getString(4)))).toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "view", "click", Some("click")),
+      (2L, "signup", "signup", None)))
+  }
 }
