@@ -46,6 +46,7 @@ object SparkEntry {
       Privacy.queries ++
       Attribution.queries ++
       Maintenance.queries ++
+      Linkage.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +80,6 @@ object SparkEntry {
       Privacy.oracleSql ++
       Attribution.oracleSql ++
       Maintenance.oracleSql ++
+      Linkage.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

@@ -222,6 +222,43 @@ object CorpusPipeline {
       .select(col("doc_id"), col("split"))
   }
 
+  /** Deterministic negative sampling for contrastive training: each doc
+    * draws `negsPerDoc` pseudo-random partners via salted md5 offsets
+    * over the dense 0..N−1 id space — neg_k = (doc_id + 1 +
+    * (h16(doc_id, k) mod (N−1))) mod N, which is guaranteed ≠ doc_id
+    * and uniform over the rest of the corpus, with no RNG (rerun- and
+    * partitioning-stable, engine-exact; the same reasons splitColumn
+    * shuns randomSplit). The partner's metadata rides a doc_id equi-join
+    * back to the corpus, labelling each pair hard (same source) or easy.
+    * Scale shape: N is a corpus-level scalar (an ingest artifact in a
+    * real pipeline — fetched once via the parquet-metadata count and
+    * inlined as a literal, the q_text_bm25 precedent, so no 1-row
+    * nested-loop join enters the plan); the draw is a map-side
+    * projection + explode (fan-out = negsPerDoc), and the only shuffle
+    * is the metadata join on the id key. */
+  def negativeSample(docs: DataFrame, negsPerDoc: Int): DataFrame = {
+    val n = docs.count()
+    def h16(k: Int) = conv(substring(md5(concat(
+      col("doc_id").cast(StringType), lit(s"#neg$k"))), 1, 4), 16, 10)
+      .cast(LongType)
+    val drawn = docs.select(col("doc_id"), col("source"))
+      .select(col("doc_id"), col("source").as("a_source"),
+        explode(array((0 until negsPerDoc).map(k =>
+          struct(lit(k).as("k"),
+            pmod(col("doc_id") + lit(1L) + pmod(h16(k), lit(n - 1)),
+              lit(n)).as("neg_id"))): _*)).as("e"))
+      .select(col("doc_id"), col("a_source"), col("e.k").as("k"),
+        col("e.neg_id").as("neg_id"))
+    drawn
+      .join(docs.select(col("doc_id").as("neg_id"),
+        col("source").as("b_source")), Seq("neg_id"))
+      .select(col("doc_id"), col("k"), col("neg_id"),
+        (col("a_source") === col("b_source")).as("hard"))
+  }
+
+  val qNegativeSample: Q = (s, d) =>
+    negativeSample(Tables.documents(s, d), negsPerDoc = 4)
+
   /** Canonical-document selection: dedup keeping the BEST duplicate, not
     * an arbitrary one — per identical-token-set group keep the
     * highest-quality member (max n_chars, doc_id tiebreak). The policy
@@ -246,9 +283,23 @@ object CorpusPipeline {
     "q_sample_quality" -> qSampleQuality,
     "q_source_quota" -> qSourceQuota,
     "q_source_quota_salted" -> qSourceQuotaSalted,
-    "q_sample_weighted" -> qSampleWeighted)
+    "q_sample_weighted" -> qSampleWeighted,
+    "q_negative_sample" -> qNegativeSample)
 
   val oracleSql: Map[String, String] = Map(
+    "q_negative_sample" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         draws AS (
+           SELECT d.doc_id, d.source AS a_source, k.k,
+             (d.doc_id + 1 +
+              (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)
+                 || '#neg' || CAST(k.k AS VARCHAR)), 1, 4) AS BIGINT)
+               % (n.n - 1))) % n.n AS neg_id
+           FROM documents d, n, (VALUES (0), (1), (2), (3)) AS k(k))
+         SELECT dr.doc_id, CAST(dr.k AS INT) AS k, dr.neg_id,
+           dr.a_source = b.source AS hard
+         FROM draws dr JOIN documents b ON b.doc_id = dr.neg_id
+         ORDER BY dr.doc_id, k""",
     "q_train_split" ->
       """SELECT doc_id,
            CASE WHEN pct < 80 THEN 'train'

@@ -51,9 +51,71 @@ object Privacy {
 
   val qPrivacyKanon: Q = (s, d) => kAnonymityAudit(Tables.documents(s, d))
 
-  val queries: Map[String, Q] = Map("q_privacy_kanon" -> qPrivacyKanon)
+  /** Erasure (right-to-be-forgotten) propagation plan: given a
+    * tombstone set of subjects — here a deterministic 5% md5-bucket of
+    * customers standing in for an erasure-request table — cascade the
+    * delete down the FK chain (customer → orders → lineitem) and emit
+    * the per-subject erasure manifest: how many orders and line items
+    * each forget request touches. The manifest-first shape is how a
+    * 100 TB lake actually erases: plan counts/keys first (cheap, keyed
+    * joins against a broadcast-scale tombstone set), then rewrite only
+    * the files the manifest names. Aggregation happens before the
+    * join-back, so the output is |tombstones| rows, and both cascades
+    * reuse the tombstone broadcast — no full-table shuffle anywhere. */
+  def forgetManifest(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val tomb = customer
+      .filter(pmod(conv(substring(md5(col("c_custkey").cast(StringType)),
+        1, 4), 16, 10).cast(IntegerType), lit(20)) === 0)
+      .select(col("c_custkey"))
+    val doomedOrders = orders
+      .join(broadcast(tomb), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"))
+    val nOrders = doomedOrders.groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    val nItems = lineitem
+      .join(broadcast(doomedOrders), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_lineitems"))
+    tomb
+      .join(broadcast(nOrders), Seq("c_custkey"), "left_outer")
+      .join(broadcast(nItems), Seq("c_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"))
+  }
+
+  val qPrivacyForget: Q = (s, d) => forgetManifest(
+    Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
+
+  val queries: Map[String, Q] = Map(
+    "q_privacy_kanon" -> qPrivacyKanon,
+    "q_privacy_forget" -> qPrivacyForget)
 
   val oracleSql: Map[String, String] = Map(
+    "q_privacy_forget" ->
+      """WITH tomb AS (
+           SELECT c_custkey FROM customer
+           WHERE CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 4)
+                 AS INT) % 20 = 0),
+         doomed AS (
+           SELECT t.c_custkey, o.o_orderkey
+           FROM tomb t JOIN orders o ON o.o_custkey = t.c_custkey),
+         no AS (
+           SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM doomed GROUP BY c_custkey),
+         ni AS (
+           SELECT d.c_custkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems
+           FROM doomed d JOIN lineitem l ON l.l_orderkey = d.o_orderkey
+           GROUP BY d.c_custkey)
+         SELECT t.c_custkey,
+           COALESCE(no.n_orders, 0) AS n_orders,
+           COALESCE(ni.n_lineitems, 0) AS n_lineitems
+         FROM tomb t
+         LEFT JOIN no ON no.c_custkey = t.c_custkey
+         LEFT JOIN ni ON ni.c_custkey = t.c_custkey
+         ORDER BY t.c_custkey""",
     "q_privacy_kanon" ->
       """WITH g AS (
            SELECT lang, n_chars // 200 AS len_bucket, source

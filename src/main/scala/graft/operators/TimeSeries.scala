@@ -132,13 +132,85 @@ object TimeSeries {
   val qConcurrencySweep: Q = (s, d) =>
     concurrencySweep(Tables.events(s, d), holdSeconds = 300)
 
+  /** Sample autocorrelation of the daily event-count series at the given
+    * lags — the seasonality probe (lag 1 = day-over-day persistence,
+    * lag 7 = weekly cycle) a load-forecasting consumer runs over the
+    * reference's hourly landing series (dags/warsaw-delays.py:182,186).
+    *
+    * Exactness: with N = #days and S = Σx, the mean-centered residual
+    * x_t − S/N is rational, so we cross-multiply — c_t = N·x_t − S is an
+    * exact integer, r_k = Σ c_t·c_{t−k} / Σ c_t² needs only integer
+    * sums and ONE final IEEE divide (§7.4). Scale shape: aggregate
+    * first — the event table collapses to |days| rows in one keyed
+    * map-side-combinable aggregate; the global-order lag windows and
+    * the final fold run on that calendar-bounded series, so the
+    * single-partition window holds ≤ a few thousand rows no matter how
+    * many events fed it. */
+  def autocorr(events: DataFrame, lags: Seq[Int]): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    // N and S ride the SAME single-partition ordered window as the lags
+    // (full frame), so no 1-row scalar join enters the plan and the final
+    // global fold finds its input already single-partition — the whole
+    // post-aggregate tail is one exchange.
+    val w = Window.orderBy("day")
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val centered = daily
+      .withColumn("n_days", count(lit(1)).over(full))
+      .withColumn("s", sum(col("x")).over(full))
+      .withColumn("c", col("n_days") * col("x") - col("s"))
+    val lagged = lags.foldLeft(centered) { (df, k) =>
+      df.withColumn(s"c_$k", lag(col("c"), k).over(w))
+    }
+    // sum(c*c_k) skips the k NULL lead-in rows; den spans the full series
+    val folded = lagged.agg(
+      first(col("n_days")).as("n_days"),
+      sum(col("c") * col("c")).as("den"),
+      array(lags.map(k =>
+        struct(lit(k).as("lag"), sum(col("c") * col(s"c_$k")).as("num"))): _*)
+        .as("nums"))
+    folded
+      .select(col("n_days"), col("den"), explode(col("nums")).as("e"))
+      .select(col("e.lag").as("lag"), col("n_days"),
+        (col("e.num").cast("double") / col("den").cast("double"))
+          .as("autocorr"))
+  }
+
+  /** Declared query: lag-1 and lag-7 autocorrelation of daily volume. */
+  val qAutocorr: Q = (s, d) => autocorr(Tables.events(s, d), Seq(1, 7))
+
   val queries: Map[String, Q] = Map(
     "q_fill_forward" -> qFillForward,
     "q_rolling_active" -> qRollingActive,
     "q_concurrency_sweep" -> qConcurrencySweep,
+    "q_autocorr" -> qAutocorr,
     "q_resample_ohlc" -> qResampleOhlc)
 
   val oracleSql: Map[String, String] = Map(
+    "q_autocorr" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                      CAST(SUM(x) AS BIGINT) AS s FROM d),
+         c AS (SELECT day, n_days, n_days * x - s AS c FROM d, t),
+         l AS (SELECT n_days, c,
+                 lag(c, 1) OVER (ORDER BY day) AS c1,
+                 lag(c, 7) OVER (ORDER BY day) AS c7
+               FROM c),
+         a AS (SELECT MAX(n_days) AS n_days,
+                 CAST(SUM(c * c) AS BIGINT) AS den,
+                 CAST(SUM(c * c1) AS BIGINT) AS num1,
+                 CAST(SUM(c * c7) AS BIGINT) AS num7
+               FROM l)
+         SELECT 1 AS lag, n_days,
+           CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS autocorr FROM a
+         UNION ALL
+         SELECT 7 AS lag, n_days,
+           CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE) AS autocorr FROM a
+         ORDER BY lag""",
     "q_fill_forward" ->
       """WITH e AS (
            SELECT event_id, user_id, ts,

@@ -576,4 +576,76 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }.sum
     assert(psiSelf == 0.0)
   }
+
+  test("autocorr matches a plain-Scala exact ACF on the fixture series") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val n = daily.length.toLong
+    val s = daily.sum
+    val c = daily.map(x => n * x - s) // exact integer residuals
+    val den = c.map(v => v * v).sum
+    def r(k: Int) =
+      c.drop(k).zip(c.dropRight(k)).map { case (a, b) => a * b }.sum
+        .toDouble / den.toDouble
+    val got = TimeSeries.autocorr(Tables.events(spark, sf), Seq(1, 7))
+      .collect().map(row => row.getInt(0) -> row.getDouble(2)).toMap
+    assert(got(1) == r(1) && got(7) == r(7))
+    // lag-1 persistence on a smooth daily series should be positive
+    assert(got.values.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
+  test("forgetManifest: cascade counts equal per-customer brute force") {
+    val m = graft.operators.Privacy.forgetManifest(
+      Tables.customer(spark, sf), Tables.orders(spark, sf),
+      Tables.lineitem(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(m.nonEmpty)
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val liByOrder = Tables.lineitem(spark, sf).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCust = orders.groupBy(_._2)
+    m.foreach { case (cust, nOrd, nLi) =>
+      val os = byCust.getOrElse(cust, Array.empty)
+      assert(nOrd == os.length.toLong, s"cust $cust orders")
+      assert(nLi == os.map(o => liByOrder.getOrElse(o._1, 0L)).sum,
+        s"cust $cust lineitems")
+    }
+  }
+
+  test("negativeSample: k draws per doc, never self, join-verified") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val rows = graft.operators.CorpusPipeline
+      .negativeSample(docs, negsPerDoc = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == nDocs * 4) // every draw resolved by the join
+    assert(rows.forall { case (a, _, b) => a != b })
+    assert(rows.forall { case (_, _, b) => b >= 0 && b < nDocs })
+    // deterministic: a second evaluation draws the identical partners
+    val again = graft.operators.CorpusPipeline
+      .negativeSample(docs, negsPerDoc = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+
+  test("sortedNeighborhoodLinks: subset of block pairs, symmetric-free, " +
+      "distance-correct") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "alpha", 0), (2L, "alphb", 0), (3L, "alphc", 0),
+      (4L, "zeta", 0), (5L, "beta", 1), (6L, "betb", 1))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val got = graft.operators.Linkage
+      .sortedNeighborhoodLinks(recs, "c_nationkey", "c_name", "c_custkey",
+        width = 3, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    // within block 0: alpha~alphb~alphc all at dist 1-2; zeta too far
+    // within block 1: beta~betb at dist 1; no cross-block pairs
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1), (5L, 6L, 1)))
+  }
 }
