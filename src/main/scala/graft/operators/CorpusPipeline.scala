@@ -222,6 +222,29 @@ object CorpusPipeline {
       .select(col("doc_id"), col("split"))
   }
 
+  /** Deterministic fixed-size uniform sample per stratum — the
+    * "reservoir sample" of streaming folklore, made rerun- and
+    * partitioning-stable: keep the k records with the smallest salted
+    * 32-bit md5 id-hash per source (doc_id tiebreak). Order-by-hash IS
+    * a uniform draw (the hash is uniform on ids and independent of the
+    * other samplers' salts), and unlike a true reservoir the result
+    * does not depend on encounter order, so Spark and DuckDB agree
+    * exactly. Scale shape: one window shuffle on the stratum key;
+    * per-partition state is the running rank — at 100 TB this is the
+    * bounded-output census sampler (k·|strata| rows out, ever). */
+  val reservoirK = 10
+
+  val qSampleReservoir: Q = (s, d) => {
+    val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit("#res"))), 1, 8), 16, 10).cast(LongType)
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("h", h)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= reservoirK)
+      .select(col("source"), col("doc_id"), col("rn"))
+  }
+
   /** Deterministic negative sampling for contrastive training: each doc
     * draws `negsPerDoc` pseudo-random partners via salted md5 offsets
     * over the dense 0..N−1 id space — neg_k = (doc_id + 1 +
@@ -284,9 +307,18 @@ object CorpusPipeline {
     "q_source_quota" -> qSourceQuota,
     "q_source_quota_salted" -> qSourceQuotaSalted,
     "q_sample_weighted" -> qSampleWeighted,
+    "q_sample_reservoir" -> qSampleReservoir,
     "q_negative_sample" -> qNegativeSample)
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_reservoir" ->
+      """SELECT source, doc_id, CAST(rn AS INT) AS rn FROM (
+           SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#res'),
+                 1, 8) AS BIGINT), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY source, rn""",
     "q_negative_sample" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
          draws AS (

@@ -221,6 +221,29 @@ object EventStream {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every click emits — matched
+    * rows as they pair, unmatched rows with NULL purchase columns once
+    * the watermark proves no in-window purchase can still arrive. The
+    * outer semantics are what attribution actually needs (organic
+    * conversions must surface, not vanish); Spark requires both
+    * watermarks + the event-time range condition so it can both bound
+    * the join state AND decide when an unmatched buffered click is
+    * safely emittable. */
+  def clickPurchaseJoinOuter(events: DataFrame): DataFrame = {
+    val clicks = withLateness(events)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = withLateness(events)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** foreachBatch sink with dynamic-partition-overwrite upsert: each
     * micro-batch overwrites exactly the date partitions it touches —
     * idempotent under micro-batch replay (the foreachBatch escape hatch

@@ -164,6 +164,50 @@ class ApiSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    import spark.implicits._
+    // InjectRuntimeFilter plants a bloom_filter_agg over the filtered
+    // dim's join keys and a might_contain probe above the fact scan —
+    // the optimizer-level semi-join reduction that keeps a 100 TB fact
+    // scan from shuffling rows a selective dimension will drop anyway.
+    // Thresholds lowered so injection engages at fixture scale.
+    val prior = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "50MB")
+      // shuffle join: bloom injection targets non-broadcast joins
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables.lineitem(spark, TestSpark.sf)
+        .select("l_orderkey", "l_quantity")
+      val dim = Tables.orders(spark, TestSpark.sf)
+        .filter(col("o_orderpriority") === "1-URGENT") // selective creation side
+        .select("o_orderkey")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom probe in:\n$optimized")
+      // and the probe must not change the result
+      val plainN = {
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1))).collect()(0).getLong(0)
+      }
+      assert(joined.collect()(0).getLong(0) == plainN)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salting on a hot-key fixture: equal results AND spread partitions") {
     import spark.implicits._
     val n = 8

@@ -563,12 +563,55 @@ class StreamingSpec extends AnyFunSuite {
         TestEvent(ts("2024-01-01 12:00:00"), "purchase", 1L, 5.0), // beyond 1 h
         TestEvent(ts("2024-01-01 10:20:00"), "purchase", 2L, 3.0)) // other user
       q.processAllAvailable()
-      // close the join state: watermark past every buffered row
-      mem.addData(TestEvent(ts("2024-01-02 00:00:00"), "view", 9L, 0.0))
+      // close the join state: the event_type filters sit BELOW the
+      // watermark nodes after pushdown, so the advancing rows must be a
+      // click and a purchase (a "view" would reach neither node); the
+      // user-9 pair cannot match (purchase precedes click)
+      mem.addData(
+        TestEvent(ts("2024-01-02 02:00:00"), "click", 9L, 0.0),
+        TestEvent(ts("2024-01-02 00:00:00"), "purchase", 9L, 0.0))
       q.processAllAvailable()
       val out = spark.table("ss_out")
         .collect().map(r => (r.getLong(0), r.getTimestamp(2).toString)).toSet
       assert(out == Set((1L, "2024-01-01 10:30:00.0")))
+    } finally q.stop()
+  }
+
+  test("outer interval join emits NULL rows for unmatched clicks after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.clickPurchaseJoinOuter(mem.toDF()).writeStream
+      .format("memory").queryName("sso_out").outputMode("append").start()
+    try {
+      mem.addData(
+        TestEvent(ts("2024-01-01 10:00:00"), "click", 1L, 1.0),    // matched
+        TestEvent(ts("2024-01-01 10:30:00"), "purchase", 1L, 9.0),
+        TestEvent(ts("2024-01-01 10:00:00"), "click", 2L, 1.0))    // organic
+      q.processAllAvailable()
+      // user 2's NULL row may only surface once the watermark proves no
+      // in-window purchase can still arrive. Subtlety: the event_type
+      // filters are pushed BELOW each branch's EventTimeWatermark node,
+      // so a nudge row advances a side's watermark only if it survives
+      // that side's filter — the nudges must be a click AND a purchase
+      // (the global watermark is the min across both nodes), and the
+      // eviction itself runs one batch after the watermark update.
+      // The user-9 nudge purchase precedes its click, so neither nudge
+      // ever matches; user 9 is excluded from the assertion.
+      mem.addData(
+        TestEvent(ts("2024-01-02 02:00:00"), "click", 9L, 0.0),
+        TestEvent(ts("2024-01-02 00:00:00"), "purchase", 9L, 0.0))
+      q.processAllAvailable()
+      mem.addData(
+        TestEvent(ts("2024-01-02 03:00:00"), "click", 9L, 0.0),
+        TestEvent(ts("2024-01-02 01:00:00"), "purchase", 9L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sso_out").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(2)).map(_.toString)))
+        .filter(_._1 != 9L).toSet
+      assert(out == Set(
+        (1L, Some("2024-01-01 10:30:00.0")),
+        (2L, None)))
     } finally q.stop()
   }
 
