@@ -158,7 +158,36 @@ object Behavior {
 
   val qFeatureUser: Q = (s, d) => userFeatures(Tables.events(s, d))
 
+  /** CEP-style sequence-pattern matching (the batch analog of Flink CEP /
+    * MATCH_RECOGNIZE): each user's trace becomes a compact motif string —
+    * one char per event, (ts, event_id) total order — and patterns are
+    * plain regexes over it. Counted here: the conversion motif `cv*p`
+    * (click, any views, then purchase, non-overlapping greedy scan) and
+    * error occurrences. Scale shape: ONE user-keyed aggregate builds the
+    * trace (collect_list of a narrow struct, map-side combinable;
+    * per-user traces are session-scale, not corpus-scale), and the regex
+    * scan is map-side codegen'd — no joins, no window, one exchange.
+    * Exact: initials are distinct across the five event types, struct
+    * sort order is the same total order every trace operator uses, and
+    * greedy non-overlapping regex counting agrees across engines on
+    * this alternation-free pattern. */
+  def sequenceMotifs(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy("user_id")
+      .agg(array_join(expr("transform(array_sort(collect_list(e)), x -> x.c)"),
+        "").as("trace"))
+      .select(col("user_id"),
+        length(col("trace")).cast("int").as("trace_len"),
+        regexp_count(col("trace"), lit("cv*p")).cast("int").as("n_conv"),
+        regexp_count(col("trace"), lit("e")).cast("int").as("n_err"))
+
+  val qPatternSequence: Q = (s, d) => sequenceMotifs(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
+    "q_pattern_sequence" -> qPatternSequence,
     "q_funnel_steps" -> qFunnelSteps,
     "q_retention_cohort" -> qRetentionCohort,
     "q_markov_transitions" -> qMarkovTransitions,
@@ -166,6 +195,17 @@ object Behavior {
     "q_runs_consecutive" -> qRunsConsecutive)
 
   val oracleSql: Map[String, String] = Map(
+    "q_pattern_sequence" ->
+      """WITH t AS (
+           SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+               ORDER BY ts, event_id) AS trace
+           FROM events GROUP BY user_id)
+         SELECT user_id,
+           CAST(length(trace) AS INT) AS trace_len,
+           CAST(len(regexp_extract_all(trace, 'cv*p')) AS INT) AS n_conv,
+           CAST(len(regexp_extract_all(trace, 'e')) AS INT) AS n_err
+         FROM t ORDER BY user_id""",
     "q_funnel_steps" ->
       """WITH u AS (
            SELECT user_id,

@@ -89,4 +89,23 @@ class BehaviorSpec extends AnyFunSuite {
       ("2024-01-01", 2L, 1L),
       ("2024-01-02", 2L, 1L)))
   }
+
+  test("sequenceMotifs: greedy non-overlapping cv*p count, event_id tiebreak") {
+    // u1 trace "cvvpcp" → two conversions; u2 "cvv" → zero (no purchase);
+    // u3 same-ts events ordered by event_id → "cpe" → one conversion, one
+    // error. A 'v' BETWEEN two clicks must not break the second match.
+    val df = Seq(
+      (1L, 10L, "click", ts(1)), (1L, 11L, "view", ts(2)),
+      (1L, 12L, "view", ts(3)), (1L, 13L, "purchase", ts(4)),
+      (1L, 14L, "click", ts(5)), (1L, 15L, "purchase", ts(6)),
+      (2L, 20L, "click", ts(1)), (2L, 21L, "view", ts(2)),
+      (2L, 22L, "view", ts(3)),
+      (3L, 31L, "click", ts(1, 5)), (3L, 32L, "purchase", ts(1, 5)),
+      (3L, 33L, "error", ts(1, 5)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Behavior.sequenceMotifs(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(got === Array((1L, 6, 2, 0), (2L, 3, 0, 0), (3L, 3, 1, 1)))
+  }
 }
