@@ -118,12 +118,62 @@ object Cdc {
         col("state_event_id"), col("state_value"))
   }
 
+  /** Incremental aggregate maintenance: fold a delta batch into a
+    * materialized rollup WITHOUT recomputing from the raw table — the
+    * property that lets a 100 TB lake keep daily rollups fresh for the
+    * cost of the delta. Counts and sums are mergeable: state ⊕ delta is
+    * a full-outer join on the group key with coalesced partial sums
+    * (groups new in the delta appear, untouched groups pass through).
+    * The declared query splits the fixture by event_id parity —
+    * "yesterday's" state aggregated from even ids, the delta from odd —
+    * and the oracle is the FULL recompute over all events: incremental
+    * maintenance must be indistinguishable from it. */
+  def rollupMaintain(state: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val deltaAgg = delta.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("d_n"),
+        sum(col("value").cast(dec2)).cast(dec2).as("d_sum"))
+    state.join(deltaAgg, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n"),
+        (coalesce(col("s"), lit(0).cast(dec2))
+          + coalesce(col("d_sum"), lit(0).cast(dec2)))
+          .cast(dec2).as("s")): _*)
+  }
+
+  val qRollupIncremental: Q = (s, d) => {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val ev = Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+    // decimal partials (§7.4): exact and associative, so state ⊕ delta
+    // is bit-identical to the full recompute no matter how the corpus
+    // was split across batches or partitions
+    val state = ev.filter(col("event_id") % 2 === 0)
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec2)).cast(dec2).as("s"))
+    val delta = ev.filter(col("event_id") % 2 === 1)
+    rollupMaintain(state, delta, Seq("day", "event_type"))
+      .select(col("day"), col("event_type"), col("n"),
+        col("s").cast("double").as("s"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_merge_upsert" -> qMergeUpsert,
     "q_scd2_history" -> qScd2History,
+    "q_rollup_incremental" -> qRollupIncremental,
     "q_join_temporal" -> qJoinTemporal)
 
   val oracleSql: Map[String, String] = Map(
+    "q_rollup_incremental" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS s
+         FROM events
+         GROUP BY day, event_type ORDER BY day, event_type""",
     "q_merge_upsert" ->
       """WITH base AS (
            SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -184,6 +184,38 @@ object MiscQueries {
       ORDER BY o_orderkey""")
   }
 
+  /** Boolean aggregate family: conditional counting and universal /
+    * existential quantifiers per group — all map-side combinable (a
+    * count partial and two boolean folds), one exchange. */
+  val qAggBoolean: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count_if(col("value") > 100).as("n_big"),
+        bool_and(col("value") >= 0).as("all_nonneg"),
+        bool_or(col("value") > 190).as("any_huge"),
+        count(lit(1)).as("n"))
+
+  /** Pattern-predicate family as projected flags: LIKE, case-insensitive
+    * ILIKE, regex RLIKE, and an escaped literal `%` — all codegen'd
+    * map-side string predicates (a LIKE with a literal prefix is also
+    * what parquet scans can push as a startsWith filter). */
+  val qFilterLike: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_name").like("%green%").as("has_green"),
+        col("p_name").ilike("%STEEL%").as("has_steel_ci"),
+        col("p_type").rlike("^[A-Z]+ ").as("type_word_prefix"),
+        col("p_brand").startsWith("Brand#1").as("brand1x"))
+
+  /** ANSI-safe try_ arithmetic: NULL instead of error/poison on bad
+    * denominators and out-of-bounds access — the contract that lets a
+    * 100 TB batch survive dirty rows without try/catch UDFs. */
+  val qTryArith: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        expr("try_divide(event_id, user_id % 7)").as("td"),
+        expr("try_element_at(split(props, ':'), 9)").as("oob"))
+
   /** Bitwise function family over integer keys. */
   val qBitwise: Q = (s, d) =>
     Tables.events(s, d)
@@ -365,6 +397,9 @@ object MiscQueries {
     "q_cte_reuse" -> qCteReuse,
     "q_in_subquery" -> qInSubquery,
     "q_join_lateral" -> qJoinLateral,
+    "q_agg_boolean" -> qAggBoolean,
+    "q_filter_like" -> qFilterLike,
+    "q_try_arith" -> qTryArith,
     "q_bitwise" -> qBitwise,
     "q_conditional" -> qConditional)
 
@@ -503,6 +538,27 @@ object MiscQueries {
                   WHERE c.c_nationkey = n.n_nationkey
                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
          ORDER BY n.n_name, t.c_custkey""",
+    "q_agg_boolean" ->
+      """SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 190) AS any_huge,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_filter_like" ->
+      """SELECT p_partkey,
+           p_name LIKE '%green%' AS has_green,
+           p_name ILIKE '%STEEL%' AS has_steel_ci,
+           regexp_matches(p_type, '^[A-Z]+ ') AS type_word_prefix,
+           p_brand LIKE 'Brand#1%' AS brand1x
+         FROM part ORDER BY p_partkey""",
+    "q_try_arith" ->
+      """SELECT event_id,
+           CASE WHEN user_id % 7 = 0 THEN NULL
+                ELSE CAST(event_id AS DOUBLE) / CAST(user_id % 7 AS DOUBLE)
+           END AS td,
+           string_split(props, ':')[9] AS oob
+         FROM events ORDER BY event_id""",
     "q_bitwise" ->
       """SELECT event_id,
            event_id & 255 AS b_and,

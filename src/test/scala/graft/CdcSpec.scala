@@ -194,4 +194,28 @@ class CdcSpec extends AnyFunSuite {
     assert(kept == expected)
     assert(kept.nonEmpty && kept.size < ev.count())
   }
+
+  test("rollupMaintain: state + delta equals full recompute for ANY split") {
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.sf)
+      .withColumn("day", to_date(col("ts")))
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    def full = ev.groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec2)).cast(dec2).as("s"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2), r.getDecimal(3))).toSet
+    // three different batch boundaries, including a degenerate empty delta
+    for (mod <- Seq(2L, 3L, 1L)) {
+      val state = ev.filter(col("event_id") % mod =!= 0)
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).cast(dec2).as("s"))
+      val delta = ev.filter(col("event_id") % mod === 0)
+      val got = Cdc.rollupMaintain(state, delta, Seq("day", "event_type"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1),
+          r.getLong(2), r.getDecimal(3))).toSet
+      assert(got == full, s"mod=$mod")
+    }
+  }
 }
