@@ -299,6 +299,42 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming incremental rollup maintenance — the stream form of
+    * [[graft.operators.Cdc.rollupMaintain]], on the same batch-keyed
+    * state design as [[streamCmsCells]]: each micro-batch lands its
+    * per-(day, event_type) DECIMAL partials under `path/batch=<id>`
+    * (OVERWRITE → crash replay rebuilds byte-identical partials instead
+    * of double-counting), and [[rollupState]] re-sums the partials on
+    * read. Decimal sums are exact and associative, so the rolled-up
+    * state is bit-identical to a batch recompute over every event the
+    * stream has delivered — rollup freshness costs |batch| rows per
+    * trigger, never an events rescan. */
+  def streamRollupPartials(events: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.toDF()
+          .withColumn("day", to_date(col("ts")))
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec2)).cast(dec2).as("s"))
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
+  /** Current rollup: re-sum the landed per-batch partials. */
+  def rollupState(spark: SparkSession, path: String): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    spark.read.parquet(path)
+      .groupBy("day", "event_type")
+      .agg(sum(col("n")).as("n"), sum(col("s")).cast(dec2).as("s"))
+  }
+
   /** Merged point estimates over every cell batch at `cellsPath`:
     * union + re-sum per (r, b) IS the CMS merge, then the usual
     * min-probe — so a dashboard refresh after each micro-batch costs

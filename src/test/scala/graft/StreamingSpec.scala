@@ -736,6 +736,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming rollup partials re-sum to the exact batch recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-rollup").toString
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val mem = MemoryStream[TestEvent]
+    val q = EventStream.streamRollupPartials(mem.toDF(),
+      s"$dir/state", s"$dir/ckpt")
+    val batches = Seq(
+      Seq(TestEvent(ts("2024-01-01 10:00:00"), "view", 1L, 1.25),
+        TestEvent(ts("2024-01-01 11:00:00"), "click", 1L, 2.50),
+        TestEvent(ts("2024-01-02 10:00:00"), "view", 2L, 0.75)),
+      Seq(TestEvent(ts("2024-01-01 12:00:00"), "view", 3L, 4.00)),
+      Seq(TestEvent(ts("2024-01-03 09:00:00"), "purchase", 1L, 9.99),
+        TestEvent(ts("2024-01-01 13:00:00"), "view", 1L, 0.01)))
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = EventStream.rollupState(spark, s"$dir/state")
+        .collect().map(r => (r.getDate(0).toString, r.getString(1),
+          r.getLong(2), r.getDecimal(3))).toSet
+      val want = batches.flatten.toDF()
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).cast(dec2).as("s"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1),
+          r.getLong(2), r.getDecimal(3))).toSet
+      assert(got == want)
+      assert(got.exists(_._1 == "2024-01-01") && got.size >= 4)
+    } finally q.stop()
+  }
+
   test("streaming CMS cells merge across micro-batches to exact fixture counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
