@@ -156,6 +156,50 @@ object MediaOps {
     })
   }
 
+  case class AudioRow(doc_id: Long, n_samples: Int, n_frames: Int,
+    total_energy: Long, max_frame_energy: Long, zero_crossings: Int)
+
+  /** REAL audio DSP over the binary payload — 16-bit little-endian PCM
+    * decode needs no codec, just byte math, so unlike the image path
+    * there is no stub anywhere: per-doc sample count, 256-sample frame
+    * count, total / max-frame energy (Σ s², exact longs) and
+    * zero-crossing count (sign transitions, zeros skipped — the
+    * classic voice-activity features). Runs in the same typed
+    * per-partition iterator shape as the other media ops, and every
+    * output is an exact integer, so the operator sits under a full
+    * DuckDB oracle that re-decodes the int16 stream from hex — codec
+    * work hash-checked against a second engine. */
+  def pcmFeatures(media: Dataset[MediaRow],
+      frameSamples: Int = 256): Dataset[AudioRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val b = r.media
+      val n = b.length / 2 // truncate a trailing odd byte
+      var i = 0; var zc = 0; var total = 0L; var maxE = 0L
+      var frameE = 0L; var prevSign = 0
+      while (i < n) {
+        val lo = b(2 * i) & 0xFF
+        val hi = b(2 * i + 1).toInt // signed high byte
+        val s = (hi << 8) | lo
+        val e = s.toLong * s
+        total += e; frameE += e
+        val sign = Integer.signum(s)
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) zc += 1
+          prevSign = sign
+        }
+        i += 1
+        if (i % frameSamples == 0) {
+          if (frameE > maxE) maxE = frameE
+          frameE = 0L
+        }
+      }
+      if (frameE > maxE) maxE = frameE
+      AudioRow(r.doc_id, n, (n + frameSamples - 1) / frameSamples,
+        total, maxE, zc)
+    })
+  }
+
   // ---- declared queries -------------------------------------------------
 
   type Q = (SparkSession, String) => DataFrame
@@ -211,13 +255,62 @@ object MediaOps {
       .select(col("doc_id"), to_json(col("features")).as("features"))
   }
 
+  /** PCM feature extraction over the audio-kind payloads. */
+  val qMultimodalAudio: Q = (s, d) => {
+    import s.implicits._
+    val ds = mediaTable(s, d).filter(col("kind") === "audio").as[MediaRow]
+    pcmFeatures(ds).toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_resize" -> qMultimodalResize,
+    "q_multimodal_audio" -> qMultimodalAudio,
     "q_multimodal_features" -> qMultimodalFeatures)
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_audio" ->
+      """WITH a AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) // 2 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         s AS (
+           SELECT doc_id, n, g.i,
+             CAST('0x' || substring(h, 4 * g.i + 1, 2) AS INT) AS lo,
+             CAST('0x' || substring(h, 4 * g.i + 3, 2) AS INT) AS hi
+           FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g),
+         v AS (
+           SELECT doc_id, i, i // 256 AS frame,
+             (CASE WHEN hi >= 128 THEN hi - 256 ELSE hi END) * 256 + lo
+               AS smp
+           FROM s),
+         fe AS (
+           SELECT doc_id, frame, SUM(CAST(smp AS BIGINT) * smp) AS e
+           FROM v GROUP BY doc_id, frame),
+         agg AS (
+           SELECT doc_id, CAST(SUM(e) AS BIGINT) AS total_energy,
+             CAST(MAX(e) AS BIGINT) AS max_frame_energy
+           FROM fe GROUP BY doc_id),
+         zc AS (
+           SELECT doc_id,
+             CAST(COUNT(*) FILTER (WHERE prev_sgn IS NOT NULL
+               AND sgn <> prev_sgn) AS INT) AS zero_crossings
+           FROM (SELECT doc_id,
+                   CASE WHEN smp > 0 THEN 1 ELSE -1 END AS sgn,
+                   lag(CASE WHEN smp > 0 THEN 1 ELSE -1 END)
+                     OVER (PARTITION BY doc_id ORDER BY i) AS prev_sgn
+                 FROM v WHERE smp <> 0)
+           GROUP BY doc_id)
+         SELECT a.doc_id, CAST(a.n AS INT) AS n_samples,
+           CAST((a.n + 255) // 256 AS INT) AS n_frames,
+           COALESCE(agg.total_energy, 0) AS total_energy,
+           COALESCE(agg.max_frame_energy, 0) AS max_frame_energy,
+           COALESCE(zc.zero_crossings, 0) AS zero_crossings
+         FROM a
+         LEFT JOIN agg ON agg.doc_id = a.doc_id
+         LEFT JOIN zc ON zc.doc_id = a.doc_id
+         ORDER BY a.doc_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,

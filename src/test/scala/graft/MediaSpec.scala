@@ -91,4 +91,31 @@ class MediaSpec extends AnyFunSuite {
     assert(MediaOps.decodeFeatures(truncated).toSeq ==
       MediaOps.stubDecodeFeatures(truncated).toSeq)
   }
+
+  test("pcmFeatures: int16 LE decode, frame energy, zero crossings, odd tail") {
+    import spark.implicits._
+    // samples: +1, -1, +2, 0, -3 → little-endian byte pairs, plus one
+    // trailing odd byte that must be truncated
+    def le(s: Short): Seq[Byte] =
+      Seq((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)
+    val samples = Seq[Short](1, -1, 2, 0, -3)
+    val bytes = (samples.flatMap(le) :+ 0x7F.toByte).toArray
+    val ds = Seq(MediaOps.MediaRow(7L, bytes, "audio")).toDS()
+    val r = MediaOps.pcmFeatures(ds, frameSamples = 2).collect().head
+    assert(r.doc_id == 7L)
+    assert(r.n_samples == 5)
+    assert(r.n_frames == 3) // ceil(5/2)
+    assert(r.total_energy == 1L + 1 + 4 + 0 + 9)
+    // frames: (1,-1)=2, (2,0)=4, (-3)=9
+    assert(r.max_frame_energy == 9L)
+    // sign sequence skipping zero: + - + - → 3 crossings
+    assert(r.zero_crossings == 3)
+
+    // empty payload: all zeros, no frames
+    val empty = MediaOps.pcmFeatures(
+      Seq(MediaOps.MediaRow(8L, Array.empty[Byte], "audio")).toDS())
+      .collect().head
+    assert(empty.n_samples == 0 && empty.n_frames == 0 &&
+      empty.total_energy == 0L && empty.zero_crossings == 0)
+  }
 }
