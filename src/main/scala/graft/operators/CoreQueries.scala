@@ -171,6 +171,26 @@ object CoreQueries {
       .select(col("event_id"), col("user_id"), col("prior_event_id"))
   }
 
+  /** FORWARD as-of: each error pairs with the NEXT signup/purchase by
+    * the same user strictly after it in the trace order — the
+    * `merge_asof(direction='forward')` semantics ("what happened after
+    * the failure"), completing the as-of family (backward, backward
+    * + tolerance, forward). Same single-exchange shape mirrored: the
+    * running window flips to a FOLLOWING frame and `first(ignoreNulls)`
+    * picks the earliest partner — still one user-keyed exchange, O(1)
+    * frame state, never an events self-join. */
+  val qJoinAsofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("error", "signup", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        when(col("event_type").isin("signup", "purchase"), col("event_id")).as("r_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.withColumn("next_event_id", first(col("r_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("next_event_id"))
+  }
+
   /** [[qJoinAsof]] with a staleness TOLERANCE (pandas `merge_asof
     * tolerance=` semantics): the match is kept only when the most recent
     * prior partner is within 1 hour of the probe — otherwise nulled,
@@ -285,6 +305,7 @@ object CoreQueries {
     "q_join_cross" -> qJoinCross,
     "q_join_theta_range" -> qJoinThetaRange,
     "q_join_asof" -> qJoinAsof,
+    "q_join_asof_forward" -> qJoinAsofForward,
     "q_join_asof_tolerance" -> qJoinAsofTolerance,
     "q_union_all" -> qUnionAll,
     "q_union_distinct" -> qUnionDistinct,
@@ -369,6 +390,15 @@ object CoreQueries {
               AND p.event_type IN ('signup','purchase')
               AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
             ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS prior_event_id
+         FROM events e WHERE e.event_type = 'error'
+         ORDER BY e.event_id""",
+    "q_join_asof_forward" ->
+      """SELECT e.event_id, e.user_id,
+           (SELECT p.event_id FROM events p
+            WHERE p.user_id = e.user_id
+              AND p.event_type IN ('signup','purchase')
+              AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id))
+            ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_event_id
          FROM events e WHERE e.event_type = 'error'
          ORDER BY e.event_id""",
     "q_join_asof_tolerance" ->
