@@ -112,8 +112,8 @@ object Attribution {
       .agg(count(lit(1)).as("n_events"),
         count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
       .withColumn("arm",
-        when(pmod(conv(substring(md5(col("user_id").cast(StringType)), 1, 4),
-          16, 10).cast("long"), lit(2L)) === 0L, "A").otherwise("B"))
+        when(Hashing.md5Bucket(col("user_id"), "", 2L) === 0L, "A")
+          .otherwise("B"))
       .groupBy("arm")
       .agg(count(lit(1)).as("n_users"),
         count(when(col("n_purchases") > 0, 1)).as("n_converters"),

@@ -111,8 +111,8 @@ object Behavior {
     * window pass plus the two-exchange `count_distinct` rewrite), and
     * the matrix itself is |event types|² rows regardless of corpus size.
     * Ties within a timestamp are broken by event_id, the same total
-    * order every other trace operator here uses (DuckDB reads the ns
-    * fixture truncated to µs exactly like [[graft.Tables.events]]). */
+    * order every other trace operator here uses (`ts` is native µs in
+    * both engines since the round-8 fixture refresh). */
   def markovTransitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events

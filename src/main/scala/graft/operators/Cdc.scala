@@ -128,12 +128,26 @@ object Cdc {
     * "yesterday's" state aggregated from even ids, the delta from odd —
     * and the oracle is the FULL recompute over all events: incremental
     * maintenance must be indistinguishable from it. */
+  /** Exact decimal scale every rollup producer/consumer must share. */
+  val rollupDec = org.apache.spark.sql.types.DecimalType(18, 2)
+
+  /** THE (count, decimal-sum-of-value) rollup pass — the single
+    * definition of the partials that [[rollupMaintain]], the declared
+    * incremental query, and the streaming form
+    * (graft.streaming.EventStream.streamRollupPartials) all consume.
+    * One shared body is what makes "state ⊕ delta ≡ full recompute"
+    * a structural guarantee rather than four copies that must not
+    * drift. */
+  def rollupAgg(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(rollupDec)).cast(rollupDec).as("s"))
+
   def rollupMaintain(state: DataFrame, delta: DataFrame,
       keys: Seq[String]): DataFrame = {
-    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
-    val deltaAgg = delta.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("d_n"),
-        sum(col("value").cast(dec2)).cast(dec2).as("d_sum"))
+    val dec2 = rollupDec
+    val deltaAgg = rollupAgg(delta, keys)
+      .withColumnsRenamed(Map("n" -> "d_n", "s" -> "d_sum"))
     state.join(deltaAgg, keys, "full_outer")
       .select(keys.map(col) ++ Seq(
         (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
@@ -144,16 +158,13 @@ object Cdc {
   }
 
   val qRollupIncremental: Q = (s, d) => {
-    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
     val ev = Tables.events(s, d)
       .withColumn("day", to_date(col("ts")))
     // decimal partials (§7.4): exact and associative, so state ⊕ delta
     // is bit-identical to the full recompute no matter how the corpus
     // was split across batches or partitions
-    val state = ev.filter(col("event_id") % 2 === 0)
-      .groupBy("day", "event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(dec2)).cast(dec2).as("s"))
+    val state = rollupAgg(ev.filter(col("event_id") % 2 === 0),
+      Seq("day", "event_type"))
     val delta = ev.filter(col("event_id") % 2 === 1)
     rollupMaintain(state, delta, Seq("day", "event_type"))
       .select(col("day"), col("event_type"), col("n"),

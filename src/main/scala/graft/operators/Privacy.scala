@@ -60,14 +60,17 @@ object Privacy {
     * 100 TB lake actually erases: plan counts/keys first (cheap, keyed
     * joins against a broadcast-scale tombstone set), then rewrite only
     * the files the manifest names. Aggregation happens before the
-    * join-back, so the output is |tombstones| rows, and both cascades
-    * reuse the tombstone broadcast — no full-table shuffle anywhere. */
+    * join-back, so the output is |tombstones| rows. Only the bounded
+    * frames are broadcast-hinted (the tombstone set and the two
+    * |tombstones|-row count tables); the lineitem⋈doomed-orders join is
+    * left to the planner — doomed orders are a constant fraction of the
+    * orders table, so at lake scale that join must be free to shuffle
+    * on the order key (AQE still broadcasts it when it happens to be
+    * small). */
   def forgetManifest(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, StringType}
     val tomb = customer
-      .filter(pmod(conv(substring(md5(col("c_custkey").cast(StringType)),
-        1, 4), 16, 10).cast(IntegerType), lit(20)) === 0)
+      .filter(Hashing.md5Bucket(col("c_custkey"), "", 20L) === 0L)
       .select(col("c_custkey"))
     val doomedOrders = orders
       .join(broadcast(tomb), col("o_custkey") === col("c_custkey"))
@@ -75,7 +78,7 @@ object Privacy {
     val nOrders = doomedOrders.groupBy("c_custkey")
       .agg(count(lit(1)).as("n_orders"))
     val nItems = lineitem
-      .join(broadcast(doomedOrders), col("l_orderkey") === col("o_orderkey"))
+      .join(doomedOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy("c_custkey")
       .agg(count(lit(1)).as("n_lineitems"))
     tomb

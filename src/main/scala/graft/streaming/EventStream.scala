@@ -310,29 +310,40 @@ object EventStream {
     * stream has delivered — rollup freshness costs |batch| rows per
     * trigger, never an events rescan. */
   def streamRollupPartials(events: DataFrame, path: String,
-      checkpointDir: String): StreamingQuery = {
-    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      checkpointDir: String): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.toDF()
-          .withColumn("day", to_date(col("ts")))
-          .groupBy("day", "event_type")
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(dec2)).cast(dec2).as("s"))
+        // the ONE shared rollup-partial definition (Cdc.rollupAgg) —
+        // bit-parity with the batch path is structural, not coincidental
+        graft.operators.Cdc.rollupAgg(
+          batch.toDF().withColumn("day", to_date(col("ts"))),
+          Seq("day", "event_type"))
           .write.mode("overwrite").parquet(s"$path/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
-  }
 
-  /** Current rollup: re-sum the landed per-batch partials. */
+  /** Current rollup: re-sum the landed per-batch partials. A reader
+    * racing the very first micro-batch sees an empty rollup (correct:
+    * nothing has been delivered), not a missing-path error. */
   def rollupState(spark: SparkSession, path: String): DataFrame = {
-    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
-    spark.read.parquet(path)
-      .groupBy("day", "event_type")
-      .agg(sum(col("n")).as("n"), sum(col("s")).cast(dec2).as("s"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("day", DateType), StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("s", graft.operators.Cdc.rollupDec)))
+    val partials =
+      try spark.read.schema(schema).parquet(path)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    partials.groupBy("day", "event_type")
+      .agg(sum(col("n")).as("n"),
+        sum(col("s")).cast(graft.operators.Cdc.rollupDec).as("s"))
   }
 
   /** Merged point estimates over every cell batch at `cellsPath`:

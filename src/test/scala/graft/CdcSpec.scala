@@ -205,17 +205,24 @@ class CdcSpec extends AnyFunSuite {
         sum(col("value").cast(dec2)).cast(dec2).as("s"))
       .collect().map(r => (r.getDate(0).toString, r.getString(1),
         r.getLong(2), r.getDecimal(3))).toSet
-    // three different batch boundaries, including a degenerate empty delta
-    for (mod <- Seq(2L, 3L, 1L)) {
-      val state = ev.filter(col("event_id") % mod =!= 0)
+    // four batch boundaries: two interleaved splits plus BOTH
+    // degenerate edges — empty state (everything arrives in the delta)
+    // and empty delta (state passes through untouched)
+    val splits = Seq(
+      "mod2" -> (col("event_id") % 2 === 0),
+      "mod3" -> (col("event_id") % 3 === 0),
+      "empty-state" -> lit(true),
+      "empty-delta" -> lit(false))
+    for ((name, inDelta) <- splits) {
+      val state = ev.filter(!inDelta)
         .groupBy("day", "event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(dec2)).cast(dec2).as("s"))
-      val delta = ev.filter(col("event_id") % mod === 0)
+      val delta = ev.filter(inDelta)
       val got = Cdc.rollupMaintain(state, delta, Seq("day", "event_type"))
         .collect().map(r => (r.getDate(0).toString, r.getString(1),
           r.getLong(2), r.getDecimal(3))).toSet
-      assert(got == full, s"mod=$mod")
+      assert(got == full, s"split=$name")
     }
   }
 }

@@ -124,8 +124,10 @@ class ScaleLayoutSpec extends AnyFunSuite {
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
           allScans(q.plan)
       }.flatten
+    // fact-side scans ONLY: the dim lives under the same temp root, and
+    // counting its file in prunedFiles would weaken the skip assertion
     val scans = allScans(joined.queryExecution.executedPlan).filter(
-      _.relation.location.rootPaths.exists(_.toString.contains("graft-dpp")))
+      _.relation.location.rootPaths.exists(_.toString.contains("/events")))
     assert(scans.nonEmpty)
     // the runtime filter must appear as a partition filter on the scan,
     // and the scan must actually have skipped the pruned partitions

@@ -741,6 +741,9 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft-rollup").toString
     val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    // a reader racing the first micro-batch sees an empty rollup, not a
+    // missing-path error
+    assert(EventStream.rollupState(spark, s"$dir/state").count() == 0)
     val mem = MemoryStream[TestEvent]
     val q = EventStream.streamRollupPartials(mem.toDF(),
       s"$dir/state", s"$dir/ckpt")
