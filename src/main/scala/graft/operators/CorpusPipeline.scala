@@ -258,9 +258,18 @@ object CorpusPipeline {
     * inlined as a literal, the q_text_bm25 precedent, so no 1-row
     * nested-loop join enters the plan); the draw is a map-side
     * projection + explode (fan-out = negsPerDoc), and the only shuffle
-    * is the metadata join on the id key. */
+    * is the metadata join on the id key.
+    *
+    * Contract notes: `docs.count()` is an EAGER action at plan-build
+    * time (the documented scalar-artifact precedent — call once per
+    * corpus, not per retry); a corpus with fewer than 2 documents has
+    * no valid partner, so the degenerate N ≤ 1 case returns an empty
+    * result instead of tripping the `mod (N−1)` by zero. */
   def negativeSample(docs: DataFrame, negsPerDoc: Int): DataFrame = {
     val n = docs.count()
+    if (n <= 1L)
+      return docs.select(col("doc_id"), lit(0).as("k"),
+        col("doc_id").as("neg_id"), lit(false).as("hard")).limit(0)
     def h16(k: Int) = conv(substring(md5(concat(
       col("doc_id").cast(StringType), lit(s"#neg$k"))), 1, 4), 16, 10)
       .cast(LongType)

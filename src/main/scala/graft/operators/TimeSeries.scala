@@ -140,7 +140,11 @@ object TimeSeries {
     * Exactness: with N = #days and S = Σx, the mean-centered residual
     * x_t − S/N is rational, so we cross-multiply — c_t = N·x_t − S is an
     * exact integer, r_k = Σ c_t·c_{t−k} / Σ c_t² needs only integer
-    * sums and ONE final IEEE divide (§7.4). Scale shape: aggregate
+    * sums and ONE final IEEE divide (§7.4). The c_t·c products are
+    * accumulated as DecimalType(38,0) (operands cast to decimal(19,0)
+    * BEFORE the multiply) because at ~1e9 events/day c² exceeds
+    * Long.MaxValue; the oracle mirrors with HUGEINT casts, so the
+    * cross-engine parity survives petabyte-scale counts. Scale shape: aggregate
     * first — the event table collapses to |days| rows in one keyed
     * map-side-combinable aggregate; the global-order lag windows and
     * the final fold run on that calendar-bounded series, so the
@@ -164,12 +168,16 @@ object TimeSeries {
     val lagged = lags.foldLeft(centered) { (df, k) =>
       df.withColumn(s"c_$k", lag(col("c"), k).over(w))
     }
-    // sum(c*c_k) skips the k NULL lead-in rows; den spans the full series
+    // sum(c*c_k) skips the k NULL lead-in rows; den spans the full series.
+    // Operands cast to decimal(19,0) before the multiply so the product
+    // (decimal(38,0)) never wraps a Long at 100 TB daily volumes.
+    val cDec = col("c").cast("decimal(19,0)")
     val folded = lagged.agg(
       first(col("n_days")).as("n_days"),
-      sum(col("c") * col("c")).as("den"),
+      sum(cDec * cDec).as("den"),
       array(lags.map(k =>
-        struct(lit(k).as("lag"), sum(col("c") * col(s"c_$k")).as("num"))): _*)
+        struct(lit(k).as("lag"),
+          sum(cDec * col(s"c_$k").cast("decimal(19,0)")).as("num"))): _*)
         .as("nums"))
     folded
       .select(col("n_days"), col("den"), explode(col("nums")).as("e"))
@@ -201,9 +209,9 @@ object TimeSeries {
                  lag(c, 7) OVER (ORDER BY day) AS c7
                FROM c),
          a AS (SELECT MAX(n_days) AS n_days,
-                 CAST(SUM(c * c) AS BIGINT) AS den,
-                 CAST(SUM(c * c1) AS BIGINT) AS num1,
-                 CAST(SUM(c * c7) AS BIGINT) AS num7
+                 SUM(CAST(c AS HUGEINT) * c) AS den,
+                 SUM(CAST(c AS HUGEINT) * c1) AS num1,
+                 SUM(CAST(c AS HUGEINT) * c7) AS num7
                FROM l)
          SELECT 1 AS lag, n_days,
            CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS autocorr FROM a

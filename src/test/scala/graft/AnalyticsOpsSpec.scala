@@ -631,6 +631,15 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .negativeSample(docs, negsPerDoc = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(rows.sorted.sameElements(again.sorted))
+    // degenerate corpora: no partner exists → clean empty result, not a
+    // modulo-by-zero (ADVICE r8)
+    for (n <- Seq(0, 1)) {
+      val tiny = graft.operators.CorpusPipeline
+        .negativeSample(docs.limit(n), negsPerDoc = 4)
+      assert(tiny.count() == 0, s"n=$n")
+      assert(tiny.columns.toSeq ==
+        Seq("doc_id", "k", "neg_id", "hard"), s"n=$n schema")
+    }
   }
 
   test("sortedNeighborhoodLinks: subset of block pairs, symmetric-free, " +

@@ -1,0 +1,137 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+import java.time.LocalDate
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline._
+
+/** Consumer queries over a landed GTFS + delays warehouse (the VERDICT
+  * r8 "GTFS consumer-query hole"): delay-per-route, stop headways,
+  * calendar-exception service expansion — each asserted EXACTLY over a
+  * warehouse landed through the real ingest path (GtfsIngest zip
+  * expansion + DelaysIngest typed parse), not hand-built frames. */
+class MobilitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeZip(path: String, members: Map[String, String]): Unit = {
+    val zout = new ZipOutputStream(new FileOutputStream(path))
+    members.foreach { case (name, content) =>
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    zout.close()
+  }
+
+  /** Lands a 2-route / 3-trip / 2-stop schedule plus two hourly delay
+    * snapshots; returns the warehouse dir. */
+  private def landWarehouse(): String = {
+    val dir = Files.createTempDirectory("graft-mobility").toString
+    val zip = s"$dir/warsaw.zip"
+    writeZip(zip, Map(
+      "routes.txt" ->
+        ("route_id,agency_id,route_short_name,route_long_name,route_type\n" +
+          "R175,A1,175,Airport Express,3\n" +
+          "R17,A1,17,Loop Line,0\n"),
+      "trips.txt" ->
+        ("route_id,service_id,trip_id,trip_headsign\n" +
+          "R175,WD,T1,Airport\n" +
+          "R175,WD,T2,Airport\n" +
+          "R17,WE,T3,Loop\n"),
+      "stop_times.txt" ->
+        ("trip_id,arrival_time,departure_time,stop_id,stop_sequence\n" +
+          "T1,08:00:00,08:01:00,S1,1\n" +
+          "T1,08:10:00,08:11:00,S2,2\n" +
+          "T2,08:15:00,08:16:00,S1,1\n" +
+          "T2,08:25:00,08:26:00,S2,2\n" +
+          "T3,24:50:00,25:10:00,S1,1\n"), // GTFS times legally pass 24h
+      "calendar_dates.txt" ->
+        ("service_id,date,exception_type\n" +
+          "WD,20241223,1\n" +
+          "WD,20241224,1\n" +
+          "WD,20241224,2\n" + // added then removed → inactive
+          "WE,20241224,1\n"),
+      "stops.txt" ->
+        "stop_id,stop_name,stop_lat,stop_lon\nS1,Central,52.23,21.01\nS2,North,52.28,21.00\n"))
+    assert(GtfsIngest.run(spark, zip, dir, s"$dir/state.parquet",
+      LocalDate.of(2024, 12, 23)))
+
+    def snapshot(path: String, rows: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(path),
+        "type,vehicle_no,brigade,route,trip_headsign,delay_raw,stop_name,outside,ingest_ts\n"
+          + rows)
+    snapshot(s"$dir/delays-14.csv",
+      "bus,1001,B1,175,Airport,5 min,Centrum,false,2024-12-23 14:00:00\n" +
+        "bus,1002,B2,175,Airport,90 s,Centrum,false,2024-12-23 14:00:00\n" +
+        "tram,2002,B3,17,Loop,120 s,Rondo,true,2024-12-23 14:00:00\n")
+    snapshot(s"$dir/delays-15.csv",
+      "bus,1001,B1,175,Airport,2 min,Centrum,false,2024-12-23 15:00:00\n" +
+        "bus,9999,B9,999,Ghost,60 s,Nowhere,false,2024-12-23 15:00:00\n")
+    DelaysIngest.run(spark, s"$dir/delays-14.csv", dir,
+      LocalDate.of(2024, 12, 23), 14)
+    DelaysIngest.run(spark, s"$dir/delays-15.csv", dir,
+      LocalDate.of(2024, 12, 23), 15)
+    dir
+  }
+
+  private lazy val wh = landWarehouse()
+
+  test("delayByRoute: schedule-joined rollup, ghost routes survive") {
+    val out = Mobility.delayByRoute(
+      Mobility.delays(spark, wh),
+      Mobility.gtfsTable(spark, wh, "routes"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getInt(5), r.getLong(6)))
+      .toSet
+    // 175: 300 + 90 + 120 = 510 s over 3 obs → mean 1700 ds
+    assert(out == Set(
+      ("175", Some("Airport Express"), 3, 3L, 510L, 300, 1700L),
+      ("17", Some("Loop Line"), 0, 1L, 120L, 120, 1200L),
+      ("999", None, -1, 1L, 60L, 60, 600L))) // scraped but unscheduled
+  }
+
+  test("stopHeadways: per (stop, service) gaps, >24h times exact") {
+    val out = Mobility.stopHeadways(
+      Mobility.gtfsTable(spark, wh, "stop_times"),
+      Mobility.gtfsTable(spark, wh, "trips"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getInt(5)))
+      .toSet
+    // Only consecutive pairs within a (stop, service): S1/WD T1→T2 and
+    // S2/WD T1→T2 (both 900 s); T3 is the sole WE departure → no row.
+    assert(out == Set(
+      ("S1", "WD", "T2", "R175", 29760, 900),
+      ("S2", "WD", "T2", "R175", 30360, 900)))
+    // and the >24h literal parsed without wrapping: 25:10:00 = 90600
+    val t3 = Mobility.gtfsTable(spark, wh, "stop_times")
+      .filter(org.apache.spark.sql.functions.col("trip_id") === "T3")
+      .select(Mobility.gtfsTimeSeconds(
+        org.apache.spark.sql.functions.col("departure_time")))
+      .head().getInt(0)
+    assert(t3 == 90600)
+  }
+
+  test("service expansion: exception-aware active set and trips/day") {
+    val active = Mobility.activeServices(
+      Mobility.gtfsTable(spark, wh, "calendar_dates"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    // WD on 12-24 was added AND removed → inactive that day
+    assert(active == Set(("WD", "2024-12-23"), ("WE", "2024-12-24")))
+
+    val perDay = Mobility.tripsPerDay(
+      Mobility.gtfsTable(spark, wh, "calendar_dates"),
+      Mobility.gtfsTable(spark, wh, "trips"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(perDay == Set(
+      ("2024-12-23", "R175", 2L, 1L),
+      ("2024-12-24", "R17", 1L, 1L)))
+  }
+}
