@@ -47,6 +47,7 @@ object SparkEntry {
       Attribution.queries ++
       Maintenance.queries ++
       Linkage.queries ++
+      QualityModel.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,5 +82,6 @@ object SparkEntry {
       Attribution.oracleSql ++
       Maintenance.oracleSql ++
       Linkage.oracleSql ++
+      QualityModel.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

@@ -12,9 +12,13 @@ import graft.Tables
   * IMAGE decode is REAL: `javax.imageio` (ships with every JDK — no
   * external dependency) decodes PNG/JPEG/BMP/GIF payloads to pixels for
   * feature extraction and resizing (MediaSpec round-trips generated
-  * PNGs). Payloads no codec accepts — including the fixture's synthetic
-  * text-bytes media, and the audio/video kinds the JDK has no codec
-  * for — fall back to the clearly-marked deterministic byte-domain STUB.
+  * PNGs). AUDIO decode is REAL for RIFF/WAV PCM16: [[parseWav]] walks
+  * the container chunks and the sample loop is plain byte math
+  * ([[pcmFeatures]], [[wavFeatures]]) — no codec dependency. Container
+  * METADATA (PNG IHDR dims, WAV format fields) parses header-only, no
+  * pixel/sample decode. Only payloads with NO shipped decoder — the
+  * fixture's synthetic text-bytes media and true video containers —
+  * fall back to the clearly-marked deterministic byte-domain STUB.
   * Either way the dataflow is the 100 TB shape: per-partition iterator
   * processing (one decoder instance per partition, not per row), no
   * driver collection, fixed-width feature output suitable for
@@ -66,6 +70,90 @@ object MediaOps {
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
       (b(0) == 'B' && b(1) == 'M'))
 
+  /** RIFF/WAVE container sniff (the audio analogue of [[looksLikeImage]]). */
+  def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+  /** Parsed WAV container: PCM format fields + the data chunk's span.
+    * Header-only — no sample is touched, which is the 100 TB metadata
+    * path (census a petabyte of audio by reading 44-byte prefixes). */
+  case class WavInfo(audioFormat: Int, channels: Int, sampleRate: Int,
+    bitsPerSample: Int, dataOffset: Int, dataBytes: Int)
+
+  /** Strict RIFF chunk walk: fmt + data chunks located by id, unknown
+    * chunks skipped by their declared (padded-to-even) size, any
+    * malformed length rejected → None → the caller falls back to the
+    * stub. A data chunk whose declared size overruns the payload is
+    * clipped, not rejected — streamed WAV writers routinely leave a
+    * placeholder size. */
+  def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (!looksLikeWav(b)) return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4)
+      if (size < 0) return None
+      id match {
+        case "fmt " =>
+          if (pos + 8 + 16 > b.length) return None
+          fmt = Some((le16(b, pos + 8), le16(b, pos + 10),
+            le32(b, pos + 12), le16(b, pos + 22)))
+        case "data" =>
+          data = Some((pos + 8, math.min(size, b.length - pos - 8)))
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      if (pos < 0) return None // overflow guard on hostile sizes
+    }
+    for ((af, ch, sr, bps) <- fmt; (off, len) <- data)
+      yield WavInfo(af, ch, sr, bps, off, len)
+  }
+
+  /** PNG IHDR dimensions parsed from the container header alone — the
+    * first chunk after the 8-byte signature is IHDR by spec, carrying
+    * big-endian width/height. Metadata without pixel decode: at 100 TB
+    * the dimension census must not run a codec. */
+  def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 && b(0) == 0x89.toByte && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G' &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20)))
+    else None
+
+  /** Real audio features for 16-bit PCM WAV payloads: 16-bin
+    * L1-normalized AMPLITUDE histogram over the decoded int16 samples
+    * (|s|/2048, top bin clamped) — the audio analogue of
+    * [[imageFeatures]]'s luminance histogram, deterministic and exact.
+    * None for non-WAV / non-PCM16 payloads. */
+  def wavFeatures(b: Array[Byte]): Option[Array[Float]] =
+    parseWav(b).filter(w => w.audioFormat == 1 && w.bitsPerSample == 16)
+      .map { w =>
+        val hist = new Array[Float](16)
+        val end = w.dataOffset + w.dataBytes
+        var i = w.dataOffset
+        var n = 0
+        while (i + 1 < end) {
+          val s = (b(i + 1).toInt << 8) | (b(i) & 0xFF)
+          hist(math.min(math.abs(s) / 2048, 15)) += 1f
+          n += 1
+          i += 2
+        }
+        hist.map(_ / math.max(n, 1).toFloat)
+      }
+
   /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF). None for
     * payloads whose magic bytes don't match or no registered reader
     * accepts. */
@@ -97,10 +185,17 @@ object MediaOps {
     hist.map(_ / n)
   }
 
-  /** Decode: real pixels when a codec accepts the payload, byte-domain
-    * stub otherwise. */
+  /** Decode: real pixels when an image codec accepts the payload, real
+    * PCM16 amplitude features when the bytes are a WAV container, the
+    * byte-domain stub ONLY for genuinely opaque payloads (no JDK video
+    * codec exists; the fixture's synthetic text-bytes media is opaque by
+    * construction). Every decodable container class the engine ships a
+    * decoder for routes through its real path — the stub is unreachable
+    * for image and PCM-WAV bytes (MediaSpec pins this). */
   def decodeFeatures(media: Array[Byte]): Array[Float] =
-    decodeImage(media).map(imageFeatures).getOrElse(stubDecodeFeatures(media))
+    decodeImage(media).map(imageFeatures)
+      .orElse(wavFeatures(media))
+      .getOrElse(stubDecodeFeatures(media))
 
   /** Batch feature extraction over partitions — the mapInPandas/mapPartitions
     * shape: one iterator pass per partition, constant memory. */
@@ -244,8 +339,10 @@ object MediaOps {
         (col("meta.height") / 4).cast("int").as("new_height")), "doc_id")
   }
 
-  /** Stub-decoded feature vectors (no oracle — float payload from the
-    * stub codec; scalatest-verified against the Scala reference impl).
+  /** Feature vectors through the full dispatch (real image codec → real
+    * WAV PCM16 path → stub only for opaque bytes; the fixture payloads
+    * are synthetic text bytes, hence opaque by construction). No
+    * oracle — float features; scalatest-verified per branch (MediaSpec).
     * The vector is emitted as its JSON string: the driver's comparator
     * sorts rows through pandas and crashes on ndarray cells. */
   val qMultimodalFeatures: Q = (s, d) => {

@@ -1,12 +1,53 @@
 package graft.operators
 
+import scala.collection.concurrent.TrieMap
+
 /** Umbrella for the session-scoped ingest artifacts the dedup/similarity
   * operators cache (pair lists, set groups, MinHash band tables, cluster
-  * labels, IVF indexes). At 100 TB these are materialized tables written
-  * at ingest; in-session they are keyed caches — clear them when a corpus
-  * is re-ingested under the same key or to reclaim executor storage in a
-  * long-lived session. */
+  * labels, IVF/PQ indexes, quality-model weights). At 100 TB these are
+  * materialized tables written at ingest; in-session they are keyed
+  * caches — clear them when a corpus is re-ingested under the same key
+  * or to reclaim executor storage in a long-lived session.
+  *
+  * BOUNDED since round 9: every artifact cache routes its memoization
+  * through [[memo]], which caps entries at [[MaxEntriesPerCache]]
+  * distinct keys. The caches key by corpus/table identity, so growth
+  * happens only in sessions that cycle many corpora; when the cap is
+  * hit the WHOLE cache is evicted (artifacts for a key that has rotated
+  * out of a 64-corpus window are dead weight — a full reset with
+  * unpersist is simpler and safer than LRU bookkeeping over persisted
+  * DataFrames, and the next call just rebuilds its artifact). Explicit
+  * lifecycle control stays available via [[clearAll]] / the per-module
+  * `clearArtifacts()`.
+  */
 object Artifacts {
+
+  /** Max distinct keys an artifact cache retains before a full evict. */
+  val MaxEntriesPerCache = 64
+
+  /** Bounded getOrElseUpdate with eviction: on a miss at capacity, every
+    * cached value is released through `evict` (unpersist for persisted
+    * frames; a no-op for plain values) and the cache reset before the
+    * new artifact builds. Thread-safe to the same degree as the previous
+    * bare `getOrElseUpdate` sites (TrieMap CAS; a racing duplicate build
+    * is wasted work, never wrong results). */
+  def memo[K, V](cache: TrieMap[K, V], key: K, evict: V => Unit = { (_: V) => () })(
+      build: => V): V =
+    cache.get(key) match {
+      case Some(v) => v
+      case None =>
+        if (cache.size >= MaxEntriesPerCache) {
+          cache.values.foreach(v =>
+            try evict(v) catch { case _: Throwable => () })
+          cache.clear()
+        }
+        cache.getOrElseUpdate(key, build)
+    }
+
+  /** Evictor for persisted-DataFrame artifacts. */
+  val unpersistDf: org.apache.spark.sql.DataFrame => Unit =
+    df => df.unpersist(false)
+
   def clearAll(): Unit = {
     DedupQueries.clearArtifacts()
     IncrementalDedup.clearArtifacts()
@@ -14,5 +55,6 @@ object Artifacts {
     Similarity.clearArtifacts()
     CurationOps.clearArtifacts()
     Graph.clearArtifacts()
+    QualityModel.clearCache()
   }
 }

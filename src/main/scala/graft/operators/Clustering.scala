@@ -42,7 +42,8 @@ object Clustering {
   def componentLabels(pairs: DataFrame, maxIter: Int = 25,
       cacheKey: Option[String] = None): DataFrame =
     cacheKey match {
-      case Some(k) => labelCache.getOrElseUpdate(k, propagate(pairs, maxIter))
+      case Some(k) => Artifacts.memo(labelCache, k, Artifacts.unpersistDf)(
+        propagate(pairs, maxIter))
       case None    => propagate(pairs, maxIter)
     }
 
@@ -225,7 +226,8 @@ object Clustering {
         .select(col("doc_id"), coalesce(col("rlabel"), col("rep")).as("label"))
     }
     cacheKey match {
-      case Some(k) => labelCache.getOrElseUpdate(s"$k:$tNum:$tDen", build())
+      case Some(k) => Artifacts.memo(labelCache, s"$k:$tNum:$tDen",
+        Artifacts.unpersistDf)(build())
       case None    => build()
     }
   }

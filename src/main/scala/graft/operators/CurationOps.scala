@@ -50,7 +50,8 @@ object CurationOps {
         explode(array_distinct(shingles(col("toks"), n))).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cacheKey match {
-      case Some(k) => shingleCache.getOrElseUpdate((k, n), build())
+      case Some(k) => Artifacts.memo(shingleCache, (k, n),
+        Artifacts.unpersistDf)(build())
       case None    => build()
     }
   }
@@ -174,6 +175,53 @@ object CurationOps {
         explode(sequence(lit(1), col("reps"))).as("rep_idx"))
   }
 
+  /** Temperature-based mixture reweighting (α = 0.7, the multinomial-
+    * smoothing recipe of Devlin et al. 2019 / Conneau et al. 2020):
+    * sample each source at a rate ∝ count^(α−1), so kept volume per
+    * source ∝ count^α — large sources damped, small sources kept whole.
+    *
+    * EXACT despite the irrational exponent: the per-source keep rate
+    * r_i = (c_min/c_i)^0.3 is compared at centi-grain through its 10th
+    * power, which IS rational — rate_c = max n ∈ [0,100] with
+    * n¹⁰·c_i³ ≤ 100¹⁰·c_min³ (both sides exact integers; x↦x¹⁰ is
+    * monotone on [0,1] so the argmax equals ⌊100·r_i⌋). n¹⁰ is built as
+    * (n⁵)² with n⁵ ≤ 10¹⁰ in a long, the products ride DECIMAL(38,0)
+    * (HUGEINT in the oracle) — exact for per-source counts up to ~9·10⁵;
+    * beyond that, floor-scale all counts by a common K first (the rate
+    * depends only on count ratios). The per-doc decision is then pure
+    * integer: keep iff md5-hash mod 100 < rate_c — deterministic,
+    * rerun- and partitioning-stable, cross-engine exact.
+    *
+    * 100 TB shape: source counts are a |sources|-row ingest artifact;
+    * the 101-candidate grid explode runs on THAT (≤101·|sources| rows,
+    * never on documents); c_min is a corpus-level scalar fetched once at
+    * build time (the qMixUpsample precedent — a 1-row min frame joined
+    * in would plan a nested-loop join). The document-side work is one
+    * broadcast join + a map-side hash filter. */
+  val qMixTemperature: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val cmin = c.agg(min("cnt")).collect()(0).getLong(0)
+    val rhs = BigDecimal(
+      BigInt(100).pow(10) * BigInt(cmin).pow(3)) // 100¹⁰·c_min³, exact
+    val rates = c
+      .select(col("lang"), col("cnt"),
+        explode(sequence(lit(0L), lit(100L))).as("n"))
+      .withColumn("n5",
+        col("n") * col("n") * col("n") * col("n") * col("n"))
+      .filter(col("n5").cast(DecimalType(38, 0)) * col("n5")
+        * (col("cnt").cast(DecimalType(38, 0)) * col("cnt") * col("cnt"))
+        <= lit(rhs))
+      .groupBy("lang", "cnt")
+      .agg(max(col("n")).cast(IntegerType).as("rate_c"))
+    val h = pmod(conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit("#temp"))), 1, 8), 16, 10).cast(LongType), lit(100L))
+    docs.select(col("doc_id"), col("lang"), h.as("h"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("h") < col("rate_c"))
+      .select(col("doc_id"), col("lang"), col("cnt"), col("rate_c"))
+  }
+
   /** Sliding-window document chunking with overlap — the context-window
     * prep step (training/RAG): chunks of `chunkTokens` tokens starting
     * every `strideTokens` (overlap = chunk − stride), short tail chunks
@@ -260,6 +308,7 @@ object CurationOps {
   val queries: Map[String, Q] = Map(
     "q_chunk_overlap" -> qChunkOverlap,
     "q_mix_upsample" -> qMixUpsample,
+    "q_mix_temperature" -> qMixTemperature,
     "q_text_contamination" -> qTextContamination,
     "q_dedup_lines" -> qDedupLines,
     "q_text_repetition" -> qTextRepetition,
@@ -279,6 +328,28 @@ object CurationOps {
                 CAST(least(start + 19, len(toks)) - start + 1 AS INT)
                   AS n_tokens
          FROM s ORDER BY doc_id, start""",
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents
+                    GROUP BY lang),
+         m AS (SELECT MIN(cnt) AS cmin FROM c),
+         cand AS (SELECT unnest(generate_series(0, 100)) AS n),
+         r AS (
+           SELECT lang, cnt, CAST(MAX(n) AS INT) AS rate_c
+           FROM c, m, cand
+           WHERE CAST(n*n*n*n*n AS HUGEINT) * (n*n*n*n*n)
+                   * (CAST(cnt AS HUGEINT) * cnt * cnt)
+                 <= CAST('100000000000000000000' AS HUGEINT)
+                    * (CAST(cmin AS HUGEINT) * cmin * cmin)
+           GROUP BY lang, cnt),
+         h AS (
+           SELECT doc_id, lang,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#temp'),
+                  1, 8) AS BIGINT) % 100 AS h
+           FROM documents)
+         SELECT h.doc_id, h.lang, r.cnt, r.rate_c
+         FROM h JOIN r USING (lang)
+         WHERE h.h < r.rate_c
+         ORDER BY doc_id""",
     "q_mix_upsample" ->
       """WITH lc AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
          mx AS (SELECT MAX(cnt) AS m FROM lc),

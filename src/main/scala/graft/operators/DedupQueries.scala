@@ -90,7 +90,7 @@ object DedupQueries {
       (keyed, groups)
     }
     cacheKey match {
-      case Some(k) => groupCache.getOrElseUpdate(k, build())
+      case Some(k) => Artifacts.memo(groupCache, k)(build())
       case None    => build()
     }
   }
@@ -129,7 +129,8 @@ object DedupQueries {
       out
     }
     cacheKey match {
-      case Some(k) => pairCache.getOrElseUpdate((k, tNum, tDen), build())
+      case Some(k) => Artifacts.memo(pairCache, (k, tNum, tDen),
+        Artifacts.unpersistDf)(build())
       case None    => build()
     }
   }
@@ -265,7 +266,8 @@ object DedupQueries {
     }
     cacheKey match {
       case Some(key) =>
-        bandCache.getOrElseUpdate((key, bands, rows), build().localCheckpoint(true))
+        Artifacts.memo(bandCache, (key, bands, rows),
+          Artifacts.unpersistDf)(build().localCheckpoint(true))
       case None => build()
     }
   }

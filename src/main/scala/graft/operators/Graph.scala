@@ -200,7 +200,7 @@ object Graph {
     * equivalent is the persisted edge table an ingest job writes,
     * bucketed by `u`. */
   def coOrderEdges(spark: SparkSession, sfDir: String): DataFrame =
-    edgeCache.getOrElseUpdate(s"coorder:$sfDir", {
+    Artifacts.memo(edgeCache, s"coorder:$sfDir", Artifacts.unpersistDf)({
       val li = Tables.lineitem(spark, sfDir)
         .filter(col("l_linenumber") <= 3)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -233,7 +233,7 @@ object Graph {
     * stats, and every rank/degree query starts from them instead of
     * re-distincting the fact table. */
   def supplyEdges(spark: SparkSession, sfDir: String): DataFrame =
-    edgeCache.getOrElseUpdate(s"supply:$sfDir", {
+    Artifacts.memo(edgeCache, s"supply:$sfDir", Artifacts.unpersistDf)({
       Tables.lineitem(spark, sfDir)
         .select(col("l_suppkey").as("src"),
           (col("l_partkey") + PartOffset).as("dst"))
@@ -245,7 +245,7 @@ object Graph {
     * direction making parts rank by supplier fan-in). */
   val qGraphPagerank: Q = (s, d) => {
     val edges = supplyEdges(s, d)
-    val n = nCache.getOrElseUpdate(s"supplyN:$d",
+    val n = Artifacts.memo(nCache, s"supplyN:$d")(
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct().count())
     pageRankScaled(edges, iters = 3, knownN = Some(n))

@@ -55,7 +55,8 @@ object IncrementalDedup {
       docs.select(col("doc_id"), sha2(col("text"), 256).as("digest"))
     cacheKey match {
       case Some(k) =>
-        digestCache.getOrElseUpdate(k, build().localCheckpoint(true))
+        Artifacts.memo(digestCache, k, Artifacts.unpersistDf)(
+          build().localCheckpoint(true))
       case None => build()
     }
   }
@@ -242,12 +243,33 @@ object IncrementalDedup {
     * to the state table rather than rebuild per ingest. Buckets with no
     * state rows have no filter and contribute no probe branch — their
     * batch rows are new by construction. Results are bit-identical to
-    * [[newDocs]] (asserted in LayoutSpec on a multi-bucket fixture). */
+    * [[newDocs]] (asserted in LayoutSpec on a multi-bucket fixture).
+    *
+    * DRIVER BUDGET — the honest bound on this regime: the per-bucket
+    * bitmaps are COLLECTED to the driver and each becomes a plan branch,
+    * so driver memory grows as nBuckets × bitmap-size (≈12 MB at 10⁷
+    * items / 1% fpp) and the plan carries nBuckets union branches.
+    * [[MaxBloomBuckets]] (256) caps both: ≤ ~3 GB of bitmaps and a plan
+    * Catalyst still analyzes in seconds — which at 12 MB per filter
+    * covers ~2.5·10⁹ state digests. Past that, this path is the wrong
+    * tool by design: don't raise the cap, switch to the state-pruned
+    * runtime-filter regime ([[newDocsBloom]] with digest-range pruning —
+    * the DECLARED variant, whose bitmap covers only the state slice a
+    * batch can touch) or probe buckets as sequential per-bucket jobs so
+    * at most one bitmap is resident at a time. */
+  val MaxBloomBuckets = 256
+
   def newDocsBloomBucketed(batch: DataFrame, stateDigests: DataFrame,
       stateBands: DataFrame, nBuckets: Int = 8,
       expectedItemsPerBucket: Long = 100000L, fpp: Double = 0.01,
       batchBands: Option[DataFrame] = None): DataFrame = {
-    require(nBuckets > 0)
+    require(nBuckets > 0, "nBuckets must be positive")
+    require(nBuckets <= MaxBloomBuckets,
+      s"nBuckets=$nBuckets exceeds MaxBloomBuckets=$MaxBloomBuckets: " +
+        "the bucketed regime collects one Bloom bitmap per bucket to the " +
+        "driver and plans one union branch per bucket; past the cap use " +
+        "the state-pruned runtime-filter regime (newDocsBloom) or " +
+        "sequential per-bucket probe jobs instead")
     val digested = batch.withColumn("digest", sha2(col("text"), 256))
     def bucketOf(c: Column): Column = pmod(xxhash64(c), lit(nBuckets.toLong))
     graft.functions.Bloom.ensureCapacity(stateDigests.sparkSession,

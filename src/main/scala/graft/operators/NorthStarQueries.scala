@@ -70,27 +70,58 @@ object NorthStarQueries {
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
 
-  /** Brute-force cosine top-10 against vec_id=0 — the correctness baseline
-    * for similarity search (no oracle: float fold order, SURVEY.md §7.4;
-    * scalatest-verified against a plain-Scala reference).
-    *
-    * Plan shape: 1-row broadcast → per-row zip_with/aggregate dot product
-    * (no shuffle at all until the final top-k), then TakeOrdered(10). The
-    * 100 TB path is the LSH-bucketed variant (graft.operators.Similarity). */
-  val qSimilarityTopk: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_emb"))
+  /** LIBRARY TIER — brute-force float-cosine top-k against a 1-row query
+    * frame: 1-row broadcast → per-row zip_with/aggregate dot product (no
+    * shuffle until the final top-k), then TakeOrdered(k). Kept as the
+    * float-precision API (NoOracleSpec verifies it against plain Scala
+    * through the LSH/IVF recall tests); the DECLARED query below ranks in
+    * exact integers instead so it can sit under the DuckDB oracle gate. */
+  def cosineTopK(emb: DataFrame, query: DataFrame, k: Int): DataFrame = {
     val dot = aggregate(zip_with(col("embedding"), col("q_emb"),
       (a, b) => a.cast(DoubleType) * b.cast(DoubleType)), lit(0.0), (acc, x) => acc + x)
     val norm = (c: org.apache.spark.sql.Column) =>
       sqrt(aggregate(c, lit(0.0),
         (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    emb.crossJoin(broadcast(q))
+    emb.crossJoin(broadcast(query.select(col("embedding").as("q_emb"))))
       .withColumn("cosine", dot / (norm(col("embedding")) * norm(col("q_emb"))))
-      .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Brute-force similarity top-10 against vec_id=0 with an EXACT oracle
+    * (round-9 move out of the no-oracle class, the q_dedup_embed_q
+    * precedent): milli-quantize (round(x·1000) — no .5 ties, both engines
+    * round identically), int64 dot/norms, and rank by the integer score
+    *   sign(dot) · (dot²·10¹² div (‖a‖²·‖q‖²))
+    * — a pure-integer monotone image of cosine² with the sign restored,
+    * computed in DECIMAL(38,0)/HUGEINT so nothing wraps, truncating
+    * division only on a non-negative quotient (no trunc-vs-floor
+    * divergence), vec_id tiebreak. No float crosses the engine boundary.
+    *
+    * Plan shape: 1-row broadcast (the query vector), map-side quantize +
+    * native codegen'd integer dot (LongVecDot), TakeOrdered(10) — no
+    * shuffle before the top-k. The 100 TB path is the LSH/IVF-bucketed
+    * variant (graft.operators.Similarity); this is the exactness
+    * baseline. */
+  val qSimilarityTopk: Q = (s, d) => {
+    import graft.functions.VectorFunctions.dotL
+    val quant = transform(col("embedding"),
+      x => round(x * 1000, 0).cast(LongType))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), quant.as("qv"))
+      .withColumn("n2", dotL(col("qv"), col("qv")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("qv").as("q_qv"), col("n2").as("q_n2"))
+    e.filter(col("vec_id") =!= 0 && col("n2") > 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", dotL(col("qv"), col("q_qv")))
+      .withColumn("score", expr(
+        """(CASE WHEN dot < 0 THEN -1L ELSE 1L END) *
+           ((CAST(dot AS DECIMAL(38,0)) * dot * 1000000000000)
+            div (CAST(n2 AS DECIMAL(38,0)) * q_n2))"""))
+      .select(col("vec_id"), col("label"), col("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
       .limit(10)
   }
 
@@ -130,6 +161,29 @@ object NorthStarQueries {
     "q_udf_parse_delay" -> qUdfParseDelay)
 
   val oracleSql: Map[String, String] = Map(
+    "q_similarity_topk" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+           FROM e),
+         q AS (SELECT qv AS q_qv, n2 AS q_n2 FROM n WHERE vec_id = 0),
+         sc AS (
+           SELECT n.vec_id, n.label,
+             CAST(list_sum(list_transform(list_zip(n.qv, q.q_qv),
+               t -> t[1] * t[2])) AS BIGINT) AS dot,
+             n.n2, q.q_n2
+           FROM n, q WHERE n.vec_id <> 0 AND n.n2 > 0)
+         SELECT vec_id, label,
+           CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+             ((CAST(dot AS HUGEINT) * dot * 1000000000000) //
+              (CAST(n2 AS HUGEINT) * q_n2)) AS BIGINT) AS score
+         FROM sc
+         ORDER BY score DESC, vec_id ASC
+         LIMIT 10""",
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM
          (SELECT doc_id, lang, source, n_chars,

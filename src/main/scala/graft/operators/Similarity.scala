@@ -276,7 +276,7 @@ object Similarity {
 
   private[operators] def embedPairsArtifact(s: SparkSession,
       d: String): DataFrame =
-    pairCache.getOrElseUpdate(d,
+    Artifacts.memo(pairCache, d, Artifacts.unpersistDf)(
       lshNearDupPairsQUnsorted(Tables.embeddings(s, d), "vec_id", "embedding",
         tables = 2, nbits = 4, dim = 64, cosSq1e4 = 2025L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -323,7 +323,9 @@ object Similarity {
       (model, assigned)
     }
     cacheKey match {
-      case Some(key) => ivfCache.getOrElseUpdate((key, nlist), build())
+      case Some(key) => Artifacts.memo(ivfCache, (key, nlist),
+        (v: (org.apache.spark.ml.clustering.KMeansModel, DataFrame)) =>
+          v._2.unpersist(false))(build())
       case None      => build()
     }
   }
@@ -449,7 +451,9 @@ object Similarity {
       (books, encoded)
     }
     cacheKey match {
-      case Some(key) => pqCache.getOrElseUpdate((key, m, ksub), build())
+      case Some(key) => Artifacts.memo(pqCache, (key, m, ksub),
+        (v: (Array[Array[Array[Double]]], DataFrame)) =>
+          v._2.unpersist(false))(build())
       case None      => build()
     }
   }

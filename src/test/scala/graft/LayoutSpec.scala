@@ -152,6 +152,20 @@ class LayoutSpec extends AnyFunSuite {
       .select(pmod(xxhash64(col("digest")), lit(8L)).as("b"))
       .distinct().count()
     assert(distinctBuckets > 1, "fixture must span several buckets")
+    // the driver fan-out is BOUNDED: past MaxBloomBuckets the regime
+    // refuses loudly (collecting one bitmap per bucket + one plan branch
+    // per bucket does not scale past the documented driver budget)
+    assert(IncrementalDedup.MaxBloomBuckets == 256)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.newDocsBloomBucketed(batch, stateDigests,
+        stateBands, nBuckets = IncrementalDedup.MaxBloomBuckets + 1)
+    }
+    assert(e.getMessage.contains("MaxBloomBuckets"))
+    // and at exactly the cap it still constructs (plan-build only — no
+    // need to execute a 256-branch union in the unit tier)
+    IncrementalDedup.newDocsBloomBucketed(batch, stateDigests,
+      stateBands, nBuckets = IncrementalDedup.MaxBloomBuckets,
+      expectedItemsPerBucket = 10L)
   }
 
   /** Total shuffle-write bytes across all jobs triggered by `f`. */

@@ -118,4 +118,95 @@ class MediaSpec extends AnyFunSuite {
     assert(empty.n_samples == 0 && empty.n_frames == 0 &&
       empty.total_energy == 0L && empty.zero_crossings == 0)
   }
+
+  /** Minimal canonical PCM16 WAV: RIFF header + fmt + data chunks, with
+    * an optional junk chunk before fmt to exercise the chunk walk. */
+  private def wav(samples: Seq[Short], sampleRate: Int = 16000,
+      channels: Int = 1, junkChunk: Boolean = false): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit =
+      (0 until 4).foreach(i => bo.write((v >> (8 * i)) & 0xFF))
+    def w16(v: Int): Unit =
+      (0 until 2).foreach(i => bo.write((v >> (8 * i)) & 0xFF))
+    val dataBytes = samples.length * 2
+    val junkLen = if (junkChunk) 8 + 6 else 0 // "JUNK" + 5 bytes + pad
+    bo.write("RIFF".getBytes("US-ASCII"))
+    w32(4 + junkLen + 24 + 8 + dataBytes)
+    bo.write("WAVE".getBytes("US-ASCII"))
+    if (junkChunk) {
+      bo.write("JUNK".getBytes("US-ASCII")); w32(5)
+      bo.write(Array[Byte](1, 2, 3, 4, 5, 0)) // padded to even
+    }
+    bo.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(1); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * 2); w16(channels * 2); w16(16)
+    bo.write("data".getBytes("US-ASCII")); w32(dataBytes)
+    samples.foreach(s => w16(s & 0xFFFF))
+    bo.toByteArray
+  }
+
+  test("parseWav walks RIFF chunks; header-only metadata is exact") {
+    val b = wav(Seq[Short](100, -200, 300), sampleRate = 8000,
+      junkChunk = true)
+    val info = MediaOps.parseWav(b).get
+    assert(info.audioFormat == 1 && info.channels == 1)
+    assert(info.sampleRate == 8000 && info.bitsPerSample == 16)
+    assert(info.dataBytes == 6)
+    // the data span holds exactly the three samples we wrote
+    assert((0 until 3).map(i =>
+      ((b(info.dataOffset + 2 * i + 1).toInt << 8) |
+        (b(info.dataOffset + 2 * i) & 0xFF)).toShort)
+      == Seq[Short](100, -200, 300))
+    // non-WAV and malformed payloads are rejected, never thrown on
+    assert(MediaOps.parseWav("plain words".getBytes("UTF-8")).isEmpty)
+    assert(MediaOps.parseWav(b.take(10)).isEmpty)
+    // a declared data size past the payload end is clipped, not rejected
+    val over = b.clone()
+    val dataSizePos = info.dataOffset - 4
+    over(dataSizePos) = 0x40 // claim 64 bytes; only 6 exist
+    assert(MediaOps.parseWav(over).get.dataBytes == 6)
+  }
+
+  test("pngDims reads IHDR without running the codec") {
+    assert(MediaOps.pngDims(png(32, 16)).contains((32, 16)))
+    assert(MediaOps.pngDims("plain words padded out to 24+".getBytes("UTF-8")).isEmpty)
+    assert(MediaOps.pngDims(png(4, 4).take(20)).isEmpty)
+  }
+
+  test("decodeFeatures routes WAV through the real PCM path — stub only " +
+      "for opaque bytes") {
+    // amplitudes chosen to land in distinct |s|/2048 bins: 0, 1, 15 (clamp)
+    val b = wav(Seq[Short](100, -3000, 32767, -32768))
+    val got = MediaOps.decodeFeatures(b)
+    val expected = new Array[Float](16)
+    expected(0) = 0.25f  // |100|/2048 = 0
+    expected(1) = 0.25f  // |-3000|/2048 = 1
+    expected(15) = 0.5f  // 32767 and |−32768| clamp to bin 15
+    assert(got.toSeq == expected.toSeq)
+    // the stub on the same bytes is a DIFFERENT histogram — the real
+    // path demonstrably ran
+    assert(got.toSeq != MediaOps.stubDecodeFeatures(b).toSeq)
+    // wavFeatures rejects non-PCM16 (8-bit flagged) containers
+    val b8 = b.clone()
+    // bitsPerSample field sits 22 bytes into the fmt chunk contents
+    val fmtPos = 12 // no junk chunk here: fmt starts right after WAVE
+    b8(fmtPos + 8 + 14) = 8
+    assert(MediaOps.wavFeatures(b8).isEmpty)
+    assert(MediaOps.decodeFeatures(b8).toSeq ==
+      MediaOps.stubDecodeFeatures(b8).toSeq)
+    // opaque text bytes still hit the stub
+    val txt = "plain words".getBytes("UTF-8")
+    assert(MediaOps.decodeFeatures(txt).toSeq ==
+      MediaOps.stubDecodeFeatures(txt).toSeq)
+    // end-to-end through the typed operator: the Dataset path dispatches
+    // identically (image → pixels, wav → amplitudes, opaque → stub)
+    import spark.implicits._
+    val ds = Seq(MediaRow(1L, b, "audio"), MediaRow(2L, txt, "video"),
+      MediaRow(3L, png(8, 8), "image")).toDS()
+    val out = MediaOps.extractFeatures(ds).collect()
+      .map(r => r.doc_id -> r.features.toSeq).toMap
+    assert(out(1L) == expected.toSeq)
+    assert(out(2L) == MediaOps.stubDecodeFeatures(txt).toSeq)
+    assert(out(3L) == MediaOps.decodeFeatures(png(8, 8)).toSeq)
+  }
 }

@@ -156,18 +156,37 @@ class NoOracleSpec extends AnyFunSuite {
     }
   }
 
-  test("q_similarity_topk equals plain-Scala brute force") {
-    val q = embeddings.find(_._1 == 0L).get._2
+  test("q_similarity_topk (integer-score, oracle-bearing since r9) " +
+      "equals plain-Scala quantized brute force") {
+    // plain-Scala mirror of the declared query's exact integer score
+    def quant(e: Array[Float]): Array[Long] =
+      e.map(x => math.round(x * 1000.0))
+    val qv = quant(embeddings.find(_._1 == 0L).get._2)
+    val qn2 = qv.map(x => x * x).sum
+    def score(e: Array[Float]): (Long, Long) = {
+      val v = quant(e)
+      val dot = v.zip(qv).map { case (a, b) => a * b }.sum
+      val n2 = v.map(x => x * x).sum
+      val mag = (BigInt(dot) * BigInt(dot) * BigInt("1000000000000") /
+        (BigInt(n2) * BigInt(qn2))).toLong
+      (n2, (if (dot < 0) -1L else 1L) * mag)
+    }
     val want = embeddings.filter(_._1 != 0L)
-      .map { case (id, e) => (id, cosine(e, q)) }
-      .sortBy { case (id, c) => (-c, id) }
+      .map { case (id, e) => (id, score(e)) }
+      .collect { case (id, (n2, s)) if n2 > 0 => (id, s) }
+      .sortBy { case (id, s) => (-s, id) }
       .take(10)
     val got = NorthStarQueries.qSimilarityTopk(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getDouble(2)))
-    assert(got.map(_._1).toSeq == want.map(_._1).toSeq)
-    got.zip(want).foreach { case ((_, gc), (_, wc)) =>
-      assert(math.abs(gc - wc) < 1e-9)
-    }
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    // the integer ranking stays faithful to float cosine: strong overlap
+    // with the float-cosine library tier on the fixture
+    val q = embeddings.find(_._1 == 0L).get._2
+    val floatTop = embeddings.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cosine(e, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    assert(got.map(_._1).count(floatTop.contains) >= 8,
+      s"quantized ranking diverged from float cosine: $got vs $floatTop")
   }
 
   test("q_similarity_lsh returns a correctly-ranked subset with useful recall") {

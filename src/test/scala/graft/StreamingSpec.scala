@@ -69,6 +69,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("sf0.1 file-source AvailableNow: tumbling + session windows equal " +
+      "batch on the full 100k-event fixture") {
+    // bench-scale integration (VERDICT r8 #9): the REAL sf0.1 events
+    // table through the file source — not MemoryStream — in several
+    // micro-batches (maxFilesPerTrigger=4 over 12 staged files), with
+    // complete-mode memory sinks so every window is observable and the
+    // batch comparison is exact with no watermark-finalization carve-out.
+    val sfDir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$sfDir/events.parquet").exists())
+    val dir = Files.createTempDirectory("graft-stream-sf01").toString
+    val src = s"$dir/src"
+    val batch = Tables.events(spark, sfDir)
+    // stage CHRONOLOGICALLY (range-partitioned by ts → part files sort
+    // by path in time order): a backlog replay delivers roughly-ordered
+    // files, and the session operator drops rows behind the watermark in
+    // EVERY output mode — a randomly-shuffled staging makes most of the
+    // fixture "late" and silently empties the session state. Sessions
+    // spanning a file boundary still exercise cross-micro-batch merge.
+    batch.repartitionByRange(12, col("ts")).write.parquet(src)
+
+    import org.apache.spark.sql.streaming.Trigger
+    val qT = EventStream.tumblingCounts(EventStream.readEvents(spark, src))
+      .writeStream.format("memory").queryName("sf01_tumb")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/cpT")
+      .trigger(Trigger.AvailableNow()).start()
+    qT.awaitTermination()
+    val gotT = spark.table("sf01_tumb").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val wantT = batch
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotT == wantT)
+    // every event counted exactly once (sum over a Seq, not the Set)
+    assert(spark.table("sf01_tumb").collect().map(_.getLong(2)).sum
+      == batch.count())
+
+    val qS = EventStream.sessionCounts(EventStream.readEvents(spark, src))
+      .writeStream.format("memory").queryName("sf01_sess")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/cpS")
+      .trigger(Trigger.AvailableNow()).start()
+    qS.awaitTermination()
+    val gotS = spark.table("sf01_sess").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val wantS = batch
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start"), col("user_id"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotS == wantS)
+    assert(spark.table("sf01_sess").collect().map(_.getLong(2)).sum
+      == batch.count())
+  }
+
   test("streaming hourly OHLC equals batch bars across out-of-order batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
