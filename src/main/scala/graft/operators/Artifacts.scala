@@ -56,5 +56,6 @@ object Artifacts {
     CurationOps.clearArtifacts()
     Graph.clearArtifacts()
     QualityModel.clearCache()
+    TextQueries.clearArtifacts()
   }
 }

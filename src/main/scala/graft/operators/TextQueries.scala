@@ -270,6 +270,116 @@ object TextQueries {
         count_distinct(col("word")).as("n_words"))
   }
 
+  /** Full BPE merge-table TRAINING (Sennrich et al. 2016, the public
+    * subword-tokenizer recipe) — the iterative closure of
+    * [[qTextBpePairs]]'s single pair count: `rounds` greedy merges, each
+    * round picking the highest-weighted adjacent symbol pair
+    * (count desc, pair asc tiebreak — total order, engine-exact) and
+    * merging it left-to-right non-overlapping across the vocabulary.
+    *
+    * Scale shape — the reason BPE training is feasible on a petabyte
+    * corpus at all is SET CONTRACTION: ONE corpus pass builds the
+    * (word, freq) vocabulary (MBs where the corpus is TBs; HuggingFace's
+    * trainer does exactly this), checkpointed once, and every round then
+    * runs on the vocab alone — a pair explode + hash agg + top-1, all
+    * jobs bounded by vocab size, never corpus size. Like the IVF/PQ/
+    * logistic artifacts, training is an EAGER once-per-corpus ingest
+    * step (k small argmax jobs at build; memoized via Artifacts so
+    * repeated evaluation reuses the merge table).
+    *
+    * Exactness: symbols ride as space-joined strings and the merge is
+    * `replace(' '||sym||' ', ' a b ', ' ab ')` — sequential
+    * non-overlapping scan, IDENTICAL semantics in Java's String.replace
+    * and DuckDB's replace (e.g. 'a a a' → 'aa a', never 'a aa'), so the
+    * k-round unrolled oracle reproduces the training bit-for-bit. All
+    * counts exact longs. */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab0 = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var vocab = vocab0
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val toksC = split(col("sym"), " ")
+      val best = vocab
+        .filter(size(toksC) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(1), size(toksC) - 1),
+          i => concat(element_at(toksC, i), lit(" "),
+            element_at(toksC, i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val merged = pair.replace(" ", "")
+        merges += ((r + 1, pair, merged, best(0).getLong(1)))
+        vocab = vocab.select(col("n"),
+          trim(call_function("replace",
+            concat(lit(" "), col("sym"), lit(" ")),
+            lit(s" $pair "), lit(s" $merged "))).as("sym"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "pair", "merged", "cnt")
+  }
+
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]()
+
+  /** Drop cached BPE merge tables (see DedupQueries.clearArtifacts). */
+  def clearArtifacts(): Unit = bpeCache.clear()
+
+  val BpeRounds = 6
+
+  /** Declared query: the 6-round BPE merge table for the corpus. */
+  val qTextBpeTrain: Q = (s, d) =>
+    Artifacts.memo(bpeCache, (d, BpeRounds))(
+      bpeTrain(Tables.documents(s, d), BpeRounds))
+
+  private def bpeTrainOracle(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (
+           SELECT pr.pair, CAST(SUM(v.n) AS BIGINT) AS cnt
+           FROM v${r - 1} v, LATERAL (
+             SELECT unnest(list_transform(
+               generate_series(1, len(string_split(v.sym, ' ')) - 1),
+               i -> string_split(v.sym, ' ')[i] || ' ' ||
+                    string_split(v.sym, ' ')[i + 1])) AS pair) pr
+           GROUP BY pr.pair),
+         b$r AS (SELECT $r AS rank, pair, replace(pair, ' ', '') AS merged,
+                   cnt
+                 FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         v$r AS (
+           SELECT v.n, trim(replace(' ' || v.sym || ' ',
+               ' ' || (SELECT pair FROM b$r) || ' ',
+               ' ' || (SELECT merged FROM b$r) || ' ')) AS sym
+           FROM v${r - 1} v)"""
+    }.mkString(",\n         ")
+    val union = (1 to rounds)
+      .map(r => s"SELECT rank, pair, merged, cnt FROM b$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH w AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS word
+           FROM documents),
+         v0 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+           FROM w WHERE len(word) > 0 GROUP BY word),
+         $stages
+         $union
+         ORDER BY rank"""
+  }
+
   /** PII-style redaction: digit runs → <NUM>, named-entity-ish tokens →
     * <ENT> (the fixture corpus has no digits, so the oracle verifies the
     * <NUM> no-match path; the positive path is unit-tested on
@@ -496,6 +606,7 @@ object TextQueries {
     "q_text_quality" -> qTextQuality,
     "q_text_gopher" -> qTextGopher,
     "q_text_bpe_pairs" -> qTextBpePairs,
+    "q_text_bpe_train" -> qTextBpeTrain,
     "q_text_token_count" -> qTextTokenCount,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_tfidf" -> qTextTfidf,
@@ -510,6 +621,7 @@ object TextQueries {
     "q_vocab_topk" -> qVocabTopk)
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_bpe_train" -> bpeTrainOracle(BpeRounds),
     "q_text_langid" ->
       """WITH sc AS (
            SELECT doc_id,

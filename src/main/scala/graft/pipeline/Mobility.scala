@@ -130,4 +130,58 @@ object Mobility {
       .groupBy("service_day", "route_id")
       .agg(count(lit(1)).as("n_trips"),
         countDistinct(col("service_id")).as("n_services"))
+
+  /** (d) Shape polyline lengths: true haversine meters summed over
+    * consecutive shape points — the route-geometry census (km of network
+    * per shape, the denominator of every speed/coverage metric). One
+    * `lag` window per shape_id ordered by shape_pt_sequence (group size
+    * = points per shape, a geometry constant), one keyed aggregate;
+    * reuses the engine's codegen'd no-UDF haversine
+    * ([[graft.operators.Geo.haversineMeters]]). */
+  def shapeLengths(shapes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("shape_id").orderBy("shape_pt_sequence")
+    shapes
+      .withColumn("prev_lat", lag(col("shape_pt_lat"), 1).over(w))
+      .withColumn("prev_lon", lag(col("shape_pt_lon"), 1).over(w))
+      .withColumn("seg_m", graft.operators.Geo.haversineMeters(
+        col("prev_lat"), col("prev_lon"),
+        col("shape_pt_lat"), col("shape_pt_lon")))
+      .groupBy("shape_id")
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("seg_m")).as("length_m"))
+  }
+
+  /** (e) Worst stops by observed delay: the scraped snapshots join the
+    * stop dimension on the rider-facing stop_name (the scraper's only
+    * stop key, dags/warsaw-delays.py:182) — broadcast, left so
+    * unmatched scrape names survive — rolled up to exact integer totals
+    * plus the deci-second integer mean, ranked worst-first with a
+    * stable tiebreak. Top-k is `TakeOrdered`, never a global sort. */
+  def worstStops(delayObs: DataFrame, stops: DataFrame, k: Int): DataFrame =
+    delayObs
+      .select(col("stop_name"), col("delay_seconds"))
+      .join(broadcast(stops.select(col("stop_name"), col("stop_id"))),
+        Seq("stop_name"), "left")
+      .groupBy("stop_name", "stop_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("delay_seconds").cast("long")).as("total_delay_s"))
+      .withColumn("mean_delay_ds", expr("(total_delay_s * 10) div n_obs"))
+      .orderBy(col("mean_delay_ds").desc, col("stop_name").asc)
+      .limit(k)
+
+  /** (f) Dead routes: routes whose service never runs in the expansion
+    * window — the schedule-integrity check a feed consumer runs after
+    * every ingest (a route with trips but no active calendar date is a
+    * data bug or a seasonal line). Anti-join through trips against the
+    * active-service set; all schedule-sized. */
+  def deadRoutes(routes: DataFrame, trips: DataFrame,
+      calendarDates: DataFrame): DataFrame = {
+    val liveRouteIds = trips
+      .join(broadcast(activeServices(calendarDates)
+        .select("service_id").distinct()), Seq("service_id"))
+      .select("route_id").distinct()
+    routes.join(liveRouteIds, Seq("route_id"), "left_anti")
+      .select(col("route_id"), col("route_short_name"),
+        col("route_long_name"))
+  }
 }

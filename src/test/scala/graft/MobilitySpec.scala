@@ -54,8 +54,14 @@ class MobilitySpec extends AnyFunSuite {
           "WD,20241224,1\n" +
           "WD,20241224,2\n" + // added then removed → inactive
           "WE,20241224,1\n"),
+      "shapes.txt" ->
+        ("shape_id,shape_pt_lat,shape_pt_lon,shape_pt_sequence\n" +
+          "SH1,52.0,21.0,1\n" +
+          "SH1,52.0,21.1,2\n" +   // ~6.85 km east along 52°N
+          "SH1,52.1,21.1,3\n" +   // ~11.12 km north
+          "SH2,52.5,21.0,1\n"),   // single point → zero length
       "stops.txt" ->
-        "stop_id,stop_name,stop_lat,stop_lon\nS1,Central,52.23,21.01\nS2,North,52.28,21.00\n"))
+        "stop_id,stop_name,stop_lat,stop_lon\nS1,Centrum,52.23,21.01\nS2,Rondo,52.28,21.00\n"))
     assert(GtfsIngest.run(spark, zip, dir, s"$dir/state.parquet",
       LocalDate.of(2024, 12, 23)))
 
@@ -133,5 +139,65 @@ class MobilitySpec extends AnyFunSuite {
     assert(perDay == Set(
       ("2024-12-23", "R175", 2L, 1L),
       ("2024-12-24", "R17", 1L, 1L)))
+  }
+
+  test("shapeLengths: haversine polyline sums per shape") {
+    val out = Mobility.shapeLengths(
+      Mobility.gtfsTable(spark, wh, "shapes"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))).toMap
+    def m(lat1: Double, lon1: Double, lat2: Double, lon2: Double) = {
+      val R = graft.operators.Geo.EarthRadiusM
+      val sLat = math.sin(math.toRadians(lat2 - lat1) / 2)
+      val sLon = math.sin(math.toRadians(lon2 - lon1) / 2)
+      val a = sLat * sLat + math.cos(math.toRadians(lat1)) *
+        math.cos(math.toRadians(lat2)) * sLon * sLon
+      2 * R * math.asin(math.min(1.0, math.sqrt(a)))
+    }
+    val want1 = m(52.0, 21.0, 52.0, 21.1) + m(52.0, 21.1, 52.1, 21.1)
+    val (n1, len1) = out("SH1")
+    assert(n1 == 3L)
+    assert(math.abs(len1 - want1) < 1e-6, s"len=$len1 want=$want1")
+    assert(len1 > 17000 && len1 < 19000) // ~6.85 + ~11.12 km
+    val (n2, len2) = out("SH2")
+    assert(n2 == 1L && len2 == -1.0) // single point: SUM of no segments = NULL
+  }
+
+  test("worstStops: stop-name join, deci-second means, top-k order") {
+    val out = Mobility.worstStops(
+      Mobility.delays(spark, wh),
+      Mobility.gtfsTable(spark, wh, "stops"), k = 10)
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // Centrum: 300 + 90 (h14) + 120 (h15) = 510 s over 3 obs → 1700 ds;
+    // Rondo: 120 → 1200 ds; Nowhere: 60 → 600 ds, no stop match → NULL id
+    assert(out.toList == List(
+      ("Centrum", Some("S1"), 3L, 510L, 1700L),
+      ("Rondo", Some("S2"), 1L, 120L, 1200L),
+      ("Nowhere", None, 1L, 60L, 600L)))
+  }
+
+  test("deadRoutes: routes with no active service day are flagged") {
+    // both fixture routes have active days; a ghost route with no trips
+    // at all must appear dead
+    val routes = Mobility.gtfsTable(spark, wh, "routes")
+    val extra = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row("R999", "A1", "999", "Phantom", 3)),
+      pipeline.LandingSchemas.gtfs("routes"))
+    val dead = Mobility.deadRoutes(
+      routes.drop("y", "m", "d").unionByName(extra),
+      Mobility.gtfsTable(spark, wh, "trips"),
+      Mobility.gtfsTable(spark, wh, "calendar_dates"))
+      .collect().map(_.getString(0)).toSet
+    assert(dead == Set("R999"))
+    // drop every calendar date → every route goes dead
+    val none = Mobility.deadRoutes(routes,
+      Mobility.gtfsTable(spark, wh, "trips"),
+      Mobility.gtfsTable(spark, wh, "calendar_dates").limit(0))
+      .collect().map(_.getString(0)).toSet
+    assert(none == Set("R175", "R17"))
   }
 }
