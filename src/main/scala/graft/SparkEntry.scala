@@ -48,6 +48,7 @@ object SparkEntry {
       Maintenance.queries ++
       Linkage.queries ++
       QualityModel.queries ++
+      TpchQueries.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,5 +84,6 @@ object SparkEntry {
       Maintenance.oracleSql ++
       Linkage.oracleSql ++
       QualityModel.oracleSql ++
+      TpchQueries.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

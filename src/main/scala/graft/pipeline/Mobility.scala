@@ -169,6 +169,42 @@ object Mobility {
       .orderBy(col("mean_delay_ds").desc, col("stop_name").asc)
       .limit(k)
 
+  /** On-disk schema of a landed delays snapshot: the scraper columns
+    * plus the two typed columns [[DelaysIngest.run]] derives. */
+  val landedDelaysSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    LandingSchemas.delays
+      .add(StructField("delay_seconds", IntegerType))
+      .add(StructField("outside_flag", BooleanType))
+  }
+
+  /** The landed traffic warehouse as a STREAM — the P16 micro-batching
+    * consumer: every hourly snapshot the scraper lands becomes a
+    * micro-batch (file source over the Hive leaves; declared schema, no
+    * inference), and [[delayRollupStream]] keeps a live per-route
+    * delay rollup. `Trigger.AvailableNow` drains a backlog exactly
+    * once; a continuous trigger tails the directory as DAG 2 lands new
+    * hours. */
+  def streamDelays(spark: SparkSession, warehouseDir: String): DataFrame =
+    spark.readStream
+      .schema(landedDelaysSchema)
+      .option("maxFilesPerTrigger", "1") // one landed snapshot per batch
+      .parquet(s"$warehouseDir/traffic/*/*/*/*")
+
+  /** Streaming per-route hourly delay rollup: tumbling window on the
+    * snapshot's ingest timestamp, exact integer totals — the streaming
+    * mirror of [[delayByRoute]]'s batch rollup (same 2 h watermark
+    * convention as the events stream; state is bounded by
+    * routes × active windows). Asserted equal to the batch expression
+    * over the same landed files in MobilitySpec. */
+  def delayRollupStream(delays: DataFrame): DataFrame =
+    delays.withWatermark("ingest_ts", "2 hours")
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("route"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("delay_seconds").cast("long")).as("total_delay_s"))
+      .select(col("window.start").as("wstart"), col("route"),
+        col("n_obs"), col("total_delay_s"))
+
   /** (f) Dead routes: routes whose service never runs in the expansion
     * window — the schedule-integrity check a feed consumer runs after
     * every ingest (a route with trips but no active calendar date is a

@@ -179,6 +179,32 @@ class MobilitySpec extends AnyFunSuite {
       ("Nowhere", None, 1L, 60L, 600L)))
   }
 
+  test("streaming delay rollup over the landed warehouse equals batch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val q = Mobility.delayRollupStream(Mobility.streamDelays(spark, wh))
+      .writeStream.format("memory").queryName("mob_delay_roll")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("mob_delay_roll").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = Mobility.delays(spark, wh)
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("route"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("delay_seconds").cast("long")).as("total_delay_s"))
+      .select(col("window.start"), col("route"), col("n_obs"),
+        col("total_delay_s"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // the two landed snapshots arrive as separate micro-batches
+    // (maxFilesPerTrigger=1) and still roll up exactly
+    assert(got.map(_._2) == Set("175", "17", "999"))
+  }
+
   test("deadRoutes: routes with no active service day are flagged") {
     // both fixture routes have active days; a ghost route with no trips
     // at all must appear dead
