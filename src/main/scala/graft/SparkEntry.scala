@@ -49,6 +49,7 @@ object SparkEntry {
       Linkage.queries ++
       QualityModel.queries ++
       TpchQueries.queries ++
+      SqlSurface.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +86,6 @@ object SparkEntry {
       Linkage.oracleSql ++
       QualityModel.oracleSql ++
       TpchQueries.oracleSql ++
+      SqlSurface.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

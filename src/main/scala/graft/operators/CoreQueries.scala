@@ -252,6 +252,28 @@ object CoreQueries {
       .except(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("key")))
 
+  /** EXCEPT ALL — bag-semantics difference: each (event_type, user_id)
+    * occurrence above the low threshold minus one occurrence per match
+    * above the high threshold (multiplicity = max(0, m−n), vs EXCEPT's
+    * set semantics). Spark plans the standard rewrite: a count-tagged
+    * union aggregated on the key, then a generator re-expanding the
+    * surviving multiplicities — one shuffle, no join. */
+  val qExceptAll: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.filter(col("value") > 50d).select("event_type", "user_id")
+      .exceptAll(ev.filter(col("value") > 80d)
+        .select("event_type", "user_id"))
+  }
+
+  /** INTERSECT ALL — bag-semantics intersection (multiplicity =
+    * min(m, n)); the companion surface to [[qExceptAll]]. */
+  val qIntersectAll: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.filter(col("value") > 50d).select("event_type", "user_id")
+      .intersectAll(ev.filter(col("value") > 80d)
+        .select("event_type", "user_id"))
+  }
+
   // ---- sorts / top-k ----------------------------------------------------
 
   /** Multi-key sort, mixed asc/desc, unique tiebreaker. */
@@ -311,6 +333,8 @@ object CoreQueries {
     "q_union_distinct" -> qUnionDistinct,
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
+    "q_except_all" -> qExceptAll,
+    "q_intersect_all" -> qIntersectAll,
     "q_sort_multi" -> qSortMulti,
     "q_sort_nulls" -> qSortNulls,
     "q_limit_offset" -> qLimitOffset,
@@ -441,6 +465,16 @@ object CoreQueries {
          EXCEPT
          SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
          ORDER BY key""",
+    "q_except_all" ->
+      """SELECT event_type, user_id FROM events WHERE value > 50
+         EXCEPT ALL
+         SELECT event_type, user_id FROM events WHERE value > 80
+         ORDER BY event_type, user_id""",
+    "q_intersect_all" ->
+      """SELECT event_type, user_id FROM events WHERE value > 50
+         INTERSECT ALL
+         SELECT event_type, user_id FROM events WHERE value > 80
+         ORDER BY event_type, user_id""",
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
          FROM orders

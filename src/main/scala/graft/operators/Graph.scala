@@ -272,12 +272,71 @@ object Graph {
       .select(col("id").as("node"), col("label").as("component"))
   }
 
+  /** Fixed-depth BFS distances from a seed set over a canonical
+    * undirected edge table: every node within `maxDepth` hops, with its
+    * exact hop distance (min over walk lengths = shortest path). One
+    * equi-join shuffle per level, frontier deduped per level; at real
+    * scale each level gets a localCheckpoint to cut lineage and an
+    * anti-join against the visited set to stop re-expanding the (much
+    * larger) interior — with depth fixed at 3 the re-expansion here is
+    * bounded and the simpler union-then-min plan wins. */
+  def bfsDepths(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val adj = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    var all = seeds.select(col("node"), lit(0).as("dist"))
+    var frontier = all
+    for (i <- 1 to maxDepth) {
+      frontier = frontier
+        .join(adj, frontier("node") === adj("a"))
+        .select(col("b").as("node"), lit(i).as("dist"))
+        .distinct()
+      all = all.unionAll(frontier)
+    }
+    all.groupBy("node").agg(min(col("dist")).as("dist"))
+  }
+
+  /** Declared query: 3-hop BFS distances on the co-order graph from the
+    * low-id part seeds (pk ≤ 10). */
+  val qGraphBfs: Q = (s, d) => {
+    val edges = coOrderEdges(s, d)
+    val seeds = degrees(edges).select("node").filter(col("node") <= 10)
+    bfsDepths(edges, seeds, maxDepth = 3)
+  }
+
+  /** k-core peeling, a FIXED number of synchronous rounds: each round
+    * drops every node with degree < k and restricts the edge set to
+    * surviving endpoints (two semi-joins against the |V|-row keep list).
+    * A fixed round count keeps the result deterministic and the plan
+    * static — full convergence iterates the same step with an
+    * empty-delta stop test, exactly the [[qGraphComponents]] recipe.
+    * Returns the post-peel degree table (a node may dip below k again
+    * on the final round — that residue is the next round's work). */
+  def kcorePeel(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = edges0
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter(col("degree") >= k).select("node")
+      edges = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+    }
+    degrees(edges)
+  }
+
+  /** Declared query: 3 peeling rounds toward the 8-core of the co-order
+    * graph (k = 8 sits inside the fixture's degree distribution — min
+    * degree 3, median ≈ 21 at sf0.01 — so the peel removes real nodes
+    * and cascades). */
+  val qGraphKcore: Q = (s, d) => kcorePeel(coOrderEdges(s, d), 8, 3)
+
   val queries: Map[String, Q] = Map(
     "q_graph_degree" -> qGraphDegree,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_jaccard" -> qGraphJaccard,
     "q_graph_components" -> qGraphComponents,
-    "q_graph_pagerank" -> qGraphPagerank)
+    "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_bfs" -> qGraphBfs,
+    "q_graph_kcore" -> qGraphKcore)
 
   /** Shared oracle prelude: the same canonical co-order edge set. */
   private val edgeCteBody: String =
@@ -291,6 +350,46 @@ object Graph {
   private val edgeCte: String = "WITH " + edgeCteBody
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_kcore" -> (edgeCte +
+      """,
+       dg0 AS (SELECT node, count(*) AS degree
+               FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+               GROUP BY node),
+       k0 AS (SELECT node FROM dg0 WHERE degree >= 8),
+       e1 AS (SELECT e.u, e.v FROM e
+              JOIN k0 a ON e.u = a.node JOIN k0 b ON e.v = b.node),
+       dg1 AS (SELECT node, count(*) AS degree
+               FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+               GROUP BY node),
+       k1 AS (SELECT node FROM dg1 WHERE degree >= 8),
+       e2 AS (SELECT e1.u, e1.v FROM e1
+              JOIN k1 a ON e1.u = a.node JOIN k1 b ON e1.v = b.node),
+       dg2 AS (SELECT node, count(*) AS degree
+               FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+               GROUP BY node),
+       k2 AS (SELECT node FROM dg2 WHERE degree >= 8),
+       e3 AS (SELECT e2.u, e2.v FROM e2
+              JOIN k2 a ON e2.u = a.node JOIN k2 b ON e2.v = b.node)
+       SELECT node, count(*) AS degree
+       FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+       GROUP BY node ORDER BY node"""),
+    "q_graph_bfs" -> (edgeCte +
+      """,
+       adj AS (SELECT u AS a, v AS b FROM e
+               UNION ALL SELECT v AS a, u AS b FROM e),
+       d0 AS (SELECT DISTINCT a AS node FROM adj WHERE a <= 10),
+       l1 AS (SELECT DISTINCT adj.b AS node
+              FROM adj JOIN d0 ON adj.a = d0.node),
+       l2 AS (SELECT DISTINCT adj.b AS node
+              FROM adj JOIN l1 ON adj.a = l1.node),
+       l3 AS (SELECT DISTINCT adj.b AS node
+              FROM adj JOIN l2 ON adj.a = l2.node),
+       lv AS (SELECT node, 0 AS dist FROM d0
+              UNION ALL SELECT node, 1 FROM l1
+              UNION ALL SELECT node, 2 FROM l2
+              UNION ALL SELECT node, 3 FROM l3)
+       SELECT node, CAST(MIN(dist) AS INT) AS dist
+       FROM lv GROUP BY node ORDER BY node"""),
     "q_graph_degree" -> (edgeCte +
       """
          SELECT node, count(*) AS degree

@@ -119,13 +119,54 @@ object Maintenance {
 
   val qGapStats: Q = (s, d) => gapStats(Tables.events(s, d))
 
+  /** Shuffle-key skew report: per-key load share and hot-key flags for a
+    * prospective join/agg key — the diagnostic that decides whether a key
+    * needs salting ([[Salting]]) before the real query runs. Per key:
+    * row count, exact ppm share (integer div), dense load rank, and
+    * `is_hot` = carries >2× the mean per-key load (cnt·nkeys > 2·total —
+    * cross-multiplied, no division). One keyed rollup collapses the fact
+    * table to |keys| rows; the totals ride full-frame windows over that
+    * tiny aggregate, so the 100 TB side is scanned exactly once. */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val order = Window.orderBy(col("cnt").desc, col(keyCol))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(all))
+      .withColumn("nkeys", count(lit(1)).over(all))
+      .select(col(keyCol), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        row_number().over(order).as("load_rank"),
+        (col("cnt") * col("nkeys") > col("total") * 2L).as("is_hot"))
+  }
+
+  /** Declared query: supplier-key skew report over lineitem. */
+  val qSkewReport: Q = (s, d) =>
+    skewReport(Tables.lineitem(s, d), "l_suppkey")
+
   val queries: Map[String, Q] = Map(
     "q_compaction_plan" -> qCompactionPlan,
     "q_coverage_curve" -> qCoverageCurve,
     "q_partition_stats" -> qPartitionStats,
-    "q_gap_stats" -> qGapStats)
+    "q_gap_stats" -> qGapStats,
+    "q_skew_report" -> qSkewReport)
 
   val oracleSql: Map[String, String] = Map(
+    "q_skew_report" ->
+      """WITH k AS (
+           SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY l_suppkey),
+         t AS (
+           SELECT k.*, SUM(cnt) OVER () AS total,
+                  COUNT(*) OVER () AS nkeys
+           FROM k)
+         SELECT l_suppkey, cnt,
+           CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS INT)
+             AS load_rank,
+           cnt * nkeys > total * 2 AS is_hot
+         FROM t ORDER BY l_suppkey""",
     "q_compaction_plan" ->
       """WITH c AS (
            SELECT source, doc_id, n_chars,

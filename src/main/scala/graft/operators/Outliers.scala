@@ -89,9 +89,44 @@ object Outliers {
     zscoreOutliers(Tables.events(s, d), "event_type", "value", k = 2.0)
       .select(col("event_id"), col("event_type"), col("value"))
 
+  /** MAD (median absolute deviation) outliers — the robust companion to
+    * the z-score test: immune to the very outliers it hunts, because
+    * both center and spread are medians. Exactness: values live on
+    * centi-unit integers `q` (lossless at the fixture's 2 dp); the
+    * medians ride DOUBLED scales so even-count interpolation stays
+    * exactly representable — `med2 = 2·median(q)` and
+    * `mad4 = 2·median(|2q − med2|)` are integer-valued doubles, and the
+    * flag `2·|2q − med2| > 3·mad4` (⇔ |x − med| > 1.5·MAD) compares
+    * exact integers. No float accumulation anywhere.
+    *
+    * Scale shape: two grouped exact-percentile rollups (one shuffle
+    * each, tiny outputs) broadcast back onto the fact stream — the
+    * 100 TB side is scanned twice but never re-shuffled; at petabyte
+    * group cardinalities swap `percentile` for `approx_percentile` and
+    * keep the identical plan. */
+  def madOutliers(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val fact = df.withColumn("q",
+      col(valueCol).cast("decimal(18,2)").multiply(lit(100)).cast("long"))
+    val med = fact.groupBy(col(groupCol))
+      .agg((percentile(col("q"), lit(0.5)) * 2).as("med2"))
+    val dev = fact.join(broadcast(med), groupCol)
+      .withColumn("dev2", abs(lit(2) * col("q") - col("med2")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).as("mad4"))
+    dev.join(broadcast(mad), groupCol)
+      .filter(lit(2) * col("dev2") > lit(3) * col("mad4"))
+  }
+
+  /** Declared query: events beyond 1.5·MAD of their event_type median. */
+  val qOutlierMad: Q = (s, d) =>
+    madOutliers(Tables.events(s, d), "event_type", "value")
+      .select(col("event_id"), col("event_type"), col("value"))
+
   val queries: Map[String, Q] = Map(
     "q_outlier_iqr" -> qOutlierIqr,
-    "q_outlier_zscore" -> qOutlierZscore)
+    "q_outlier_zscore" -> qOutlierZscore,
+    "q_outlier_mad" -> qOutlierMad)
 
   val oracleSql: Map[String, String] = Map(
     "q_outlier_iqr" ->
@@ -126,5 +161,24 @@ object Outliers {
                > 4.0 * CAST(m.n AS DOUBLE)
                  * (CAST(m.n AS DOUBLE) * CAST(m.ss AS DOUBLE)
                     - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
-         ORDER BY e.event_id""")
+         ORDER BY e.event_id""",
+    "q_outlier_mad" ->
+      """WITH f AS (
+           SELECT event_id, event_type, value,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+           FROM events),
+         m AS (
+           SELECT event_type, quantile_cont(q, 0.5) * 2 AS med2
+           FROM f GROUP BY event_type),
+         dv AS (
+           SELECT f.event_id, f.event_type, f.value,
+                  abs(2 * f.q - m.med2) AS dev2
+           FROM f JOIN m USING (event_type)),
+         md AS (
+           SELECT event_type, quantile_cont(dev2, 0.5) * 2 AS mad4
+           FROM dv GROUP BY event_type)
+         SELECT dv.event_id, dv.event_type, dv.value
+         FROM dv JOIN md USING (event_type)
+         WHERE 2 * dv.dev2 > 3 * md.mad4
+         ORDER BY dv.event_id""")
 }

@@ -189,7 +189,48 @@ object TimeSeries {
   /** Declared query: lag-1 and lag-7 autocorrelation of daily volume. */
   val qAutocorr: Q = (s, d) => autocorr(Tables.events(s, d), Seq(1, 7))
 
+  /** CUSUM changepoint detection per series: the day where the
+    * cumulative deviation from the series mean peaks — the standard
+    * single-changepoint estimator (argmax_i |Σ_{j≤i}(x_j − x̄)|).
+    * Exactness: with N days and total S, the scaled statistic
+    * `cusum_i = N·cum_i − i·S` is an exact integer (the mean-centered
+    * partial sum cross-multiplied by N, same device as [[autocorr]]);
+    * operands cast to decimal(19,0) before the multiply so petabyte
+    * daily volumes can't wrap a Long, and the argmax tiebreak is the
+    * earliest day. Scale shape: one keyed map-side-combinable rollup
+    * collapses the event stream to |series|·|days| rows; every window
+    * after that partitions by event_type over the calendar-bounded
+    * series. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val scored = daily
+      .withColumn("n_days", count(lit(1)).over(full))
+      .withColumn("s", sum(col("x")).over(full))
+      .withColumn("cum", sum(col("x")).over(run))
+      .withColumn("i", row_number().over(w))
+      .withColumn("cusum",
+        dec(col("n_days")) * dec(col("cum")) - dec(col("i")) * dec(col("s")))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum")).desc, col("day").asc)
+    scored
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("cusum").cast("double").as("cusum"), col("n_days"))
+  }
+
+  /** Declared query: CUSUM changepoint day per event_type. */
+  val qTsChangepoint: Q = (s, d) => cusumChangepoint(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
+    "q_ts_changepoint" -> qTsChangepoint,
     "q_fill_forward" -> qFillForward,
     "q_rolling_active" -> qRollingActive,
     "q_concurrency_sweep" -> qConcurrencySweep,
@@ -197,6 +238,29 @@ object TimeSeries {
     "q_resample_ohlc" -> qResampleOhlc)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ts_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         sc AS (
+           SELECT event_type, day,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+             SUM(x) OVER (PARTITION BY event_type) AS s,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+           FROM daily),
+         cs AS (
+           SELECT event_type, day, n_days,
+             CAST(n_days AS HUGEINT) * CAST(cum AS HUGEINT)
+               - CAST(i AS HUGEINT) * CAST(s AS HUGEINT) AS cusum
+           FROM sc)
+         SELECT event_type, day AS cp_day, CAST(cusum AS DOUBLE) AS cusum,
+           n_days
+         FROM cs
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY abs(cusum) DESC, day ASC) = 1""",
     "q_autocorr" ->
       """WITH d AS (
            SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x

@@ -117,10 +117,197 @@ object TpchQueries {
       .limit(20)
   }
 
+  private val dec4 = DecimalType(18, 4)
+  private val dec6 = DecimalType(18, 6)
+
+  /** Q1 shape — pricing summary report: the canonical scan-heavy
+    * wide-aggregate over lineitem below a shipdate cutoff. Eight
+    * aggregates per (returnflag, linestatus), every sum in DECIMAL
+    * partials and every average as an explicit decimal division at a
+    * fixed output scale (§7.4) — the whole query is one parquet scan
+    * with map-side partial aggregation; at 100 TB it is bandwidth-bound
+    * by design, the plan has exactly one exchange on the 2-column
+    * grouping key. */
+  val qTpchQ1: Q = (s, d) => {
+    val cut = to_timestamp(lit("2001-09-01"))
+    val qty = col("l_quantity").cast(dec2)
+    val price = col("l_extendedprice").cast(dec2)
+    val disc = col("l_discount").cast(dec2)
+    val tax = col("l_tax").cast(dec2)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= cut)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast(dec2).cast("double").as("sum_qty"),
+        sum(price).cast(dec2).cast("double").as("sum_base_price"),
+        sum(price * (lit(1).cast(dec2) - disc))
+          .cast(dec4).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1).cast(dec2) - disc) * (lit(1).cast(dec2) + tax))
+          .cast(dec6).cast("double").as("sum_charge"),
+        (sum(qty) / count(lit(1))).cast(dec6).cast("double").as("avg_qty"),
+        (sum(price) / count(lit(1))).cast(dec6).cast("double").as("avg_price"),
+        (sum(disc) / count(lit(1))).cast(dec6).cast("double").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Q4 shape — order-priority checking: orders from 1997-H1 with at
+    * least one lineitem shipped after the order date (the fixture has no
+    * commit/receipt dates, so "late" = shipped after ordering + 30 days),
+    * counted per priority. The EXISTS collapses to a LEFT SEMI join whose
+    * condition mixes the equi-key with a non-equi date comparison — Spark
+    * plans the equi part as the shuffle key and evaluates the residual
+    * post-probe, which is exactly the scalable shape. */
+  val qTpchQ4: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-07-01")))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q6 shape — forecasting revenue change: one filtered scan, one
+    * scalar: Σ extendedprice·discount for 1996 shipments at a 5–7%
+    * discount and quantity < 24. Every predicate reaches the parquet
+    * scan (PushedFilters on shipdate/discount/quantity prune row groups
+    * before any compute); the discount bounds compare against exact
+    * decimal literals to dodge float-boundary flicker. */
+  val qTpchQ6: Q = (s, d) => {
+    val disc2 = col("l_discount").cast(dec2)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_quantity") < 24)
+      .filter(disc2 >= lit("0.05").cast(dec2) &&
+        disc2 <= lit("0.07").cast(dec2))
+      .agg(sum(col("l_extendedprice").cast(dec2) * disc2)
+        .cast(dec4).cast("double").as("revenue"))
+  }
+
+  /** Q14 shape — promotion effect: share of March-1996 revenue from
+    * PROMO-type parts, as an exact decimal ratio (numerator and
+    * denominator folded separately in DECIMAL, one division at the
+    * output boundary). part joins the filtered fact — at warehouse scale
+    * part is the smaller side and AQE broadcast-joins it; no hint needed
+    * because the month filter already shrank the probe side. */
+  val qTpchQ14: Q = (s, d) => {
+    val rev = col("l_extendedprice").cast(dec2) *
+      (lit(1).cast(dec2) - col("l_discount").cast(dec2))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(Tables.part(s, d).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100).cast(dec2) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(dec4)))
+          / sum(rev)).cast(dec6).cast("double").as("promo_revenue_pct"))
+  }
+
+  /** Q18 shape — large-volume customers: orders whose lineitem quantity
+    * total exceeds 250, joined back to customer. The HAVING runs on the
+    * fact rollup FIRST (group lineitem by orderkey, filter), so the
+    * expensive join only sees the ~1% surviving orders — the
+    * aggregate-before-join ordering that matters at 100 TB. */
+  val qTpchQ18: Q = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > lit(250).cast(dec2))
+    big.join(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("sum_qty_dec").cast("double").as("sum_qty"))
+  }
+
+  /** Q19 shape — discounted revenue over three disjunctive
+    * brand/size/quantity blocks. The OR-of-ANDs exercises CNF predicate
+    * handling: Catalyst extracts the common join key so the part join
+    * stays an equi-join and pushes the per-block residual below it;
+    * the p_size upper bounds are extractable common conjuncts. */
+  val qTpchQ19: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val pt = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    val blocks =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(blocks)
+      .agg(revenue.as("revenue"))
+  }
+
+  /** Q16 shape — parts/supplier relationship: distinct supplier counts
+    * per (brand, type, size) for selected sizes, excluding one brand.
+    * The COUNT(DISTINCT) after a fact join is the shape that matters:
+    * Spark plans the two-phase distinct Expand; the part-side predicates
+    * (brand exclusion, size IN-list) push to the part scan before the
+    * join, and part is the build side. */
+  val qTpchQ16: Q = (s, d) => {
+    val pt = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 9, 15, 25, 35))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** Q22 shape — global sales opportunity: wealthy-but-inactive
+    * customers per nation. Wealthy = acctbal above the positive-balance
+    * average (a 1-row broadcast scalar, computed as an exact decimal
+    * ratio); inactive = no order since 2000 (anti join on the filtered
+    * order slice). Output: per-nation count and exact decimal total of
+    * their balances. */
+  val qTpchQ22: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("q22_customer")
+    Tables.orders(s, d).createOrReplaceTempView("q22_orders")
+    // stated with a scalar subquery + NOT EXISTS so Catalyst plans a
+    // ScalarSubquery expression (no join node at all for the 1-row
+    // average) and a left-anti equi-join for the inactivity test
+    s.sql("""
+      SELECT c_nationkey, COUNT(*) AS numcust,
+        CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+          AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+      FROM q22_customer c
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) >
+          (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*)
+             AS DECIMAL(18,6))
+           FROM q22_customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM q22_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_nationkey
+    """)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_tpch_q1" -> qTpchQ1,
+    "q_tpch_q16" -> qTpchQ16,
+    "q_tpch_q22" -> qTpchQ22,
     "q_tpch_q3" -> qTpchQ3,
+    "q_tpch_q4" -> qTpchQ4,
     "q_tpch_q5" -> qTpchQ5,
-    "q_tpch_q10" -> qTpchQ10)
+    "q_tpch_q6" -> qTpchQ6,
+    "q_tpch_q10" -> qTpchQ10,
+    "q_tpch_q14" -> qTpchQ14,
+    "q_tpch_q18" -> qTpchQ18,
+    "q_tpch_q19" -> qTpchQ19)
 
   private val revSql =
     """CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -128,6 +315,99 @@ object TpchQueries {
          AS DECIMAL(18,4)) AS DOUBLE)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 15, 25, 35)
+          GROUP BY p_brand, p_type, p_size""",
+    "q_tpch_q22" ->
+      """WITH a AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) / COUNT(*)
+              AS DECIMAL(18,6)) AS avg_bal
+            FROM customer WHERE c_acctbal > 0)
+          SELECT c_nationkey, COUNT(*) AS numcust,
+            CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+          FROM customer c, a
+          WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > a.avg_bal
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+          GROUP BY c_nationkey""",
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+              AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*)
+              AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*)
+              AS DECIMAL(18,6)) AS DOUBLE) AS avg_price,
+            CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) / COUNT(*)
+              AS DECIMAL(18,6)) AS DOUBLE) AS avg_disc,
+            COUNT(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+          GROUP BY l_returnflag, l_linestatus""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+          FROM orders o
+          WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o.o_orderdate < TIMESTAMP '1997-07-01'
+            AND EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+          GROUP BY o_orderpriority""",
+    "q_tpch_q6" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE)
+              AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_quantity < 24
+            AND CAST(l_discount AS DECIMAL(18,2)) >= CAST('0.05' AS DECIMAL(18,2))
+            AND CAST(l_discount AS DECIMAL(18,2)) <= CAST('0.07' AS DECIMAL(18,2))""",
+    "q_tpch_q14" ->
+      """SELECT CAST(CAST(CAST(100 AS DECIMAL(18,2))
+              * SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END)
+              / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(18,6)) AS DOUBLE) AS promo_revenue_pct
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q_tpch_q18" ->
+      """WITH big AS (
+            SELECT l_orderkey,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty_dec
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+              > CAST(250 AS DECIMAL(18,2)))
+          SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+            CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+          FROM big
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey""",
+    "q_tpch_q19" ->
+      s"""SELECT $revSql AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                 AND l_quantity BETWEEN 20 AND 30)""",
     "q_tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
             $revSql AS revenue

@@ -68,6 +68,11 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_graph_pagerank" -> 10,
     "q_graph_triangles" -> 9,
     "q_graph_jaccard" -> 10,
+    // 3 BFS levels × (frontier-join + per-level distinct) + the final
+    // min-dist aggregate + the seed/degree build off the edge artifact
+    "q_graph_bfs" -> 9,
+    // 3 peel rounds × (degree aggregate + 2 semi-joins) + final degrees
+    "q_graph_kcore" -> 13,
     // user-keyed lead window + the two-exchange distinct rewrite of
     // count_distinct(user_id) in the pair aggregate
     "q_markov_transitions" -> 3).withDefaultValue(2)

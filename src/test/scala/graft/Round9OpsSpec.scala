@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, Maintenance, Outliers, SqlSurface, TimeSeries, TpchQueries}
+
+/** Independent brute-force checks for the round-9 additions (SQL-surface
+  * completions, robust analytics, BFS, TPC-H extensions) — each declared
+  * query is also pinned by its DuckDB oracle; these recompute the
+  * semantics in plain Scala on the collected fixture. */
+class Round9OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def centi(v: Double): BigInt =
+    BigInt(BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.unscaledValue())
+
+  test("madOutliers flags exactly the rows beyond 1.5 MAD (doubled-scale exact)") {
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // median on doubled scale: 2*interpolated median of sorted ints is an int
+    def med2(xs: Seq[BigInt]): BigInt = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) * 2 else s(n / 2 - 1) + s(n / 2)
+    }
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val qs = g.map(t => centi(t._3))
+      val m2 = med2(qs.toSeq)
+      val dev2s = qs.map(q => (q * 2 - m2).abs)
+      val mad4 = med2(dev2s.toSeq)
+      g.zip(dev2s).collect { case ((id, _, _), d2) if d2 * 2 > mad4 * 3 => id }
+    }.toSet
+    val got = Outliers.qOutlierMad(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < rows.length)
+  }
+
+  test("cusumChangepoint picks the argmax |N*cum - i*S| day per series") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (et, g) =>
+      val ord = g.sortBy(_._2.toString)
+      val n = BigInt(ord.length)
+      val s = BigInt(ord.map(_._3).sum)
+      var cum = BigInt(0)
+      val scored = ord.zipWithIndex.map { case ((_, day, x), i0) =>
+        cum += x
+        (day, n * cum - BigInt(i0 + 1) * s)
+      }
+      val best = scored.minBy { case (day, c) => (-c.abs, day.toString) }
+      et -> (best._1.toString, best._2, ord.length.toLong)
+    }
+    val got = TimeSeries.qTsChangepoint(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDate(1).toString, BigInt(r.getDouble(2).toLong), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("bfsDepths computes exact shortest hop distances within 3") {
+    val edges = Graph.coOrderEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keySet
+    val seeds = nodes.filter(_ <= 10)
+    // plain BFS
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (i <- 1 to 3) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty[Long]))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> i)
+      frontier = next
+    }
+    val got = Graph.qGraphBfs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == dist)
+    assert(got.values.exists(_ == 3) || got.values.exists(_ == 2))
+  }
+
+  test("skewReport share/rank/hot flags match an exact recomputation") {
+    val counts = Tables.lineitem(spark, sf).groupBy("l_suppkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val total = counts.values.sum
+    val nkeys = counts.size.toLong
+    val rank = counts.toSeq.sortBy { case (k, c) => (-c, k) }
+      .zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    val got = Maintenance.qSkewReport(spark, sf).collect()
+    assert(got.length == nkeys.toInt)
+    got.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == counts(k))
+      assert(r.getLong(2) == counts(k) * 1000000L / total)
+      assert(r.getInt(3) == rank(k))
+      assert(r.getBoolean(4) == (counts(k) * nkeys > total * 2))
+    }
+  }
+
+  test("window first/last honor full frame and IGNORE NULLS") {
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getString(3), r.getDouble(4)))
+    val byUser = rows.groupBy(_._2).map { case (u, g) =>
+      val ord = g.sortBy(t => (t._3.getTime, t._1))
+      val nn = ord.filter(_._4 != "view")
+      u -> (ord.head._5, ord.last._5,
+        nn.headOption.map(_._5), nn.lastOption.map(_._5))
+    }
+    val got = SqlSurface.qWindowFirstLast(spark, sf).collect()
+    got.foreach { r =>
+      val (f, l, fn, ln) = byUser(r.getLong(1))
+      assert(r.getDouble(2) == f && r.getDouble(3) == l)
+      assert((if (r.isNullAt(4)) None else Some(r.getDouble(4))) == fn)
+      assert((if (r.isNullAt(5)) None else Some(r.getDouble(5))) == ln)
+    }
+  }
+
+  test("qNotInNulls drops NULL probes and all matches (null-aware NOT IN)") {
+    val badCust = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") < 0).select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val all = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = all
+      .filter { case (ok, ck, p) =>
+        ok % 100 != 0 && !badCust(ck) && p > 150000.0 }
+      .map(_._1).toSet
+    val got = SqlSurface.qNotInNulls(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+    // the trap is live: at least one row was dropped ONLY because its
+    // probe was NULL (a left_anti join would have kept it)
+    assert(all.exists { case (ok, ck, p) =>
+      ok % 100 == 0 && !badCust(ck) && p > 150000.0 })
+  }
+
+  test("qCorrelatedAgg keeps orders above 2x their customer's exact avg") {
+    val orders = Tables.orders(spark, sf)
+      .filter(col("o_custkey").isNotNull)
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val avg = orders.groupBy(_._1).map { case (c, g) =>
+      // DECIMAL(18,6) average: sum at scale 2, divide, round half-up to 6
+      val s = g.map(t => BigDecimal(t._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      c -> (s / g.length).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expect = orders.filter { case (c, _, p) =>
+      BigDecimal(p).setScale(2, BigDecimal.RoundingMode.HALF_UP) > 2 * avg(c)
+    }.map(_._2).toSet
+    val got = SqlSurface.qCorrelatedAgg(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("TPC-H Q1 sums/averages equal a BigDecimal recomputation") {
+    val cut = java.sql.Timestamp.valueOf("2001-09-01 00:00:00")
+    val li = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      .collect()
+      .filter(r => !r.getTimestamp(6).after(cut))
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val expect = li.groupBy(r => (r.getString(0), r.getString(1))).map {
+      case (k, g) =>
+        val n = g.length
+        val sumQty = g.map(r => d2(r.getDouble(2))).sum
+        val sumPrice = g.map(r => d2(r.getDouble(3))).sum
+        val disc = g.map(r => d2(r.getDouble(3)) * (1 - d2(r.getDouble(4)))).sum
+        k -> (sumQty, sumPrice,
+          disc.setScale(4, BigDecimal.RoundingMode.HALF_UP),
+          (sumQty / n).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+          n.toLong)
+    }
+    val got = TpchQueries.qTpchQ1(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (sq, sp, sd, aq, n) = expect(k)
+      assert(BigDecimal(r.getDouble(2)) == sq, s"sum_qty $k")
+      assert(BigDecimal(r.getDouble(3)) == sp, s"sum_base_price $k")
+      assert(BigDecimal(r.getDouble(4)) == sd, s"sum_disc_price $k")
+      assert(BigDecimal(r.getDouble(6)) == aq, s"avg_qty $k")
+      assert(r.getLong(9) == n, s"count $k")
+    }
+  }
+
+  test("exceptAll/intersectAll implement exact bag semantics") {
+    val rows = Tables.events(spark, sf)
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def bag(f: Double => Boolean) =
+      rows.filter(t => f(t._3)).groupBy(t => (t._1, t._2))
+        .map { case (k, g) => k -> g.length }
+    val lo = bag(_ > 50d); val hi = bag(_ > 80d)
+    val exceptExpect = lo.map { case (k, m) =>
+      k -> math.max(0, m - hi.getOrElse(k, 0)) }.filter(_._2 > 0)
+    val intersectExpect = lo.flatMap { case (k, m) =>
+      val n = math.min(m, hi.getOrElse(k, 0)); if (n > 0) Some(k -> n) else None }
+    def asBag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(identity).map { case (k, g) => k -> g.length }
+    assert(asBag(graft.operators.CoreQueries.qExceptAll(spark, sf)) == exceptExpect)
+    assert(asBag(graft.operators.CoreQueries.qIntersectAll(spark, sf)) == intersectExpect)
+  }
+
+  test("kcorePeel matches a plain-Scala 3-round peel at k=8") {
+    val edges0 = Graph.coOrderEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var es = edges0.toSet
+    for (_ <- 1 to 3) {
+      val deg = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+        .groupBy(identity).map { case (k, g) => k -> g.length }
+      val keep = deg.filter(_._2 >= 8).keySet
+      es = es.filter { case (u, v) => keep(u) && keep(v) }
+    }
+    val expect = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val got = Graph.qGraphKcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect && expect.nonEmpty)
+    // (on the dense smoke graph every node may survive k=3 peeling; the
+    // sf0.01 oracle exercises a peel that actually removes nodes)
+  }
+
+  test("TPC-H Q16/Q22 match exact recomputations") {
+    val partRows = Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_type", "p_size").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .filter(t => t._2 != "Brand#1" && Set(1, 5, 9, 15, 25, 35)(t._4))
+    val pmap = partRows.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val q16Expect = li.flatMap { case (pk, sk) => pmap.get(pk).map(_ -> sk) }
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).distinct.length.toLong }
+    val q16 = TpchQueries.qTpchQ16(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(3)))
+      .toMap
+    assert(q16 == q16Expect && q16.nonEmpty)
+
+    val cust = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val pos = cust.filter(_._3 > 0)
+    val avgBal = (pos.map(t => d2(t._3)).sum / pos.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val active = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val q22Expect = cust
+      .filter(t => d2(t._3) > avgBal && !active(t._1))
+      .groupBy(_._2).map { case (nk, g) =>
+        nk -> ((g.length.toLong,
+          g.map(t => d2(t._3)).sum.setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      }
+    val q22 = TpchQueries.qTpchQ22(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), BigDecimal(r.getDouble(2)).setScale(2))))
+      .toMap
+    assert(q22 == q22Expect && q22.nonEmpty)
+  }
+
+  test("TPC-H Q6/Q19 produce a positive exact revenue; Q4/Q14/Q18 are sane") {
+    val q6 = TpchQueries.qTpchQ6(spark, sf).collect()
+    assert(q6.length == 1 && q6(0).getDouble(0) > 0)
+    val q19 = TpchQueries.qTpchQ19(spark, sf).collect()
+    assert(q19.length == 1 && q19(0).getDouble(0) > 0)
+    val q4 = TpchQueries.qTpchQ4(spark, sf).collect()
+    assert(q4.nonEmpty && q4.map(_.getLong(1)).sum > 0)
+    val q14 = TpchQueries.qTpchQ14(spark, sf).collect()
+    assert(q14.length == 1)
+    val pct = q14(0).getDouble(0)
+    assert(pct > 0 && pct < 100)
+    val q18 = TpchQueries.qTpchQ18(spark, sf).collect()
+    assert(q18.forall(_.getDouble(5) > 250.0))
+    assert(q18.nonEmpty)
+  }
+}
