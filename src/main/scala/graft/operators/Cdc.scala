@@ -171,13 +171,60 @@ object Cdc {
         col("s").cast("double").as("s"))
   }
 
+  /** Incremental maintenance of a JOIN view from delta batches — the
+    * join sibling of [[rollupMaintain]]. For base/delta splits of both
+    * inputs, the delta identity
+    *
+    *   (A ∪ dA) ⋈ (B ∪ dB) = A⋈B ∪ dA⋈B ∪ A⋈dB ∪ dA⋈dB
+    *
+    * lets a refresh touch only delta-sized joins: at 100 TB the A⋈B
+    * term IS the stored view (not recomputed — here it stands in as
+    * the fourth term so the declared query is self-contained), and the
+    * three delta terms each join a small batch against one bucketed
+    * base table, broadcast on the delta side. Exactness: union of
+    * equi-joins over disjoint row splits — no arithmetic at all.
+    * Deterministic splits: orders by orderkey mod, lineitem by
+    * linenumber, so every term is non-empty and the splits are
+    * independent of each other. */
+  def joinDeltaView(ordBase: DataFrame, ordDelta: DataFrame,
+      liBase: DataFrame, liDelta: DataFrame): DataFrame = {
+    def j(o: DataFrame, l: DataFrame): DataFrame =
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+    j(ordBase, liBase)
+      .unionAll(j(ordDelta, liBase))
+      .unionAll(j(ordBase, liDelta))
+      .unionAll(j(ordDelta, liDelta))
+  }
+
+  /** Declared query: the delta-maintained orders⋈lineitem view — the
+    * four-term union must equal the direct join row-for-row (the oracle
+    * states the direct join). */
+  val qJoinDeltaView: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val view = joinDeltaView(
+      ord.filter(col("o_orderkey") % 3 =!= 0),
+      ord.filter(col("o_orderkey") % 3 === 0),
+      li.filter(col("l_linenumber") < 4),
+      li.filter(col("l_linenumber") >= 4))
+    view.select("o_orderkey", "l_linenumber", "o_custkey",
+      "o_orderpriority", "l_extendedprice")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_delta_view" -> qJoinDeltaView,
     "q_merge_upsert" -> qMergeUpsert,
     "q_scd2_history" -> qScd2History,
     "q_rollup_incremental" -> qRollupIncremental,
     "q_join_temporal" -> qJoinTemporal)
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_delta_view" ->
+      """SELECT o_orderkey, l_linenumber, o_custkey, o_orderpriority,
+            l_extendedprice
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
     "q_rollup_incremental" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -143,7 +143,24 @@ object SqlSurface {
     """)
   }
 
+  /** Running DISTINCT count over an ordered window — a feature no SQL
+    * engine gives natively (COUNT(DISTINCT) OVER is unsupported), so
+    * the canonical workaround: a windowed set accumulation sized at the
+    * end (`size(collect_set())`). Per user, how many distinct event
+    * types seen so far. Scale note: the set state is bounded by the
+    * event-type domain (5 here) — for high-cardinality columns swap in
+    * the sketch variant (approx HLL partials, q_agg_hll_merge) rather
+    * than an unbounded set. */
+  val qWindowDistinctRunning: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        size(collect_set(col("event_type")).over(w)).as("n_types_seen"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_window_distinct_running" -> qWindowDistinctRunning,
     "q_window_percent_rank" -> qWindowPercentRank,
     "q_window_first_last" -> qWindowFirstLast,
     "q_agg_count_if" -> qAggCountIf,
@@ -153,6 +170,13 @@ object SqlSurface {
     "q_not_in_nulls" -> qNotInNulls)
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_distinct_running" ->
+      """SELECT event_id, user_id,
+           CAST(len(list_distinct(list(event_type) OVER w)) AS INT)
+             AS n_types_seen
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "q_window_percent_rank" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
            percent_rank() OVER w AS pct_rank,

@@ -270,6 +270,47 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(q22 == q22Expect && q22.nonEmpty)
   }
 
+  test("joinDeltaView four-term union equals the direct join (bag equality)") {
+    val direct = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .join(Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_orderkey", "l_linenumber", "o_custkey",
+        "o_orderpriority", "l_extendedprice")
+    val view = graft.operators.Cdc.qJoinDeltaView(spark, sf)
+    assert(view.count() == direct.count())
+    assert(view.exceptAll(direct).isEmpty && direct.exceptAll(view).isEmpty)
+    // every one of the four delta terms contributed rows
+    val ord = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    Seq(
+      (ord.filter(col("o_orderkey") % 3 =!= 0), li.filter(col("l_linenumber") < 4)),
+      (ord.filter(col("o_orderkey") % 3 === 0), li.filter(col("l_linenumber") < 4)),
+      (ord.filter(col("o_orderkey") % 3 =!= 0), li.filter(col("l_linenumber") >= 4)),
+      (ord.filter(col("o_orderkey") % 3 === 0), li.filter(col("l_linenumber") >= 4))
+    ).foreach { case (o, l) =>
+      assert(l.join(o, col("l_orderkey") === col("o_orderkey")).count() > 0)
+    }
+  }
+
+  test("windowed running distinct counts the exact prefix type sets") {
+    val rows = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val ord = g.sortBy(t => (t._3.getTime, t._1))
+      ord.zipWithIndex.map { case ((id, _, _, _), i) =>
+        id -> ord.take(i + 1).map(_._4).distinct.length
+      }
+    }.toMap
+    val got = SqlSurface.qWindowDistinctRunning(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == expect)
+  }
+
   test("TPC-H Q6/Q19 produce a positive exact revenue; Q4/Q14/Q18 are sane") {
     val q6 = TpchQueries.qTpchQ6(spark, sf).collect()
     assert(q6.length == 1 && q6(0).getDouble(0) > 0)
