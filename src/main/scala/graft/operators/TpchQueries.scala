@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -296,8 +297,285 @@ object TpchQueries {
     """)
   }
 
+  /** Q2 shape — minimum-cost supplier: for each part, the EUROPE
+    * suppliers selling it at that part's minimum observed price (the
+    * fixture has no partsupp, so lineitem extendedprice stands in for
+    * supplycost). The per-part minimum rides a window over the joined
+    * slice — Catalyst plans one partial-agg-free window exchange on
+    * l_partkey; the region dim chain is broadcast. Ties keep every
+    * minimal supplier (deterministic set). */
+  val qTpchQ2: Q = (s, d) => {
+    val eur = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name"))
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(eur, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_price", min(col("l_extendedprice")).over(w))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("l_extendedprice").as("price"))
+      .distinct()
+  }
+
+  /** Q7 shape — volume shipping between two nations: revenue per
+    * (supplier nation, customer nation, ship year) for the ordered
+    * pairs (NATION_1, NATION_2) and (NATION_2, NATION_1). The
+    * disjunctive nation-pair predicate sits above two broadcast dim
+    * joins; years extract from l_shipdate. */
+  val qTpchQ7: Q = (s, d) => {
+    val nat = broadcast(Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select("n_nationkey", "n_name"))
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenue.as("revenue"))
+  }
+
+  /** Q8 shape — national market share: per order year, the share of
+    * AMERICA-region customers' revenue supplied from NATION_3, as an
+    * exact decimal ratio of two separately-folded sums. */
+  val qTpchQ8: Q = (s, d) => {
+    val amer = broadcast(Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "AMERICA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey"))
+    val supp = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val rev = col("l_extendedprice").cast(dec2) *
+      (lit(1).cast(dec2) - col("l_discount").cast(dec2))
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(amer, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", rev)
+          .otherwise(lit(0).cast(dec4)))
+        / sum(rev)).cast(dec6).cast("double").as("mkt_share"))
+  }
+
+  /** Q9 shape — product-type profit by nation and year: profit =
+    * revenue − emulated supply cost (½ retail price × quantity; the
+    * fixture has no ps_supplycost) over STANDARD-type parts, rolled up
+    * by supplier nation and ship year. Both folds stay in decimal and
+    * difference at a common scale. */
+  val qTpchQ9: Q = (s, d) => {
+    val supp = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name"))
+    val pt = Tables.part(s, d)
+      .filter(col("p_type") === "STANDARD")
+      .select("p_partkey", "p_retailprice")
+    val profit =
+      col("l_extendedprice").cast(dec2) *
+        (lit(1).cast(dec2) - col("l_discount").cast(dec2)) -
+      lit("0.5").cast(dec2) * col("p_retailprice").cast(dec2) *
+        col("l_quantity").cast(dec2)
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("l_shipdate")).as("o_year"))
+      .agg(sum(profit).cast(dec6).cast("double").as("sum_profit"))
+  }
+
+  /** Q11 shape — important inventory: suppliers whose shipped value
+    * runs more than 5% above the per-supplier mean (TPC-H's fixed
+    * 0.0001·total fraction is SF-dependent; mean-relative is scale
+    * invariant). Total and supplier count ride full-frame windows over
+    * the |suppliers|-row rollup, and the threshold test is
+    * cross-multiplied (value·n·100 > total·105) — no division
+    * anywhere. */
+  val qTpchQ11: Q = (s, d) => {
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(dec2) *
+        col("l_quantity").cast(dec2)).cast(dec4).as("value_dec"))
+      .withColumn("total_dec", sum(col("value_dec")).over(all))
+      .withColumn("nkeys", count(lit(1)).over(all))
+      .filter(col("value_dec") * col("nkeys") * 100 >
+        col("total_dec") * 105)
+      .select(col("l_suppkey"),
+        col("value_dec").cast("double").as("value"))
+  }
+
+  /** Q12 shape — shipping-priority audit: per returnflag (standing in
+    * for shipmode), among lineitems shipped more than 60 days after
+    * ordering, how many belong to high-priority orders vs the rest —
+    * the classic conditional-count pair after a fact join. */
+  val qTpchQ12: Q = (s, d) => {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(count_if(hi).as("high_line_count"),
+        count_if(!hi).as("low_line_count"))
+  }
+
+  /** Q13 shape — customer order-count distribution: LEFT join keeps
+    * customers with zero qualifying orders (non-LOW-priority), then the
+    * count-of-counts histogram — two keyed aggregations, the second
+    * over |customers| rows. */
+  val qTpchQ13: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(s, d).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Q15 shape — top supplier: the supplier(s) whose Q1-1996 revenue
+    * equals the maximum — the revenue rollup compared against its own
+    * full-frame max (exact decimal equality, so ties surface instead
+    * of being dropped by a LIMIT 1). */
+  val qTpchQ15: Q = (s, d) => {
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(dec2) *
+        (lit(1).cast(dec2) - col("l_discount").cast(dec2)))
+        .cast(dec4).as("total_rev_dec"))
+    rev.withColumn("max_rev", max(col("total_rev_dec")).over(all))
+      .filter(col("total_rev_dec") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev_dec").cast("double").as("total_rev"))
+  }
+
+  /** Q17 shape — small-quantity-order revenue: weekly revenue lost if
+    * orders below 20% of their part's average quantity stopped. The
+    * correlated average decorrelates to a per-part (count, sum) rollup
+    * joined back; the 20% test cross-multiplies (5·qty·n < sum) so no
+    * division happens before the final /7 at a fixed decimal scale. */
+  val qTpchQ17: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(dec2)).cast(dec2).as("qty_sum"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(lit(5).cast(dec2) * col("l_quantity").cast(dec2) * col("n")
+        < col("qty_sum"))
+      .agg((sum(col("l_extendedprice").cast(dec2)) / lit(7).cast(dec2))
+        .cast(dec6).cast("double").as("avg_yearly"))
+  }
+
+  /** Q20 shape — dominant part suppliers: EUROPE suppliers who shipped
+    * more than 15% of some part's total volume (the fixture's stand-in
+    * for the excess-stock test; partsupp availqty does not exist). The
+    * share test is cross-multiplied on decimal quantity sums; the
+    * dominance pairs semi-join the supplier dim. */
+  val qTpchQ20: Q = (s, d) => {
+    val bySupp = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("q"))
+    val byPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("t"))
+    val dominant = bySupp.join(byPart, Seq("l_partkey"))
+      .filter(col("q") * 1000 > col("t") * 150)
+      .select("l_suppkey")
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+  }
+
+  /** Q21 shape — suppliers who kept orders waiting: for finalized
+    * orders, lineitems shipped > 30 days after ordering (the fixture's
+    * lateness test) where the order is multi-supplier yet NO OTHER
+    * supplier was late — an EXISTS plus a NOT EXISTS, both collapsing
+    * to semi/anti joins on the order key with residual inequality
+    * conditions. Counts per supplier. */
+  val qTpchQ21: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey",
+      "l_shipdate")
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val others = li.select(col("l_orderkey").as("o2_key"),
+      col("l_suppkey").as("s2_key"))
+    val lateOthers = late.select(col("l_orderkey").as("o3_key"),
+      col("l_suppkey").as("s3_key"))
+    late
+      .join(others, col("l_orderkey") === col("o2_key") &&
+        col("l_suppkey") =!= col("s2_key"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o3_key") &&
+        col("l_suppkey") =!= col("s3_key"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_tpch_q1" -> qTpchQ1,
+    "q_tpch_q2" -> qTpchQ2,
+    "q_tpch_q7" -> qTpchQ7,
+    "q_tpch_q8" -> qTpchQ8,
+    "q_tpch_q9" -> qTpchQ9,
+    "q_tpch_q11" -> qTpchQ11,
+    "q_tpch_q12" -> qTpchQ12,
+    "q_tpch_q13" -> qTpchQ13,
+    "q_tpch_q15" -> qTpchQ15,
+    "q_tpch_q17" -> qTpchQ17,
+    "q_tpch_q20" -> qTpchQ20,
+    "q_tpch_q21" -> qTpchQ21,
     "q_tpch_q16" -> qTpchQ16,
     "q_tpch_q22" -> qTpchQ22,
     "q_tpch_q3" -> qTpchQ3,
@@ -315,6 +593,156 @@ object TpchQueries {
          AS DECIMAL(18,4)) AS DOUBLE)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q2" ->
+      """SELECT DISTINCT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+            l_extendedprice AS price
+          FROM (SELECT l.l_partkey, l.l_extendedprice, s.s_suppkey,
+                  s.s_name, n.n_name,
+                  MIN(l.l_extendedprice) OVER (PARTITION BY l.l_partkey)
+                    AS min_price
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE')
+          WHERE l_extendedprice = min_price""",
+    "q_tpch_q7" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+            CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+            $revSql AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+            AND cn.n_name IN ('NATION_1', 'NATION_2')
+            AND sn.n_name <> cn.n_name
+          GROUP BY sn.n_name, cn.n_name, EXTRACT(YEAR FROM l_shipdate)""",
+    "q_tpch_q8" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+            CAST(CAST(
+              SUM(CASE WHEN sn.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END)
+              / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DECIMAL(18,6)) AS DOUBLE) AS mkt_share
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE cr.r_name = 'AMERICA'
+          GROUP BY EXTRACT(YEAR FROM o_orderdate)""",
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation,
+            CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS o_year,
+            CAST(CAST(SUM(
+              CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              - CAST('0.5' AS DECIMAL(18,2))
+                * CAST(p_retailprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2)))
+              AS DECIMAL(18,6)) AS DOUBLE) AS sum_profit
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_type = 'STANDARD'
+          GROUP BY n_name, EXTRACT(YEAR FROM l_shipdate)""",
+    "q_tpch_q11" ->
+      """WITH v AS (
+            SELECT l_suppkey,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                AS value_dec
+            FROM lineitem GROUP BY l_suppkey),
+          t AS (SELECT v.*, SUM(value_dec) OVER () AS total_dec,
+                  COUNT(*) OVER () AS nkeys FROM v)
+          SELECT l_suppkey, CAST(value_dec AS DOUBLE) AS value
+          FROM t WHERE value_dec * nkeys * 100 > total_dec * 105""",
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+            CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+              ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+            CAST(COUNT(*) FILTER (WHERE o_orderpriority NOT IN
+              ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+          GROUP BY l_returnflag""",
+    "q_tpch_q13" ->
+      """WITH cc AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+              AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey)
+          SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+          FROM cc GROUP BY c_count""",
+    "q_tpch_q15" ->
+      """WITH rev AS (
+            SELECT l_suppkey,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(18,4)) AS total_rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey),
+          m AS (SELECT rev.*, MAX(total_rev_dec) OVER () AS max_rev FROM rev)
+          SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_rev
+          FROM m JOIN supplier ON l_suppkey = s_suppkey
+          WHERE total_rev_dec = max_rev""",
+    "q_tpch_q17" ->
+      """WITH p AS (
+            SELECT l_partkey, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS qty_sum
+            FROM lineitem GROUP BY l_partkey)
+          SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              / CAST(7 AS DECIMAL(18,2)) AS DECIMAL(18,6)) AS DOUBLE)
+              AS avg_yearly
+          FROM lineitem l JOIN p ON l.l_partkey = p.l_partkey
+          WHERE CAST(5 AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))
+            * p.n < p.qty_sum""",
+    "q_tpch_q20" ->
+      """WITH bs AS (
+            SELECT l_partkey, l_suppkey,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+          bp AS (
+            SELECT l_partkey,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS t
+            FROM lineitem GROUP BY l_partkey),
+          dom AS (
+            SELECT DISTINCT l_suppkey FROM bs JOIN bp USING (l_partkey)
+            WHERE q * 1000 > t * 150)
+          SELECT s_suppkey, s_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+            AND s_suppkey IN (SELECT l_suppkey FROM dom)""",
+    "q_tpch_q21" ->
+      """WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+          SELECT l1.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+          FROM late l1
+          WHERE EXISTS (SELECT 1 FROM lineitem l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM late l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey)
+          GROUP BY l1.l_suppkey""",
     "q_tpch_q16" ->
       """SELECT p_brand, p_type, p_size,
             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt

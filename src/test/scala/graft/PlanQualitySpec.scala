@@ -80,7 +80,11 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_graph_kcore" -> 5,
     // user-keyed lead window + the two-exchange distinct rewrite of
     // count_distinct(user_id) in the pair aggregate
-    "q_markov_transitions" -> 3).withDefaultValue(2)
+    "q_markov_transitions" -> 3,
+    // late-set build join + the EXISTS semi + NOT-EXISTS anti on the
+    // order key + the final supplier rollup (exchange reuse dedupes the
+    // shared late subtree)
+    "q_tpch_q21" -> 3).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements

