@@ -422,13 +422,60 @@ object DedupQueries {
   // (NoOracleSpec). The declared embedding-dedup surface is the
   // scale-safe q_dedup_embed_lsh (graft.operators.Similarity) — an
   // equality join on (table, bucket) with the same integer verification.
+  /** Cross-source near-duplication matrix: LSH candidate pairs rolled
+    * up by unordered source pair — the curation diagnostic for "which
+    * sources copy from each other" that decides dedup priority and
+    * mixture down-weighting before any pair is inspected. Reuses the
+    * session's banded-signature artifact (the pair generation is the
+    * [[qDedupMinhashPairs]] plan); the rollup adds two broadcast-sized
+    * doc→source joins and one keyed aggregate over the pair stream. */
+  val qDedupCrossMatrix: Q = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    qDedupMinhashPairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_cross_matrix" -> qDedupCrossMatrix,
     "q_dedup_minhash_sig" -> qDedupMinhashSig,
     "q_dedup_minhash_pairs" -> qDedupMinhashPairs,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram)
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_cross_matrix" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || tok) AS hv
+           FROM tok, (SELECT unnest(generate_series(0, 11)) AS i)),
+         s AS (SELECT doc_id, i, MIN(hv) AS sig FROM h GROUP BY doc_id, i),
+         bands AS (
+           SELECT doc_id, i // 6 AS band,
+             md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || sig,
+                 '|' ORDER BY i)) AS band_key
+           FROM s GROUP BY doc_id, i // 6),
+         pr AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+           WHERE a.doc_id < b.doc_id)
+         SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM pr
+         JOIN documents da ON pr.doc_a = da.doc_id
+         JOIN documents db ON pr.doc_b = db.doc_id
+         GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+         ORDER BY source_lo, source_hi""",
     "q_dedup_minhash_sig" ->
       """WITH tok AS (
            SELECT DISTINCT doc_id,

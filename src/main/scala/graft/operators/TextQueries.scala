@@ -601,7 +601,40 @@ object TextQueries {
 
   // ---- registry ---------------------------------------------------------
 
+  /** Language-ID confusion matrix: the n-gram classifier's predictions
+    * ([[qTextLangid]]) cross-tabulated against the declared `lang`
+    * label — the evaluation rollup run before trusting a classifier to
+    * gate a corpus. Pure composition: the per-doc prediction plan plus
+    * one broadcast label join and a 2-key count. */
+  val qLangidConfusion: Q = (s, d) =>
+    qTextLangid(s, d).select(col("doc_id"), col("pred_lang"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Vocabulary coverage per source: the share of token OCCURRENCES
+    * covered by the global top-30 vocabulary ([[vocabTopK]]) — the
+    * tokenizer-planning number that says how far a small vocab goes on
+    * each slice (exact ppm, integer division). The top-k set broadcasts
+    * onto the token stream; one source-keyed aggregate. */
+  val qVocabCoverage: Q = (s, d) => {
+    val top = vocabTopK(Tables.documents(s, d), k = 30)
+      .select(col("token"), lit(1).as("in_top"))
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .join(broadcast(top), Seq("token"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_tokens"),
+        count(col("in_top")).as("covered_tokens"))
+      .withColumn("covered_ppm",
+        expr("covered_tokens * 1000000 div total_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_langid_confusion" -> qLangidConfusion,
+    "q_vocab_coverage" -> qVocabCoverage,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_gopher" -> qTextGopher,
@@ -621,6 +654,45 @@ object TextQueries {
     "q_vocab_topk" -> qVocabTopk)
 
   val oracleSql: Map[String, String] = Map(
+    "q_langid_confusion" ->
+      """WITH sc AS (
+           SELECT doc_id,
+             CAST(len(list_intersect(toks, ['the','a','of','and','in','to'])) AS INT) AS score_en,
+             CAST(len(list_intersect(toks, ['der','die','das','und','ist'])) AS INT) AS score_de,
+             CAST(len(list_intersect(toks, ['le','la','les','et','est'])) AS INT) AS score_fr,
+             CAST(len(list_intersect(toks, ['el','los','las','y','es'])) AS INT) AS score_es
+           FROM (SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS toks
+                 FROM documents)),
+         pred AS (
+           SELECT doc_id,
+             CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0
+                  THEN 'und'
+                  WHEN score_fr >= score_es AND score_fr >= score_en
+                       AND score_fr >= score_de THEN 'fr'
+                  WHEN score_es >= score_en AND score_es >= score_de THEN 'es'
+                  WHEN score_en >= score_de THEN 'en'
+                  ELSE 'de' END AS pred_lang
+           FROM sc)
+         SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         FROM pred p JOIN documents d USING (doc_id)
+         GROUP BY d.lang, p.pred_lang
+         ORDER BY d.lang, p.pred_lang""",
+    "q_vocab_coverage" ->
+      """WITH t AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS token
+           FROM documents),
+         c AS (SELECT token, COUNT(*) AS cnt
+               FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+                     FROM documents) GROUP BY token),
+         k AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 30)
+         SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(COUNT(k.token) AS BIGINT) AS covered_tokens,
+           CAST(COUNT(k.token) * 1000000 // COUNT(*) AS BIGINT)
+             AS covered_ppm
+         FROM t LEFT JOIN k ON t.token = k.token
+         GROUP BY source ORDER BY source""",
     "q_text_bpe_train" -> bpeTrainOracle(BpeRounds),
     "q_text_langid" ->
       """WITH sc AS (

@@ -311,6 +311,52 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("langid confusion matrix totals documents and covers every label") {
+    val conf = graft.operators.TextQueries.qLangidConfusion(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(conf.map(_._2).sum == Tables.documents(spark, sf).count())
+    // every declared label appears as a row; some diagonal mass exists
+    // (the 4-language marker classifier can't hit zh — that confusion
+    // showing up in the matrix is exactly what the rollup is for)
+    val labels = Tables.documents(spark, sf).select("lang")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(conf.map(_._1._1).toSet == labels)
+    assert(conf.exists { case ((l, p), _) => l == p })
+  }
+
+  test("vocab coverage counts exactly the top-30 token occurrences") {
+    val rows = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val allToks = rows.flatMap { case (s0, t) => t.toLowerCase.split(" ").map(s0 -> _) }
+    val top = allToks.map(_._2).groupBy(identity)
+      .map { case (k, g) => k -> g.length }.toSeq
+      .sortBy { case (k, c) => (-c, k) }.take(30).map(_._1).toSet
+    val expect = allToks.groupBy(_._1).map { case (src, g) =>
+      val covered = g.count(t => top(t._2)).toLong
+      src -> ((g.length.toLong, covered, covered * 1000000L / g.length))
+    }
+    val got = graft.operators.TextQueries.qVocabCoverage(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("cross-source matrix counts equal the pair table joined to sources") {
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.operators.DedupQueries.qDedupMinhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.map { case (a, b) =>
+      val (x, y) = (srcOf(a), srcOf(b))
+      (if (x <= y) (x, y) else (y, x))
+    }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val got = graft.operators.DedupQueries.qDedupCrossMatrix(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("TPC-H Q2/Q11/Q12/Q13/Q15/Q21 match exact recomputations") {
     def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     // Q13: distribution covers every customer exactly once, incl. zeros
