@@ -186,7 +186,39 @@ object Behavior {
 
   val qPatternSequence: Q = (s, d) => sequenceMotifs(Tables.events(s, d))
 
+  /** RFM segmentation — the classic customer-value rollup: per
+    * customer, Recency (last order date), Frequency (order count),
+    * Monetary (decimal-exact total), each banded into quintiles and
+    * composed into a 3-digit segment code. Bands ride `ntile(5)` over
+    * fully-ordered windows (unique custkey tiebreak → deterministic);
+    * the windows run on the |customers|-row rollup, never the order
+    * stream. At real scale the single-partition ntile sort becomes
+    * approx-quantile cutoff joins (same bands, no global sort) — the
+    * rollup-first shape is the part that carries over. */
+  val qRfmSegments: Q = (s, d) => {
+    val dec2 = "decimal(18,2)"
+    val rollup = Tables.orders(s, d)
+      .filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec2)).cast(dec2).as("monetary_dec"))
+    val r = Window.orderBy(col("last_order").desc, col("o_custkey"))
+    val f = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+    val m = Window.orderBy(col("monetary_dec").desc, col("o_custkey"))
+    rollup
+      .withColumn("r_band", ntile(5).over(r))
+      .withColumn("f_band", ntile(5).over(f))
+      .withColumn("m_band", ntile(5).over(m))
+      .select(col("o_custkey"), col("last_order"), col("n_orders"),
+        col("monetary_dec").cast("double").as("monetary"),
+        col("r_band"), col("f_band"), col("m_band"),
+        (col("r_band") * 100 + col("f_band") * 10 + col("m_band"))
+          .as("rfm_code"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rfm_segments" -> qRfmSegments,
     "q_pattern_sequence" -> qPatternSequence,
     "q_funnel_steps" -> qFunnelSteps,
     "q_retention_cohort" -> qRetentionCohort,
@@ -195,6 +227,25 @@ object Behavior {
     "q_runs_consecutive" -> qRunsConsecutive)
 
   val oracleSql: Map[String, String] = Map(
+    "q_rfm_segments" ->
+      """WITH r AS (
+           SELECT o_custkey, MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS monetary_dec
+           FROM orders WHERE o_custkey IS NOT NULL
+           GROUP BY o_custkey),
+         b AS (
+           SELECT r.*,
+             ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_band,
+             ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_band,
+             ntile(5) OVER (ORDER BY monetary_dec DESC, o_custkey) AS m_band
+           FROM r)
+         SELECT o_custkey, last_order, n_orders,
+           CAST(monetary_dec AS DOUBLE) AS monetary,
+           r_band, f_band, m_band,
+           r_band * 100 + f_band * 10 + m_band AS rfm_code
+         FROM b ORDER BY o_custkey""",
     "q_pattern_sequence" ->
       """WITH t AS (
            SELECT user_id,

@@ -311,6 +311,27 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("RFM bands are exact quintiles with the custkey tiebreak") {
+    val rows = graft.operators.Behavior.qRfmSegments(spark, sf).collect()
+    val n = rows.length
+    assert(n == Tables.customer(spark, sf).count())
+    def checkBand(sorted: Seq[(Long, Int)]): Unit =
+      sorted.zipWithIndex.foreach { case ((_, band), i) =>
+        // ntile(5): first n%5 tiles get ceil(n/5), rest floor(n/5)
+        val big = n % 5; val base = n / 5
+        val expected =
+          if (i < big * (base + 1)) i / (base + 1) + 1
+          else (i - big * (base + 1)) / base + big + 1
+        assert(band == expected)
+      }
+    checkBand(rows.sortBy(r => (-r.getTimestamp(1).getTime, r.getLong(0)))
+      .map(r => (r.getLong(0), r.getInt(4))).toSeq)
+    checkBand(rows.sortBy(r => (-r.getLong(2), r.getLong(0)))
+      .map(r => (r.getLong(0), r.getInt(5))).toSeq)
+    rows.foreach(r => assert(r.getInt(7) ==
+      r.getInt(4) * 100 + r.getInt(5) * 10 + r.getInt(6)))
+  }
+
   test("langid confusion matrix totals documents and covers every label") {
     val conf = graft.operators.TextQueries.qLangidConfusion(spark, sf)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
