@@ -229,8 +229,42 @@ object TimeSeries {
   /** Declared query: CUSUM changepoint day per event_type. */
   val qTsChangepoint: Q = (s, d) => cusumChangepoint(Tables.events(s, d))
 
+  /** Time-weighted average per entity — the step-function integral that
+    * billing/sensor/TWAP rollups need (a plain AVG over-weights bursts):
+    * each reading holds until the next one, so
+    * TWA = Σ value_i·(t_{i+1}−t_i) / (t_n − t_0). Exactness: values on
+    * centi-unit longs, gaps in exact µs, products accumulated as
+    * decimal(38,0) (centi·µs can brush Long range on year-long spans at
+    * petabyte volumes), and ONE final double division mirrored
+    * op-for-op in the oracle. One user-keyed window pass feeds a
+    * same-keyed aggregate — a single exchange. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy("ts", "event_id")
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    events
+      .select(col(keyCol), col("ts"), col("event_id"),
+        col(valueCol).cast("decimal(18,2)").multiply(lit(100))
+          .cast("long").as("q"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(dec(col("q")) * dec(col("next_us") - col("us"))).as("num"),
+        sum(col("next_us") - col("us")).as("den_us"),
+        count(lit(1)).as("n_holds"))
+      .select(col(keyCol), col("n_holds"),
+        (col("num").cast("double") /
+          (col("den_us").cast("double") * lit(100.0))).as("twa"))
+  }
+
+  /** Declared query: time-weighted average event value per user. */
+  val qTsTimeWeighted: Q = (s, d) =>
+    timeWeightedAvg(Tables.events(s, d), "user_id", "value")
+
   val queries: Map[String, Q] = Map(
     "q_ts_changepoint" -> qTsChangepoint,
+    "q_ts_time_weighted" -> qTsTimeWeighted,
     "q_fill_forward" -> qFillForward,
     "q_rolling_active" -> qRollingActive,
     "q_concurrency_sweep" -> qConcurrencySweep,
@@ -238,6 +272,24 @@ object TimeSeries {
     "q_resample_ohlc" -> qResampleOhlc)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ts_time_weighted" ->
+      """WITH g AS (
+           SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_us
+           FROM events),
+         a AS (
+           SELECT user_id,
+             SUM(CAST(q AS HUGEINT) * CAST(next_us - us AS HUGEINT)) AS num,
+             CAST(SUM(next_us - us) AS BIGINT) AS den_us,
+             CAST(COUNT(*) AS BIGINT) AS n_holds
+           FROM g WHERE next_us IS NOT NULL
+           GROUP BY user_id)
+         SELECT user_id, n_holds,
+           CAST(num AS DOUBLE) / (CAST(den_us AS DOUBLE) * 100.0) AS twa
+         FROM a ORDER BY user_id""",
     "q_ts_changepoint" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,

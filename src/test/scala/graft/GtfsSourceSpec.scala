@@ -1,0 +1,105 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GTFS zip DataSource V2 connector: schema-by-name parsing, quoted
+  * CSV fields, V2 column pruning, multi-archive partitioning. */
+class GtfsSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeZip(path: String, members: Map[String, String]): Unit = {
+    val zout = new ZipOutputStream(new FileOutputStream(path))
+    members.foreach { case (name, body) =>
+      zout.putNextEntry(new ZipEntry(name))
+      zout.write(body.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    zout.close()
+  }
+
+  private def freshZip(members: Map[String, String]): String = {
+    val dir = Files.createTempDirectory("gtfs-src").toString
+    val zip = s"$dir/feed.zip"
+    writeZip(zip, members)
+    zip
+  }
+
+  test("reads a member table with types, quoted fields, free column order") {
+    // header order differs from the declared schema; one quoted field
+    // with an embedded comma and a doubled-quote escape
+    val zip = freshZip(Map(
+      "stops.txt" ->
+        ("stop_lon,stop_id,stop_name,stop_lat\n" +
+          "21.01,S1,\"Plac, Centralny \"\"A\"\"\",52.23\n" +
+          "21.02,S2,North,52.25\n"),
+      "routes.txt" -> "route_id,agency_id,route_short_name,route_long_name,route_type\nR1,A1,10,Line Ten,0\n"))
+    val df = spark.read.format("gtfs").option("table", "stops").load(zip)
+    assert(df.schema == graft.pipeline.LandingSchemas.gtfs("stops"))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSet == Set(
+      ("S1", "Plac, Centralny \"A\"", 52.23, 21.01),
+      ("S2", "North", 52.25, 21.02)))
+  }
+
+  test("missing optional columns read as null (GTFS optional fields)") {
+    val zip = freshZip(Map(
+      "trips.txt" -> "route_id,service_id,trip_id\nR1,SVC,T1\n"))
+    val row = spark.read.format("gtfs").option("table", "trips").load(zip)
+      .collect().head
+    assert(row.getString(2) == "T1" && row.isNullAt(3)) // no trip_headsign
+  }
+
+  test("column pruning reaches the scan: only selected columns parsed") {
+    val zip = freshZip(Map(
+      "stops.txt" -> "stop_id,stop_name,stop_lat,stop_lon\nS1,North,52.0,21.0\n"))
+    val df = spark.read.format("gtfs").option("table", "stops").load(zip)
+      .select("stop_id")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.output.map(_.name) == Seq("stop_id"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("S1"))
+  }
+
+  test("multiple archives become independent partitions, unioned") {
+    val z1 = freshZip(Map(
+      "stops.txt" -> "stop_id,stop_name,stop_lat,stop_lon\nS1,A,1.0,2.0\n"))
+    val z2 = freshZip(Map(
+      "stops.txt" -> "stop_id,stop_name,stop_lat,stop_lon\nS2,B,3.0,4.0\n"))
+    val df = spark.read.format("gtfs").option("table", "stops").load(z1, z2)
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.select("stop_id").collect().map(_.getString(0)).toSet ==
+      Set("S1", "S2"))
+  }
+
+  test("unknown table option fails fast with the valid set") {
+    val zip = freshZip(Map("stops.txt" -> "stop_id\nS1\n"))
+    val e = intercept[Exception] {
+      spark.read.format("gtfs").option("table", "nope").load(zip).collect()
+    }
+    assert(e.getMessage.contains("stop_times"))
+  }
+
+  test("source agrees with the landed-parquet ingest path row-for-row") {
+    val stopsCsv = "stop_id,stop_name,stop_lat,stop_lon\n" +
+      "S1,North,52.25,21.0\nS2,\"South, Gate\",52.15,21.05\n"
+    val zip = freshZip(Map("stops.txt" -> stopsCsv))
+    val viaSource = spark.read.format("gtfs").option("table", "stops")
+      .load(zip).collect().map(_.toSeq).toSet
+    // the landing path: expand + schema'd CSV read (what GtfsIngest does)
+    val dir = Files.createTempDirectory("gtfs-land").toString
+    val csv = s"$dir/stops.csv"
+    Files.writeString(java.nio.file.Paths.get(csv), stopsCsv)
+    val viaLanding = spark.read
+      .schema(graft.pipeline.LandingSchemas.gtfs("stops"))
+      .option("header", "true").csv(csv)
+      .collect().map(_.toSeq).toSet
+    assert(viaSource == viaLanding)
+  }
+}
