@@ -217,7 +217,25 @@ object Behavior {
           .as("rfm_code"))
   }
 
+  /** Audience overlap matrix: distinct users per unordered event-type
+    * pair — the co-engagement rollup behind segment targeting and
+    * feature cross-correlation checks. The (user, type) distinct set is
+    * ≤ |types| rows per user, so the user-keyed self-join fans out at
+    * most |types|² per user (25 here) — bounded and skew-free; one
+    * distinct shuffle + one pair-keyed count. */
+  val qAudienceOverlap: Q = (s, d) => {
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+    t.select(col("user_id"), col("event_type").as("type_a"))
+      .join(t.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_audience_overlap" -> qAudienceOverlap,
     "q_rfm_segments" -> qRfmSegments,
     "q_pattern_sequence" -> qPatternSequence,
     "q_funnel_steps" -> qFunnelSteps,
@@ -227,6 +245,14 @@ object Behavior {
     "q_runs_consecutive" -> qRunsConsecutive)
 
   val oracleSql: Map[String, String] = Map(
+    "q_audience_overlap" ->
+      """WITH t AS (SELECT DISTINCT user_id, event_type FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM t a JOIN t b ON a.user_id = b.user_id
+           AND a.event_type < b.event_type
+         GROUP BY a.event_type, b.event_type
+         ORDER BY type_a, type_b""",
     "q_rfm_segments" ->
       """WITH r AS (
            SELECT o_custkey, MAX(o_orderdate) AS last_order,

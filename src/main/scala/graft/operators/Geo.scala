@@ -361,7 +361,31 @@ object Geo {
       when(inPolygon(col("lat_u"), col("lon_u"), concaveRing), lit("harbor"))
         .otherwise(lit("none")))
 
+  /** Implausible-speed flags over the derived trajectories: a step is
+    * an outlier when Manhattan distance / elapsed time exceeds 500
+    * units/s — the GPS-glitch filter every mobility pipeline runs
+    * before aggregating traces. Cross-multiplied entirely in longs
+    * (step·10⁶ > 500·gap_µs — no division, no floats); one user-keyed
+    * window pass, flags computed map-side after it. */
+  val qGeoSpeed: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+      col("event_id"),
+      derivedCoord(col("event_id"), "#lat", Range).as("lat_u"),
+      derivedCoord(col("event_id"), "#lon", Range).as("lon_u"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("step",
+        abs(col("lat_u") - lag("lat_u", 1).over(w)) +
+          abs(col("lon_u") - lag("lon_u", 1).over(w)))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("step").isNotNull &&
+        col("step") * 1000000L > lit(500L) * col("gap_us"))
+      .select(col("user_id"), col("event_id"), col("step"), col("gap_us"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_geo_speed" -> qGeoSpeed,
     "q_geo_zone" -> qGeoZone,
     "q_geo_zone_concave" -> qGeoZoneConcave,
     "q_geo_cell" -> qGeoCell,
@@ -411,6 +435,24 @@ object Geo {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_geo_speed" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lat'), 1, 8)
+                  AS BIGINT) % 1000000 AS lat_u,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lon'), 1, 8)
+                  AS BIGINT) % 1000000 AS lon_u
+           FROM events),
+         s AS (
+           SELECT user_id, event_id,
+             abs(lat_u - lag(lat_u) OVER w)
+               + abs(lon_u - lag(lon_u) OVER w) AS step,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id, step, gap_us
+         FROM s
+         WHERE step IS NOT NULL AND step * 1000000 > 500 * gap_us
+         ORDER BY user_id, event_id""",
     "q_geo_zone" ->
       s"""WITH p AS ($coordSql)
          SELECT c_custkey, lat_u, lon_u, $zoneCaseSql AS zone

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -125,32 +125,91 @@ private[sources] object GtfsZipSource {
 
 private[sources] class GtfsScanBuilder(full: StructType, table: String,
     paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of the full schema (possibly empty
     // for COUNT(*)-only scans) — parse only these
     required = requiredSchema
-  override def build(): Scan = new GtfsScan(required, table, paths)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Apply the simple single-column comparisons inside the parse loop
+    // (rows failing them never leave the reader) but ALSO hand every
+    // filter back as residual: Spark re-checks them post-scan, so the
+    // pushdown is purely an I/O/alloc saver and can never change
+    // results — the conservative contract for a line-format source.
+    pushed = filters.filter(GtfsFilterEval.supported(full, _))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GtfsScan(required, table, paths, pushed)
+}
+
+/** Row-level evaluation of the pushable filter subset against the FULL
+  * table schema (a filter may reference a column that was pruned from
+  * the output — the reader parses such columns only for the test). */
+private[sources] object GtfsFilterEval {
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case GreaterThan(a, _) => schema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case LessThan(a, _) => schema.fieldNames.contains(a)
+    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case StringStartsWith(a, _) => schema.fieldNames.contains(a)
+    case _ => false
+  }
+
+  private def cmp(v: Any, lit: Any): Option[Int] = (v, lit) match {
+    case (null, _) => None
+    case (a: UTF8String, b: String) => Some(a.toString.compareTo(b))
+    case (a: Int, b: Int) => Some(java.lang.Integer.compare(a, b))
+    case (a: Long, b: Long) => Some(java.lang.Long.compare(a, b))
+    case (a: Double, b: Double) => Some(java.lang.Double.compare(a, b))
+    case (a: Int, b: Number) => Some(java.lang.Double.compare(a.toDouble, b.doubleValue()))
+    case (a: Long, b: Number) => Some(java.lang.Double.compare(a.toDouble, b.doubleValue()))
+    case (a: Double, b: Number) => Some(java.lang.Double.compare(a, b.doubleValue()))
+    case _ => None
+  }
+
+  /** True iff the row MAY pass (unknown comparisons keep the row —
+    * Spark's residual check is authoritative). */
+  def eval(f: Filter, value: String => Any): Boolean = f match {
+    case EqualTo(a, l) => cmp(value(a), l).forall(_ == 0)
+    case GreaterThan(a, l) => cmp(value(a), l).forall(_ > 0)
+    case GreaterThanOrEqual(a, l) => cmp(value(a), l).forall(_ >= 0)
+    case LessThan(a, l) => cmp(value(a), l).forall(_ < 0)
+    case LessThanOrEqual(a, l) => cmp(value(a), l).forall(_ <= 0)
+    case IsNotNull(a) => value(a) != null
+    case StringStartsWith(a, p) => value(a) match {
+      case s: UTF8String => s.toString.startsWith(p)
+      case null => false
+      case _ => true
+    }
+    case _ => true
+  }
 }
 
 private[sources] class GtfsScan(required: StructType, table: String,
-    paths: Seq[String]) extends Scan with Batch {
+    paths: Seq[String], pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => GtfsPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GtfsReaderFactory(required, table)
+    new GtfsReaderFactory(required, table, pushed)
+  override def description(): String =
+    s"gtfs.$table PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 }
 
 private[sources] case class GtfsPartition(path: String) extends InputPartition
 
-private[sources] class GtfsReaderFactory(required: StructType, table: String)
-    extends PartitionReaderFactory {
+private[sources] class GtfsReaderFactory(required: StructType, table: String,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GtfsPartitionReader(required, table,
-      partition.asInstanceOf[GtfsPartition].path)
+      partition.asInstanceOf[GtfsPartition].path, pushed)
 }
 
 /** Streams `<table>.txt` out of one zip archive, converting only the
@@ -158,7 +217,10 @@ private[sources] class GtfsReaderFactory(required: StructType, table: String)
   * matched by name, missing columns read as null — GTFS optional-field
   * semantics). */
 private[sources] class GtfsPartitionReader(required: StructType,
-    table: String, path: String) extends PartitionReader[InternalRow] {
+    table: String, path: String, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val fullSchema = LandingSchemas.gtfs(table)
 
   private val zin: ZipInputStream = {
     val p = new Path(path)
@@ -177,33 +239,52 @@ private[sources] class GtfsPartitionReader(required: StructType,
       new java.io.InputStreamReader(zin, java.nio.charset.StandardCharsets.UTF_8))
   }
   // header → the source column index of each required field (-1 = absent)
-  private val colIdx: Array[Int] = {
+  private val headerNames: Array[String] = {
     val header = Option(reader.readLine()).getOrElse(
       throw new IllegalStateException(s"$table.txt in $path is empty"))
-    val names = GtfsZipSource.splitCsv(header.stripPrefix("﻿")).map(_.trim)
-    required.fields.map(f => names.indexOf(f.name))
+    GtfsZipSource.splitCsv(header.stripPrefix("﻿")).map(_.trim)
   }
+  private val colIdx: Array[Int] =
+    required.fields.map(f => headerNames.indexOf(f.name))
+  // filter-referenced columns resolve against the FULL schema (they may
+  // be pruned from the output)
+  private val filterCols: Map[String, (Int, DataType)] =
+    pushed.flatMap(_.references).distinct.flatMap { name =>
+      fullSchema.fields.find(_.name == name).map { f =>
+        name -> ((headerNames.indexOf(name), f.dataType))
+      }
+    }.toMap
 
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     var line = reader.readLine()
     while (line != null && line.isEmpty) line = reader.readLine()
-    if (line == null) { current = null; false }
-    else {
+    while (line != null) {
       val cells = GtfsZipSource.splitCsv(line.stripSuffix("\r"))
-      val values = new Array[Any](required.length)
-      var i = 0
-      while (i < required.length) {
-        val src = colIdx(i)
-        values(i) =
-          if (src < 0 || src >= cells.length) null
-          else GtfsZipSource.convert(cells(src), required.fields(i).dataType)
-        i += 1
+      def valueOf(name: String): Any = filterCols.get(name) match {
+        case Some((src, dt)) if src >= 0 && src < cells.length =>
+          GtfsZipSource.convert(cells(src), dt)
+        case _ => null
       }
-      current = new GenericInternalRow(values)
-      true
+      if (pushed.forall(GtfsFilterEval.eval(_, valueOf))) {
+        val values = new Array[Any](required.length)
+        var i = 0
+        while (i < required.length) {
+          val src = colIdx(i)
+          values(i) =
+            if (src < 0 || src >= cells.length) null
+            else GtfsZipSource.convert(cells(src), required.fields(i).dataType)
+          i += 1
+        }
+        current = new GenericInternalRow(values)
+        return true
+      }
+      line = reader.readLine()
+      while (line != null && line.isEmpty) line = reader.readLine()
     }
+    current = null
+    false
   }
 
   override def get(): InternalRow = current

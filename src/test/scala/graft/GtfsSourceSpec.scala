@@ -5,6 +5,7 @@ import java.nio.file.Files
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The GTFS zip DataSource V2 connector: schema-by-name parsing, quoted
@@ -84,6 +85,24 @@ class GtfsSourceSpec extends AnyFunSuite {
       spark.read.format("gtfs").option("table", "nope").load(zip).collect()
     }
     assert(e.getMessage.contains("stop_times"))
+  }
+
+  test("filter pushdown: filters reach the scan and results stay exact") {
+    val zip = freshZip(Map(
+      "stops.txt" -> ("stop_id,stop_name,stop_lat,stop_lon\n" +
+        "S1,North,52.30,21.0\nS2,South,52.10,21.1\nS3,Mid,52.20,21.2\n")))
+    val df = spark.read.format("gtfs").option("table", "stops").load(zip)
+      .filter(col("stop_lat") > 52.15)
+      .select("stop_id") // stop_lat pruned from output, still filterable
+    assert(df.collect().map(_.getString(0)).toSet == Set("S1", "S3"))
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }.head
+    assert(scan.scan.description().contains("GreaterThan(stop_lat"))
+    // equality + prefix filters, same exactness contract
+    val df2 = spark.read.format("gtfs").option("table", "stops").load(zip)
+      .filter(col("stop_name").startsWith("S") && col("stop_id") === "S2")
+    assert(df2.collect().map(_.getString(0)).toSeq == Seq("S2"))
   }
 
   test("source agrees with the landed-parquet ingest path row-for-row") {

