@@ -15,13 +15,19 @@ import graft.functions.{CosineSimFloat, MortonInterleave16}
   *
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
   * This is the deployment-grade alternative to calling
-  * graft.functions.GraftFunctions.register(spark) in code
-  * (SURVEY.md §4.3: we inject functions; no custom optimizer rules or
-  * planner strategies are needed for this engine's semantics).
+  * graft.functions.GraftFunctions.register(spark) in code.
+  *
+  * Injection surface (SURVEY.md §4.3): native functions (SEMANTICS the
+  * built-ins lack) plus one optimizer rule,
+  * [[graft.plans.PinnedDimBroadcast]] (an OPTIMIZATION — broadcast
+  * pinning for the schema-bounded dims, safe under any stats/threshold
+  * configuration). No planner strategies: every operator's semantics
+  * are expressible in the DataFrame algebra.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.PinnedDimBroadcast)
     e.injectFunction((
       FunctionIdentifier("cosine_f"),
       new ExpressionInfo(classOf[CosineSimFloat].getName, "cosine_f"),

@@ -161,7 +161,21 @@ object FuncQueries {
 
   // ---- registry ---------------------------------------------------------
 
+  /** Binary/text encodings: base64 and hex over a document prefix, with
+    * a decode round-trip proof column — the content-addressing surface
+    * (payload transport, digest hex, cache keys). */
+  val qStringEncode: Q = (s, d) =>
+    graft.Tables(s, d, "documents")
+      .select(col("doc_id"),
+        substring(col("text"), 1, 16).as("s1"))
+      .select(col("doc_id"),
+        base64(encode(col("s1"), "UTF-8")).as("b64"),
+        hex(col("s1")).as("hexs"),
+        (decode(unbase64(base64(encode(col("s1"), "UTF-8"))), "UTF-8")
+          === col("s1")).as("roundtrip_ok"))
+
   val queries: Map[String, Q] = Map(
+    "q_string_encode" -> qStringEncode,
     "q_string_funcs" -> qStringFuncs,
     "q_regexp_extract" -> qRegexpExtract,
     "q_date_funcs" -> qDateFuncs,
@@ -176,6 +190,13 @@ object FuncQueries {
     "q_array_hof" -> qArrayHof)
 
   val oracleSql: Map[String, String] = Map(
+    "q_string_encode" ->
+      """SELECT doc_id,
+           base64(CAST(substring(text, 1, 16) AS BLOB)) AS b64,
+           hex(substring(text, 1, 16)) AS hexs,
+           CAST(from_base64(base64(CAST(substring(text, 1, 16) AS BLOB)))
+             AS VARCHAR) = substring(text, 1, 16) AS roundtrip_ok
+         FROM documents ORDER BY doc_id""",
     "q_string_funcs" ->
       """SELECT p_partkey,
            trim('  ' || p_name || '  ') AS trimmed,

@@ -377,7 +377,24 @@ object MiscQueries {
         sum(expr("p & 1073741823")).as("sum_lo"))
   }
 
+  /** Year-over-year growth: yearly decimal revenue with the exact
+    * percentage delta vs the prior year (lag over the |years|-row
+    * rollup; one decimal division at the output boundary; first year
+    * reads NULL). */
+  val qYoyGrowth: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("yr")
+    val dec2 = "decimal(18,2)"
+    graft.Tables(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum(col("o_totalprice").cast(dec2)).cast(dec2).as("rev_dec"))
+      .withColumn("prev", lag(col("rev_dec"), 1).over(w))
+      .select(col("yr"), col("rev_dec").cast("double").as("revenue"),
+        (lit(100).cast(dec2) * (col("rev_dec") - col("prev")) / col("prev"))
+          .cast("decimal(18,6)").cast("double").as("yoy_pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_yoy_growth" -> qYoyGrowth,
     "q_ingest_manifest" -> qIngestManifest,
     "q_drift_snapshot" -> qDriftSnapshot,
     "q_quality_constraints" -> qQualityConstraints,
@@ -404,6 +421,17 @@ object MiscQueries {
     "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
+    "q_yoy_growth" ->
+      """WITH y AS (
+           SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev_dec
+           FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)),
+         l AS (SELECT y.*, lag(rev_dec) OVER (ORDER BY yr) AS prev FROM y)
+         SELECT yr, CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(CAST(CAST(100 AS DECIMAL(18,2)) * (rev_dec - prev) / prev
+             AS DECIMAL(18,6)) AS DOUBLE) AS yoy_pct
+         FROM l ORDER BY yr""",
     "q_drift_snapshot" ->
       """WITH g AS (
            SELECT lang, source,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -56,6 +56,27 @@ object WindowedQueries {
         date_format(col("session_window.start"), fmtUs).as("sstart"),
         col("n"), col("span_us"))
 
+  /** Session health rollup: per session-start day, session count,
+    * single-event ("bounce") sessions as an exact ppm, and the decimal
+    * mean session length — the operational digest on top of the
+    * [[qWindowSession]] sessionization (one extra day-keyed aggregate
+    * over the session-grain table; the heavy work is the same
+    * session_window pass). */
+  val qSessionStats: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(to_date(col("session_window.start")).as("day"), col("n"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("n_events_dec"))
+      .select(col("day"), col("n_sessions"),
+        expr("n_bounce * 1000000 div n_sessions").as("bounce_ppm"),
+        (col("n_events_dec") / col("n_sessions"))
+          .cast("decimal(18,6)").cast("double").as("avg_events"))
+
   /** Resample to a dense hourly grid with zero gap-fill: the canonical
     * consumer query of hourly snapshot feeds (a missing delays-HH.csv
     * hour must read as 0, not vanish — dags/warsaw-delays.py:194). Grid =
@@ -83,6 +104,7 @@ object WindowedQueries {
     "q_window_tumbling" -> qWindowTumbling,
     "q_window_sliding" -> qWindowSliding,
     "q_window_session" -> qWindowSession,
+    "q_session_stats" -> qSessionStats,
     "q_resample_gapfill" -> qResampleGapfill)
 
   val oracleSql: Map[String, String] = Map(
@@ -115,6 +137,27 @@ object WindowedQueries {
          FROM grid g CROSS JOIN types t
          LEFT JOIN counts c ON c.h = g.h AND c.event_type = t.event_type
          ORDER BY hour, t.event_type""",
+    "q_session_stats" ->
+      """WITH sess AS (
+           SELECT user_id, sid, MIN(ts) AS sstart, COUNT(*) AS n
+           FROM (SELECT user_id, ts,
+                   SUM(new_session) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM (SELECT user_id, ts, event_id,
+                         CASE WHEN ts - LAG(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_session
+                       FROM events))
+           GROUP BY user_id, sid)
+         SELECT CAST(sstart AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS BIGINT) AS bounce_ppm,
+           CAST(CAST(CAST(SUM(CAST(n AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_events
+         FROM sess GROUP BY CAST(sstart AS DATE) ORDER BY day""",
     "q_window_session" ->
       """SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS sstart,
            COUNT(*) AS n,

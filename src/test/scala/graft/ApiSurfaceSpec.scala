@@ -85,6 +85,53 @@ class ApiSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("PinnedDimBroadcast: nation/region joins broadcast with stats off") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      def bhjCount(df: org.apache.spark.sql.DataFrame): Int = {
+        val p = df.queryExecution.executedPlan
+        val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        (p +: expanded).flatMap(_.collect {
+          case b: BroadcastHashJoinExec => b
+        }).size
+      }
+      // unhinted customer ⋈ nation: the rule pins the broadcast even
+      // though the stats path is disabled
+      val joined = Tables.customer(s2, TestSpark.sf)
+        .join(Tables.nation(s2, TestSpark.sf),
+          col("c_nationkey") === col("n_nationkey"))
+      assert(bhjCount(joined) == 1)
+      // a dim-only subtree (nation ⋈ region) above the scans still pins
+      val chain = Tables.customer(s2, TestSpark.sf)
+        .join(Tables.nation(s2, TestSpark.sf)
+          .join(Tables.region(s2, TestSpark.sf),
+            col("n_regionkey") === col("r_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+      assert(bhjCount(chain) == 2)
+      // results are unchanged by the pin
+      assert(joined.count() == Tables.customer(s2, TestSpark.sf).count())
+      // a fact⋈fact join is untouched (no pinned side): zero BHJ
+      val facts = Tables.orders(s2, TestSpark.sf)
+        .join(Tables.customer(s2, TestSpark.sf),
+          col("o_custkey") === col("c_custkey"))
+      assert(bhjCount(facts) == 0)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("saltedJoin equals plain join; saltedCount equals plain count") {
     import spark.implicits._
     val facts = Seq.tabulate(1000)(i => (i % 7L, i)).toDF("key", "v")
