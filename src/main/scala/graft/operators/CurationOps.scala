@@ -186,11 +186,16 @@ object CurationOps {
     * n¹⁰·c_i³ ≤ 100¹⁰·c_min³ (both sides exact integers; x↦x¹⁰ is
     * monotone on [0,1] so the argmax equals ⌊100·r_i⌋). n¹⁰ is built as
     * (n⁵)² with n⁵ ≤ 10¹⁰ in a long, the products ride DECIMAL(38,0)
-    * (HUGEINT in the oracle) — exact for per-source counts up to ~9·10⁵;
-    * beyond that, floor-scale all counts by a common K first (the rate
-    * depends only on count ratios). The per-doc decision is then pure
-    * integer: keep iff md5-hash mod 100 < rate_c — deterministic,
-    * rerun- and partitioning-stable, cross-engine exact.
+    * (HUGEINT in the oracle) — exact for per-source counts up to ~9·10⁵.
+    * Beyond that the counts are floor-scaled by the common
+    * K = 1 + c_max div 10⁵ before the comparison (the rate depends only
+    * on count RATIOS; the scaled counts are clamped to ≥ 1, so the
+    * contract is "rates at 10⁵-bucket count resolution" — identity for
+    * any corpus whose largest source is under 10⁵ docs, and overflow-
+    * proof at any scale because scaled³·10²⁰ < 10³⁶ always). The
+    * per-doc decision is then pure integer: keep iff md5-hash mod 100
+    * < rate_c — deterministic, rerun- and partitioning-stable,
+    * cross-engine exact.
     *
     * 100 TB shape: source counts are a |sources|-row ingest artifact;
     * the 101-candidate grid explode runs on THAT (≤101·|sources| rows,
@@ -201,16 +206,22 @@ object CurationOps {
   val qMixTemperature: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-    val cmin = c.agg(min("cnt")).collect()(0).getLong(0)
+    val mm = c.agg(min("cnt"), max("cnt")).collect()(0)
+    val (cmin, cmax) = (mm.getLong(0), mm.getLong(1))
+    // common floor-scale keeps every operand inside DECIMAL(38)/HUGEINT
+    // at ANY corpus size (see scaladoc); K = 1 below 1e5 docs → identity
+    val k = 1L + cmax / 100000L
+    val scmin = math.max(1L, cmin / k)
     val rhs = BigDecimal(
-      BigInt(100).pow(10) * BigInt(cmin).pow(3)) // 100¹⁰·c_min³, exact
+      BigInt(100).pow(10) * BigInt(scmin).pow(3)) // 100¹⁰·scmin³, exact
     val rates = c
-      .select(col("lang"), col("cnt"),
+      .withColumn("sc", greatest(lit(1L), expr(s"cnt div $k")))
+      .select(col("lang"), col("cnt"), col("sc"),
         explode(sequence(lit(0L), lit(100L))).as("n"))
       .withColumn("n5",
         col("n") * col("n") * col("n") * col("n") * col("n"))
       .filter(col("n5").cast(DecimalType(38, 0)) * col("n5")
-        * (col("cnt").cast(DecimalType(38, 0)) * col("cnt") * col("cnt"))
+        * (col("sc").cast(DecimalType(38, 0)) * col("sc") * col("sc"))
         <= lit(rhs))
       .groupBy("lang", "cnt")
       .agg(max(col("n")).cast(IntegerType).as("rate_c"))
@@ -331,15 +342,20 @@ object CurationOps {
     "q_mix_temperature" ->
       """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents
                     GROUP BY lang),
-         m AS (SELECT MIN(cnt) AS cmin FROM c),
+         m AS (SELECT MIN(cnt) AS cmin, MAX(cnt) AS cmax FROM c),
+         kk AS (SELECT 1 + cmax // 100000 AS k,
+                  greatest(1, cmin // (1 + cmax // 100000)) AS scmin
+                FROM m),
          cand AS (SELECT unnest(generate_series(0, 100)) AS n),
          r AS (
            SELECT lang, cnt, CAST(MAX(n) AS INT) AS rate_c
-           FROM c, m, cand
+           FROM (SELECT c.lang, c.cnt,
+                   greatest(1, c.cnt // kk.k) AS sc, kk.scmin
+                 FROM c, kk) cs, cand
            WHERE CAST(n*n*n*n*n AS HUGEINT) * (n*n*n*n*n)
-                   * (CAST(cnt AS HUGEINT) * cnt * cnt)
+                   * (CAST(sc AS HUGEINT) * sc * sc)
                  <= CAST('100000000000000000000' AS HUGEINT)
-                    * (CAST(cmin AS HUGEINT) * cmin * cmin)
+                    * (CAST(scmin AS HUGEINT) * scmin * scmin)
            GROUP BY lang, cnt),
          h AS (
            SELECT doc_id, lang,

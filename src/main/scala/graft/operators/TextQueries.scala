@@ -321,10 +321,23 @@ object TextQueries {
         val pair = best(0).getString(0)
         val merged = pair.replace(" ", "")
         merges += ((r + 1, pair, merged, best(0).getLong(1)))
+        // Merge application on a DOUBLED-space representation: with
+        // single spaces, replace(' a b ', ...) on 'a a a a' consumes the
+        // shared boundary space and misses the adjacent occurrence
+        // (yielding 'aa a a' instead of canonical 'aa aa'). Doubling the
+        // separators gives every occurrence its own delimiter on each
+        // side, so the left-to-right scan merges exactly the
+        // non-overlapping occurrences Sennrich BPE specifies; collapsing
+        // the doubles afterwards restores the single-space form.
+        val dblPair = pair.replace(" ", "  ")
         vocab = vocab.select(col("n"),
           trim(call_function("replace",
-            concat(lit(" "), col("sym"), lit(" ")),
-            lit(s" $pair "), lit(s" $merged "))).as("sym"))
+            call_function("replace",
+              concat(lit(" "),
+                call_function("replace", col("sym"), lit(" "), lit("  ")),
+                lit(" ")),
+              lit(s" $dblPair "), lit(s" $merged ")),
+            lit("  "), lit(" "))).as("sym"))
           .localCheckpoint(true)
         r += 1
       }
@@ -360,9 +373,11 @@ object TextQueries {
                    cnt
                  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          v$r AS (
-           SELECT v.n, trim(replace(' ' || v.sym || ' ',
-               ' ' || (SELECT pair FROM b$r) || ' ',
-               ' ' || (SELECT merged FROM b$r) || ' ')) AS sym
+           SELECT v.n, trim(replace(replace(
+               ' ' || replace(v.sym, ' ', '  ') || ' ',
+               ' ' || replace((SELECT pair FROM b$r), ' ', '  ') || ' ',
+               ' ' || (SELECT merged FROM b$r) || ' '),
+               '  ', ' ')) AS sym
            FROM v${r - 1} v)"""
     }.mkString(",\n         ")
     val union = (1 to rounds)

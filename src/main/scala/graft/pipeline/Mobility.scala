@@ -66,9 +66,17 @@ object Mobility {
     * exact deci-second integer grain (one integer divide, no float
     * folds). */
   def delayByRoute(delayObs: DataFrame, routes: DataFrame): DataFrame = {
-    val dim = routes.select(
-      col("route_short_name").as("route"),
-      col("route_long_name"), col("route_type"))
+    // Rider-facing short names are NOT unique in GTFS (two agencies may
+    // both run a "175") — joining the raw dim would fan every
+    // observation out per duplicate and double-count the rollup. One
+    // dim row per short name, attributes taken from the min route_id
+    // (deterministic representative).
+    val dim = routes
+      .groupBy(col("route_short_name").as("route"))
+      .agg(
+        min_by(struct(col("route_long_name"), col("route_type")),
+          col("route_id")).as("r"))
+      .select(col("route"), col("r.route_long_name"), col("r.route_type"))
     delayObs
       .select(col("route"), col("delay_seconds"))
       .join(broadcast(dim), Seq("route"), "left")
@@ -160,7 +168,11 @@ object Mobility {
   def worstStops(delayObs: DataFrame, stops: DataFrame, k: Int): DataFrame =
     delayObs
       .select(col("stop_name"), col("delay_seconds"))
-      .join(broadcast(stops.select(col("stop_name"), col("stop_id"))),
+      // stop_name is not unique either (one named interchange = many
+      // platforms/stop_ids) — collapse to one row per name (min stop_id
+      // as the representative) so observations never fan out
+      .join(broadcast(stops.groupBy(col("stop_name"))
+          .agg(min(col("stop_id")).as("stop_id"))),
         Seq("stop_name"), "left")
       .groupBy("stop_name", "stop_id")
       .agg(count(lit(1)).as("n_obs"),

@@ -21,9 +21,11 @@ import graft.pipeline.LandingSchemas
 
 /** DataSource V2 connector that reads a GTFS member table DIRECTLY out
   * of the feed's zip archive — `spark.read.format("gtfs")
-  * .option("table", "stops").load("<feed.zip>[,feed2.zip...]")` — with
-  * the declared landing schema ([[LandingSchemas.gtfs]]) and V2 column
-  * pruning.
+  * .option("table", "stops").load(feedZip, feed2Zip, ...)` — with
+  * the declared landing schema ([[LandingSchemas.gtfs]]), V2 column
+  * pruning, and conservative filter pushdown. Malformed numeric cells
+  * read as NULL (permissive, like spark.read.csv's default) — a single
+  * bad row in a third-party feed must not abort the scan.
   *
   * The reference pipeline unzips the feed and re-uploads each member
   * verbatim (dags/warsaw-gtfs.py:82-96) before anything can query it;
@@ -60,7 +62,11 @@ class GtfsZipSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GtfsTable(schema, properties.get("table"))
+    // re-wrap: the raw properties map is case-SENSITIVE, unlike the
+    // CaseInsensitiveStringMap inferSchema validated against — without
+    // this an option("TABLE", ...) would pass validation then NPE here
+    new GtfsTable(schema,
+      tableOf(new CaseInsensitiveStringMap(properties)))
 }
 
 private[sources] class GtfsTable(tableSchema: StructType, table: String)
@@ -74,17 +80,50 @@ private[sources] class GtfsTable(tableSchema: StructType, table: String)
 }
 
 private[sources] object GtfsZipSource {
-  /** load(path) arrives as "paths" (a JSON array) or "path". */
+  /** load(path) arrives as "paths" (a JSON string array) or "path" (one
+    * path, used verbatim — commas are legal path characters, so no
+    * splitting happens here; pass several archives as separate load()
+    * arguments). */
   def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
-    val multi = Option(options.get("paths")).map { js =>
-      // minimal JSON string-array parse: ["a","b"]
-      js.trim.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq
-    }
+    val multi = Option(options.get("paths")).map(parseJsonStringArray)
     val single = Option(options.get("path")).map(Seq(_))
     multi.orElse(single).getOrElse(
       throw new IllegalArgumentException("gtfs source needs a load(path)"))
+  }
+
+  /** Parse a JSON array of strings (the exact shape DataFrameReader
+    * serializes multi-path load() into), honouring quoting and the
+    * \" \\ \/ \n \t \r escapes — a path may contain commas or quotes. */
+  def parseJsonStringArray(js: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val s = js.trim
+    require(s.startsWith("[") && s.endsWith("]"), s"not a JSON array: $js")
+    var i = 1
+    while (i < s.length - 1) {
+      s.charAt(i) match {
+        case '"' =>
+          val sb = new StringBuilder
+          i += 1
+          var closed = false
+          while (!closed) {
+            s.charAt(i) match {
+              case '\\' =>
+                s.charAt(i + 1) match {
+                  case 'n' => sb += '\n'
+                  case 't' => sb += '\t'
+                  case 'r' => sb += '\r'
+                  case c => sb += c // \" \\ \/ and friends
+                }
+                i += 2
+              case '"' => closed = true; i += 1
+              case c => sb += c; i += 1
+            }
+          }
+          out += sb.result()
+        case _ => i += 1 // commas / whitespace between elements
+      }
+    }
+    out.toSeq
   }
 
   /** RFC-4180-ish line split: quoted fields, doubled-quote escapes. */
@@ -111,13 +150,19 @@ private[sources] object GtfsZipSource {
     out.toArray
   }
 
+  /** Permissive cell conversion: empty or malformed values read as
+    * NULL (one bad row in a third-party feed must not kill the scan —
+    * the data-quality queries downstream are the place to count them). */
   def convert(raw: String, dt: DataType): Any =
     if (raw == null || raw.isEmpty) null
     else dt match {
       case StringType => UTF8String.fromString(raw)
-      case IntegerType => raw.trim.toInt
-      case LongType => raw.trim.toLong
-      case DoubleType => raw.trim.toDouble
+      case IntegerType =>
+        try raw.trim.toInt catch { case _: NumberFormatException => null }
+      case LongType =>
+        try raw.trim.toLong catch { case _: NumberFormatException => null }
+      case DoubleType =>
+        try raw.trim.toDouble catch { case _: NumberFormatException => null }
       case other => throw new IllegalArgumentException(
         s"unsupported GTFS column type $other")
     }
@@ -163,7 +208,11 @@ private[sources] object GtfsFilterEval {
 
   private def cmp(v: Any, lit: Any): Option[Int] = (v, lit) match {
     case (null, _) => None
-    case (a: UTF8String, b: String) => Some(a.toString.compareTo(b))
+    // UTF8String.compareTo is UTF-8 BINARY order — Spark's StringType
+    // ordering. java.lang.String.compareTo would be UTF-16 code-unit
+    // order, which disagrees above the BMP and would silently drop rows
+    // the residual filter can never restore.
+    case (a: UTF8String, b: String) => Some(a.compareTo(UTF8String.fromString(b)))
     case (a: Int, b: Int) => Some(java.lang.Integer.compare(a, b))
     case (a: Long, b: Long) => Some(java.lang.Long.compare(a, b))
     case (a: Double, b: Double) => Some(java.lang.Double.compare(a, b))
@@ -197,8 +246,21 @@ private[sources] class GtfsScan(required: StructType, table: String,
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => GtfsPartition(p): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GtfsReaderFactory(required, table, pushed)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // capture the SESSION's Hadoop configuration on the driver — a bare
+    // `new Configuration()` on the executor would drop spark.hadoop.*
+    // settings (object-store credentials, custom FS impls) and break
+    // the any-defaultFS-store contract
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val confMap = {
+      val it = conf.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    new GtfsReaderFactory(required, table, pushed, confMap)
+  }
   override def description(): String =
     s"gtfs.$table PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 }
@@ -206,10 +268,11 @@ private[sources] class GtfsScan(required: StructType, table: String,
 private[sources] case class GtfsPartition(path: String) extends InputPartition
 
 private[sources] class GtfsReaderFactory(required: StructType, table: String,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], confMap: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GtfsPartitionReader(required, table,
-      partition.asInstanceOf[GtfsPartition].path, pushed)
+      partition.asInstanceOf[GtfsPartition].path, pushed, confMap)
 }
 
 /** Streams `<table>.txt` out of one zip archive, converting only the
@@ -217,33 +280,45 @@ private[sources] class GtfsReaderFactory(required: StructType, table: String,
   * matched by name, missing columns read as null — GTFS optional-field
   * semantics). */
 private[sources] class GtfsPartitionReader(required: StructType,
-    table: String, path: String, pushed: Array[Filter])
-    extends PartitionReader[InternalRow] {
+    table: String, path: String, pushed: Array[Filter],
+    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
 
   private val fullSchema = LandingSchemas.gtfs(table)
 
   private val zin: ZipInputStream = {
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
     val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, conf)
     new ZipInputStream(fs.open(p))
   }
-  private val reader = {
-    val entryName = s"$table.txt"
-    var found = false
-    var e = zin.getNextEntry
-    while (e != null && !found) {
-      if (e.getName == entryName) found = true else e = zin.getNextEntry
+  private val reader =
+    // close the stream if init fails (missing member / empty file) —
+    // Spark only close()es readers whose construction succeeded
+    try {
+      val entryName = s"$table.txt"
+      var found = false
+      var e = zin.getNextEntry
+      while (e != null && !found) {
+        if (e.getName == entryName) found = true else e = zin.getNextEntry
+      }
+      require(found, s"$entryName not found in $path")
+      new java.io.BufferedReader(
+        new java.io.InputStreamReader(zin, java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      try zin.close() catch { case _: Throwable => () }
+      throw t
     }
-    require(found, s"$entryName not found in $path")
-    new java.io.BufferedReader(
-      new java.io.InputStreamReader(zin, java.nio.charset.StandardCharsets.UTF_8))
-  }
   // header → the source column index of each required field (-1 = absent)
-  private val headerNames: Array[String] = {
-    val header = Option(reader.readLine()).getOrElse(
-      throw new IllegalStateException(s"$table.txt in $path is empty"))
-    GtfsZipSource.splitCsv(header.stripPrefix("﻿")).map(_.trim)
-  }
+  private val headerNames: Array[String] =
+    try {
+      val header = Option(reader.readLine()).getOrElse(
+        throw new IllegalStateException(s"$table.txt in $path is empty"))
+      GtfsZipSource.splitCsv(header.stripPrefix("﻿")).map(_.trim)
+    } catch { case t: Throwable =>
+      try reader.close() catch { case _: Throwable => () }
+      throw t
+    }
   private val colIdx: Array[Int] =
     required.fields.map(f => headerNames.indexOf(f.name))
   // filter-referenced columns resolve against the FULL schema (they may

@@ -164,6 +164,30 @@ class MobilitySpec extends AnyFunSuite {
     assert(n2 == 1L && len2 == -1.0) // single point: SUM of no segments = NULL
   }
 
+  test("duplicate rider-facing keys (shared short name / stop name) " +
+      "do not fan out observations") {
+    import spark.implicits._
+    // two agencies both run a "175" — legal per GTFS; the dim collapses
+    // to the min-route_id representative and counts stay exact
+    val obs = Seq(("175", 100), ("175", 50)).toDF("route", "delay_seconds")
+    val routes = Seq(
+      ("R2", "A2", "175", "Agency Two Express", 0),
+      ("R1", "A1", "175", "Agency One Express", 3))
+      .toDF("route_id", "agency_id", "route_short_name",
+        "route_long_name", "route_type")
+    val byRoute = Mobility.delayByRoute(obs, routes).collect()
+    assert(byRoute.length == 1)
+    assert(byRoute(0).getLong(3) == 2L) // n_obs NOT doubled by the dup dim
+    assert(byRoute(0).getString(1) == "Agency One Express") // min route_id
+    // one named interchange = many platforms (stop_ids)
+    val sObs = Seq(("Centrum", 100)).toDF("stop_name", "delay_seconds")
+    val stops = Seq(("S9", "Centrum"), ("S2", "Centrum"))
+      .toDF("stop_id", "stop_name")
+    val worst = Mobility.worstStops(sObs, stops, k = 5).collect()
+    assert(worst.length == 1 && worst(0).getLong(2) == 1L &&
+      worst(0).getString(1) == "S2")
+  }
+
   test("worstStops: stop-name join, deci-second means, top-k order") {
     val out = Mobility.worstStops(
       Mobility.delays(spark, wh),

@@ -158,9 +158,12 @@ class NoOracleSpec extends AnyFunSuite {
 
   test("q_similarity_topk (integer-score, oracle-bearing since r9) " +
       "equals plain-Scala quantized brute force") {
-    // plain-Scala mirror of the declared query's exact integer score
+    // plain-Scala mirror of the declared query's exact integer score.
+    // HALF_UP (away from zero), matching Spark/DuckDB round() — NOT
+    // math.round, whose floor(x+0.5) sends −2.5 to −2 instead of −3
     def quant(e: Array[Float]): Array[Long] =
-      e.map(x => math.round(x * 1000.0))
+      e.map(x => BigDecimal(x * 1000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
     val qv = quant(embeddings.find(_._1 == 0L).get._2)
     val qn2 = qv.map(x => x * x).sum
     def score(e: Array[Float]): (Long, Long) = {

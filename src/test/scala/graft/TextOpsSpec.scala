@@ -188,11 +188,14 @@ class TextOpsSpec extends AnyFunSuite {
       "overlap and multi-char-symbol cases") {
     import spark.implicits._
     // 'aaab' stresses left-to-right non-overlap ('a a a b' → 'aa a b',
-    // never 'a aa b'); repeated words stress frequency weighting
+    // never 'a aa b'); 'aaaa' stresses ADJACENT occurrences of the
+    // winning pair ('a a a a' → 'aa aa', the case a naive single-space
+    // replace gets wrong by consuming the shared delimiter); repeated
+    // words stress frequency weighting
     val docs = Seq(
-      (1L, "aaab aaab banana"),
-      (2L, "banana band aaab"),
-      (3L, "band banana b")).toDF("doc_id", "text")
+      (1L, "aaab aaab banana aaaa"),
+      (2L, "banana band aaab aaaa"),
+      (3L, "band banana b aaaa")).toDF("doc_id", "text")
 
     def mirror(texts: Seq[String], rounds: Int) = {
       var vocab = collection.mutable.Map[String, Long]()
@@ -215,10 +218,20 @@ class TextOpsSpec extends AnyFunSuite {
           val (pair, cnt) = pc.minBy { case (p, c) => (-c, p) }
           val merged = pair.replace(" ", "")
           out += ((r, pair, merged, cnt))
+          // ground truth: canonical left-to-right non-overlapping merge
+          // over the token list (Sennrich BPE), NOT a string replace
+          val Array(pa, pb) = pair.split(" ")
           val nv = collection.mutable.Map[String, Long]()
           vocab.foreach { case (sym, n) =>
-            val ns = (" " + sym + " ")
-              .replace(" " + pair + " ", " " + merged + " ").trim
+            val t = sym.split(" ")
+            val b = collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < t.length) {
+              if (i + 1 < t.length && t(i) == pa && t(i + 1) == pb) {
+                b += merged; i += 2
+              } else { b += t(i); i += 1 }
+            }
+            val ns = b.mkString(" ")
             nv(ns) = nv.getOrElse(ns, 0L) + n
           }
           vocab = nv
@@ -230,8 +243,8 @@ class TextOpsSpec extends AnyFunSuite {
     val got = TextQueries.bpeTrain(docs, rounds = 5).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
-    val want = mirror(Seq("aaab aaab banana", "banana band aaab",
-      "band banana b"), 5)
+    val want = mirror(Seq("aaab aaab banana aaaa", "banana band aaab aaaa",
+      "band banana b aaaa"), 5)
     assert(got == want, s"got=$got want=$want")
     // the greedy loop must have produced at least one multi-char-symbol
     // merge by round 5 on this corpus (the iterative part is real)
