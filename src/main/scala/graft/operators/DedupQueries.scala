@@ -67,6 +67,8 @@ object DedupQueries {
   def clearArtifacts(): Unit = {
     pairCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     pairCache.clear()
+    mhPairCache.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+    mhPairCache.clear()
     groupCache.clear()
     bandCache.clear()
   }
@@ -102,6 +104,14 @@ object DedupQueries {
     * job), not something each query recomputes. */
   private val pairCache =
     scala.collection.concurrent.TrieMap[(String, Int, Int), DataFrame]()
+
+  /** Minhash candidate-pair artifact, per corpus key — the banded
+    * self-join output, lazily checkpointed so its first consumer pays
+    * the join once and every later consumer (the declared pair query,
+    * the cross-source matrix, clustering) reads the materialized
+    * table. */
+  private val mhPairCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   def ngramPairs(docs: DataFrame, tNum: Int, tDen: Int,
       cacheKey: Option[String] = None): DataFrame = {
@@ -296,7 +306,13 @@ object DedupQueries {
     * corpus that collapses into 3000-doc buckets ⇒ 16M+ candidate
     * pairs, which no plumbing can make cheap: candidate volume is a
     * parameter decision, not an execution one.) */
-  val qDedupMinhashPairs: Q = (s, d) => {
+  val qDedupMinhashPairs: Q = (s, d) =>
+    Artifacts.memo(mhPairCache, s"docs:$d:mhpairs", Artifacts.unpersistDf) {
+      buildMinhashPairs(s, d).localCheckpoint(false) // lazy: materializes
+      // on first action, then every consumer reads the cut lineage
+    }
+
+  private def buildMinhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val (_, groups) = setGroups(docs, Some(s"docs:$d:groups"))
     // band keys are per-doc, so the whole-corpus signature artifact (the
