@@ -352,6 +352,84 @@ object MediaOps {
       .select(col("doc_id"), to_json(col("features")).as("features"))
   }
 
+  /** 64-bit average hash (aHash) of a decoded image: downscale to 8×8,
+    * grayscale, bit i set iff pixel i's luminance exceeds the 8×8 mean
+    * (strict). Near-duplicate images — recompressions, small resizes —
+    * land within a few Hamming bits of each other; exact duplicates
+    * collide exactly, so a groupBy(phash) IS image-level exact-dup
+    * detection and banding the 64 bits gives the LSH near-dup path
+    * (the byte-signature recipe [[DedupQueries]] applies to text,
+    * replayed on pixels). */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val lum = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val rgb = small.getRGB(i % 8, i / 8)
+      // integer Rec.601 luma — deterministic, no float rounding
+      lum(i) = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)) / 1000L
+      i += 1
+    }
+    val avg = lum.sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (lum(i) > avg) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Byte-domain aHash fallback for undecodable payloads: 64 equal
+    * chunks, bit set iff the chunk's mean unsigned byte exceeds the
+    * payload mean. Deterministic; same 64-bit contract as [[aHash]]. */
+  def byteAHash(b: Array[Byte]): Long = {
+    if (b.isEmpty) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < b.length) {
+      val c = (i * 64) / b.length
+      sums(c) += (b(i) & 0xff); counts(c) += 1
+      i += 1
+    }
+    val total = sums.sum
+    var bits = 0L
+    var j = 0
+    while (j < 64) {
+      // chunk mean > global mean, cross-multiplied (no division drift)
+      if (counts(j) > 0 && sums(j) * b.length > total * counts(j))
+        bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+
+  /** Perceptual hash of any payload: real aHash when the image decodes,
+    * byte-domain fallback otherwise. */
+  def phash(media: Array[Byte]): Long =
+    decodeImage(media).map(aHash).getOrElse(byteAHash(media))
+
+  case class PhashRow(doc_id: Long, phash: Long)
+
+  /** Declared query: per-payload perceptual hash plus the size of its
+    * exact-collision bucket (n_same > 1 = image-level duplicates). The
+    * hash runs map-side per partition; the one shuffle is the
+    * hash-keyed bucket count. No-oracle codec class (DuckDB cannot
+    * decode pixels); MediaSpec pins identical-pixels collision,
+    * near-dup Hamming distance, and the fallback determinism. */
+  val qMultimodalPhash: Q = (s, d) => {
+    import s.implicits._
+    val hashes = mediaTable(s, d).as[MediaRow]
+      .mapPartitions(_.map(r => PhashRow(r.doc_id, phash(r.media))))
+      .toDF()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    hashes.select(col("doc_id"), col("phash"),
+      count(lit(1)).over(w).as("n_same"))
+  }
+
   /** PCM feature extraction over the audio-kind payloads. */
   val qMultimodalAudio: Q = (s, d) => {
     import s.implicits._
@@ -364,7 +442,8 @@ object MediaOps {
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_audio" -> qMultimodalAudio,
-    "q_multimodal_features" -> qMultimodalFeatures)
+    "q_multimodal_features" -> qMultimodalFeatures,
+    "q_multimodal_phash" -> qMultimodalPhash)
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_audio" ->

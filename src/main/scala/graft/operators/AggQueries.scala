@@ -210,6 +210,24 @@ object AggQueries {
       .na.fill(0L, types)
   }
 
+  /** Pivot with MULTIPLE aggregates per cell: hour-of-day × event_type
+    * matrix carrying both the count and the exact decimal value sum —
+    * Spark names the columns `{pivotValue}_{aggAlias}`; the oracle
+    * states the same matrix as FILTERed aggregates. Missing count cells
+    * zero-fill; missing sums stay NULL (no events ⇒ no sum) in both
+    * engines. */
+  val qPivotMulti: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .select(hour(col("ts")).as("hr"), col("event_type"),
+        col("value").cast(dec2).as("v"))
+      .groupBy(col("hr"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast(dec2).cast("double").as("sum"))
+      .na.fill(0L, types.map(_ + "_n"))
+  }
+
   // ---- window functions -------------------------------------------------
 
   /** rank / dense_rank / row_number per customer by price (unique
@@ -403,6 +421,7 @@ object AggQueries {
     "q_agg_cube" -> qAggCube,
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_pivot" -> qPivot,
+    "q_pivot_multi" -> qPivotMulti,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_moving" -> qWindowMoving,
@@ -479,6 +498,19 @@ object AggQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_pivot_multi" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cells = types.map { t =>
+        s"""CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT)
+              AS "${t}_n",
+            CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+              FILTER (WHERE event_type = '$t') AS DECIMAL(18,2))
+              AS DOUBLE) AS "${t}_sum""""
+      }.mkString(",\n            ")
+      s"""SELECT CAST(hour(ts) AS INT) AS hr,
+            $cells
+          FROM events GROUP BY hour(ts) ORDER BY hr"""
+    },
     "q_pivot" ->
       """SELECT CAST(hour(ts) AS INT) AS hr,
            COUNT(*) FILTER (WHERE event_type = 'click') AS click,

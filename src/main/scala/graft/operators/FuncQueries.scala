@@ -174,7 +174,35 @@ object FuncQueries {
         (decode(unbase64(base64(encode(col("s1"), "UTF-8"))), "UTF-8")
           === col("s1")).as("roundtrip_ok"))
 
+  /** Business-day arithmetic, closed-form: SIGNED weekday count from
+    * order date to first ship date per order (negative when the
+    * shipment predates the order — the synthetic fixture contains such
+    * rows, and a lead-time metric should surface them, not clamp them).
+    * With m = days since the Monday anchor 1969-12-29,
+    * f(m) = 5·(m div 7) + min(m mod 7, 5) counts the weekdays strictly
+    * before the date, so the answer is f(ship) − f(order) — pure
+    * integer arithmetic, no per-day explode (a sequence() expansion
+    * would be O(span) per row; this is O(1)), identical in both
+    * engines. */
+  val qDateBusinessDays: Q = (s, d) => {
+    val ship = graft.Tables(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    graft.Tables(s, d, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+      .join(ship, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("m0",
+        datediff(col("order_date"), to_date(lit("1969-12-29"))))
+      .withColumn("m1",
+        datediff(col("first_ship"), to_date(lit("1969-12-29"))))
+      .select(col("o_orderkey"), col("order_date"), col("first_ship"),
+        (expr("5 * (m1 div 7) + least(m1 % 7, 5)") -
+          expr("5 * (m0 div 7) + least(m0 % 7, 5)")).cast("int")
+          .as("business_days"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_date_business_days" -> qDateBusinessDays,
     "q_string_encode" -> qStringEncode,
     "q_string_funcs" -> qStringFuncs,
     "q_regexp_extract" -> qRegexpExtract,
@@ -190,6 +218,22 @@ object FuncQueries {
     "q_array_hof" -> qArrayHof)
 
   val oracleSql: Map[String, String] = Map(
+    "q_date_business_days" ->
+      """WITH ship AS (
+           SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+           FROM lineitem GROUP BY l_orderkey),
+         j AS (
+           SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             first_ship,
+             date_diff('day', DATE '1969-12-29',
+               CAST(o_orderdate AS DATE)) AS m0,
+             date_diff('day', DATE '1969-12-29', first_ship) AS m1
+           FROM orders JOIN ship ON o_orderkey = l_orderkey)
+         SELECT o_orderkey, order_date, first_ship,
+           CAST((5 * (m1 // 7) + least(m1 % 7, 5))
+              - (5 * (m0 // 7) + least(m0 % 7, 5)) AS INT)
+             AS business_days
+         FROM j ORDER BY o_orderkey""",
     "q_string_encode" ->
       """SELECT doc_id,
            base64(CAST(substring(text, 1, 16) AS BLOB)) AS b64,

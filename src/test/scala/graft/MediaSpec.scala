@@ -173,6 +173,42 @@ class MediaSpec extends AnyFunSuite {
     assert(MediaOps.pngDims(png(4, 4).take(20)).isEmpty)
   }
 
+  test("phash: identical pixels collide, near-dups stay close, distinct " +
+      "images differ, fallback is deterministic") {
+    import graft.multimodal.MediaOps
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // identical pixel content → exact collision (dup detection by groupBy)
+    val a1 = MediaOps.phash(png(64, 48))
+    val a2 = MediaOps.phash(png(64, 48))
+    assert(a1 == a2)
+    // the SAME gradient at another resolution is a near-dup: small
+    // Hamming distance after the 8×8 normalization
+    val b = MediaOps.phash(png(128, 96))
+    assert(hamming(a1, b) <= 10)
+    // a structurally different image (vertical instead of horizontal
+    // gradient) is far away
+    val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val v = (y * 255 / 47) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val c = MediaOps.phash(baos.toByteArray)
+    assert(hamming(a1, c) > 10)
+    // byte-domain fallback: deterministic and non-degenerate on text
+    val t = "the quick brown fox jumps over the lazy dog " * 20
+    val f1 = MediaOps.phash(t.getBytes("UTF-8"))
+    assert(f1 == MediaOps.phash(t.getBytes("UTF-8")))
+    assert(MediaOps.byteAHash(Array.emptyByteArray) == 0L)
+    // declared query shape: one row per payload, bucket sizes >= 1
+    val out = MediaOps.qMultimodalPhash(TestSpark.spark, TestSpark.sf)
+      .collect()
+    assert(out.length == 500 || out.length ==
+      Tables.documents(TestSpark.spark, TestSpark.sf).count())
+    assert(out.forall(_.getLong(2) >= 1L))
+  }
+
   test("decodeFeatures routes WAV through the real PCM path — stub only " +
       "for opaque bytes") {
     // amplitudes chosen to land in distinct |s|/2048 bins: 0, 1, 15 (clamp)

@@ -311,6 +311,29 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("business-day formula equals a literal weekday walk") {
+    import java.time.DayOfWeek
+    val rows = graft.operators.FuncQueries.qDateBusinessDays(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    var sawNegative = false
+    rows.take(300).foreach { r =>
+      val od = r.getDate(1).toLocalDate
+      val fs = r.getDate(2).toLocalDate
+      // signed semantics: weekdays in [od, fs) — negated walk when the
+      // shipment predates the order (the fixture contains such rows)
+      val (lo, hi, sign) =
+        if (!fs.isBefore(od)) (od, fs, 1) else (fs, od, -1)
+      val walk = Iterator.iterate(lo)(_.plusDays(1))
+        .takeWhile(_.isBefore(hi))
+        .count(d => d.getDayOfWeek != DayOfWeek.SATURDAY &&
+          d.getDayOfWeek != DayOfWeek.SUNDAY) * sign
+      if (sign < 0) sawNegative = true
+      assert(r.getInt(3) == walk, s"order ${r.getLong(0)}: $od -> $fs")
+    }
+    assert(rows.exists(_.getInt(3) > 0))
+  }
+
   test("audience overlap counts distinct co-engaged users exactly") {
     val rows = Tables.events(spark, sf)
       .select("user_id", "event_type").collect()
