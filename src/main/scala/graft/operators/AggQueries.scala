@@ -210,6 +210,43 @@ object AggQueries {
       .na.fill(0L, types)
   }
 
+  /** Correlation / covariance via exact sufficient statistics — the
+    * two-variable sibling of [[qAggStats]]: per returnflag, the sample
+    * covariance of quantity and price is a pure decimal expression
+    * ((n·Σxy − Σx·Σy) / (n·(n−1)), exact, order-independent), and
+    * Pearson r divides the same exact numerator by
+    * sqrt(denx·deny) — three IEEE ops (mul, sqrt, div) on
+    * exactly-represented inputs, bit-identical across engines because
+    * the oracle performs the identical op sequence. Never
+    * corr()/covar_samp() built-ins when results must be
+    * partition-count-independent: their float accumulation is
+    * order-dependent. One map-side-combinable pass. */
+  val qAggCorr: Q = (s, d) => {
+    // quantity vs discount: BOUNDED per-row magnitudes (x ≤ 50,
+    // y ≤ 0.10), so the moment sums stay small enough for the oracle's
+    // 128-bit decimals at any gate scale; correlating unbounded columns
+    // (price²) overflows DECIMAL(18,4) at sf0.1 already — the Spark
+    // side rides DECIMAL(28,_) for petabyte headroom regardless
+    val x = col("l_quantity").cast(dec2)
+    val y = col("l_discount").cast(dec2)
+    val w2 = DecimalType(28, 2)
+    val w4 = DecimalType(28, 4)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(w2).as("sx"), sum(y).cast(w2).as("sy"),
+        sum(x * x).cast(w4).as("sxx"), sum(y * y).cast(w4).as("syy"),
+        sum(x * y).cast(w4).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * (col("n") - 1)))
+          .cast(dec6).cast("double").as("covar_qty_disc"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("corr_qty_disc"))
+  }
+
   /** Pivot with MULTIPLE aggregates per cell: hour-of-day × event_type
     * matrix carrying both the count and the exact decimal value sum —
     * Spark names the columns `{pivotValue}_{aggAlias}`; the oracle
@@ -422,6 +459,7 @@ object AggQueries {
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_pivot" -> qPivot,
     "q_pivot_multi" -> qPivotMulti,
+    "q_agg_corr" -> qAggCorr,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_moving" -> qWindowMoving,
@@ -498,6 +536,34 @@ object AggQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_agg_corr" ->
+      """WITH m AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sxy
+           FROM lineitem GROUP BY l_returnflag),
+         w AS (
+           SELECT l_returnflag, n,
+             CAST(n AS DECIMAL(18,0)) AS nd,
+             CAST(sx AS DECIMAL(19,2)) AS sxw,
+             CAST(sy AS DECIMAL(19,2)) AS syw,
+             CAST(sxx AS DECIMAL(19,4)) AS sxxw,
+             CAST(syy AS DECIMAL(19,4)) AS syyw,
+             CAST(sxy AS DECIMAL(19,4)) AS sxyw
+           FROM m)
+         SELECT l_returnflag, n,
+           CAST(CAST((nd * sxyw - sxw * syw) / (n * (n - 1))
+             AS DECIMAL(18,6)) AS DOUBLE) AS covar_qty_disc,
+           CAST(nd * sxyw - sxw * syw AS DOUBLE)
+             / sqrt(CAST(nd * sxxw - sxw * sxw AS DOUBLE)
+                    * CAST(nd * syyw - syw * syw AS DOUBLE)) AS corr_qty_disc
+         FROM w ORDER BY l_returnflag""",
     "q_pivot_multi" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val cells = types.map { t =>

@@ -311,6 +311,40 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("covariance/correlation match exact BigInt moment recomputation") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_discount").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def c2(x: Double): BigInt = BigInt(BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.unscaledValue())
+    val expect = rows.groupBy(_._1).map { case (k, g) =>
+      val n = BigInt(g.length)
+      val xs = g.map(t => c2(t._2)); val ys = g.map(t => c2(t._3))
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val syy = ys.map(b => b * b).sum
+      val num = n * sxy - sx * sy // centi^2 scale (10^-4)
+      // covar at DECIMAL(18,6): num/1e4 / (n(n-1)) rounded half-up
+      val cov = (BigDecimal(num) / BigDecimal(10000) /
+        BigDecimal(n * (n - 1))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      // corr is scale-free: the 1e4 factors cancel between num and den
+      val corr = num.toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      k -> ((g.length.toLong, cov, corr))
+    }
+    val got = graft.operators.AggQueries.qAggCorr(spark, sf).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (n, cov, corr) = expect(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(BigDecimal(r.getDouble(2)) == cov, s"covar ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - corr) < 1e-12 &&
+        r.getDouble(3).abs <= 1.0)
+    }
+  }
+
   test("business-day formula equals a literal weekday walk") {
     import java.time.DayOfWeek
     val rows = graft.operators.FuncQueries.qDateBusinessDays(spark, sf)
