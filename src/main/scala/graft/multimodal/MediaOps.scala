@@ -414,6 +414,32 @@ object MediaOps {
 
   case class PhashRow(doc_id: Long, phash: Long)
 
+  /** Near-duplicate image pairs by LSH banding over the 64-bit aHash:
+    * split the hash into four 16-bit bands — two images within Hamming
+    * distance 3 of each other must agree on at least one full band
+    * (pigeonhole), so candidates meet on a (band, value) equality key,
+    * NEVER all-pairs — then verify the exact Hamming distance with
+    * bit_count (codegen'd). The text-signature LSH recipe
+    * ([[graft.operators.DedupQueries]]) replayed on pixels; at 100 TB
+    * the hash table is one narrow long per image and each band bucket
+    * is a skew-bounded equality join. */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole only guarantees recall for Hamming <= 3")
+    val banded = hashes.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("shiftrightunsigned(phash, band * 16)")
+          .bitwiseAND(lit(0xffffL)))
+    banded.as("a")
+      .join(banded.as("b"), Seq("band", "band_val"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Declared query: per-payload perceptual hash plus the size of its
     * exact-collision bucket (n_same > 1 = image-level duplicates). The
     * hash runs map-side per partition; the one shuffle is the

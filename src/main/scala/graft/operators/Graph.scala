@@ -345,6 +345,42 @@ object Graph {
     * and cascades). */
   val qGraphKcore: Q = (s, d) => kcorePeel(coOrderEdges(s, d), 8, 3)
 
+  /** Bounded Bellman–Ford: `rounds` synchronous relaxations of integer
+    * edge weights from a seed set — after r rounds every node holds the
+    * exact shortest distance among paths of ≤ r edges (the full
+    * algorithm runs |V|−1 rounds with an empty-delta stop). Same
+    * per-round materialization discipline as [[kcorePeel]]: the
+    * |V|-row distance table is eagerly checkpointed each round, so the
+    * plan stays constant-size instead of doubling per relaxation; each
+    * round is one dist⋈edges shuffle + one min-combine — the classic
+    * iterative-graph shape. */
+  def ssspRounds(wEdges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val adj = wEdges.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .unionAll(wEdges.select(col("v").as("a"), col("u").as("b"), col("w")))
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(adj, dist("node") === adj("a"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Declared query: 3-round shortest distances on the co-order graph
+    * from the low-id seeds, deterministic integer weights
+    * w(u,v) = 1 + (u+v) mod 5. */
+  val qGraphSssp: Q = (s, d) => {
+    val edges = coOrderEdges(s, d)
+      .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(5L)))
+    val seeds = degrees(coOrderEdges(s, d))
+      .select("node").filter(col("node") <= 10)
+    ssspRounds(edges, seeds, rounds = 3)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_degree" -> qGraphDegree,
     "q_graph_triangles" -> qGraphTriangles,
@@ -352,7 +388,8 @@ object Graph {
     "q_graph_components" -> qGraphComponents,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_bfs" -> qGraphBfs,
-    "q_graph_kcore" -> qGraphKcore)
+    "q_graph_kcore" -> qGraphKcore,
+    "q_graph_sssp" -> qGraphSssp)
 
   /** Shared oracle prelude: the same canonical co-order edge set. */
   private val edgeCteBody: String =
@@ -366,6 +403,29 @@ object Graph {
   private val edgeCte: String = "WITH " + edgeCteBody
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_sssp" -> (edgeCte +
+      """,
+       we AS (SELECT u, v, 1 + (u + v) % 5 AS w FROM e),
+       adj AS (SELECT u AS a, v AS b, w FROM we
+               UNION ALL SELECT v AS a, u AS b, w FROM we),
+       d0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
+              FROM adj WHERE a <= 10),
+       d1 AS (SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT adj.b AS node, d0.dist + adj.w AS dist
+                FROM d0 JOIN adj ON d0.node = adj.a) GROUP BY node),
+       d2 AS (SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT adj.b AS node, d1.dist + adj.w AS dist
+                FROM d1 JOIN adj ON d1.node = adj.a) GROUP BY node),
+       d3 AS (SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT adj.b AS node, d2.dist + adj.w AS dist
+                FROM d2 JOIN adj ON d2.node = adj.a) GROUP BY node)
+       SELECT node, dist FROM d3 ORDER BY node"""),
     "q_graph_kcore" -> (edgeCte +
       """,
        dg0 AS (SELECT node, count(*) AS degree

@@ -209,6 +209,35 @@ class MediaSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) >= 1L))
   }
 
+  test("phashNearDupPairs: banded join finds exactly the close-hash pairs") {
+    import graft.multimodal.MediaOps
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // hand-built hashes: 1<->2 differ in 1 bit, 1<->3 in 3 bits spread
+    // across bands (still caught: one band left intact), 4 is far away
+    val h1 = 0x0F0F0F0F0F0F0F0FL
+    val h2 = h1 ^ (1L << 5)
+    val h3 = h1 ^ (1L << 3) ^ (1L << 20) ^ (1L << 40)
+    val h4 = ~h1
+    val hashes = Seq((1L, h1), (2L, h2), (3L, h3), (4L, h4))
+      .toDF("doc_id", "phash")
+    val pairs = MediaOps.phashNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (2,3) differ in 4 bits (bit 5 + the three of h3) — beyond the
+    // threshold, correctly rejected by the exact Hamming verify
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L)))
+    assert(pairs.forall(_._3 <= 3))
+    // and the real-image path: same gradient at two resolutions lands
+    // within the banded candidates when their Hamming distance allows
+    val ha = MediaOps.phash(png(64, 48))
+    val hb = MediaOps.phash(png(128, 96))
+    if (java.lang.Long.bitCount(ha ^ hb) <= 3) {
+      val real = MediaOps.phashNearDupPairs(
+        Seq((10L, ha), (11L, hb)).toDF("doc_id", "phash"), 3).count()
+      assert(real == 1)
+    }
+  }
+
   test("decodeFeatures routes WAV through the real PCM path — stub only " +
       "for opaque bytes") {
     // amplitudes chosen to land in distinct |s|/2048 bins: 0, 1, 15 (clamp)

@@ -87,6 +87,27 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_ == 3) || got.values.exists(_ == 2))
   }
 
+  test("ssspRounds equals a plain 3-round Bellman-Ford") {
+    val edges = Graph.coOrderEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wAdj = edges.flatMap { case (u, v) =>
+      val w = 1L + (u + v) % 5
+      Seq((u, v, w), (v, u, w))
+    }
+    val nodes = wAdj.map(_._1).toSet
+    var dist = nodes.filter(_ <= 10).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = wAdj.flatMap { case (a, b, w) =>
+        dist.get(a).map(d => b -> (d + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, g) => k -> g.map(_._2).min }
+    }
+    val got = Graph.qGraphSssp(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist)
+    assert(got.values.exists(_ > 0) && got.values.exists(_ == 0))
+  }
+
   test("skewReport share/rank/hot flags match an exact recomputation") {
     val counts = Tables.lineitem(spark, sf).groupBy("l_suppkey").count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
