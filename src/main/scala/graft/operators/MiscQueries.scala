@@ -393,7 +393,44 @@ object MiscQueries {
           .cast("decimal(18,6)").cast("double").as("yoy_pct"))
   }
 
+  /** Percent-of-parent hierarchy: each nation's exact decimal revenue
+    * share within its region, and each region's within the total — the
+    * drill-down ratio block of every BI rollup. Shares divide once at
+    * DECIMAL(18,6) over full-frame window sums on the |nations|-row
+    * rollup (the fact table is scanned once; everything after the first
+    * aggregate is dimension-sized). */
+  val qShareHierarchy: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val dec2 = "decimal(18,2)"
+    val byNation = graft.Tables(s, d, "orders")
+      .join(graft.Tables(s, d, "customer")
+        .select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(graft.Tables(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(graft.Tables(s, d, "region")
+        .select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast(dec2)).cast(dec2).as("rev_dec"))
+    val regionW = w.partitionBy("r_name")
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val allW = w.partitionBy()
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    byNation
+      .withColumn("region_rev", sum(col("rev_dec")).over(regionW))
+      .withColumn("total_rev", sum(col("rev_dec")).over(allW))
+      .select(col("r_name"), col("n_name"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec") / col("region_rev"))
+          .cast("decimal(18,6)").cast("double").as("share_of_region"),
+        (col("region_rev") / col("total_rev"))
+          .cast("decimal(18,6)").cast("double").as("region_share_of_total"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_share_hierarchy" -> qShareHierarchy,
     "q_yoy_growth" -> qYoyGrowth,
     "q_ingest_manifest" -> qIngestManifest,
     "q_drift_snapshot" -> qDriftSnapshot,
@@ -421,6 +458,27 @@ object MiscQueries {
     "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
+    "q_share_hierarchy" ->
+      """WITH bn AS (
+           SELECT r_name, n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS rev_dec
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name),
+         wsum AS (
+           SELECT bn.*,
+             SUM(rev_dec) OVER (PARTITION BY r_name) AS region_rev,
+             SUM(rev_dec) OVER () AS total_rev
+           FROM bn)
+         SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(CAST(rev_dec / region_rev AS DECIMAL(18,6)) AS DOUBLE)
+             AS share_of_region,
+           CAST(CAST(region_rev / total_rev AS DECIMAL(18,6)) AS DOUBLE)
+             AS region_share_of_total
+         FROM wsum ORDER BY r_name, n_name""",
     "q_yoy_growth" ->
       """WITH y AS (
            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
