@@ -74,7 +74,8 @@ private[sources] class GtfsTable(tableSchema: StructType, table: String)
   override def name(): String = s"gtfs.$table"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GtfsScanBuilder(tableSchema, table, GtfsZipSource.pathsOf(options))
 }
@@ -263,6 +264,73 @@ private[sources] class GtfsScan(required: StructType, table: String,
   }
   override def description(): String =
     s"gtfs.$table PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(paths.length == 1,
+      "streaming gtfs reads watch ONE directory of feed archives")
+    new GtfsMicroBatchStream(required, table, paths.head, pushed,
+      confCapture())
+  }
+
+  private def confCapture(): Map[String, String] = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val it = conf.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+}
+
+/** Micro-batch streaming over a DIRECTORY of feed archives — the
+  * reference's daily-zip cadence as a stream: every archive that
+  * appears becomes part of the next micro-batch, exactly once. The
+  * offset is the sorted list of archive paths seen (monotone because
+  * feeds are append-only; a restarted query replans precisely the
+  * archives between the committed and latest offsets). One partition
+  * per NEW archive — identical read path to the batch scan. */
+private[sources] class GtfsMicroBatchStream(required: StructType,
+    table: String, dir: String, pushed: Array[Filter],
+    confMap: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listArchives(): Seq[String] = {
+    val conf = new Configuration(false)
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".zip"))
+      .map(_.getPath.toString).sorted
+  }
+
+  override def latestOffset(): Offset = GtfsOffset(listArchives())
+  override def initialOffset(): Offset = GtfsOffset(Seq.empty)
+  override def deserializeOffset(json: String): Offset =
+    GtfsOffset(GtfsZipSource.parseJsonStringArray(json))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GtfsOffset].files.toSet
+    end.asInstanceOf[GtfsOffset].files
+      .filterNot(seen)
+      .map(p => GtfsPartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GtfsReaderFactory(required, table, pushed, confMap)
+}
+
+private[sources] case class GtfsOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") +
+      "\"").mkString("[", ",", "]")
 }
 
 private[sources] case class GtfsPartition(path: String) extends InputPartition
