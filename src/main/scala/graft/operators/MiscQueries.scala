@@ -429,7 +429,28 @@ object MiscQueries {
           .cast("decimal(18,6)").cast("double").as("region_share_of_total"))
   }
 
+  /** Day-of-week activity profile: event count and exact ppm share per
+    * weekday — the seasonality fingerprint behind anomaly baselines and
+    * capacity planning. Engine note pinned by the oracle: Spark
+    * `dayofweek` is 1=Sunday..7, DuckDB's is 0=Sunday..6 — normalized
+    * to ISO (1=Monday..7) in BOTH via explicit arithmetic, never the
+    * raw builtin. */
+  val qDowProfile: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val all = w.partitionBy()
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    graft.Tables(s, d, "events")
+      // Spark: dayofweek 1=Sun..7=Sat → ISO: ((x + 5) % 7) + 1
+      .select((pmod(dayofweek(col("ts")) + 5, lit(7)) + 1).as("iso_dow"))
+      .groupBy(col("iso_dow"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(all))
+      .select(col("iso_dow").cast("int").as("iso_dow"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dow_profile" -> qDowProfile,
     "q_share_hierarchy" -> qShareHierarchy,
     "q_yoy_growth" -> qYoyGrowth,
     "q_ingest_manifest" -> qIngestManifest,
@@ -458,6 +479,16 @@ object MiscQueries {
     "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
+    "q_dow_profile" ->
+      """WITH d AS (
+           SELECT ((dayofweek(ts) + 6) % 7) + 1 AS iso_dow
+           FROM events),
+         c AS (SELECT iso_dow, CAST(COUNT(*) AS BIGINT) AS n
+               FROM d GROUP BY iso_dow),
+         t AS (SELECT c.*, SUM(n) OVER () AS total FROM c)
+         SELECT CAST(iso_dow AS INT) AS iso_dow, n,
+           CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+         FROM t ORDER BY iso_dow""",
     "q_share_hierarchy" ->
       """WITH bn AS (
            SELECT r_name, n_name,
