@@ -50,6 +50,7 @@ object SparkEntry {
       QualityModel.queries ++
       TpchQueries.queries ++
       SqlSurface.queries ++
+      FeatureOps.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +88,6 @@ object SparkEntry {
       QualityModel.oracleSql ++
       TpchQueries.oracleSql ++
       SqlSurface.oracleSql ++
+      FeatureOps.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }
