@@ -51,6 +51,7 @@ object SparkEntry {
       TpchQueries.queries ++
       SqlSurface.queries ++
       FeatureOps.queries ++
+      GeneratorOps.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,5 +90,6 @@ object SparkEntry {
       TpchQueries.oracleSql ++
       SqlSurface.oracleSql ++
       FeatureOps.oracleSql ++
+      GeneratorOps.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }
