@@ -52,6 +52,7 @@ object SparkEntry {
       SqlSurface.queries ++
       FeatureOps.queries ++
       GeneratorOps.queries ++
+      TrendOps.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +92,6 @@ object SparkEntry {
       SqlSurface.oracleSql ++
       FeatureOps.oracleSql ++
       GeneratorOps.oracleSql ++
+      TrendOps.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }
