@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -156,13 +157,60 @@ object Layout {
         min(col("zx")).as("min_zx"), max(col("zx")).as("max_zx"),
         min(col("zy")).as("min_zy"), max(col("zy")).as("max_zy"))
 
+  /** WebDataset-style shard packing of media payloads: within each kind
+    * namespace, payloads pack in doc_id order into ~16 KiB shards —
+    * shard id = bytes-before `div` capacity, the one-pass deterministic
+    * assignment an archive writer applies while streaming (items may
+    * straddle a boundary; the NEXT item starts the next shard). Output
+    * is the shard manifest: item count, byte total, id range — what a
+    * training loader consumes to schedule reads.
+    *
+    * Scale shape: the running byte offset partitions by the shard
+    * namespace (kind here; source/date in production), so each
+    * namespace packs independently in parallel — no global ordered
+    * window ever forms, and the manifest rollup is map-side
+    * combinable. */
+  val qMultimodalShard: Q = (s, d) => {
+    val sized = graft.multimodal.MediaOps.mediaTable(s, d)
+      .select(col("doc_id"), col("kind"),
+        octet_length(col("media")).cast("long").as("bytes"))
+    val w = Window.partitionBy("kind").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("shard", expr("cum_before div 16384"))
+      .groupBy(col("kind"), col("shard"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("bytes")).as("bytes_total"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "q_layout_zorder" -> qLayoutZorder,
-    "q_layout_zonemap" -> qLayoutZonemap)
+    "q_layout_zonemap" -> qLayoutZonemap,
+    "q_multimodal_shard" -> qMultimodalShard)
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_shard" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             strlen(text) AS bytes
+           FROM documents),
+         c AS (
+           SELECT kind, doc_id, bytes,
+             COALESCE(SUM(bytes) OVER (PARTITION BY kind ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+           FROM m)
+         SELECT kind, CAST(cum_before // 16384 AS BIGINT) AS shard,
+           COUNT(*) AS n_items, CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2""",
     "q_layout_zorder" ->
       """WITH t AS (
            SELECT event_id,

@@ -361,4 +361,29 @@ class LayoutSpec extends AnyFunSuite {
       "every row must survive crash recovery + compaction")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__precompact")))
   }
+
+  test("shard packing equals the one-pass streaming reference exactly") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .selectExpr("doc_id", "octet_length(text) AS bytes").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    val kinds = Map(0L -> "image", 1L -> "audio", 2L -> "video")
+    val assigned = docs.groupBy(t => kinds(t._1 % 3)).toSeq.flatMap {
+      case (k, g) =>
+        var cum = 0L
+        g.sortBy(_._1).toSeq.map { case (id, b) =>
+          val shard = cum / 16384; cum += b; (k, shard, id, b)
+        }
+    }
+    val expect = assigned.groupBy(t => (t._1, t._2)).map {
+      case ((k, sh), items) =>
+        (k, sh) -> ((items.size.toLong, items.map(_._4).sum,
+          items.map(_._3).min, items.map(_._3).max))
+    }
+    val got = graft.operators.Layout.qMultimodalShard(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect)
+    // manifest covers the corpus: per-kind item counts add up
+    assert(got.values.map(_._1).sum == docs.length)
+  }
 }
