@@ -125,6 +125,42 @@ object NorthStarQueries {
       .limit(10)
   }
 
+  /** Batch range (threshold) similarity — the other half of the ANN API
+    * next to [[qSimilarityTopk]]: every corpus vector within cosine ≥ 0.2
+    * of any of the first 8 probe vectors, under the SAME integer score
+    * algebra (milli-quantized int64 dot/norms; the threshold test is the
+    * cross-multiplied `dot²·100 ≥ 4·‖a‖²·‖q‖²` with `dot > 0`, so no
+    * division at all decides membership). `vec_id > probe_id` keeps each
+    * pair once.
+    *
+    * Plan shape: the 8-row probe table broadcasts into a nested-loop
+    * join (the `>` pairing predicate), the dot/threshold run map-side
+    * via the codegen'd LongVecDot — no shuffle anywhere. At 100 TB the
+    * probe batch stays a broadcast and the corpus scan partitions
+    * freely; the LSH/IVF variants (graft.operators.Similarity) are the
+    * recall-traded scale path. */
+  val qSimilarityRange: Q = (s, d) => {
+    import graft.functions.VectorFunctions.dotL
+    val quant = transform(col("embedding"),
+      x => round(x * 1000, 0).cast(LongType))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), quant.as("qv"))
+      .withColumn("n2", dotL(col("qv"), col("qv")))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"))
+    e.filter(col("n2") > 0)
+      .join(broadcast(q), col("vec_id") > col("probe_id"))
+      .withColumn("dot", dotL(col("qv"), col("q_qv")))
+      .filter(col("dot") > 0 && expr(
+        "CAST(dot AS DECIMAL(38,0)) * dot * 100 >= " +
+          "4 * (CAST(n2 AS DECIMAL(38,0)) * q_n2)"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        expr("""CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000000000)
+                div (CAST(n2 AS DECIMAL(38,0)) * q_n2) AS LONG)""")
+          .as("score"))
+  }
+
   /** Custom UDAF surface: quantity-weighted mean of extendedprice per
     * returnflag, exact decimal buffer (graft.functions.WeightedMean). */
   val qUdafWeighted: Q = (s, d) => {
@@ -157,10 +193,36 @@ object NorthStarQueries {
     "q_text_stats" -> qTextStats,
     "q_generator_posexplode" -> qGeneratorPosexplode,
     "q_similarity_topk" -> qSimilarityTopk,
+    "q_similarity_range" -> qSimilarityRange,
     "q_udaf_weighted" -> qUdafWeighted,
     "q_udf_parse_delay" -> qUdfParseDelay)
 
   val oracleSql: Map[String, String] = Map(
+    "q_similarity_range" ->
+      """WITH e AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
+               AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+           FROM e),
+         q AS (SELECT vec_id AS probe_id, qv AS q_qv, n2 AS q_n2
+               FROM n WHERE vec_id < 8),
+         sc AS (
+           SELECT q.probe_id, n.vec_id, n.label,
+             CAST(list_sum(list_transform(list_zip(n.qv, q.q_qv),
+               t -> t[1] * t[2])) AS BIGINT) AS dot,
+             n.n2, q.q_n2
+           FROM n, q WHERE n.vec_id > q.probe_id AND n.n2 > 0)
+         SELECT probe_id, vec_id, label,
+           CAST((CAST(dot AS HUGEINT) * dot * 1000000000000) //
+             (CAST(n2 AS HUGEINT) * q_n2) AS BIGINT) AS score
+         FROM sc
+         WHERE dot > 0
+           AND CAST(dot AS HUGEINT) * dot * 100
+               >= 4 * (CAST(n2 AS HUGEINT) * q_n2)""",
     "q_similarity_topk" ->
       """WITH e AS (
            SELECT vec_id, label,

@@ -16,6 +16,7 @@ class PlanQualitySpec extends AnyFunSuite {
   private val intentionallyUnkeyed = Set(
     "q_join_cross",        // 5×25 dims — the declared CROSS JOIN surface
     "q_similarity_topk",   // 1-row broadcast query vector
+    "q_similarity_range",  // 8-row broadcast probe batch, `>` pairing
     "q_similarity_lsh",    // 1-row query vector vs bucketed candidates
     "q_similarity_ivf",    // same, IVF cells
     "q_resample_gapfill")  // grid × 5 event types
