@@ -122,13 +122,91 @@ object Attribution {
 
   val qAbtestConversion: Q = (s, d) => abtestConversion(Tables.events(s, d))
 
+  /** Welch two-sample significance readout per event type, EXACT: the
+    * arms are the same md5 split as [[abtestConversion]]; values ride
+    * integer cents; and the |t| > 2 decision is the fully
+    * cross-multiplied inequality
+    *   A²·(n_a−1)(n_b−1) > 4·[(n_a·Q_a − S_a²)·n_b²·(n_b−1)
+    *                        + (n_b·Q_b − S_b²)·n_a²·(n_a−1)],
+    * A = S_a·n_b − S_b·n_a — so no division, sqrt, or float anywhere;
+    * DuckDB mirrors in HUGEINT. Operands ride decimal(19,0)/decimal(38,0)
+    * partials (the [[TimeSeries.autocorr]] convention) — headroom to
+    * ~10⁹ rows per (type, arm) cell at cent precision before the
+    * decimal(38) products saturate; past that, pre-aggregate per day
+    * first.
+    *
+    * Plan shape: ONE map-side-combinable rollup of the raw stream into
+    * 5×(6 sufficient statistics) — the significance decision itself
+    * costs nothing at any scale. */
+  def abtestTtest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = (col("value").cast(DecimalType(18, 2)) * lit(100))
+      .cast("long")
+    val isA = Hashing.md5Bucket(col("user_id"), "", 2L) === 0L
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val g = events
+      .select(col("event_type"), isA.as("arm_a"), cents.as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("arm_a"), 1)).as("n_a"),
+        count(when(!col("arm_a"), 1)).as("n_b"),
+        sum(when(col("arm_a"), col("cents")).otherwise(0L)).as("sum_a"),
+        sum(when(!col("arm_a"), col("cents")).otherwise(0L)).as("sum_b"),
+        sum(when(col("arm_a"), dec(col("cents")) * dec(col("cents")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q_a"),
+        sum(when(!col("arm_a"), dec(col("cents")) * dec(col("cents")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q_b"))
+    val a = dec(col("sum_a")) * dec(col("n_b")) -
+      dec(col("sum_b")) * dec(col("n_a"))
+    val lhs = a * a * (dec(col("n_a")) - lit(1)) * (dec(col("n_b")) - lit(1))
+    val rhs = lit(4) * (
+      (dec(col("n_a")) * col("q_a") - dec(col("sum_a")) * dec(col("sum_a")))
+        * dec(col("n_b")) * dec(col("n_b")) * (dec(col("n_b")) - lit(1)) +
+      (dec(col("n_b")) * col("q_b") - dec(col("sum_b")) * dec(col("sum_b")))
+        * dec(col("n_a")) * dec(col("n_a")) * (dec(col("n_a")) - lit(1)))
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+      col("sum_a"), col("sum_b"), (lhs > rhs).as("significant"))
+  }
+
+  val qAbtestTtest: Q = (s, d) => abtestTtest(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "q_attribution_last" -> qAttributionLast,
     "q_path_topk" -> qPathTopk,
     "q_time_to_convert" -> qTimeToConvert,
-    "q_abtest_conversion" -> qAbtestConversion)
+    "q_abtest_conversion" -> qAbtestConversion,
+    "q_abtest_ttest" -> qAbtestTtest)
 
   val oracleSql: Map[String, String] = Map(
+    "q_abtest_ttest" ->
+      """WITH e AS (
+           SELECT event_type,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+               AS INT) % 2 = 0 AS arm_a,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         g AS (
+           SELECT event_type,
+             COUNT(*) FILTER (WHERE arm_a) AS n_a,
+             COUNT(*) FILTER (WHERE NOT arm_a) AS n_b,
+             CAST(SUM(cents) FILTER (WHERE arm_a) AS BIGINT) AS sum_a,
+             CAST(SUM(cents) FILTER (WHERE NOT arm_a) AS BIGINT) AS sum_b,
+             SUM(CAST(cents AS HUGEINT) * cents) FILTER (WHERE arm_a)
+               AS q_a,
+             SUM(CAST(cents AS HUGEINT) * cents) FILTER (WHERE NOT arm_a)
+               AS q_b
+           FROM e GROUP BY event_type)
+         SELECT event_type, n_a, n_b, sum_a, sum_b,
+           (CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a)
+             * (CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a)
+             * (n_a - 1) * (n_b - 1)
+           > 4 * ((CAST(n_a AS HUGEINT) * q_a
+                     - CAST(sum_a AS HUGEINT) * sum_a)
+                    * n_b * n_b * (n_b - 1)
+                + (CAST(n_b AS HUGEINT) * q_b
+                     - CAST(sum_b AS HUGEINT) * sum_b)
+                    * n_a * n_a * (n_a - 1)) AS significant
+         FROM g""",
     "q_attribution_last" ->
       """WITH s AS (
            SELECT user_id, event_type, event_id,

@@ -73,11 +73,77 @@ object Quantize {
 
   val qEmbedCentroid: Q = (s, d) => labelCentroids(Tables.embeddings(s, d))
 
+  /** One Lloyd (k-means) assignment step, integer-exact: the first 8
+    * vectors seed the centroids; every other vector goes to the nearest
+    * seed by the milli-quantized squared distance
+    * `‖a‖² + ‖c‖² − 2·a·c` (all int64 — no float distance ever), ties
+    * to the lowest centroid id. Output is the per-centroid census the
+    * update step consumes: member count, inertia (Σ dist), id range.
+    *
+    * Plan shape: 8 seeds broadcast into the fan-out (nested-loop by
+    * design, allowlisted), the argmin is `min(struct(dist, cid))` — a
+    * map-side-combinable aggregate, not a window — then an 8-row
+    * rollup. At 100 TB this is one corpus scan + one keyed exchange on
+    * vec_id; k centroids stay a broadcast for any k that fits memory
+    * (IVF in [[Similarity]] is the path past that). */
+  val qClusterAssign: Q = (s, d) => {
+    import graft.functions.VectorFunctions.dotL
+    import org.apache.spark.sql.types.LongType
+    val quant = transform(col("embedding"),
+      x => round(x * 1000, 0).cast(LongType))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quant.as("qv"))
+      .withColumn("n2", dotL(col("qv"), col("qv")))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("qv").as("c_qv"),
+        col("n2").as("c_n2"))
+    e.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(seeds))
+      .withColumn("dist",
+        col("n2") + col("c_n2") - lit(2L) * dotL(col("qv"), col("c_qv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"), col("b.dist").as("dist"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("dist")).as("inertia"),
+        min(col("vec_id")).as("first_vec"),
+        max(col("vec_id")).as("last_vec"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_quantize_embed" -> qQuantizeEmbed,
-    "q_embed_centroid" -> qEmbedCentroid)
+    "q_embed_centroid" -> qEmbedCentroid,
+    "q_cluster_assign" -> qClusterAssign)
 
   val oracleSql: Map[String, String] = Map(
+    "q_cluster_assign" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
+               AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+           FROM e),
+         seeds AS (SELECT vec_id AS cid, qv AS c_qv, n2 AS c_n2
+                   FROM n WHERE vec_id < 8),
+         fan AS (
+           SELECT n.vec_id, s.cid,
+             n.n2 + s.c_n2
+               - 2 * CAST(list_sum(list_transform(list_zip(n.qv, s.c_qv),
+                     t -> t[1] * t[2])) AS BIGINT) AS dist
+           FROM n, seeds s WHERE n.vec_id >= 8),
+         best AS (
+           SELECT vec_id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+           FROM fan)
+         SELECT cid, COUNT(*) AS n_assigned,
+           CAST(SUM(dist) AS BIGINT) AS inertia,
+           MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec
+         FROM best WHERE rn = 1 GROUP BY cid""",
     "q_quantize_embed" ->
       """WITH s AS (
            SELECT vec_id, embedding,

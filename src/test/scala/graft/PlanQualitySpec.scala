@@ -17,6 +17,7 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_join_cross",        // 5×25 dims — the declared CROSS JOIN surface
     "q_similarity_topk",   // 1-row broadcast query vector
     "q_similarity_range",  // 8-row broadcast probe batch, `>` pairing
+    "q_cluster_assign",    // 8-seed broadcast fan-out for the argmin
     "q_similarity_lsh",    // 1-row query vector vs bucketed candidates
     "q_similarity_ivf",    // same, IVF cells
     "q_resample_gapfill")  // grid × 5 event types

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Attribution, Quantize}
+
+/** Independent checks for the round-10 additions that carry non-trivial
+  * algebra (Lloyd assignment, Welch t-test) — both are also
+  * DuckDB-oracle-pinned; these recompute semantics in plain Scala and
+  * drive the decision branch the fixture cannot reach. */
+class Round10OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def quant(e: Array[Float]): Array[Long] =
+    e.map(x => BigDecimal(x * 1000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+
+  /** Plain-Scala mirror of Hashing.md5Bucket(user_id, "", 2) == 0. */
+  private def armA(u: Long): Boolean = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8"))
+    val hex = md5.take(2).map("%02x".format(_)).mkString
+    java.lang.Integer.parseInt(hex, 16) % 2 == 0
+  }
+
+  test("Lloyd assignment step equals the plain-Scala argmin reference") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val seeds = vecs.filter(_._1 < 8)
+      .map { case (id, e) => (id, quant(e)) }.sortBy(_._1)
+    def n2(v: Array[Long]) = v.map(x => x * x).sum
+    val expect = vecs.filter(_._1 >= 8).map { case (id, e) =>
+      val v = quant(e)
+      val (cid, dist) = seeds.map { case (c, cv) =>
+        val dot = v.zip(cv).map { case (a, b) => a * b }.sum
+        (c, n2(v) + n2(cv) - 2 * dot)
+      }.minBy { case (c, dd) => (dd, c) }
+      (id, cid, dist)
+    }.groupBy(_._2).map { case (cid, g) =>
+      cid -> ((g.length.toLong, g.map(_._3).sum,
+        g.map(_._1).min, g.map(_._1).max))
+    }
+    val got = Quantize.qClusterAssign(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == vecs.count(_._1 >= 8))
+  }
+
+  test("Welch t-test inequality matches the BigInt reference on the " +
+      "A/A fixture (a stray 5%-level false positive is legitimate)") {
+    val rows = Attribution.qAbtestTtest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == 5)
+    assert(rows.exists(!_._6), "an A/A split cannot flag every type")
+    // recompute the inequality from the emitted sufficient statistics
+    // (Q recomputed from the fixture) and check the flag agrees
+    val cents = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (et, na, nb, sa, sb, sig) =>
+      val g = cents.filter(_._1 == et)
+      val ga = g.filter(t => armA(t._2)).map(_._3)
+      val gb = g.filterNot(t => armA(t._2)).map(_._3)
+      assert(ga.length == na && gb.length == nb)
+      assert(ga.sum == sa && gb.sum == sb)
+      val (qa, qb) = (ga.map(c => BigInt(c) * c).sum,
+        gb.map(c => BigInt(c) * c).sum)
+      val a = BigInt(sa) * nb - BigInt(sb) * na
+      val lhs = a * a * (na - 1) * (nb - 1)
+      val rhs = 4 * ((BigInt(na) * qa - BigInt(sa) * sa)
+        * nb * nb * (nb - 1) +
+        (BigInt(nb) * qb - BigInt(sb) * sb) * na * na * (na - 1))
+      assert(sig == (lhs > rhs))
+    }
+  }
+
+  test("Welch t-test flags a genuinely shifted arm as significant") {
+    import spark.implicits._
+    // the md5-A arm gets value ~50, the other arm ~80 — a 30-unit
+    // shift that must clear |t| > 2
+    val synth = (1L to 400L).map { u =>
+      val base = if (armA(u)) 50.0 else 80.0
+      (u, "exp", base + (u % 5) * 0.25)
+    }.toDF("user_id", "event_type", "value")
+    val out = Attribution.abtestTtest(synth).collect()
+    assert(out.length == 1 && out.head.getBoolean(5),
+      "a 30-unit mean shift must be flagged significant")
+  }
+}
