@@ -53,9 +53,29 @@ object QualityModel {
   private val cache =
     scala.collection.concurrent.TrieMap[String, Weights]()
 
+  private val cellCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
   /** For tests / long-lived sessions (see the session-cache contract in
     * graft.operators.DedupQueries.clearArtifacts). */
-  def clearCache(): Unit = cache.clear()
+  def clearCache(): Unit = {
+    cache.clear()
+    cellCache.values.foreach(df => try df.unpersist(false)
+      catch { case _: Throwable => () })
+    cellCache.clear()
+  }
+
+  /** Session artifact: the (score, lang) cell table [[qEvalAuc]] folds —
+    * persisted so the corpus scans ONCE even though the AUC plan
+    * consumes it on both the probe side and inside the broadcast
+    * histogram subtree. */
+  private def scoreCells(spark: SparkSession, sfDir: String): DataFrame =
+    Artifacts.memo(cellCache, sfDir, Artifacts.unpersistDf) {
+      Tables.documents(spark, sfDir)
+        .groupBy(col("n_chars").as("score"), col("lang"))
+        .agg(count(lit(1)).as("n_pos_g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Train the logistic gate-mimic once per corpus key. Deterministic
     * given the corpus: L-BFGS over a fixed feature space with fixed
@@ -96,10 +116,80 @@ object QualityModel {
       .join(gate, "doc_id")
   }
 
-  val queries: Map[String, Q] = Map(
-    "q_quality_logistic" -> qQualityLogistic)
+  /** Exact AUC (Mann–Whitney U) evaluation, one-vs-rest per language,
+    * scoring each document by `n_chars` — the eval-harness statistic a
+    * scorer ([[qQualityLogistic]]) is judged by, computed WITHOUT
+    * floats: ranks come from the score HISTOGRAM (group by score →
+    * running count), tied ranks use the doubled-average-rank device
+    * (2·avgrank = 2·cum_before + n_g + 1, an integer), and
+    * AUC_ppm = (2·R⁺ − n⁺(n⁺+1)) · 10⁶ div (2·n⁺·n⁻).
+    *
+    * Scale shape: ONE corpus scan builds the (score, lang) cell table;
+    * the score histogram, its rank window, the broadcast join back, and
+    * the per-lang fold all run over histogram-sized data (|distinct
+    * scores| rows) — AUC at 100 TB costs one corpus exchange, and
+    * everything after is as cheap as the histogram is small. (If the
+    * score histogram itself outgrew broadcast, swap the broadcast for a
+    * score-keyed join — same algebra.) */
+  val qEvalAuc: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val perScoreLang = scoreCells(s, d)
+    val perScore = perScoreLang.groupBy(col("score"))
+      .agg(sum(col("n_pos_g")).as("n_g"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore.withColumn("cum_before",
+      coalesce(sum(col("n_g")).over(w), lit(0L)))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    perScoreLang.join(broadcast(ranked), "score")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_pos_g")).as("n_pos"),
+        sum(dec(col("n_pos_g")) * dec(lit(2L) * col("cum_before")
+          + col("n_g") + lit(1L))).as("r2"))
+      // the corpus total re-derives from the 5-row fold itself (every doc
+      // has exactly one lang) — no scalar join, no driver-side count
+      .withColumn("total",
+        sum(col("n_pos")).over(Window.partitionBy()))
+      .select(col("lang"), col("n_pos"),
+        (col("total") - col("n_pos")).as("n_neg"),
+        expr("""CAST(((r2 - CAST(n_pos AS DECIMAL(19,0)) * (n_pos + 1))
+                  * 1000000)
+                div (2 * CAST(n_pos AS DECIMAL(19,0)) * (total - n_pos))
+                AS LONG)""").as("auc_ppm"))
+  }
 
-  /** No-oracle float class (sigmoid); QualitySpec pins accuracy vs the
-    * gate and rerun determinism. */
-  val oracleSql: Map[String, String] = Map.empty
+  val queries: Map[String, Q] = Map(
+    "q_quality_logistic" -> qQualityLogistic,
+    "q_eval_auc" -> qEvalAuc)
+
+  /** q_quality_logistic is the no-oracle float class (sigmoid);
+    * QualitySpec pins accuracy vs the gate and rerun determinism.
+    * q_eval_auc is integer-exact and oracle-pinned below. */
+  val oracleSql: Map[String, String] = Map(
+    "q_eval_auc" ->
+      """WITH h AS (
+           SELECT n_chars AS score, COUNT(*) AS n_g FROM documents
+           GROUP BY 1),
+         r AS (
+           SELECT score, n_g,
+             COALESCE(SUM(n_g) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+           FROM h),
+         pl AS (
+           SELECT n_chars AS score, lang, COUNT(*) AS n_pos_g
+           FROM documents GROUP BY 1, 2),
+         t AS (SELECT COUNT(*) AS total FROM documents),
+         f AS (
+           SELECT pl.lang,
+             CAST(SUM(pl.n_pos_g) AS BIGINT) AS n_pos,
+             CAST(SUM(pl.n_pos_g * (2 * r.cum_before + r.n_g + 1))
+               AS HUGEINT) AS r2
+           FROM pl JOIN r USING (score) GROUP BY pl.lang)
+         SELECT lang, n_pos,
+           CAST(t.total - n_pos AS BIGINT) AS n_neg,
+           CAST(((r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
+             // (2 * CAST(n_pos AS HUGEINT) * (t.total - n_pos))
+             AS BIGINT) AS auc_ppm
+         FROM f, t""")
 }

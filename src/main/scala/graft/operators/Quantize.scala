@@ -111,10 +111,43 @@ object Quantize {
         max(col("vec_id")).as("last_vec"))
   }
 
+  /** The Lloyd UPDATE step completing [[qClusterAssign]]'s iteration:
+    * per (centroid, dimension), the exact milli-sum and member count the
+    * next-round centroid mean derives from (mean = sum div n, left to
+    * the consumer so the artifact stays integer). posexplode keeps the
+    * dimension index engine-side; the rollup is map-side combinable on
+    * (cid, dim) — at 100 TB this is the one extra keyed exchange after
+    * the assignment's vec_id aggregation, and the 8×64-row result is
+    * the broadcast input of the next iteration. */
+  val qClusterUpdate: Q = (s, d) => {
+    import graft.functions.VectorFunctions.dotL
+    import org.apache.spark.sql.types.LongType
+    val quant = transform(col("embedding"),
+      x => round(x * 1000, 0).cast(LongType))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quant.as("qv"))
+      .withColumn("n2", dotL(col("qv"), col("qv")))
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("qv").as("c_qv"),
+        col("n2").as("c_n2"))
+    e.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(seeds))
+      .withColumn("dist",
+        col("n2") + col("c_n2") - lit(2L) * dotL(col("qv"), col("c_qv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("b"),
+        first(col("qv")).as("qv"))
+      .select(col("b.cid").as("cid"),
+        posexplode(col("qv")).as(Seq("dim", "milli")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("milli")).as("sum_milli"), count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_quantize_embed" -> qQuantizeEmbed,
     "q_embed_centroid" -> qEmbedCentroid,
-    "q_cluster_assign" -> qClusterAssign)
+    "q_cluster_assign" -> qClusterAssign,
+    "q_cluster_update" -> qClusterUpdate)
 
   val oracleSql: Map[String, String] = Map(
     "q_cluster_assign" ->
@@ -144,6 +177,40 @@ object Quantize {
            CAST(SUM(dist) AS BIGINT) AS inertia,
            MIN(vec_id) AS first_vec, MAX(vec_id) AS last_vec
          FROM best WHERE rn = 1 GROUP BY cid""",
+    "q_cluster_update" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
+               AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+           FROM e),
+         seeds AS (SELECT vec_id AS cid, qv AS c_qv, n2 AS c_n2
+                   FROM n WHERE vec_id < 8),
+         fan AS (
+           SELECT n.vec_id, s.cid,
+             n.n2 + s.c_n2
+               - 2 * CAST(list_sum(list_transform(list_zip(n.qv, s.c_qv),
+                     t -> t[1] * t[2])) AS BIGINT) AS dist
+           FROM n, seeds s WHERE n.vec_id >= 8),
+         best AS (
+           SELECT vec_id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+           FROM fan),
+         m AS (
+           SELECT b.cid, n.qv FROM best b JOIN n USING (vec_id)
+           WHERE b.rn = 1),
+         x AS (
+           SELECT cid,
+             CAST(unnest(generate_series(0, len(qv) - 1)) AS INT) AS dim,
+             unnest(qv) AS milli
+           FROM m)
+         SELECT cid, dim, CAST(SUM(milli) AS BIGINT) AS sum_milli,
+           COUNT(*) AS n
+         FROM x GROUP BY cid, dim""",
     "q_quantize_embed" ->
       """WITH s AS (
            SELECT vec_id, embedding,

@@ -18,6 +18,7 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_similarity_topk",   // 1-row broadcast query vector
     "q_similarity_range",  // 8-row broadcast probe batch, `>` pairing
     "q_cluster_assign",    // 8-seed broadcast fan-out for the argmin
+    "q_cluster_update",    // same fan-out, update half of the iteration
     "q_similarity_lsh",    // 1-row query vector vs bucketed candidates
     "q_similarity_ivf",    // same, IVF cells
     "q_resample_gapfill")  // grid × 5 event types
@@ -86,7 +87,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // late-set build join + the EXISTS semi + NOT-EXISTS anti on the
     // order key + the final supplier rollup (exchange reuse dedupes the
     // shared late subtree)
-    "q_tpch_q21" -> 3).withDefaultValue(2)
+    "q_tpch_q21" -> 3,
+    // one corpus exchange into the persisted (score,lang) cell artifact,
+    // then histogram-sized: score regroup, rank window, per-lang fold —
+    // the broadcast subtree re-plans the regroup+window pair (4 total)
+    "q_eval_auc" -> 4).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements

@@ -80,6 +80,56 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Lloyd update step sums match the assignment and plain Scala") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val seeds = vecs.filter(_._1 < 8)
+      .map { case (id, e) => (id, quant(e)) }.sortBy(_._1)
+    def n2(v: Array[Long]) = v.map(x => x * x).sum
+    val assign = vecs.filter(_._1 >= 8).map { case (id, e) =>
+      val v = quant(e)
+      val cid = seeds.map { case (c, cv) =>
+        val dot = v.zip(cv).map { case (a, b) => a * b }.sum
+        (c, n2(v) + n2(cv) - 2 * dot)
+      }.minBy { case (c, dd) => (dd, c) }._1
+      (cid, v)
+    }
+    val expect = assign.groupBy(_._1).flatMap { case (cid, g) =>
+      val dim = g.head._2.length
+      (0 until dim).map(j =>
+        (cid, j) -> ((g.map(_._2(j)).sum, g.length.toLong)))
+    }
+    val got = Quantize.qClusterUpdate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+  }
+
+  test("exact AUC equals the quadratic pairwise reference, ties included") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = graft.operators.QualityModel.qEvalAuc(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.map(_._1).distinct.foreach { l =>
+      val pos = docs.filter(_._1 == l).map(_._2)
+      val neg = docs.filter(_._1 != l).map(_._2)
+      var wins2 = BigInt(0)
+      pos.foreach { p =>
+        neg.foreach { n =>
+          if (p > n) wins2 += 2 else if (p == n) wins2 += 1
+        }
+      }
+      val expectPpm = (wins2 * 1000000 /
+        (2 * BigInt(pos.length) * neg.length)).toLong
+      val (np, nn, ppm) = got(l)
+      assert(np == pos.length && nn == neg.length)
+      assert(ppm == expectPpm, s"AUC mismatch for $l")
+    }
+  }
+
   test("Welch t-test flags a genuinely shifted arm as significant") {
     import spark.implicits._
     // the md5-A arm gets value ~50, the other arm ~80 — a 30-unit
