@@ -53,6 +53,7 @@ object SparkEntry {
       FeatureOps.queries ++
       GeneratorOps.queries ++
       TrendOps.queries ++
+      FrontierOps.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +94,6 @@ object SparkEntry {
       FeatureOps.oracleSql ++
       GeneratorOps.oracleSql ++
       TrendOps.oracleSql ++
+      FrontierOps.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

@@ -130,6 +130,54 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval coverage equals the plain-Scala sweep-line merge") {
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS s").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = evs.groupBy(_._1).map { case (u, g) =>
+      val iv = g.map(t => (t._2, t._2 + 600000000L)).sortBy(identity)
+      var islands = 0L; var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      iv.foreach { case (a, b) =>
+        if (islands == 0 || a > curE) {
+          if (islands > 0) covered += curE - curS
+          islands += 1; curS = a; curE = b
+        } else if (b > curE) curE = b
+      }
+      covered += curE - curS
+      u -> ((islands, covered))
+    }
+    val got = graft.operators.FrontierOps.qIntervalCoverage(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("skyline points are exactly the non-dominated (spend, n) pairs") {
+    val rows = graft.operators.FrontierOps.qSkyline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pts = {
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_custkey").isNotNull)
+        .selectExpr("o_custkey",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS LONG) AS c")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val seg = Tables.customer(spark, sf)
+        .select("c_custkey", "c_mktsegment").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      o.groupBy(_._1).toSeq.map { case (ck, g) =>
+        (seg(ck), g.map(_._2).sum, g.length.toLong)
+      }.distinct
+    }
+    val expect = pts.filter { case (s0, sp, n) =>
+      !pts.exists { case (s1, sp1, n1) =>
+        s1 == s0 && sp1 >= sp && n1 >= n && (sp1 > sp || n1 > n)
+      }
+    }.toSet
+    assert(rows.toSet == expect)
+    assert(rows.nonEmpty && rows.length < pts.length)
+  }
+
   test("Welch t-test flags a genuinely shifted arm as significant") {
     import spark.implicits._
     // the md5-A arm gets value ~50, the other arm ~80 — a 30-unit
