@@ -440,9 +440,42 @@ object AggQueries {
         |GROUP BY event_type""".stripMargin)
   }
 
+  /** Weighted percentiles (median + P90) of extended price weighted by
+    * quantity, per return flag — EXACT: prices collapse to an integer-
+    * cent histogram first (map-side combine), weights ride integer
+    * deci-units, and the p-th weighted percentile is the smallest price
+    * whose cumulative weight crosses p·W, decided by the cross-
+    * multiplied integer tests `2·cumw ≥ W` / `10·cumw ≥ 9·W` — no
+    * interpolation, no floats. The windows run over the per-flag price
+    * histogram, never the raw fact rows. */
+  val qAggWeightedPercentile: Q = (s, d) => {
+    val hist = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast(dec2) * lit(100)).cast("long")
+          .as("price_c"),
+        (col("l_quantity").cast(dec2) * lit(10)).cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("price_c"))
+      .agg(sum(col("w")).as("w"))
+    val wo = Window.partitionBy("l_returnflag").orderBy("price_c")
+    val full = wo.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    hist
+      .withColumn("cumw", sum(col("w")).over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("totw", sum(col("w")).over(full))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cumw") * 2 >= col("totw"), col("price_c")))
+          .as("wmedian_c"),
+        min(when(col("cumw") * 10 >= col("totw") * 9, col("price_c")))
+          .as("wp90_c"),
+        first(col("totw")).as("total_w"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "q_agg_weighted_percentile" -> qAggWeightedPercentile,
     "q_agg_stats" -> qAggStats,
     "q_agg_histogram" -> qAggHistogram,
     "q_agg_mode" -> qAggMode,
@@ -470,6 +503,28 @@ object AggQueries {
     "q_topk_per_group" -> qTopkPerGroup)
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_weighted_percentile" ->
+      """WITH h AS (
+           SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 10
+               AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         r AS (
+           SELECT l_returnflag, price_c, w,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumw,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag)
+               AS BIGINT) AS totw
+           FROM h)
+         SELECT l_returnflag,
+           MIN(CASE WHEN cumw * 2 >= totw THEN price_c END) AS wmedian_c,
+           MIN(CASE WHEN cumw * 10 >= totw * 9 THEN price_c END)
+             AS wp90_c,
+           CAST(MIN(totw) AS BIGINT) AS total_w
+         FROM r GROUP BY l_returnflag""",
     "q_agg_stats" ->
       """WITH a AS (
            SELECT l_returnflag, COUNT(*) AS n,

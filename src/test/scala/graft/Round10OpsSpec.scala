@@ -178,6 +178,32 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.length < pts.length)
   }
 
+  test("weighted percentiles equal the plain-Scala cumulative-weight scan") {
+    val rows = Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS LONG) AS p",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 10 AS LONG) AS w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (f, g) =>
+      val hist = g.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = hist.map(_._2).sum
+      var cum = 0L
+      var med = Option.empty[Long]; var p90 = Option.empty[Long]
+      hist.foreach { case (p, w) =>
+        cum += w
+        if (med.isEmpty && cum * 2 >= tot) med = Some(p)
+        if (p90.isEmpty && cum * 10 >= tot * 9) p90 = Some(p)
+      }
+      f -> ((med.get, p90.get, tot))
+    }
+    val got = graft.operators.AggQueries.qAggWeightedPercentile(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    got.values.foreach { case (m, p, _) => assert(m <= p) }
+  }
+
   test("Welch t-test flags a genuinely shifted arm as significant") {
     import spark.implicits._
     // the md5-A arm gets value ~50, the other arm ~80 — a 30-unit
