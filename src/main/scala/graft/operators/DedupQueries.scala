@@ -401,15 +401,17 @@ object DedupQueries {
   }
 
   /** Embedding near-dup with an EXACT oracle: quantize to milli-units
-    * (round(x·1000) — never a .5 tie since (2k+1)/2000 has no exact
-    * binary-float representation, so both engines round identically),
-    * then pure int64 arithmetic: pair qualifies iff dot > 0 and
+    * (round(CAST(x AS DOUBLE)·1000) — the double cast pins both engines
+    * to the same product; in float arithmetic a payload like 0.3195f
+    * rounds to 319.5 while the double product is 319.4999…, a real
+    * sf0.1 divergence found in round 10), then pure int64 arithmetic:
+    * pair qualifies iff dot > 0 and
     * dot²·10⁴ ≥ 2025·‖a‖²·‖b‖² (⇔ cosine ≥ 0.45). No floats cross the
     * engine boundary, so this hash-matches DuckDB exactly — the
     * oracle-checkable complement of [[qDedupEmbed]]. */
   val qDedupEmbedQ: Q = (s, d) => {
     val quant = transform(col("embedding"),
-      x => round(x * 1000, 0).cast(LongType))
+      x => round(x.cast("double") * 1000, 0).cast(LongType))
     import graft.functions.VectorFunctions.dotL
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quant.as("qv"))

@@ -91,8 +91,12 @@ object NorthStarQueries {
 
   /** Brute-force similarity top-10 against vec_id=0 with an EXACT oracle
     * (round-9 move out of the no-oracle class, the q_dedup_embed_q
-    * precedent): milli-quantize (round(x·1000) — no .5 ties, both engines
-    * round identically), int64 dot/norms, and rank by the integer score
+    * precedent): milli-quantize (round(CAST(x AS DOUBLE)·1000) — the
+    * double cast is LOAD-BEARING: DuckDB multiplies FLOAT·INT in float,
+    * Spark promotes to double, and a float32 payload like 0.3195f lands
+    * on 319.5 in one engine and 319.4999… in the other; round 10 pinned
+    * both engines to the double product), int64 dot/norms, and rank by
+    * the integer score
     *   sign(dot) · (dot²·10¹² div (‖a‖²·‖q‖²))
     * — a pure-integer monotone image of cosine² with the sign restored,
     * computed in DECIMAL(38,0)/HUGEINT so nothing wraps, truncating
@@ -107,7 +111,7 @@ object NorthStarQueries {
   val qSimilarityTopk: Q = (s, d) => {
     import graft.functions.VectorFunctions.dotL
     val quant = transform(col("embedding"),
-      x => round(x * 1000, 0).cast(LongType))
+      x => round(x.cast("double") * 1000, 0).cast(LongType))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), quant.as("qv"))
       .withColumn("n2", dotL(col("qv"), col("qv")))
@@ -142,7 +146,7 @@ object NorthStarQueries {
   val qSimilarityRange: Q = (s, d) => {
     import graft.functions.VectorFunctions.dotL
     val quant = transform(col("embedding"),
-      x => round(x * 1000, 0).cast(LongType))
+      x => round(x.cast("double") * 1000, 0).cast(LongType))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), quant.as("qv"))
       .withColumn("n2", dotL(col("qv"), col("qv")))
@@ -201,7 +205,7 @@ object NorthStarQueries {
     "q_similarity_range" ->
       """WITH e AS (
            SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
                AS qv
            FROM embeddings),
          n AS (
@@ -226,7 +230,7 @@ object NorthStarQueries {
     "q_similarity_topk" ->
       """WITH e AS (
            SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
            FROM embeddings),
          n AS (
            SELECT vec_id, label, qv,

@@ -90,7 +90,7 @@ object Quantize {
     import graft.functions.VectorFunctions.dotL
     import org.apache.spark.sql.types.LongType
     val quant = transform(col("embedding"),
-      x => round(x * 1000, 0).cast(LongType))
+      x => round(x.cast("double") * 1000, 0).cast(LongType))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quant.as("qv"))
       .withColumn("n2", dotL(col("qv"), col("qv")))
@@ -123,7 +123,7 @@ object Quantize {
     import graft.functions.VectorFunctions.dotL
     import org.apache.spark.sql.types.LongType
     val quant = transform(col("embedding"),
-      x => round(x * 1000, 0).cast(LongType))
+      x => round(x.cast("double") * 1000, 0).cast(LongType))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quant.as("qv"))
       .withColumn("n2", dotL(col("qv"), col("qv")))
@@ -153,7 +153,7 @@ object Quantize {
     "q_cluster_assign" ->
       """WITH e AS (
            SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
                AS qv
            FROM embeddings),
          n AS (
@@ -180,7 +180,7 @@ object Quantize {
     "q_cluster_update" ->
       """WITH e AS (
            SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
                AS qv
            FROM embeddings),
          n AS (

@@ -189,7 +189,7 @@ object Similarity {
       tables: Int, nbits: Int, dim: Int): DataFrame = {
     import graft.functions.VectorFunctions.dotL
     val planes = quantizedPlanes(tables * nbits, dim)
-    val quant = transform(col(embCol), x => round(x * 1000, 0).cast(LongType))
+    val quant = transform(col(embCol), x => round(x.cast("double") * 1000, 0).cast(LongType))
     val base = df.select(col(idCol).as("id"), quant.as("qv"))
       .withColumn("nrm2", dotL(col("qv"), col("qv")))
     val tb = (0 until tables).map { t =>
@@ -649,7 +649,7 @@ object Similarity {
     }.mkString(",\n           ")
     s"""q AS (
            SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
            FROM embeddings),
          n AS (
            SELECT vec_id, qv,
@@ -770,7 +770,7 @@ object Similarity {
     }.mkString(",\n           ")
     s"""WITH q AS (
            SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
            FROM embeddings),
          pl AS (SELECT * FROM (VALUES $planeRows) AS t(b, plane)),
          bk AS (

@@ -88,6 +88,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // order key + the final supplier rollup (exchange reuse dedupes the
     // shared late subtree)
     "q_tpch_q21" -> 3,
+    // per-custkey spend rollup + the customer-segment join + the
+    // (segment, point) dedupe feeding the running-max window — three
+    // stages, each on shrinking keyed data
+    "q_skyline" -> 3,
     // one corpus exchange into the persisted (score,lang) cell artifact,
     // then histogram-sized: score regroup, rank window, per-lang fold —
     // the broadcast subtree re-plans the regroup+window pair (4 total)
