@@ -218,6 +218,44 @@ object CoreQueries {
         col("fresh"))
   }
 
+  /** NEAREST as-of (pandas `merge_asof(direction='nearest')`),
+    * completing the family: each error pairs with whichever partner —
+    * latest prior or earliest next — is closer in absolute event time,
+    * ties to the prior side. Both directional windows share ONE
+    * user-keyed sort (Catalyst plans them in a single Window operator
+    * chain over the same exchange); the nearest pick is a map-side
+    * integer-µs comparison. */
+  val qJoinAsofNearest: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("error", "signup", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        when(col("event_type").isin("signup", "purchase"), col("event_id")).as("r_id"),
+        when(col("event_type").isin("signup", "purchase"),
+          unix_micros(col("ts"))).as("r_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val back = w.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    ev
+      .withColumn("p_id", last(col("r_id"), ignoreNulls = true).over(back))
+      .withColumn("p_us", last(col("r_us"), ignoreNulls = true).over(back))
+      .withColumn("n_id", first(col("r_id"), ignoreNulls = true).over(fwd))
+      .withColumn("n_us", first(col("r_us"), ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "error")
+      .withColumn("d_p", unix_micros(col("ts")) - col("p_us"))
+      .withColumn("d_n", col("n_us") - unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        when(col("p_id").isNull && col("n_id").isNull, lit(null))
+          .when(col("n_id").isNull, col("p_id"))
+          .when(col("p_id").isNull, col("n_id"))
+          .when(col("d_p") <= col("d_n"), col("p_id"))
+          .otherwise(col("n_id")).as("nearest_event_id"),
+        when(col("p_id").isNull && col("n_id").isNull, lit(null))
+          .when(col("n_id").isNull, lit("prior"))
+          .when(col("p_id").isNull, lit("next"))
+          .when(col("d_p") <= col("d_n"), lit("prior"))
+          .otherwise(lit("next")).as("side"))
+  }
+
   // ---- set operations ---------------------------------------------------
 
   /** UNION ALL of two event slices — append-only snapshot accumulation
@@ -329,6 +367,7 @@ object CoreQueries {
     "q_join_asof" -> qJoinAsof,
     "q_join_asof_forward" -> qJoinAsofForward,
     "q_join_asof_tolerance" -> qJoinAsofTolerance,
+    "q_join_asof_nearest" -> qJoinAsofNearest,
     "q_union_all" -> qUnionAll,
     "q_union_distinct" -> qUnionDistinct,
     "q_intersect" -> qIntersect,
@@ -444,6 +483,44 @@ object CoreQueries {
            CASE WHEN p_ts >= ts - INTERVAL 1 HOUR THEN p_id END
              AS prior_event_id,
            COALESCE(p_ts >= ts - INTERVAL 1 HOUR, false) AS fresh
+         FROM m ORDER BY event_id""",
+    "q_join_asof_nearest" ->
+      """WITH m AS (
+           SELECT e.event_id, e.user_id, e.ts,
+             (SELECT p.event_id FROM events p
+              WHERE p.user_id = e.user_id
+                AND p.event_type IN ('signup','purchase')
+                AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+              ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS p_id,
+             (SELECT p.ts FROM events p
+              WHERE p.user_id = e.user_id
+                AND p.event_type IN ('signup','purchase')
+                AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+              ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS p_ts,
+             (SELECT p.event_id FROM events p
+              WHERE p.user_id = e.user_id
+                AND p.event_type IN ('signup','purchase')
+                AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id))
+              ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS n_id,
+             (SELECT p.ts FROM events p
+              WHERE p.user_id = e.user_id
+                AND p.event_type IN ('signup','purchase')
+                AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id))
+              ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS n_ts
+           FROM events e WHERE e.event_type = 'error')
+         SELECT event_id, user_id,
+           CASE WHEN p_id IS NULL AND n_id IS NULL THEN NULL
+                WHEN n_id IS NULL THEN p_id
+                WHEN p_id IS NULL THEN n_id
+                WHEN epoch_us(ts) - epoch_us(p_ts)
+                     <= epoch_us(n_ts) - epoch_us(ts) THEN p_id
+                ELSE n_id END AS nearest_event_id,
+           CASE WHEN p_id IS NULL AND n_id IS NULL THEN NULL
+                WHEN n_id IS NULL THEN 'prior'
+                WHEN p_id IS NULL THEN 'next'
+                WHEN epoch_us(ts) - epoch_us(p_ts)
+                     <= epoch_us(n_ts) - epoch_us(ts) THEN 'prior'
+                ELSE 'next' END AS side
          FROM m ORDER BY event_id""",
     "q_union_all" ->
       """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'

@@ -204,6 +204,41 @@ class Round10OpsSpec extends AnyFunSuite {
     got.values.foreach { case (m, p, _) => assert(m <= p) }
   }
 
+  test("nearest as-of picks the min-|Δt| partner, ties to prior") {
+    val evs = Tables.events(spark, sf)
+      .filter(col("event_type").isin("error", "signup", "purchase"))
+      .selectExpr("event_id", "unix_micros(ts) AS us", "user_id",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = evs.groupBy(_._3)
+    val expect = evs.filter(_._4 == "error").map { case (id, us, u, _) =>
+      val partners = byUser(u).filter(_._4 != "error")
+      val prior = partners
+        .filter(p => p._2 < us || (p._2 == us && p._1 < id))
+        .sortBy(p => (p._2, p._1)).lastOption
+      val next = partners
+        .filter(p => p._2 > us || (p._2 == us && p._1 > id))
+        .sortBy(p => (p._2, p._1)).headOption
+      val pick = (prior, next) match {
+        case (None, None) => None
+        case (Some(p), None) => Some((p._1, "prior"))
+        case (None, Some(n)) => Some((n._1, "next"))
+        case (Some(p), Some(n)) =>
+          if (us - p._2 <= n._2 - us) Some((p._1, "prior"))
+          else Some((n._1, "next"))
+      }
+      id -> pick
+    }.toMap
+    val got = graft.operators.CoreQueries.qJoinAsofNearest(spark, sf)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(2)) None
+          else Some((r.getLong(2), r.getString(3))))
+      }.toMap
+    assert(got == expect)
+    assert(got.values.flatten.exists(_._2 == "prior") &&
+      got.values.flatten.exists(_._2 == "next"))
+  }
+
   test("Welch t-test flags a genuinely shifted arm as significant") {
     import spark.implicits._
     // the md5-A arm gets value ~50, the other arm ~80 — a 30-unit
