@@ -159,7 +159,23 @@ object SqlSurface {
         size(collect_set(col("event_type")).over(w)).as("n_types_seen"))
   }
 
+  /** Modern grouping sugar in one statement: `SELECT * EXCEPT (...)`
+    * column pruning plus `GROUP BY ALL` / `ORDER BY ALL` (Spark 4 and
+    * DuckDB both resolve the non-aggregate output columns as the
+    * grouping key — the sugar desugars to the identical hash-agg plan,
+    * so this is a parser-surface query, not a new operator). DuckDB's
+    * star-prune spelling is `EXCLUDE`; the oracle uses it. */
+  val qGroupbyAll: Q = (s, d) => {
+    Tables.events(s, d).createOrReplaceTempView("ga_events")
+    s.sql(
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM (SELECT * EXCEPT (props) FROM ga_events)
+         GROUP BY ALL ORDER BY ALL""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_groupby_all" -> qGroupbyAll,
     "q_window_distinct_running" -> qWindowDistinctRunning,
     "q_window_percent_rank" -> qWindowPercentRank,
     "q_window_first_last" -> qWindowFirstLast,
@@ -170,6 +186,11 @@ object SqlSurface {
     "q_not_in_nulls" -> qNotInNulls)
 
   val oracleSql: Map[String, String] = Map(
+    "q_groupby_all" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM (SELECT * EXCLUDE (props) FROM events)
+         GROUP BY ALL ORDER BY ALL""",
     "q_window_distinct_running" ->
       """SELECT event_id, user_id,
            CAST(len(list_distinct(list(event_type) OVER w)) AS INT)
