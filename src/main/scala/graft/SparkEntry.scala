@@ -54,6 +54,7 @@ object SparkEntry {
       GeneratorOps.queries ++
       TrendOps.queries ++
       FrontierOps.queries ++
+      Spark4Surface.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,5 +96,6 @@ object SparkEntry {
       GeneratorOps.oracleSql ++
       TrendOps.oracleSql ++
       FrontierOps.oracleSql ++
+      Spark4Surface.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }
