@@ -360,6 +360,39 @@ object AggQueries {
       .withColumn("std_qty", sqrt(col("var_qty")))
   }
 
+  /** Skewness via exact integer central sums — the third-moment sibling
+    * of [[qAggStats]]/[[qAggCorr]]: per returnflag, the mean-centered
+    * residual cross-multiplied by n (`c = n·q − S`) is an exact integer,
+    * so A2 = Σc² and A3 = Σc³ accumulate exactly in decimal; the
+    * standardized skew g1 = A3 / √(A2³/n) then costs three
+    * correctly-rounded IEEE ops (*, /, sqrt) on identically-rounded
+    * inputs — bit-equal cross-engine, never skewness()'s float
+    * accumulation. Bounded column (quantity ≤ 50, centi-units ≤ 5000):
+    * c ≤ n·5000, so A3 stays inside DECIMAL(38)/HUGEINT up to n ≈ 10⁹
+    * rows per group; past that, pre-aggregate per partition key first
+    * (the qAggCorr boundedness note). Two passes over the group stats —
+    * the fact scan feeds a 3-row broadcast back in. */
+  val qAggSkew: Q = (s, d) => {
+    val q = (col("l_quantity").cast(dec2) * lit(100)).cast("long")
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), q.as("q"))
+    val stats = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sl"))
+    def dec19(c: Column) = c.cast("decimal(19,0)")
+    base.join(broadcast(stats), "l_returnflag")
+      .withColumn("c", dec19(col("n")) * dec19(col("q")) - dec19(col("sl")))
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("n")).as("n"),
+        sum(col("c") * col("c")).as("a2"),
+        sum(col("c") * col("c") * col("c")).as("a3"))
+      .select(col("l_returnflag"), col("n"),
+        col("a2").cast("double").as("a2"),
+        col("a3").cast("double").as("a3"))
+      .withColumn("skew",
+        col("a3") / sqrt(col("a2") * col("a2") * col("a2")
+          / col("n").cast("double")))
+  }
+
   /** Fixed-width histogram: bucket = floor(value / 10) per event type.
     * floor(x/10) is one correctly-rounded IEEE divide + floor in both
     * engines — deterministic without decimals. Map-side bucket projection
@@ -476,6 +509,7 @@ object AggQueries {
 
   val queries: Map[String, Q] = Map(
     "q_agg_weighted_percentile" -> qAggWeightedPercentile,
+    "q_agg_skew" -> qAggSkew,
     "q_agg_stats" -> qAggStats,
     "q_agg_histogram" -> qAggHistogram,
     "q_agg_mode" -> qAggMode,
@@ -503,6 +537,27 @@ object AggQueries {
     "q_topk_per_group" -> qTopkPerGroup)
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_skew" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+           FROM lineitem),
+         st AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(q) AS BIGINT) AS sl
+           FROM b GROUP BY 1),
+         cs AS (
+           SELECT b.l_returnflag, st.n,
+             CAST(st.n AS HUGEINT) * b.q - st.sl AS c
+           FROM b JOIN st USING (l_returnflag))
+         SELECT l_returnflag, CAST(MIN(n) AS BIGINT) AS n,
+           CAST(SUM(c * c) AS DOUBLE) AS a2,
+           CAST(SUM(c * c * c) AS DOUBLE) AS a3,
+           CAST(SUM(c * c * c) AS DOUBLE)
+             / sqrt(CAST(SUM(c * c) AS DOUBLE) * CAST(SUM(c * c) AS DOUBLE)
+                    * CAST(SUM(c * c) AS DOUBLE) / CAST(MIN(n) AS DOUBLE))
+             AS skew
+         FROM cs GROUP BY l_returnflag""",
     "q_agg_weighted_percentile" ->
       """WITH h AS (
            SELECT l_returnflag,

@@ -264,6 +264,29 @@ object MiscQueries {
         (col("n").cast("double") / lit(total.toDouble)).as("share"))
   }
 
+  /** Group-median imputation (data repair): a deterministic 1-in-7
+    * "sensor dropout" nulls the value; each null refills with its event
+    * type's EXACT doubled-scale median of the surviving cents (the
+    * [[Outliers]] med2 device — an integer-valued double both engines
+    * interpolate identically). Output stays on the doubled-cent integer
+    * scale so nothing is ever a float. The 5-row median table
+    * broadcasts back; one corpus scan each side of it. */
+  val qImputeMedian: Q = (s, d) => {
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      * lit(100)).cast("long")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        when(pmod(col("event_id"), lit(7L)) === 0L, lit(null))
+          .otherwise(cents).as("nn"))
+    val med = ev.filter(col("nn").isNotNull)
+      .groupBy(col("event_type"))
+      .agg((percentile(col("nn"), lit(0.5)) * 2).as("med2"))
+    ev.join(broadcast(med), "event_type")
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("nn") * 2, col("med2").cast("long")).as("value2c"),
+        col("nn").isNull.as("was_imputed"))
+  }
+
   // ---- registry ---------------------------------------------------------
 
   /** Data-profiling audit: one pass over a table producing row count,
@@ -450,6 +473,7 @@ object MiscQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_impute_median" -> qImputeMedian,
     "q_dow_profile" -> qDowProfile,
     "q_share_hierarchy" -> qShareHierarchy,
     "q_yoy_growth" -> qYoyGrowth,
@@ -479,6 +503,21 @@ object MiscQueries {
     "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
+    "q_impute_median" ->
+      """WITH f AS (
+           SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS nn
+           FROM events),
+         m AS (
+           SELECT event_type, quantile_cont(nn, 0.5) * 2 AS med2
+           FROM f WHERE nn IS NOT NULL GROUP BY 1)
+         SELECT f.event_id, f.event_type,
+           CAST(COALESCE(f.nn * 2, CAST(m.med2 AS BIGINT)) AS BIGINT)
+             AS value2c,
+           f.nn IS NULL AS was_imputed
+         FROM f JOIN m USING (event_type)""",
     "q_dow_profile" ->
       """WITH d AS (
            SELECT ((dayofweek(ts) + 6) % 7) + 1 AS iso_dow

@@ -239,6 +239,49 @@ class Round10OpsSpec extends AnyFunSuite {
       got.values.flatten.exists(_._2 == "next"))
   }
 
+  test("skew central sums equal BigInt exact moments; sign is sensible") {
+    val rows = Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS LONG) AS q")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = graft.operators.AggQueries.qAggSkew(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (f, g) =>
+      val n = g.length
+      val sTot = g.map(t => BigInt(t._2)).sum
+      val cs = g.map(t => BigInt(n) * t._2 - sTot)
+      val a2 = cs.map(c => c * c).sum
+      val a3 = cs.map(c => c * c * c).sum
+      val (gn, ga2, ga3, skew) = got(f)
+      assert(gn == n)
+      assert(ga2 == a2.toDouble && ga3 == a3.toDouble)
+      assert(skew == ga3 / math.sqrt(ga2 * ga2 * ga2 / n.toDouble))
+    }
+  }
+
+  test("median imputation repairs exactly the 1-in-7 dropout rows") {
+    val rows = graft.operators.MiscQueries.qImputeMedian(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    val cents = Tables.events(spark, sf)
+      .selectExpr("event_id", "event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS LONG) AS c")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def med2(xs: Seq[Long]): Long = {
+      val s0 = xs.sorted; val n = s0.length
+      if (n % 2 == 1) s0(n / 2) * 2 else s0(n / 2 - 1) + s0(n / 2)
+    }
+    val m2 = cents.filter(_._1 % 7 != 0).groupBy(_._2)
+      .map { case (t, g) => t -> med2(g.map(_._3).toSeq) }
+    val byId = cents.map(t => t._1 -> t._3).toMap
+    rows.foreach { case (id, t, v2, imp) =>
+      assert(imp == (id % 7 == 0))
+      assert(v2 == (if (imp) m2(t) else byId(id) * 2))
+    }
+  }
+
   test("Welch t-test flags a genuinely shifted arm as significant") {
     import spark.implicits._
     // the md5-A arm gets value ~50, the other arm ~80 — a 30-unit
