@@ -209,4 +209,21 @@ object VectorFunctions {
   def morton(a: Column, b: Column): Column =
     ColumnBridge.column(MortonInterleave16(
       ColumnBridge.expression(a.cast("long")), ColumnBridge.expression(b.cast("long"))))
+
+  /** THE milli-quantization kernel shared by every integer-exact
+    * embedding operator (similarity top-k/range, embedding near-dup,
+    * k-means assign/update): `round(CAST(x AS DOUBLE) · 1000)` per
+    * component, int64 codes. One definition because the expression is
+    * correctness-critical for cross-engine parity — the double cast is
+    * LOAD-BEARING (DuckDB multiplies FLOAT·INT in float, Spark promotes
+    * to double; a payload like 0.3195f diverges without it — DESIGN.md
+    * §7). Its DuckDB twin is
+    * `list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+    * AS BIGINT))`, and every oracle copy must mirror it byte-for-byte
+    * (the [[graft.operators.Hashing.md5Bucket]] contract style). */
+  def milliQuant(embedding: Column): Column = {
+    import org.apache.spark.sql.functions.{round, transform}
+    transform(embedding, x =>
+      round(x.cast("double") * 1000, 0).cast("long"))
+  }
 }

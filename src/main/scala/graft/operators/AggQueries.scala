@@ -388,9 +388,12 @@ object AggQueries {
       .select(col("l_returnflag"), col("n"),
         col("a2").cast("double").as("a2"),
         col("a3").cast("double").as("a3"))
+      // a2 = 0 (constant group) → NULL, matching DuckDB's NULL on
+      // float /0 rather than Spark's NaN
       .withColumn("skew",
-        col("a3") / sqrt(col("a2") * col("a2") * col("a2")
-          / col("n").cast("double")))
+        when(col("a2") === 0.0, lit(null).cast("double"))
+          .otherwise(col("a3") / sqrt(col("a2") * col("a2") * col("a2")
+            / col("n").cast("double"))))
   }
 
   /** Fixed-width histogram: bucket = floor(value / 10) per event type.

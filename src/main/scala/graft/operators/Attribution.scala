@@ -150,12 +150,15 @@ object Attribution {
       .agg(
         count(when(col("arm_a"), 1)).as("n_a"),
         count(when(!col("arm_a"), 1)).as("n_b"),
-        sum(when(col("arm_a"), col("cents")).otherwise(0L)).as("sum_a"),
-        sum(when(!col("arm_a"), col("cents")).otherwise(0L)).as("sum_b"),
-        sum(when(col("arm_a"), dec(col("cents")) * dec(col("cents")))
-          .otherwise(lit(0).cast("decimal(38,0)"))).as("q_a"),
-        sum(when(!col("arm_a"), dec(col("cents")) * dec(col("cents")))
-          .otherwise(lit(0).cast("decimal(38,0)"))).as("q_b"))
+        // no .otherwise(0): an EMPTY arm must sum to NULL exactly like
+        // the oracle's SUM(...) FILTER, so the significance expression
+        // null-propagates identically in both engines
+        sum(when(col("arm_a"), col("cents"))).as("sum_a"),
+        sum(when(!col("arm_a"), col("cents"))).as("sum_b"),
+        sum(when(col("arm_a"), dec(col("cents")) * dec(col("cents"))))
+          .as("q_a"),
+        sum(when(!col("arm_a"), dec(col("cents")) * dec(col("cents"))))
+          .as("q_b"))
     val a = dec(col("sum_a")) * dec(col("n_b")) -
       dec(col("sum_b")) * dec(col("n_a"))
     val lhs = a * a * (dec(col("n_a")) - lit(1)) * (dec(col("n_b")) - lit(1))

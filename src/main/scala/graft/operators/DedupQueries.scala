@@ -410,8 +410,7 @@ object DedupQueries {
     * engine boundary, so this hash-matches DuckDB exactly — the
     * oracle-checkable complement of [[qDedupEmbed]]. */
   val qDedupEmbedQ: Q = (s, d) => {
-    val quant = transform(col("embedding"),
-      x => round(x.cast("double") * 1000, 0).cast(LongType))
+    val quant = graft.functions.VectorFunctions.milliQuant(col("embedding"))
     import graft.functions.VectorFunctions.dotL
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quant.as("qv"))

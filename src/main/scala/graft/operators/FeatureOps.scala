@@ -83,7 +83,12 @@ object FeatureOps {
       .agg(sum(col("y")).as("s_pos"), count(lit(1)).as("n_grp"))
     cust.join(broadcast(seg), Seq("c_mktsegment"))
       .select(col("c_custkey"), col("c_mktsegment"), col("y"),
-        expr("((s_pos - y) * 1000000) div (n_grp - 1)").as("loo_ppm"))
+        // guard: a 1-customer segment has no leave-one-out peer set —
+        // NULL, matching DuckDB's NULL on integer // 0 (ANSI Spark
+        // would otherwise raise DIVIDE_BY_ZERO)
+        expr("""CASE WHEN n_grp > 1
+                THEN ((s_pos - y) * 1000000) div (n_grp - 1) END""")
+          .as("loo_ppm"))
   }
 
   /** Per-segment min-max scaling of account balance to [0, 10^6]
@@ -98,7 +103,11 @@ object FeatureOps {
       .agg(min(col("bal_cents")).as("lo"), max(col("bal_cents")).as("hi"))
     cust.join(broadcast(rng), Seq("c_mktsegment"))
       .select(col("c_custkey"), col("c_mktsegment"),
-        expr("((bal_cents - lo) * 1000000) div (hi - lo)").as("scaled_ppm"))
+        // guard: a constant-balance segment has zero range — NULL, the
+        // same NULL DuckDB's // 0 yields (ANSI Spark would raise)
+        expr("""CASE WHEN hi > lo
+                THEN ((bal_cents - lo) * 1000000) div (hi - lo) END""")
+          .as("scaled_ppm"))
   }
 
   /** Deterministic 5-fold cross-validation assignment over documents

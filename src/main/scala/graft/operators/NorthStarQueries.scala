@@ -108,13 +108,21 @@ object NorthStarQueries {
     * shuffle before the top-k. The 100 TB path is the LSH/IVF-bucketed
     * variant (graft.operators.Similarity); this is the exactness
     * baseline. */
+  /** Shared quantized corpus for the exact-integer similarity pair
+    * ([[qSimilarityTopk]] / [[qSimilarityRange]]): one definition of the
+    * (vec_id, label, code vector, squared norm) frame so the two halves
+    * of the ANN API can never quantize differently. */
+  private def quantCorpus(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotL
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.milliQuant(col("embedding")).as("qv"))
+      .withColumn("n2", dotL(col("qv"), col("qv")))
+  }
+
   val qSimilarityTopk: Q = (s, d) => {
     import graft.functions.VectorFunctions.dotL
-    val quant = transform(col("embedding"),
-      x => round(x.cast("double") * 1000, 0).cast(LongType))
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), quant.as("qv"))
-      .withColumn("n2", dotL(col("qv"), col("qv")))
+    val e = quantCorpus(s, d)
     val q = e.filter(col("vec_id") === 0)
       .select(col("qv").as("q_qv"), col("n2").as("q_n2"))
     e.filter(col("vec_id") =!= 0 && col("n2") > 0)
@@ -145,11 +153,7 @@ object NorthStarQueries {
     * recall-traded scale path. */
   val qSimilarityRange: Q = (s, d) => {
     import graft.functions.VectorFunctions.dotL
-    val quant = transform(col("embedding"),
-      x => round(x.cast("double") * 1000, 0).cast(LongType))
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), quant.as("qv"))
-      .withColumn("n2", dotL(col("qv"), col("qv")))
+    val e = quantCorpus(s, d)
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("qv").as("q_qv"),
         col("n2").as("q_n2"))

@@ -152,10 +152,13 @@ object QualityModel {
         sum(col("n_pos")).over(Window.partitionBy()))
       .select(col("lang"), col("n_pos"),
         (col("total") - col("n_pos")).as("n_neg"),
-        expr("""CAST(((r2 - CAST(n_pos AS DECIMAL(19,0)) * (n_pos + 1))
+        // guard: a label spanning the whole corpus has no negative
+        // class — NULL (DuckDB's // 0 likewise), not an ANSI error
+        expr("""CASE WHEN total > n_pos THEN
+                CAST(((r2 - CAST(n_pos AS DECIMAL(19,0)) * (n_pos + 1))
                   * 1000000)
                 div (2 * CAST(n_pos AS DECIMAL(19,0)) * (total - n_pos))
-                AS LONG)""").as("auc_ppm"))
+                AS LONG) END""").as("auc_ppm"))
   }
 
   val queries: Map[String, Q] = Map(

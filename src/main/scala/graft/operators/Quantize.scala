@@ -86,44 +86,15 @@ object Quantize {
     * rollup. At 100 TB this is one corpus scan + one keyed exchange on
     * vec_id; k centroids stay a broadcast for any k that fits memory
     * (IVF in [[Similarity]] is the path past that). */
-  val qClusterAssign: Q = (s, d) => {
+  /** Shared assignment subplan for BOTH Lloyd halves: every non-seed
+    * vector with its argmin centroid, distance, and code vector. One
+    * definition so the assignment algebra (seed count, tie-break,
+    * quantization) can never diverge between the census and the update
+    * step — the same single-source rule as
+    * [[graft.functions.VectorFunctions.milliQuant]]. */
+  private def assignedVectors(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.dotL
-    import org.apache.spark.sql.types.LongType
-    val quant = transform(col("embedding"),
-      x => round(x.cast("double") * 1000, 0).cast(LongType))
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), quant.as("qv"))
-      .withColumn("n2", dotL(col("qv"), col("qv")))
-    val seeds = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("qv").as("c_qv"),
-        col("n2").as("c_n2"))
-    e.filter(col("vec_id") >= 8)
-      .crossJoin(broadcast(seeds))
-      .withColumn("dist",
-        col("n2") + col("c_n2") - lit(2L) * dotL(col("qv"), col("c_qv")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).as("b"))
-      .select(col("vec_id"), col("b.cid").as("cid"), col("b.dist").as("dist"))
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_assigned"),
-        sum(col("dist")).as("inertia"),
-        min(col("vec_id")).as("first_vec"),
-        max(col("vec_id")).as("last_vec"))
-  }
-
-  /** The Lloyd UPDATE step completing [[qClusterAssign]]'s iteration:
-    * per (centroid, dimension), the exact milli-sum and member count the
-    * next-round centroid mean derives from (mean = sum div n, left to
-    * the consumer so the artifact stays integer). posexplode keeps the
-    * dimension index engine-side; the rollup is map-side combinable on
-    * (cid, dim) — at 100 TB this is the one extra keyed exchange after
-    * the assignment's vec_id aggregation, and the 8×64-row result is
-    * the broadcast input of the next iteration. */
-  val qClusterUpdate: Q = (s, d) => {
-    import graft.functions.VectorFunctions.dotL
-    import org.apache.spark.sql.types.LongType
-    val quant = transform(col("embedding"),
-      x => round(x.cast("double") * 1000, 0).cast(LongType))
+    val quant = graft.functions.VectorFunctions.milliQuant(col("embedding"))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quant.as("qv"))
       .withColumn("n2", dotL(col("qv"), col("qv")))
@@ -137,11 +108,31 @@ object Quantize {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"))).as("b"),
         first(col("qv")).as("qv"))
-      .select(col("b.cid").as("cid"),
-        posexplode(col("qv")).as(Seq("dim", "milli")))
+      .select(col("vec_id"), col("b.cid").as("cid"),
+        col("b.dist").as("dist"), col("qv"))
+  }
+
+  val qClusterAssign: Q = (s, d) =>
+    assignedVectors(s, d)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("dist")).as("inertia"),
+        min(col("vec_id")).as("first_vec"),
+        max(col("vec_id")).as("last_vec"))
+
+  /** The Lloyd UPDATE step completing [[qClusterAssign]]'s iteration:
+    * per (centroid, dimension), the exact milli-sum and member count the
+    * next-round centroid mean derives from (mean = sum div n, left to
+    * the consumer so the artifact stays integer). posexplode keeps the
+    * dimension index engine-side; the rollup is map-side combinable on
+    * (cid, dim) — at 100 TB this is the one extra keyed exchange after
+    * the assignment's vec_id aggregation, and the 8×64-row result is
+    * the broadcast input of the next iteration. */
+  val qClusterUpdate: Q = (s, d) =>
+    assignedVectors(s, d)
+      .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "milli")))
       .groupBy(col("cid"), col("dim"))
       .agg(sum(col("milli")).as("sum_milli"), count(lit(1)).as("n"))
-  }
 
   val queries: Map[String, Q] = Map(
     "q_quantize_embed" -> qQuantizeEmbed,

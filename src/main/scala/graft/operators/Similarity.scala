@@ -153,9 +153,11 @@ object Similarity {
     *
     * Everything is integer arithmetic end-to-end, so the result
     * hash-matches a DuckDB oracle that recomputes the same buckets:
-    *  1. quantize embeddings to milli-units (round(x·1000), never a .5 tie
-    *     — (2k+1)/2000 has no exact binary-float form, both engines round
-    *     identically);
+    *  1. quantize embeddings to milli-units via the shared
+    *     [[graft.functions.VectorFunctions.milliQuant]] kernel — the
+    *     explicit double cast inside it is what keeps both engines on
+    *     the same product (a float product CAN land on .5 where the
+    *     double product doesn't: 0.3195f — DESIGN.md §7);
     *  2. `tables` independent LSH tables of `nbits` sign bits each, signs
     *     taken from integer dot products against [[quantizedPlanes]];
     *  3. candidates = pairs whose buckets agree within hamming ≤ 1 in ANY
@@ -189,7 +191,7 @@ object Similarity {
       tables: Int, nbits: Int, dim: Int): DataFrame = {
     import graft.functions.VectorFunctions.dotL
     val planes = quantizedPlanes(tables * nbits, dim)
-    val quant = transform(col(embCol), x => round(x.cast("double") * 1000, 0).cast(LongType))
+    val quant = graft.functions.VectorFunctions.milliQuant(col(embCol))
     val base = df.select(col(idCol).as("id"), quant.as("qv"))
       .withColumn("nrm2", dotL(col("qv"), col("qv")))
     val tb = (0 until tables).map { t =>

@@ -40,9 +40,13 @@ object TrendOps {
       .agg(count(lit(1)).as("x"))
 
   /** 8-tap dyadic EWMA of daily volume per series: weights 128, 64, …,
-    * 1 over the last 8 days, renormalized over the taps actually
-    * present, emitted as exact ppm. Eight `lag`s share one window sort
-    * — Catalyst evaluates them in a single Window operator. */
+    * 1 over the last 8 OBSERVED days (row-based taps — a day with zero
+    * events produces no row, so the taps skip calendar gaps; join a
+    * calendar spine first, as [[GeneratorOps.qGeneratorSequence]]
+    * builds, when strict calendar-day smoothing is required),
+    * renormalized over the taps actually present, emitted as exact
+    * ppm. Seven `lag`s share one window sort — Catalyst evaluates them
+    * in a single Window operator. */
   val qTsEwma: Q = (s, d) => {
     val w = Window.partitionBy("event_type").orderBy("day")
     val lags = (1 to 7).map(k => lag(col("x"), k).over(w).as(s"l_$k"))
@@ -62,7 +66,10 @@ object TrendOps {
   }
 
   /** Rolling z-score anomaly flags: a day is anomalous when its volume
-    * sits more than 2σ from the trailing 15-day mean of its own series.
+    * sits more than 2σ from the mean of its series' trailing 15
+    * OBSERVED days (row frame — calendar gaps stretch the lookback;
+    * spine-join first for strict calendar windows, as with
+    * [[qTsEwma]]).
     * The test is the cross-multiplied integer inequality
     * `(n·x − S)² > 4·(n·Q − S²)` — no float mean/stddev anywhere. */
   val qTsAnomaly: Q = (s, d) => {
