@@ -89,11 +89,73 @@ object FrontierOps {
         col("rep_custkey"), col("n_dups"))
   }
 
+  /** Concentration metrics per market segment — exact Gini and HHI over
+    * per-customer spend: Gini from the sorted-rank identity
+    * `(2·Σi·x_(i) − (n+1)·Σx) / (n·Σx)` (tie-order-invariant: equal
+    * values contribute identically under any rank assignment) and
+    * Herfindahl–Hirschman `Σx² / (Σx)²`, both emitted as exact ppm via
+    * decimal cross-multiplication — no float shares anywhere.
+    *
+    * Scale shape: one orders rollup (customer-keyed), one segment join,
+    * one per-segment rank window over |customers-per-segment| rows; at a
+    * cardinality where that sort hurts, Gini moves to the value
+    * HISTOGRAM (same cumulative identity over (value, count) rows — the
+    * [[QualityModel.qEvalAuc]] device). */
+  val qAggConcentration: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(dec2) * lit(100)).cast("long"))
+        .as("x"))
+    val seg = spend.join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("x").asc, col("c_custkey").asc)
+    def dc(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    seg
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(dc(col("i")) * dc(col("x"))).as("wsum"),
+        sum(dc(col("x")) * dc(col("x"))).as("x2"))
+      .select(col("c_mktsegment"), col("n"),
+        expr("""CAST(((2 * wsum - (CAST(n AS DECIMAL(19,0)) + 1) * sx)
+                * 1000000)
+                div (CAST(n AS DECIMAL(19,0)) * sx) AS LONG)""")
+          .as("gini_ppm"),
+        expr("""CAST((x2 * 1000000)
+                div (CAST(sx AS DECIMAL(19,0)) * sx) AS LONG)""")
+          .as("hhi_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_interval_coverage" -> qIntervalCoverage,
-    "q_skyline" -> qSkyline)
+    "q_skyline" -> qSkyline,
+    "q_agg_concentration" -> qAggConcentration)
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_concentration" ->
+      """WITH spend AS (
+           SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS x
+           FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+         seg AS (
+           SELECT c.c_mktsegment, s.x,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY s.x ASC, c.c_custkey ASC) AS i
+           FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey)
+         SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(((2 * CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT)
+                 - (COUNT(*) + 1) * CAST(SUM(x) AS HUGEINT)) * 1000000)
+             // (COUNT(*) * CAST(SUM(x) AS HUGEINT)) AS BIGINT)
+             AS gini_ppm,
+           CAST((CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) * 1000000)
+             // (CAST(SUM(x) AS HUGEINT) * CAST(SUM(x) AS HUGEINT))
+             AS BIGINT) AS hhi_ppm
+         FROM seg GROUP BY c_mktsegment""",
     "q_interval_coverage" ->
       """WITH iv AS (
            SELECT user_id, epoch_us(ts) AS ivs,

@@ -282,6 +282,36 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Gini and HHI match the BigInt identities and sit in-range") {
+    val spend = Tables.orders(spark, sf)
+      .filter(col("o_custkey").isNotNull)
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS LONG) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val segOf = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.operators.FrontierOps.qAggConcentration(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    spend.toSeq.map { case (k, x) => (segOf(k), x) }.groupBy(_._1)
+      .foreach { case (seg, g) =>
+        val xs = g.map(_._2).sorted
+        val n = xs.length
+        val sx = xs.map(BigInt(_)).sum
+        val wsum = xs.zipWithIndex.map { case (x, i) =>
+          BigInt(i + 1) * x }.sum
+        val gini = ((2 * wsum - BigInt(n + 1) * sx) * 1000000 /
+          (BigInt(n) * sx)).toLong
+        val hhi = (xs.map(x => BigInt(x) * x).sum * 1000000 /
+          (sx * sx)).toLong
+        val (gn, gg, gh) = got(seg)
+        assert(gn == n && gg == gini && gh == hhi)
+        assert(gini > 0 && gini < 1000000 && hhi >= 1000000L / n)
+      }
+  }
+
   test("Welch t-test flags a genuinely shifted arm as significant") {
     import spark.implicits._
     // the md5-A arm gets value ~50, the other arm ~80 — a 30-unit
