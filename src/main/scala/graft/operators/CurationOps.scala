@@ -134,6 +134,25 @@ object CurationOps {
         col("n_bi_dup").cast(DoubleType) / col("n_bi"))
       .withColumn("repetitive", col("dup_bi_frac") > 0.1)
 
+  /** Lexical diversity via the inverse Simpson index — the "effective
+    * number of distinct tokens" `N² / Σc_t²` (equals the type count for
+    * perfectly even usage, collapses toward 1 for boilerplate), emitted
+    * exactly as milli-units (`N²·1000 div Σc²`). Entirely HOFs over the
+    * per-row token array — map-side, no shuffle, and float-free where
+    * the usual Shannon-entropy formulation would need logs. */
+  val qTextDiversity: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", toks(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("sumsq",
+        aggregate(array_distinct(col("toks")), lit(0L), (acc, t) =>
+          acc + size(filter(col("toks"), x => x === t)).cast("long")
+            * size(filter(col("toks"), x => x === t)).cast("long")))
+      .select(col("doc_id"), col("n_toks"), col("sumsq"),
+        expr("""CAST((CAST(n_toks AS DECIMAL(19,0)) * n_toks * 1000)
+                div sumsq AS LONG)""").as("eff_types_milli"))
+
   /** Sequence packing (concat-then-chunk): documents are packed per
     * `source` in doc_id order into fixed 512-token bins; a doc's bin is
     * the bin its first token lands in. The per-group running sum is the
@@ -323,11 +342,25 @@ object CurationOps {
     "q_text_contamination" -> qTextContamination,
     "q_dedup_lines" -> qDedupLines,
     "q_text_repetition" -> qTextRepetition,
+    "q_text_diversity" -> qTextDiversity,
     "q_pack_sequences" -> qPackSequences,
     "q_shuffle_shard" -> qShuffleShard,
     "q_dedup_spans" -> qDedupSpans)
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_diversity" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(list_sum(list_transform(list_distinct(toks),
+                   u -> CAST(len(list_filter(toks, x -> x = u)) AS BIGINT)
+                        * len(list_filter(toks, x -> x = u)))) AS BIGINT)
+                   AS sumsq
+               FROM t WHERE len(toks) > 0)
+         SELECT doc_id, n_toks, sumsq,
+           CAST((CAST(n_toks AS HUGEINT) * n_toks * 1000) // sumsq
+             AS BIGINT) AS eff_types_milli
+         FROM c""",
     "q_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents),

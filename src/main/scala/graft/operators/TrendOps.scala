@@ -108,12 +108,57 @@ object TrendOps {
         expr("CAST(num div d_h AS LONG)").as("resid_ppm"))
   }
 
+  /** Two-factor (ISO-weekday × hour) additive decomposition of the
+    * traffic grid — the interaction view beyond [[qTsSeasonal]] (hour
+    * only) and the weekday share profile: per grid cell,
+    * `resid = x − rowmean(dow) − colmean(hour) + grandmean`, every term
+    * an exact ppm integer (`S·10⁶ div D` over window sums of the 7×24
+    * cell grid). A large |resid| marks a (dow, hour) cell the two
+    * marginal profiles cannot explain — e.g. a Monday-9am-only spike.
+    * All three windows run over the 168-row grid, never the stream. */
+  val qTwoWayProfile: Q = (s, d) => {
+    val grid = Tables.events(s, d)
+      .select((pmod(dayofweek(col("ts")) + 5, lit(7)) + 1)
+        .cast("int").as("iso_dow"), hour(col("ts")).as("hr"))
+      .groupBy(col("iso_dow"), col("hr"))
+      .agg(count(lit(1)).as("x"))
+    val wr = Window.partitionBy("iso_dow")
+    val wc = Window.partitionBy("hr")
+    val wg = Window.partitionBy()
+    grid
+      .withColumn("sr", sum(col("x")).over(wr))
+      .withColumn("dr", count(lit(1)).over(wr))
+      .withColumn("sc", sum(col("x")).over(wc))
+      .withColumn("dc", count(lit(1)).over(wc))
+      .withColumn("sg", sum(col("x")).over(wg))
+      .withColumn("dg", count(lit(1)).over(wg))
+      .select(col("iso_dow"), col("hr"), col("x"),
+        expr("""x * 1000000 - (sr * 1000000 div dr)
+                - (sc * 1000000 div dc) + (sg * 1000000 div dg)""")
+          .as("resid_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ts_ewma" -> qTsEwma,
     "q_ts_anomaly" -> qTsAnomaly,
+    "q_two_way_profile" -> qTwoWayProfile,
     "q_ts_seasonal" -> qTsSeasonal)
 
   val oracleSql: Map[String, String] = Map(
+    "q_two_way_profile" ->
+      """WITH g AS (
+           SELECT CAST(((dayofweek(ts) + 6) % 7) + 1 AS INT) AS iso_dow,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS hr, COUNT(*) AS x
+           FROM events GROUP BY 1, 2)
+         SELECT iso_dow, hr, x,
+           CAST(CAST(x AS HUGEINT) * 1000000
+             - (CAST(SUM(x) OVER (PARTITION BY iso_dow) AS HUGEINT)
+                * 1000000 // COUNT(*) OVER (PARTITION BY iso_dow))
+             - (CAST(SUM(x) OVER (PARTITION BY hr) AS HUGEINT)
+                * 1000000 // COUNT(*) OVER (PARTITION BY hr))
+             + (CAST(SUM(x) OVER () AS HUGEINT)
+                * 1000000 // COUNT(*) OVER ()) AS BIGINT) AS resid_ppm
+         FROM g""",
     "q_ts_ewma" ->
       """WITH dsum AS (
            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x

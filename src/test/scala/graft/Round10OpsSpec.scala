@@ -312,6 +312,44 @@ class Round10OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("inverse-Simpson diversity: bounds and exact identity hold") {
+    val rows = graft.operators.CurationOps.qTextDiversity(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, n, sumsq, eff) =>
+      val toks = texts(id).toLowerCase.split(" ", -1)
+      assert(n == toks.length)
+      val counts = toks.groupBy(identity).values.map(_.length.toLong)
+      assert(sumsq == counts.map(c => c * c).sum)
+      assert(eff == BigInt(n) * n * 1000 / sumsq)
+      // 1 <= effective types <= distinct types
+      assert(eff >= 1000 && eff <= counts.size.toLong * 1000)
+    }
+  }
+
+  test("two-way residuals: every term recomputes and each margin ~cancels") {
+    val rows = graft.operators.TrendOps.qTwoWayProfile(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    val cells = rows.map(t => (t._1, t._2) -> t._3).toMap
+    def ppm(sum: Long, cnt: Long) = BigInt(sum) * 1000000 / cnt
+    val sg = cells.values.map(BigInt(_)).sum * 1000000 / cells.size
+    rows.foreach { case (d0, h, x, resid) =>
+      val row = cells.collect { case ((d1, _), v) if d1 == d0 => v }
+      val colv = cells.collect { case ((_, h1), v) if h1 == h => v }
+      val expect = BigInt(x) * 1000000 -
+        ppm(row.sum, row.size) - ppm(colv.sum, colv.size) + sg
+      assert(resid == expect.toLong)
+    }
+    // residuals are mean-centered up to integer-division slack
+    val total = rows.map(t => BigInt(t._4)).sum.abs
+    assert(total < rows.length.toLong * 1000000L)
+    assert(rows.exists(_._4 > 0) && rows.exists(_._4 < 0))
+  }
+
   test("Welch t-test flags a genuinely shifted arm as significant") {
     import spark.implicits._
     // the md5-A arm gets value ~50, the other arm ~80 — a 30-unit
