@@ -514,13 +514,20 @@ object TpchQueries {
     * share test is cross-multiplied on decimal quantity sums; the
     * dominance pairs semi-join the supplier dim. */
   val qTpchQ20: Q = (s, d) => {
+    // ONE fact scan: the per-part total re-derives from the
+    // (part, supplier) rollup via a window (decimal addition is
+    // associative, so Σ_supp q ≡ the direct per-part sum) — the window
+    // re-partitions the small rollup instead of rescanning and
+    // re-shuffling the fact table a second time (round-10 rewrite;
+    // fixture timing is flat — the scan is cheap at sf0.1 — but at
+    // 100 TB this halves the fact I/O and removes a fact-sized
+    // exchange).
     val bySupp = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("q"))
-    val byPart = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey"))
-      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("t"))
-    val dominant = bySupp.join(byPart, Seq("l_partkey"))
+    val dominant = bySupp
+      .withColumn("t", sum(col("q")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
       .filter(col("q") * 1000 > col("t") * 150)
       .select("l_suppkey")
     Tables.supplier(s, d)
