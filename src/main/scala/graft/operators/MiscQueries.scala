@@ -472,8 +472,38 @@ object MiscQueries {
         expr("n * 1000000 div total").as("share_ppm"))
   }
 
+  /** Benford first-digit conformance of order totals — the data-quality
+    * forensic for detecting fabricated or truncated numeric columns:
+    * observed first-significant-digit shares vs the Benford expectation
+    * log10(1+1/d), both in ppm. The expected shares are pinned integer
+    * constants (identical literals in the oracle), the first digit
+    * comes from the cents INTEGER's decimal string — no float log or
+    * division anywhere; delta_ppm > ~15000 on a digit is the classic
+    * red flag. One map-side digit projection + a 9-row rollup. */
+  val qQualityBenford: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val benford = map(
+      (1 to 9).flatMap(dd => Seq(lit(dd), lit(dd match {
+        case 1 => 301030L; case 2 => 176091L; case 3 => 124939L
+        case 4 => 96910L; case 5 => 79181L; case 6 => 66947L
+        case 7 => 57992L; case 8 => 51153L; case 9 => 45757L
+      }))): _*)
+    Tables.orders(s, d)
+      .select(substring(((col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("n * 1000000 div sum(n) over ()"))
+      .withColumn("benford_ppm", element_at(benford, col("digit")))
+      .select(col("digit"), col("n"), col("share_ppm"), col("benford_ppm"),
+        abs(col("share_ppm") - col("benford_ppm")).as("delta_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_impute_median" -> qImputeMedian,
+    "q_quality_benford" -> qQualityBenford,
     "q_dow_profile" -> qDowProfile,
     "q_share_hierarchy" -> qShareHierarchy,
     "q_yoy_growth" -> qYoyGrowth,
@@ -503,6 +533,23 @@ object MiscQueries {
     "q_conditional" -> qConditional)
 
   val oracleSql: Map[String, String] = Map(
+    "q_quality_benford" ->
+      """WITH f AS (
+           SELECT CAST(substring(CAST(CAST(CAST(o_totalprice
+               AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+             AS INT) AS digit
+           FROM orders),
+         g AS (SELECT digit, COUNT(*) AS n FROM f GROUP BY digit),
+         b(digit, benford_ppm) AS (VALUES
+           (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+           (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+         SELECT g.digit, g.n,
+           CAST(CAST(g.n AS HUGEINT) * 1000000 // SUM(g.n) OVER ()
+             AS BIGINT) AS share_ppm,
+           CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(abs(CAST(g.n AS HUGEINT) * 1000000 // SUM(g.n) OVER ()
+             - b.benford_ppm) AS BIGINT) AS delta_ppm
+         FROM g JOIN b USING (digit)""",
     "q_impute_median" ->
       """WITH f AS (
            SELECT event_id, event_type,

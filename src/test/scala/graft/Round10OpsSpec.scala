@@ -350,6 +350,27 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.exists(_._4 > 0) && rows.exists(_._4 < 0))
   }
 
+  test("Benford shares recompute exactly and flag the synthetic prices") {
+    val rows = graft.operators.MiscQueries.qQualityBenford(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val digits = Tables.orders(spark, sf).select("o_totalprice").collect()
+      .map(r => BigDecimal(r.getDouble(0))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.unscaledValue().toString.head.asDigit)
+    val counts = digits.groupBy(identity).view.mapValues(_.length.toLong)
+    val total = digits.length.toLong
+    assert(rows.map(_._2).sum == total)
+    rows.foreach { case (dd, n, share, bf, delta) =>
+      assert(n == counts(dd))
+      assert(share == n * 1000000L / total)
+      assert(delta == math.abs(share - bf))
+    }
+    // the fixture's uniform-ish price generator is decidedly NOT
+    // Benford-conforming — the metric must say so loudly
+    assert(rows.map(_._5).max > 15000L)
+  }
+
   test("Welch t-test flags a genuinely shifted arm as significant") {
     import spark.implicits._
     // the md5-A arm gets value ~50, the other arm ~80 — a 30-unit
