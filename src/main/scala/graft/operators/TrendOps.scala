@@ -138,13 +138,45 @@ object TrendOps {
           .as("resid_ppm"))
   }
 
+  /** Rolling robust level: doubled-scale EXACT median of each series'
+    * trailing 15 observed days (the robust complement of [[qTsAnomaly]]'s
+    * mean/variance — a one-day spike moves this not at all). `med2 =
+    * 2·median` of integers is an integer-valued double in both engines
+    * (the [[Outliers]] device), windowed over the daily rollup only. */
+  val qTsRollingMedian: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-14, 0)
+    dailyByType(s, d)
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("med2",
+        (percentile(col("x"), lit(0.5)).over(w) * 2).cast("long"))
+      .filter(col("n_win") >= 8)
+      .select(col("event_type"), col("day"), col("x"), col("n_win"),
+        col("med2"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ts_ewma" -> qTsEwma,
     "q_ts_anomaly" -> qTsAnomaly,
     "q_two_way_profile" -> qTwoWayProfile,
+    "q_ts_rolling_median" -> qTsRollingMedian,
     "q_ts_seasonal" -> qTsSeasonal)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ts_rolling_median" ->
+      """WITH dsum AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, x, CAST(n_win AS BIGINT) AS n_win,
+           CAST(med2 AS BIGINT) AS med2
+         FROM (
+           SELECT event_type, day, x,
+             COUNT(*) OVER w AS n_win,
+             quantile_cont(x, 0.5) OVER w * 2 AS med2
+           FROM dsum
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 14 PRECEDING AND CURRENT ROW))
+         WHERE n_win >= 8""",
     "q_two_way_profile" ->
       """WITH g AS (
            SELECT CAST(((dayofweek(ts) + 6) % 7) + 1 AS INT) AS iso_dow,

@@ -371,6 +371,31 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rows.map(_._5).max > 15000L)
   }
 
+  test("rolling median equals the doubled-scale reference on every window") {
+    val got = graft.operators.TrendOps.qTsRollingMedian(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    def med2(xs: Seq[Long]): Long = {
+      val s0 = xs.sorted; val n = s0.length
+      if (n % 2 == 1) s0(n / 2) * 2 else s0(n / 2 - 1) + s0(n / 2)
+    }
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    daily.foreach { case (et, series) =>
+      series.indices.foreach { i =>
+        val win = series.slice(math.max(0, i - 14), i + 1).map(_._2)
+        if (win.length >= 8)
+          assert(got((et, series(i)._1)) ==
+            ((win.length.toLong, med2(win))))
+        else assert(!got.contains((et, series(i)._1)))
+      }
+    }
+  }
+
   test("Welch t-test flags a genuinely shifted arm as significant") {
     import spark.implicits._
     // the md5-A arm gets value ~50, the other arm ~80 — a 30-unit
