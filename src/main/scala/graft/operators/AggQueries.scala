@@ -368,10 +368,12 @@ object AggQueries {
     * correctly-rounded IEEE ops (*, /, sqrt) on identically-rounded
     * inputs — bit-equal cross-engine, never skewness()'s float
     * accumulation. Bounded column (quantity ≤ 50, centi-units ≤ 5000):
-    * c ≤ n·5000, so A3 stays inside DECIMAL(38)/HUGEINT up to n ≈ 10⁹
-    * rows per group; past that, pre-aggregate per partition key first
-    * (the qAggCorr boundedness note). Two passes over the group stats —
-    * the fact scan feeds a 3-row broadcast back in. */
+    * |c| ≤ n·5000, so one c³ term is ≤ 1.25e11·n³ (already past
+    * DECIMAL(38) max ~1e38 at n = 10⁹) and the worst-case |A3| ≤
+    * 1.25e11·n⁴ — the safe envelope is n ≲ 1.5e8 rows per group; past
+    * that, pre-aggregate per partition key first (the qAggCorr
+    * boundedness note). Two passes over the group stats — the fact scan
+    * feeds a 3-row broadcast back in. */
   val qAggSkew: Q = (s, d) => {
     val q = (col("l_quantity").cast(dec2) * lit(100)).cast("long")
     val base = Tables.lineitem(s, d)

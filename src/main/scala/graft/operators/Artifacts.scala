@@ -36,19 +36,47 @@ object Artifacts {
     cache.get(key) match {
       case Some(v) => v
       case None =>
-        if (cache.size >= MaxEntriesPerCache) {
-          cache.values.foreach(v =>
-            try evict(v) catch { case _: Throwable => () })
-          cache.clear()
+        // Single-winner build: TrieMap.getOrElseUpdate may evaluate the
+        // thunk on several racing threads and discard the losers — for
+        // side-effectful artifacts (persisted DataFrames) a discarded
+        // loser is a leaked cache entry. Double-checked under the cache
+        // monitor so exactly one thread builds (and evicts).
+        cache.synchronized {
+          cache.get(key) match {
+            case Some(v) => v
+            case None =>
+              if (cache.size >= MaxEntriesPerCache) {
+                cache.values.foreach(v =>
+                  try evict(v) catch { case _: Throwable => () })
+                cache.clear()
+              }
+              val v = build
+              cache.put(key, v)
+              v
+          }
         }
-        cache.getOrElseUpdate(key, build)
     }
 
   /** Evictor for persisted-DataFrame artifacts. */
   val unpersistDf: org.apache.spark.sql.DataFrame => Unit =
     df => df.unpersist(false)
 
+  private val scalarCache = TrieMap[String, Any]()
+
+  /** Memoized driver-side scalar ingest artifact (corpus counts, token
+    * totals, query vectors). The scalar-artifact precedent fetches these
+    * eagerly so the consuming plan inlines a literal instead of planning
+    * a 1-row nested-loop join — memoizing per corpus key makes that
+    * fetch once-per-session, so steady-state plan construction runs
+    * ZERO Spark jobs (pinned by LazyRegistrySpec). Values here are
+    * plain JVM data, never session-bound handles — safe across session
+    * restarts, unlike persisted DataFrames. */
+  def scalar[T](key: String)(build: => T): T =
+    memo(scalarCache, key)(build.asInstanceOf[Any]).asInstanceOf[T]
+
   def clearAll(): Unit = {
+    scalarCache.clear()
+    CorpusPipeline.clearArtifacts()
     DedupQueries.clearArtifacts()
     IncrementalDedup.clearArtifacts()
     Clustering.clearArtifacts()

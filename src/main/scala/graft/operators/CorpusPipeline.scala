@@ -28,6 +28,13 @@ import graft.Tables
   */
 object CorpusPipeline {
 
+  private val gateCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Drop cached gate artifacts (see DedupQueries.clearArtifacts);
+    * checkpointed frames release via GC. */
+  def clearArtifacts(): Unit = gateCache.clear()
+
   private val stopwords = TextQueries.stopwords
 
   def curate(docs: DataFrame, minTokens: Int, maxStopPct: Int,
@@ -40,12 +47,16 @@ object CorpusPipeline {
         && col("n_stop") * 100 <= col("n_tokens") * maxStopPct)
     // Eager checkpoint: `exact` feeds the clustering stage (several scans
     // through tokenize/groupBy/semi-join) AND the final annotate join —
-    // without it the gate + dedup window recompute once per scan.
-    val exact = scored
+    // without it the gate + dedup window recompute once per scan. With a
+    // cacheKey the checkpointed gate is a session artifact, so repeated
+    // plan construction is job-free (LazyRegistrySpec).
+    def buildExact: DataFrame = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("text").orderBy("doc_id")))
       .filter(col("rn") === 1).drop("rn")
       .localCheckpoint(true)
+    val exact = cacheKey.fold(buildExact)(ck =>
+      Artifacts.memo(gateCache, s"$ck:gate")(buildExact))
     // NOTE: curate's near-dup graph is over the GATED corpus, a different
     // node set than the full-corpus labels — a path through a gated-out
     // doc must not merge components here, so the artifact key is distinct
@@ -261,12 +272,15 @@ object CorpusPipeline {
     * is the metadata join on the id key.
     *
     * Contract notes: `docs.count()` is an EAGER action at plan-build
-    * time (the documented scalar-artifact precedent — call once per
-    * corpus, not per retry); a corpus with fewer than 2 documents has
-    * no valid partner, so the degenerate N ≤ 1 case returns an empty
-    * result instead of tripping the `mod (N−1)` by zero. */
-  def negativeSample(docs: DataFrame, negsPerDoc: Int): DataFrame = {
-    val n = docs.count()
+    * time (the documented scalar-artifact precedent); the declared
+    * query memoizes it per corpus via `Artifacts.scalar`, so retries
+    * and plan rebuilds never re-count (pass `knownN` when the count is
+    * already an ingest artifact). A corpus with fewer than 2 documents
+    * has no valid partner, so the degenerate N ≤ 1 case returns an
+    * empty result instead of tripping the `mod (N−1)` by zero. */
+  def negativeSample(docs: DataFrame, negsPerDoc: Int,
+      knownN: Option[Long] = None): DataFrame = {
+    val n = knownN.getOrElse(docs.count())
     if (n <= 1L)
       return docs.select(col("doc_id"), lit(0).as("k"),
         col("doc_id").as("neg_id"), lit(false).as("hard")).limit(0)
@@ -288,8 +302,11 @@ object CorpusPipeline {
         (col("a_source") === col("b_source")).as("hard"))
   }
 
-  val qNegativeSample: Q = (s, d) =>
-    negativeSample(Tables.documents(s, d), negsPerDoc = 4)
+  val qNegativeSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    negativeSample(docs, negsPerDoc = 4,
+      knownN = Some(Artifacts.scalar(s"docsN:$d")(docs.count())))
+  }
 
   /** Canonical-document selection: dedup keeping the BEST duplicate, not
     * an arbitrary one — per identical-token-set group keep the

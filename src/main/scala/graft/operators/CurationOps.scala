@@ -177,19 +177,20 @@ object CurationOps {
     * float shares), emitting (doc_id, lang, rep_idx) — the deterministic
     * repeat plan a trainer consumes to equalize language exposure.
     *
-    * 100 TB shape: language counts are a ~dozen-row corpus-level ingest
-    * artifact — fetched once up front (same precedent as tfidf's N; a
-    * 1-row max frame joined in would plan a nested-loop join) and
-    * broadcast back; the expansion itself is one map-side
-    * explode(sequence). Downsampling is the md5-hash stratified sampler
+    * 100 TB shape: language counts are a ~dozen-row corpus-level rollup;
+    * the corpus-wide max rides a global window over THAT rollup (the
+    * contracted-rollup global-window precedent — q_tpch_q11's pattern),
+    * so the whole plan builds lazily with no driver job; the expansion
+    * itself is one map-side explode(sequence) after a broadcast join.
+    * Downsampling is the md5-hash stratified sampler
     * (q_sample_stratified); together they re-weight a mixture in either
     * direction, rerun-stable. */
   val qMixUpsample: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val lc = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-    val maxCnt = lc.agg(max("cnt")).collect()(0).getLong(0)
+      .withColumn("max_cnt", max(col("cnt")).over(Window.partitionBy()))
     docs.join(broadcast(lc), "lang")
-      .withColumn("reps", expr(s"CAST(($maxCnt + cnt - 1) div cnt AS INT)"))
+      .withColumn("reps", expr("CAST((max_cnt + cnt - 1) div cnt AS INT)"))
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1), col("reps"))).as("rep_idx"))
   }
@@ -218,30 +219,35 @@ object CurationOps {
     *
     * 100 TB shape: source counts are a |sources|-row ingest artifact;
     * the 101-candidate grid explode runs on THAT (≤101·|sources| rows,
-    * never on documents); c_min is a corpus-level scalar fetched once at
-    * build time (the qMixUpsample precedent — a 1-row min frame joined
-    * in would plan a nested-loop join). The document-side work is one
-    * broadcast join + a map-side hash filter. */
+    * never on documents); c_min/c_max ride global windows over the SAME
+    * rollup (contracted-rollup precedent), so the whole plan builds
+    * lazily with no driver job. The document-side work is one broadcast
+    * join + a map-side hash filter. */
   val qMixTemperature: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    val wAll = Window.partitionBy()
     val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
-    val mm = c.agg(min("cnt"), max("cnt")).collect()(0)
-    val (cmin, cmax) = (mm.getLong(0), mm.getLong(1))
-    // common floor-scale keeps every operand inside DECIMAL(38)/HUGEINT
-    // at ANY corpus size (see scaladoc); K = 1 below 1e5 docs → identity
-    val k = 1L + cmax / 100000L
-    val scmin = math.max(1L, cmin / k)
-    val rhs = BigDecimal(
-      BigInt(100).pow(10) * BigInt(scmin).pow(3)) // 100¹⁰·scmin³, exact
+      .withColumn("cmin", min(col("cnt")).over(wAll))
+      .withColumn("cmax", max(col("cnt")).over(wAll))
+      // common floor-scale keeps every operand inside DECIMAL(38)/
+      // HUGEINT at ANY corpus size (see scaladoc); K = 1 below 1e5
+      // docs → identity
+      .withColumn("k", lit(1L) + expr("cmax div 100000"))
+      .withColumn("scmin", greatest(lit(1L), expr("cmin div k")))
+    // 100¹⁰ as an exact decimal literal; ·scmin³ ≤ 1e35 < 10³⁸
+    val pow10of100 = lit(new java.math.BigDecimal(
+      BigInt(100).pow(10).toString)).cast(DecimalType(38, 0))
     val rates = c
-      .withColumn("sc", greatest(lit(1L), expr(s"cnt div $k")))
-      .select(col("lang"), col("cnt"), col("sc"),
+      .withColumn("sc", greatest(lit(1L), expr("cnt div k")))
+      .select(col("lang"), col("cnt"), col("sc"), col("scmin"),
         explode(sequence(lit(0L), lit(100L))).as("n"))
       .withColumn("n5",
         col("n") * col("n") * col("n") * col("n") * col("n"))
       .filter(col("n5").cast(DecimalType(38, 0)) * col("n5")
         * (col("sc").cast(DecimalType(38, 0)) * col("sc") * col("sc"))
-        <= lit(rhs))
+        <= pow10of100
+          * (col("scmin").cast(DecimalType(38, 0)) * col("scmin")
+            * col("scmin")))
       .groupBy("lang", "cnt")
       .agg(max(col("n")).cast(IntegerType).as("rate_c"))
     val h = pmod(conv(substring(md5(concat(col("doc_id").cast(StringType),

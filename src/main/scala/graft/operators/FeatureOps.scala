@@ -132,7 +132,11 @@ object FeatureOps {
       .withColumn("total", sum(col("n")).over(w))
       .withColumn("k_classes", count(lit(1)).over(w))
       .select(col("lang"), col("n"),
-        expr("(total * 1000000) div (k_classes * n)").as("weight_ppm"))
+        // decimal(19,0) product, matching the oracle's HUGEINT ride —
+        // N·10⁶ overflows Long past ~9.2e12 docs otherwise
+        expr("""(CAST(total AS DECIMAL(19,0)) * 1000000)
+                div (CAST(k_classes AS DECIMAL(19,0)) * n)""")
+          .as("weight_ppm"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -343,7 +343,12 @@ object Graph {
     * graph (k = 8 sits inside the fixture's degree distribution — min
     * degree 3, median ≈ 21 at sf0.01 — so the peel removes real nodes
     * and cascades). */
-  val qGraphKcore: Q = (s, d) => kcorePeel(coOrderEdges(s, d), 8, 3)
+  val qGraphKcore: Q = (s, d) =>
+    // The per-round eager checkpoints run at plan-build; memoized per
+    // corpus so steady-state construction is job-free (LazyRegistrySpec)
+    // — the ingest-artifact discipline for iterative results.
+    Artifacts.memo(edgeCache, s"kcore:$d", Artifacts.unpersistDf)(
+      kcorePeel(coOrderEdges(s, d), 8, 3))
 
   /** Bounded Bellman–Ford: `rounds` synchronous relaxations of integer
     * edge weights from a seed set — after r rounds every node holds the
@@ -373,13 +378,16 @@ object Graph {
   /** Declared query: 3-round shortest distances on the co-order graph
     * from the low-id seeds, deterministic integer weights
     * w(u,v) = 1 + (u+v) mod 5. */
-  val qGraphSssp: Q = (s, d) => {
-    val edges = coOrderEdges(s, d)
-      .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(5L)))
-    val seeds = degrees(coOrderEdges(s, d))
-      .select("node").filter(col("node") <= 10)
-    ssspRounds(edges, seeds, rounds = 3)
-  }
+  val qGraphSssp: Q = (s, d) =>
+    // Memoized like qGraphKcore: the per-round relaxations checkpoint
+    // eagerly at plan-build, once per session.
+    Artifacts.memo(edgeCache, s"sssp:$d", Artifacts.unpersistDf) {
+      val edges = coOrderEdges(s, d)
+        .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(5L)))
+      val seeds = degrees(coOrderEdges(s, d))
+        .select("node").filter(col("node") <= 10)
+      ssspRounds(edges, seeds, rounds = 3)
+    }
 
   val queries: Map[String, Q] = Map(
     "q_graph_degree" -> qGraphDegree,

@@ -258,7 +258,7 @@ object MiscQueries {
   val qShareOfTotal: Q = (s, d) => {
     val counts = Tables.events(s, d)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    val total = Tables.events(s, d).count()
+    val total = Artifacts.scalar(s"eventsN:$d")(Tables.events(s, d).count())
     counts
       .select(col("event_type"), col("n"),
         (col("n").cast("double") / lit(total.toDouble)).as("share"))
@@ -495,7 +495,11 @@ object MiscQueries {
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
       .withColumn("share_ppm",
-        expr("n * 1000000 div sum(n) over ()"))
+        // decimal(19,0) product to match the oracle's HUGEINT ride
+        // (MiscQueries oracle casts g.n to HUGEINT); plain Long would
+        // throw under ANSI at ~9.2e12 rows per digit where DuckDB stays
+        // exact
+        expr("CAST(n AS DECIMAL(19,0)) * 1000000 div sum(n) over ()"))
       .withColumn("benford_ppm", element_at(benford, col("digit")))
       .select(col("digit"), col("n"), col("share_ppm"), col("benford_ppm"),
         abs(col("share_ppm") - col("benford_ppm")).as("delta_ppm"))

@@ -70,7 +70,14 @@ object QualityModel {
     * consumes it on both the probe side and inside the broadcast
     * histogram subtree. */
   private def scoreCells(spark: SparkSession, sfDir: String): DataFrame =
-    Artifacts.memo(cellCache, sfDir, Artifacts.unpersistDf) {
+    // Keyed by session identity as well as corpus dir: a persisted
+    // DataFrame is only valid inside the SparkSession that built it, so
+    // after a session restart the stale entry must miss (it is dropped by
+    // the bounded-cache eviction; unpersist on a stopped session is
+    // swallowed by the evictor's catch). Artifacts.memo is single-winner,
+    // so the persist runs at most once per (session, corpus).
+    Artifacts.memo(cellCache,
+      s"${System.identityHashCode(spark)}:$sfDir", Artifacts.unpersistDf) {
       Tables.documents(spark, sfDir)
         .groupBy(col("n_chars").as("score"), col("lang"))
         .agg(count(lit(1)).as("n_pos_g"))

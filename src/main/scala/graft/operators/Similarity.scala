@@ -576,11 +576,19 @@ object Similarity {
     * nbits with corpus size to hold the per-bucket count roughly constant.
     * No oracle (float scores); scalatest measures recall vs the
     * brute-force baseline. */
+  /** The vec_id=0 probe vector, memoized per corpus so repeated plan
+    * construction (retries, Verify re-runs) fetches it once — the
+    * scalar-artifact discipline (LazyRegistrySpec). */
+  private def probeVec(emb: DataFrame, d: String): Array[Float] =
+    Artifacts.scalar(s"qvec:$d") {
+      emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).collect()(0)
+        .getSeq[Float](0).toArray
+    }
+
   val qSimilarityLsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val query = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).collect()(0)
-      .getSeq[Float](0).toArray
+    val query = probeVec(emb, d)
     lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
       query, k = 10, nbits = 4)
   }
@@ -590,9 +598,7 @@ object Similarity {
     * clustering); scalatest measures recall vs brute force. */
   val qSimilarityIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val query = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).collect()(0)
-      .getSeq[Float](0).toArray
+    val query = probeVec(emb, d)
     ivfTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
       query, k = 10, nlist = 8, nprobe = 3, cacheKey = Some(s"ivf:$d"))
   }
@@ -603,9 +609,7 @@ object Similarity {
     * brute force and verifies reported scores are exact cosines. */
   val qSimilarityPq: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val query = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).collect()(0)
-      .getSeq[Float](0).toArray
+    val query = probeVec(emb, d)
     pqTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
       query, k = 10, m = 8, ksub = 16, rerank = 50,
       cacheKey = Some(s"pq:$d"))

@@ -132,9 +132,17 @@ object TrendOps {
       .withColumn("dc", count(lit(1)).over(wc))
       .withColumn("sg", sum(col("x")).over(wg))
       .withColumn("dg", count(lit(1)).over(wg))
+      // ppm products ride decimal(19,0) like qTsSeasonal's, so extreme
+      // per-cell counts widen instead of overflowing Long under ANSI;
+      // the oracle's HUGEINT side needs no change. `div` still yields
+      // BIGINT per term, so the output schema is unchanged.
+      .withColumn("xd", dec(col("x")) * lit(1000000))
+      .withColumn("srd", dec(col("sr")) * lit(1000000))
+      .withColumn("scd", dec(col("sc")) * lit(1000000))
+      .withColumn("sgd", dec(col("sg")) * lit(1000000))
       .select(col("iso_dow"), col("hr"), col("x"),
-        expr("""x * 1000000 - (sr * 1000000 div dr)
-                - (sc * 1000000 div dc) + (sg * 1000000 div dg)""")
+        expr("""CAST(xd - (srd div dr)
+                - (scd div dc) + (sgd div dg) AS LONG)""")
           .as("resid_ppm"))
   }
 

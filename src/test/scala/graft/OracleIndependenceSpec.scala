@@ -1,0 +1,258 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle-independence property tests (round 11, VERDICT r10 item 2).
+  *
+  * A dozen exact-integer oracles are algebraic transliterations: Spark
+  * and DuckDB evaluate the SAME cross-multiplied inequality, so an
+  * algebra error would pass both sides of the hash gate. For the four
+  * mirrored-algebra queries called out by the round-10 verdict
+  * (q_abtest_ttest, q_ts_anomaly, q_agg_skew, q_mix_temperature), this
+  * spec compares the integer decision against a NAIVE double-precision
+  * reference implementation — the textbook float formula, not the
+  * cross-multiplied device — on 100+ randomized groups each (fixed
+  * seeds, so runs are deterministic). Groups within an ε-band of the
+  * decision boundary are skipped (float references are 1-ulp honest
+  * there; the integer side is the exact one) and counted, with a cap
+  * asserting the skip never hollows out the test.
+  *
+  * This is exactly the class of check that would have caught the
+  * round-10 FLOAT·INT milli-quantization divergence before the oracle
+  * did. */
+class OracleIndependenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** JVM twin of Hashing.md5Bucket(id, "", mod). */
+  private def md5Bucket(id: Long, mod: Long): Long =
+    java.lang.Long.parseLong(md5hex(id.toString).substring(0, 4), 16) % mod
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-oind-$tag").toString
+
+  // ---------------------------------------------------------------- ttest
+
+  test("q_abtest_ttest matches a naive double-precision Welch reference " +
+    "on 120+ random groups") {
+    import spark.implicits._
+    val rnd = new Random(421101)
+    val rows = (0 until 130).flatMap { g =>
+      val tpe = f"t$g%03d"
+      val n = 4 + rnd.nextInt(40)
+      (0 until n).map { i =>
+        val cents = rnd.nextInt(10001).toLong // value in [0, 100.00]
+        (g * 1000L + i, Timestamp.valueOf("2024-01-01 12:00:00"),
+          rnd.nextLong().abs % 1000000000L, tpe, cents / 100.0, "{}")
+      }
+    }
+    val dir = tmpDir("ttest")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("q_abtest_ttest")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getBoolean(5))))
+      .toMap
+
+    // Naive reference: per-arm mean + SAMPLE variance, Welch t, |t| > 2.
+    val byType = rows.groupBy(_._4)
+    var compared = 0
+    var skipped = 0
+    byType.foreach { case (tpe, rs) =>
+      val cents = rs.map(r => (md5Bucket(r._3, 2L) == 0L,
+        math.round(r._5 * 100).toDouble))
+      val a = cents.filter(_._1).map(_._2)
+      val b = cents.filterNot(_._1).map(_._2)
+      if (a.isEmpty || b.isEmpty) {
+        assert(got(tpe).isEmpty,
+          s"$tpe: empty arm must null-propagate, got ${got(tpe)}")
+      } else {
+        val (na, nb) = (a.length.toDouble, b.length.toDouble)
+        val (ma, mb) = (a.sum / na, b.sum / nb)
+        def svar(xs: Seq[Double], m: Double): Double =
+          if (xs.length < 2) Double.NaN
+          else xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+        val (va, vb) = (svar(a, ma), svar(b, mb))
+        val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+        val expected = math.abs(t) > 2.0 // NaN compares false
+        if (!t.isNaN && math.abs(math.abs(t) - 2.0) < 1e-6) skipped += 1
+        else {
+          compared += 1
+          assert(got(tpe).contains(expected),
+            s"$tpe: naive Welch t=$t -> $expected, engine said ${got(tpe)}" +
+              s" (na=${a.length} nb=${b.length})")
+        }
+      }
+    }
+    assert(compared >= 100, s"only $compared groups compared")
+    assert(skipped <= 13, s"$skipped groups inside the ε-band — fixture " +
+      "too boundary-heavy to be evidence")
+  }
+
+  // ------------------------------------------------------------- anomaly
+
+  test("q_ts_anomaly matches a naive float z-score reference on 120+ " +
+    "random series points") {
+    import spark.implicits._
+    val rnd = new Random(421102)
+    val series = (0 until 12).map { g =>
+      f"s$g%02d" -> (1 to 22).map(day => day -> (1 + rnd.nextInt(60)))
+    }
+    val rows = series.flatMap { case (tpe, days) =>
+      days.flatMap { case (day, c) =>
+        (0 until c).map { i =>
+          (day * 10000L + i,
+            Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+            1L, tpe, 1.0, "{}")
+        }
+      }
+    }
+    val dir = tmpDir("anom")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("q_ts_anomaly")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getBoolean(4))
+      .toMap
+
+    var compared = 0
+    var skipped = 0
+    series.foreach { case (tpe, days) =>
+      val xs = days.map(_._2.toDouble)
+      xs.indices.foreach { i =>
+        val win = xs.slice(math.max(0, i - 14), i + 1)
+        val n = win.length
+        if (n >= 8) {
+          val mean = win.sum / n
+          val popVar = win.map(x => x * x).sum / n - mean * mean
+          val dev = xs(i) - mean
+          val lhs = dev * dev
+          val rhs = 4.0 * popVar
+          val key = (tpe, f"2024-01-${days(i)._1}%02d")
+          if (math.abs(lhs - rhs) < 1e-6 * math.max(1.0, rhs)) skipped += 1
+          else {
+            compared += 1
+            assert(got(key) == (lhs > rhs),
+              s"$key: naive z-score says ${lhs > rhs} " +
+                s"(dev²=$lhs 4σ²=$rhs), engine said ${got(key)}")
+          }
+        }
+      }
+    }
+    assert(compared >= 120, s"only $compared points compared")
+    assert(skipped <= 20, s"$skipped points inside the ε-band")
+  }
+
+  // ---------------------------------------------------------------- skew
+
+  test("q_agg_skew matches a naive double-precision skewness reference " +
+    "on 120 random groups") {
+    import spark.implicits._
+    val rnd = new Random(421103)
+    val groups = (0 until 120).map { g =>
+      f"F$g%03d" -> (0 until (3 + rnd.nextInt(48)))
+        .map(_ => 100 + rnd.nextInt(4901)) // cents in [100, 5000]
+    }
+    val ship = Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = groups.flatMap { case (flag, cents) =>
+      cents.zipWithIndex.map { case (c, i) =>
+        (1L, 1L, 1L, i + 1, c / 100.0, 1.0, 0.0, 0.0, flag, "O", ship)
+      }
+    }
+    val dir = tmpDir("skew")
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    val got = SparkEntry.queries("q_agg_skew")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+
+    var compared = 0
+    groups.foreach { case (flag, cents) =>
+      val xs = cents.map(_.toDouble)
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      val s2 = xs.map(x => (x - m) * (x - m)).sum
+      val s3 = xs.map(x => math.pow(x - m, 3)).sum
+      if (s2 == 0.0) assert(got(flag).isEmpty, s"$flag: constant group " +
+        s"must be NULL, got ${got(flag)}")
+      else {
+        // population skewness g1 = (s3/n) / (s2/n)^1.5
+        val g1 = (s3 / n) / math.pow(s2 / n, 1.5)
+        val engine = got(flag).getOrElse(fail(s"$flag: unexpected NULL"))
+        compared += 1
+        assert(math.abs(engine - g1) <=
+          1e-6 * math.max(1.0, math.abs(g1)),
+          s"$flag: naive skewness $g1, engine $engine (n=${xs.length})")
+      }
+    }
+    assert(compared >= 110, s"only $compared groups compared")
+  }
+
+  // -------------------------------------------------------- temperature
+
+  test("q_mix_temperature matches a naive pow(ratio, 0.3) reference, " +
+    "exact kept-set, on 100 random sources") {
+    import spark.implicits._
+    val rnd = new Random(421104)
+    val counts = (0 until 100).map(g => f"l$g%03d" -> (1 + rnd.nextInt(400)))
+    var nextId = 0L
+    val rows = counts.flatMap { case (lang, cnt) =>
+      (0 until cnt).map { _ =>
+        nextId += 1
+        (nextId, "w", lang, "s0", 1L)
+      }
+    }
+    val dir = tmpDir("temp")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("q_mix_temperature")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+
+    // Naive reference: rate = floor(100 * (cmin/cnt)^0.3) per source
+    // (guarding the exact-ratio-1 case), then the exact md5 keep set.
+    val cmin = counts.map(_._2).min.toDouble
+    val rates = counts.map { case (lang, cnt) =>
+      val r = 100.0 * math.pow(cmin / cnt, 0.3)
+      val floor = math.floor(r)
+      // deterministic fixture; prove it sits clear of the floor boundary
+      assert(r == 100.0 || math.min(r - floor, floor + 1 - r) > 1e-9,
+        s"$lang: rate $r too close to an integer — reseed the fixture")
+      lang -> floor.toInt
+    }.toMap
+    val langOf = rows.map(r => r._1 -> r._3).toMap
+    val cntOf = counts.toMap
+    val expected = rows.flatMap { case (id, _, lang, _, _) =>
+      val h = java.lang.Long.parseLong(
+        md5hex(s"$id#temp").substring(0, 8), 16) % 100
+      if (h < rates(lang)) Some((id, lang, cntOf(lang).toLong, rates(lang)))
+      else None
+    }.toSet
+    assert(got.length == expected.size,
+      s"kept ${got.length} docs, naive reference keeps ${expected.size}")
+    got.foreach { row =>
+      assert(expected.contains(row),
+        s"engine kept $row (lang=${langOf(row._1)}), naive reference " +
+          s"disagrees (rate=${rates(row._2)})")
+    }
+    assert(counts.size >= 100)
+  }
+}
