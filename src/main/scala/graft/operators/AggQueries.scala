@@ -588,9 +588,12 @@ object AggQueries {
     "q_agg_stats" ->
       """WITH a AS (
            SELECT l_returnflag, COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+             -- width 19: DuckDB multiplies width-<=18 decimals in int64
+             -- and OVERFLOWS at sf1 row counts (s*s raw > 2^63); 19
+             -- forces int128 while keeping 19+19 <= 38 legal
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS s,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS ss
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(19,4)) AS ss
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n,
            CAST(s AS DOUBLE) AS sum_qty,

@@ -830,6 +830,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState replays exactly-once after a crash between " +
+    "sink write and checkpoint commit") {
+    // Round-11 failure injection (VERDICT r10 item 7): the batch-side
+    // crash-window ordering is tested in IncrementalDedup; this is the
+    // streaming-side twin. A foreachBatch sink WRITES its output and then
+    // dies before the micro-batch commits — the worst-case window. On
+    // restart from the same checkpoint the offset WAL replays the batch;
+    // the RocksDB state store must serve the PRE-batch state version (the
+    // failed attempt's updates were never committed), so the processor
+    // re-emits identical rows and the batchId-keyed overwrite sink (the
+    // runForeachBatchUpsert idempotence pattern) lands exactly-once.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-crash").toString
+    val (srcDir, outDir, ckpt) = (s"$dir/src", s"$dir/out", s"$dir/ckpt")
+    val priorProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    def writeFile(name: String, rows: (String, Long)*): Unit =
+      rows.toSeq.toDF("digest", "doc_id").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+
+    @volatile var crashed = false
+    def start(injectCrash: Boolean) = {
+      val src = spark.readStream
+        .schema("digest STRING, doc_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*")
+        .as[(String, Long)]
+      graft.streaming.FirstSeen.firstSeen(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long)],
+            batchId: Long) =>
+          batch.toDF("digest", "doc_id").write.mode("overwrite")
+            .parquet(s"$outDir/b$batchId")
+          if (injectCrash && batchId == 1L && !crashed) {
+            crashed = true
+            throw new RuntimeException(
+              "injected crash: sink written, commit pending")
+          }
+        }
+        .start()
+    }
+
+    try {
+      writeFile("f0", ("A", 1L), ("B", 2L))
+      val q1 = start(injectCrash = true)
+      q1.processAllAvailable() // batch 0 commits clean
+      writeFile("f1", ("A", 9L), ("C", 3L))
+      // batch 1 writes out/b1 then dies before its commit
+      intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+      assert(crashed, "the injected crash never fired — batch ids moved?")
+      assert(!q1.isActive)
+
+      val q2 = start(injectCrash = false)
+      try {
+        writeFile("f2", ("B", 8L), ("C", 7L), ("D", 4L))
+        q2.processAllAvailable() // replays batch 1 from the WAL, then batch 2
+        val out = spark.read.parquet(s"$outDir/b*")
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        // exactly-once: each digest appears ONCE across all batch dirs,
+        // with its original first-seen id — the replayed batch re-emitted
+        // identical rows over the same b1 path and later batches still
+        // saw the replayed state (C suppressed in batch 2)
+        assert(out.sorted.toSeq ==
+          Seq(("A", 1L), ("B", 2L), ("C", 3L), ("D", 4L)))
+        val b1 = spark.read.parquet(s"$outDir/b1")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        assert(b1 == Set(("C", 3L)),
+          s"replayed batch 1 diverged from its first attempt: $b1")
+      } finally q2.stop()
+    } finally {
+      priorProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming CMS cells merge across micro-batches to exact fixture counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
