@@ -55,6 +55,7 @@ object SparkEntry {
       TrendOps.queries ++
       FrontierOps.queries ++
       Spark4Surface.queries ++
+      StatsOps.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +98,6 @@ object SparkEntry {
       TrendOps.oracleSql ++
       FrontierOps.oracleSql ++
       Spark4Surface.oracleSql ++
+      StatsOps.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

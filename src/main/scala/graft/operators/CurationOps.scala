@@ -341,7 +341,34 @@ object CurationOps {
   val qShuffleShard: Q = (s, d) =>
     shuffleShards(Tables.documents(s, d), "doc_id", nShards = 8, epoch = 0)
 
+  /** CCNet-style head/middle/tail split (Wenzek et al. 2020): per
+    * language, rank documents by a quality score (n_chars as the
+    * fixture's stand-in for the LM perplexity CCNet uses) and cut into
+    * terciles with `ntile(3)`; training mixes then sample the "head"
+    * hardest. Deterministic: the rank order tie-breaks on doc_id, and
+    * ntile's fill rule (first buckets take the remainder) is identical
+    * SQL semantics in both engines.
+    *
+    * 100 TB shape: ONE lang-keyed window (partitioned sort within each
+    * language — the shuffle carries (lang, score, id) triples, not
+    * documents), then the tercile census contracts to 3·|langs| rows.
+    * The production variant replaces the exact global rank with
+    * threshold cuts learned from a sample — one filter instead of the
+    * sort — but the exact split is the verifiable contract. */
+  val qQualityTerciles: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("tercile", ntile(3).over(w))
+      .groupBy(col("lang"), col("tercile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_quality_terciles" -> qQualityTerciles,
     "q_chunk_overlap" -> qChunkOverlap,
     "q_mix_upsample" -> qMixUpsample,
     "q_mix_temperature" -> qMixTemperature,
@@ -354,6 +381,16 @@ object CurationOps {
     "q_dedup_spans" -> qDedupSpans)
 
   val oracleSql: Map[String, String] = Map(
+    "q_quality_terciles" ->
+      """WITH r AS (
+           SELECT lang, doc_id, n_chars,
+             ntile(3) OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id ASC) AS tercile
+           FROM documents)
+         SELECT lang, CAST(tercile AS INT) AS tercile,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+         FROM r GROUP BY lang, tercile ORDER BY lang, tercile""",
     "q_text_diversity" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
                     FROM documents),

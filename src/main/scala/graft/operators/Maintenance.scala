@@ -145,14 +145,44 @@ object Maintenance {
   val qSkewReport: Q = (s, d) =>
     skewReport(Tables.lineitem(s, d), "l_suppkey")
 
+  /** Per-source content manifest with an ORDER-INDEPENDENT fingerprint:
+    * xor of a 60-bit per-row digest (md5 over id + payload, 15 hex
+    * digits so the parse stays inside a signed 64-bit lane in both
+    * engines) plus count and id bounds. The audit primitive for "did
+    * this re-ingest/restatement land byte-identical content": xor is
+    * commutative/associative, so the fingerprint is independent of row
+    * order, partitioning, and parallelism — two manifests match iff the
+    * multisets of row digests match (mod the 2⁻⁶⁰ xor-collision rate).
+    * At 100 TB this is one map-side-combinable `bit_xor` rollup keyed
+    * by source; comparing lakes costs |sources| rows. */
+  def contentManifest(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+          col("text"))), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        expr("bit_xor(h)").as("fingerprint"))
+
+  val qManifestMerkle: Q = (s, d) => contentManifest(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "q_compaction_plan" -> qCompactionPlan,
     "q_coverage_curve" -> qCoverageCurve,
     "q_partition_stats" -> qPartitionStats,
     "q_gap_stats" -> qGapStats,
+    "q_manifest_merkle" -> qManifestMerkle,
     "q_skew_report" -> qSkewReport)
 
   val oracleSql: Map[String, String] = Map(
+    "q_manifest_merkle" ->
+      """SELECT source, COUNT(*) AS n_rows,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+           bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+             || '|' || text), 1, 15)) AS BIGINT)) AS fingerprint
+         FROM documents GROUP BY source ORDER BY source""",
     "q_skew_report" ->
       """WITH k AS (
            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StringType}
+
+import graft.Tables
+
+/** Resampling + distribution-shift statistics, exact-integer style: the
+  * uncertainty/monitoring layer a training-data pipeline runs next to
+  * its point estimates ([[Attribution.abtestTtest]] is the two-sample
+  * sibling; [[graft.operators.MiscQueries]]'s drift_snapshot the
+  * unscored census). Both operators follow the house rules: decisions
+  * and readouts are exact integers (md5-derived randomness, cross-
+  * multiplied rationals, div-quantized grains), so the DuckDB oracle
+  * hash-matches bit-for-bit and reruns are partitioning-independent.
+  */
+object StatsOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Bootstrap replica count. 32 replicas put the 2nd-smallest/2nd-
+    * largest replica means near the 5th/95th percentile of the
+    * bootstrap distribution — a standard small-B percentile CI. */
+  val Replicas = 32
+
+  /** Cumulative Poisson(1) thresholds in ppm grain: P(X ≤ k) · 10⁶
+    * floored, k = 0..8. A uniform ppm draw h maps to the weight
+    * w = #{k : h ≥ c_k} — the exact integer inverse-CDF, identical in
+    * both engines (no float pmf anywhere). */
+  val PoissonCumPpm: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L,
+      999989L, 999999L)
+
+  /** Deterministic Poisson(1) bootstrap weight for (row, replica). */
+  def poissonWeight(idCol: Column, replica: Column): Column = {
+    val h = pmod(conv(substring(md5(concat(idCol.cast(StringType),
+      lit("#boot"), replica.cast(StringType))), 1, 6), 16, 10)
+      .cast("long"), lit(1000000L))
+    PoissonCumPpm.map(c => when(h >= c, 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** Percentile-bootstrap CI for the per-type mean event value, fully
+    * deterministic: every (row, replica) pair draws a Poisson(1) weight
+    * from md5 (the multinomial bootstrap's large-n limit — the SAME
+    * approximation Spark's own poisson `sample()` makes, but
+    * rerun-stable and cross-engine exact), each replica's weighted mean
+    * rides as the exact milli-grain integer (10³·Σw·c) div Σw, and the
+    * CI is the 2nd-smallest/2nd-largest of the 32 replica means
+    * (≈ p5/p95). Degenerate replicas (Σw = 0) are dropped by the
+    * CASE-guarded division, exactly as in the oracle.
+    *
+    * 100 TB shape: the replica fan-out (×32) happens MAP-SIDE on the
+    * stream and immediately contracts into the (type, replica)
+    * sufficient-stats rollup — one map-side-combinable aggregate, never
+    * a materialized 32× copy; the rank windows run over the 5×32-row
+    * rollup. At any corpus size the shuffle carries ≤ |types|·32·2
+    * longs. */
+  val qBootstrapCi: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val reps = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), cents.as("cents"))
+      .select(col("event_type"), col("event_id"), col("cents"),
+        explode(sequence(lit(0), lit(Replicas - 1))).as("r"))
+      .withColumn("w", poissonWeight(col("event_id"), col("r")))
+      .groupBy(col("event_type"), col("r"))
+      .agg(sum(col("w").cast("long")).as("sw"),
+        sum(col("w").cast("decimal(19,0)") * col("cents")).as("swc"))
+      .withColumn("mean_milli",
+        expr("CASE WHEN sw > 0 THEN CAST((swc * 1000) div sw AS LONG) END"))
+      .filter(col("mean_milli").isNotNull)
+    val wAsc = Window.partitionBy("event_type")
+      .orderBy(col("mean_milli").asc, col("r").asc)
+    val wDesc = Window.partitionBy("event_type")
+      .orderBy(col("mean_milli").desc, col("r").desc)
+    reps
+      .withColumn("rk_lo", row_number().over(wAsc))
+      .withColumn("rk_hi", row_number().over(wDesc))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_replicas"),
+        max(when(col("rk_lo") === 2, col("mean_milli"))).as("lo_milli"),
+        max(when(col("rk_hi") === 2, col("mean_milli"))).as("hi_milli"))
+  }
+
+  /** Two-window categorical drift, exact: event-type mix in the first
+    * half of the month (day ≤ 15) vs the second, scored with the 2×k
+    * chi-square identity — per-type contribution
+    * (o1·N2 − o2·N1)² / ((o1+o2)·N1·N2), an exact rational quantized
+    * at micro grain with the GRAIN FOLDED INTO THE DENOMINATOR
+    * (`dd² div (den div 10⁶)`) — both engines compute the identical
+    * integer, and dd² alone must fit decimal(38): |dd| ≤ c·max(N1,N2)
+    * ≤ 10¹⁹ holds through ~10⁹–10¹⁰ rows per window; past that,
+    * pre-aggregate to coarser cells first (the qAggSkew envelope
+    * discipline). The numerator-side ·10⁶ variant would cap the same
+    * envelope 1000× lower — and a fixture too small for the folded
+    * denominator (c·N1·N2 < 10⁶) yields NULL via the shared CASE
+    * guard rather than an engine-dependent /0. `drifted` flags a type
+    * whose contribution clears the df=1 critical value 3.841 (the
+    * per-cell screen; sum contrib_micro for the family-wide df=k−1
+    * test).
+    *
+    * 100 TB shape: ONE map-side-combinable rollup of the stream into
+    * |types| rows of (o1, o2); the window totals ride global windows
+    * over that contracted rollup. */
+  val qDriftChisq: Q = (s, d) => {
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val wAll = Window.partitionBy()
+    Tables.events(s, d)
+      .select(col("event_type"),
+        when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("early"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("early")).as("o1"),
+        sum(lit(1L) - col("early")).as("o2"))
+      .withColumn("n1", sum(col("o1")).over(wAll))
+      .withColumn("n2", sum(col("o2")).over(wAll))
+      .withColumn("dd",
+        dec(col("o1")) * dec(col("n2")) - dec(col("o2")) * dec(col("n1")))
+      .withColumn("den_micro",
+        expr("((o1 + o2) * CAST(n1 AS DECIMAL(38,0)) * n2) div 1000000"))
+      .select(col("event_type"), col("o1"), col("o2"),
+        expr("""CASE WHEN den_micro > 0
+                THEN CAST((dd * dd) div den_micro AS LONG) END""")
+          .as("contrib_micro"))
+      .withColumn("drifted", col("contrib_micro") > 3841000L)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_bootstrap_ci" -> qBootstrapCi,
+    "q_drift_chisq" -> qDriftChisq)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bootstrap_ci" ->
+      """WITH reps AS (
+           SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             unnest(generate_series(0, 31)) AS r
+           FROM events),
+         drawn AS (
+           SELECT event_type, r, cents,
+             (SELECT CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                 || '#boot' || CAST(r AS VARCHAR)), 1, 6)) AS BIGINT)
+                 % 1000000) AS h
+           FROM reps),
+         w AS (
+           SELECT event_type, r, cents,
+             (CASE WHEN h >= 367879 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 735758 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 919698 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 981011 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 996340 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 999405 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 999916 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 999989 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 999999 THEN 1 ELSE 0 END) AS w
+           FROM drawn),
+         m AS (
+           SELECT event_type, r, SUM(w) AS sw,
+             SUM(CAST(w AS HUGEINT) * cents) AS swc
+           FROM w GROUP BY event_type, r),
+         mm AS (
+           SELECT event_type, r,
+             CAST((swc * 1000) // sw AS BIGINT) AS mean_milli
+           FROM m WHERE sw > 0),
+         rk AS (
+           SELECT event_type, mean_milli,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY mean_milli ASC, r ASC) AS rk_lo,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY mean_milli DESC, r DESC) AS rk_hi
+           FROM mm)
+         SELECT event_type, COUNT(*) AS n_replicas,
+           MAX(CASE WHEN rk_lo = 2 THEN mean_milli END) AS lo_milli,
+           MAX(CASE WHEN rk_hi = 2 THEN mean_milli END) AS hi_milli
+         FROM rk GROUP BY event_type ORDER BY event_type""",
+    "q_drift_chisq" ->
+      """WITH o AS (
+           SELECT event_type,
+             CAST(SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)
+               AS BIGINT) AS o1,
+             CAST(SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END)
+               AS BIGINT) AS o2
+           FROM events GROUP BY event_type),
+         t AS (
+           SELECT event_type, o1, o2,
+             SUM(o1) OVER () AS n1, SUM(o2) OVER () AS n2,
+             CAST(o1 AS HUGEINT) * SUM(o2) OVER ()
+               - CAST(o2 AS HUGEINT) * SUM(o1) OVER () AS dd
+           FROM o),
+         c AS (
+           SELECT event_type, o1, o2, dd,
+             ((o1 + o2) * CAST(n1 AS HUGEINT) * n2) // 1000000 AS den_micro
+           FROM t)
+         SELECT event_type, o1, o2,
+           CASE WHEN den_micro > 0
+             THEN CAST((dd * dd) // den_micro AS BIGINT) END
+             AS contrib_micro,
+           CASE WHEN den_micro > 0
+             THEN CAST((dd * dd) // den_micro AS BIGINT) END
+             > 3841000 AS drifted
+         FROM c ORDER BY event_type""")
+}
