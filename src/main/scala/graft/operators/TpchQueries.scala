@@ -121,6 +121,15 @@ object TpchQueries {
   private val dec4 = DecimalType(18, 4)
   private val dec6 = DecimalType(18, 6)
 
+  /** Exact-decimal → double through the decimal's STRING form: both
+    * engines parse strings correctly-rounded (fast_float / JDK), while
+    * DuckDB's native decimal→double double-rounds via int128·10⁻ˢᶜᵃˡᵉ —
+    * 1-ulp divergence once the value needs more than 2^53 of grain
+    * (found by the round-11 sf1 rehearsal on Q1's sum_charge). Use for
+    * any decimal output whose magnitude grows with the data. */
+  private def exactDouble(c: org.apache.spark.sql.Column) =
+    c.cast("string").cast("double")
+
   /** Q1 shape — pricing summary report: the canonical scan-heavy
     * wide-aggregate over lineitem below a shipdate cutoff. Eight
     * aggregates per (returnflag, linestatus), every sum in DECIMAL
@@ -139,12 +148,20 @@ object TpchQueries {
       .filter(col("l_shipdate") <= cut)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(qty).cast(dec2).cast("double").as("sum_qty"),
-        sum(price).cast(dec2).cast("double").as("sum_base_price"),
-        sum(price * (lit(1).cast(dec2) - disc))
-          .cast(dec4).cast("double").as("sum_disc_price"),
-        sum(price * (lit(1).cast(dec2) - disc) * (lit(1).cast(dec2) + tax))
-          .cast(dec6).cast("double").as("sum_charge"),
+        // UNBOUNDED money sums go decimal→STRING→double (exactDouble):
+        // past 2^53 of grain (dec6 at ~9·10⁹, hit at the sf1 rehearsal)
+        // DuckDB's decimal→double multiplies int128·10⁻ˢᶜᵃˡᵉ in float (two
+        // roundings) while the JVM rounds correctly — routing both
+        // engines through the exact decimal STRING makes both parse
+        // correctly-rounded, so the doubles stay identical at any sum
+        // magnitude. Bounded ratios/averages below never saturate and
+        // keep the direct cast.
+        exactDouble(sum(qty).cast(dec2)).as("sum_qty"),
+        exactDouble(sum(price).cast(dec2)).as("sum_base_price"),
+        exactDouble(sum(price * (lit(1).cast(dec2) - disc))
+          .cast(dec4)).as("sum_disc_price"),
+        exactDouble(sum(price * (lit(1).cast(dec2) - disc)
+          * (lit(1).cast(dec2) + tax)).cast(dec6)).as("sum_charge"),
         (sum(qty) / count(lit(1))).cast(dec6).cast("double").as("avg_qty"),
         (sum(price) / count(lit(1))).cast(dec6).cast("double").as("avg_price"),
         (sum(disc) / count(lit(1))).cast(dec6).cast("double").as("avg_disc"),
@@ -410,7 +427,8 @@ object TpchQueries {
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("l_shipdate")).as("o_year"))
-      .agg(sum(profit).cast(dec6).cast("double").as("sum_profit"))
+      // exactDouble: unbounded money sum (see qTpchQ1's note)
+      .agg(exactDouble(sum(profit).cast(dec6)).as("sum_profit"))
   }
 
   /** Q11 shape — important inventory: suppliers whose shipped value
@@ -649,13 +667,13 @@ object TpchQueries {
     "q_tpch_q9" ->
       """SELECT n_name AS nation,
             CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS o_year,
-            CAST(CAST(SUM(
+            CAST(CAST(CAST(SUM(
               CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
               - CAST('0.5' AS DECIMAL(18,2))
                 * CAST(p_retailprice AS DECIMAL(18,2))
                 * CAST(l_quantity AS DECIMAL(18,2)))
-              AS DECIMAL(18,6)) AS DOUBLE) AS sum_profit
+              AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS sum_profit
           FROM lineitem
           JOIN part ON l_partkey = p_partkey
           JOIN supplier ON l_suppkey = s_suppkey
@@ -772,15 +790,17 @@ object TpchQueries {
           GROUP BY c_nationkey""",
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
-            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
-            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            -- unbounded sums: decimal -> VARCHAR -> DOUBLE (exactDouble
+            -- device; native decimal->double double-rounds at sf1 scale)
+            CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+            CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+            CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-              AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
-            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+            CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
               * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
-              AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+              AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*)
               AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / COUNT(*)
