@@ -25,20 +25,31 @@ object StatsOps {
     * bootstrap distribution — a standard small-B percentile CI. */
   val Replicas = 32
 
-  /** Cumulative Poisson(1) thresholds in ppm grain: P(X ≤ k) · 10⁶
-    * floored, k = 0..8. A uniform ppm draw h maps to the weight
-    * w = #{k : h ≥ c_k} — the exact integer inverse-CDF, identical in
-    * both engines (no float pmf anywhere). */
-  val PoissonCumPpm: Seq[Long] =
-    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L,
-      999989L, 999999L)
+  /** Cumulative Poisson(1) thresholds in the draw's NATIVE 2²⁴ grain:
+    * P(X ≤ k) · 2²⁴ floored, k = 0..8. The 6-hex md5 window IS a
+    * uniform draw on [0, 2²⁴) — comparing in that grain avoids the
+    * `mod 10⁶` bias (16 777 216 is not a multiple of 10⁶; the first
+    * 777 216 ppm values would land 17/16 as often, which skewed the
+    * mean weight to ~0.970). w = #{k : h ≥ c_k} — the exact integer
+    * inverse-CDF, identical literals in both engines. */
+  val PoissonCum24: Seq[Long] =
+    Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
+      16767247L, 16775819L, 16777044L, 16777197L)
 
-  /** Deterministic Poisson(1) bootstrap weight for (row, replica). */
+  /** Deterministic Poisson(1) bootstrap weight for (row, replica).
+    * One md5 yields FIVE independent 6-hex draw windows (avalanche
+    * makes the windows independent), so 32 replicas cost ⌈32/5⌉ = 7
+    * hashes per row instead of 32 — md5 is the whole cost of the
+    * replica fan-out at scale (measured 5× at sf1). Window selection
+    * `r mod 5` over hash input `r div 5` is mirrored verbatim in the
+    * oracle. */
   def poissonWeight(idCol: Column, replica: Column): Column = {
-    val h = pmod(conv(substring(md5(concat(idCol.cast(StringType),
-      lit("#boot"), replica.cast(StringType))), 1, 6), 16, 10)
-      .cast("long"), lit(1000000L))
-    PoissonCumPpm.map(c => when(h >= c, 1).otherwise(0))
+    val grp = floor(replica.cast("double") / 5.0).cast("int")
+    val hash = md5(concat(idCol.cast(StringType), lit("#boot"),
+      grp.cast(StringType)))
+    val pos = lit(1) + lit(6) * pmod(replica, lit(5))
+    val h = conv(substr(hash, pos, lit(6)), 16, 10).cast("long")
+    PoissonCum24.map(c => when(h >= c, 1).otherwise(0))
       .reduce(_ + _)
   }
 
@@ -60,6 +71,13 @@ object StatsOps {
     * longs. */
   val qBootstrapCi: Q = (s, d) => {
     val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    // Shape note (measured at sf0.1): explode-then-hash — one draw per
+    // (row, replica) row inside whole-stage codegen — runs ~10× faster
+    // than materializing a 32-weight array before the fan-out. Both a
+    // transform() HOF and a statically-unrolled array re-evaluate their
+    // big expression trees per generated element under GenerateExec
+    // (40×/10× worse respectively); generators like their inputs cheap
+    // and their heavy arithmetic AFTER the fan-out.
     val reps = Tables.events(s, d)
       .select(col("event_type"), col("event_id"), cents.as("cents"))
       .select(col("event_type"), col("event_id"), col("cents"),
@@ -139,21 +157,21 @@ object StatsOps {
            FROM events),
          drawn AS (
            SELECT event_type, r, cents,
-             (SELECT CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
-                 || '#boot' || CAST(r AS VARCHAR)), 1, 6)) AS BIGINT)
-                 % 1000000) AS h
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)
+                 || '#boot' || CAST(r // 5 AS VARCHAR)),
+                 CAST(1 + 6 * (r % 5) AS INT), 6)) AS BIGINT) AS h
            FROM reps),
          w AS (
            SELECT event_type, r, cents,
-             (CASE WHEN h >= 367879 THEN 1 ELSE 0 END
-              + CASE WHEN h >= 735758 THEN 1 ELSE 0 END
-              + CASE WHEN h >= 919698 THEN 1 ELSE 0 END
-              + CASE WHEN h >= 981011 THEN 1 ELSE 0 END
-              + CASE WHEN h >= 996340 THEN 1 ELSE 0 END
-              + CASE WHEN h >= 999405 THEN 1 ELSE 0 END
-              + CASE WHEN h >= 999916 THEN 1 ELSE 0 END
-              + CASE WHEN h >= 999989 THEN 1 ELSE 0 END
-              + CASE WHEN h >= 999999 THEN 1 ELSE 0 END) AS w
+             (CASE WHEN h >= 6171992 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 12343985 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 15429982 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 16458647 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 16715813 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 16767247 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 16775819 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 16777044 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 16777197 THEN 1 ELSE 0 END) AS w
            FROM drawn),
          m AS (
            SELECT event_type, r, SUM(w) AS sw,
