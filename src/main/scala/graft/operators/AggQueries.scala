@@ -247,6 +247,52 @@ object AggQueries {
           .as("corr_qty_disc"))
   }
 
+  /** Spearman rank correlation (quantity vs extended price per return
+    * flag) — the robust, monotone-relationship sibling of [[qAggCorr]]
+    * that unbounded columns NEED: ranks are bounded by n no matter how
+    * wild the values, so price can participate where Pearson's price²
+    * moments overflow. Exact throughout: ties take the average rank as
+    * the DOUBLED integer `2·rank() + ties − 1` (rank R over t tied
+    * positions averages R + (t−1)/2), and Spearman = Pearson over the
+    * doubled ranks via the same n·Σxy − Σx·Σy sufficient-stats device —
+    * one sqrt over identically-rounded exact doubles at the end.
+    * Headroom: r₂ ≤ 2n so n·Σ(r₂ᵃr₂ᵇ) ≤ 4n⁴ — decimal(38)/HUGEINT to
+    * n ≈ 10⁹ rows per group; past that, pre-aggregate (the qAggCorr
+    * boundedness note).
+    *
+    * Scale shape: two flag-keyed rank windows share ONE sort/exchange
+    * of (flag, x, y) triples, then the same map-side-combinable moment
+    * rollup as every stats query. */
+  val qCorrSpearman: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.partitionBy("l_returnflag").orderBy("x")
+    val wtx = Window.partitionBy("l_returnflag", "x")
+    val wy = Window.partitionBy("l_returnflag").orderBy("y")
+    val wty = Window.partitionBy("l_returnflag", "y")
+    val w38 = DecimalType(38, 0)
+    def dec(c: org.apache.spark.sql.Column) = c.cast(w38)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        (col("l_quantity").cast(dec2) * 100).cast("long").as("x"),
+        (col("l_extendedprice").cast(dec2) * 100).cast("long").as("y"))
+      .withColumn("ra",
+        lit(2) * rank().over(wx) + count(lit(1)).over(wtx) - 1)
+      .withColumn("rb",
+        lit(2) * rank().over(wy) + count(lit(1)).over(wty) - 1)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("ra"))).as("sa"), sum(dec(col("rb"))).as("sb"),
+        sum(dec(col("ra")) * col("ra")).as("saa"),
+        sum(dec(col("rb")) * col("rb")).as("sbb"),
+        sum(dec(col("ra")) * col("rb")).as("sab"))
+      .select(col("l_returnflag"), col("n"),
+        ((dec(col("n")) * col("sab") - col("sa") * col("sb")).cast("double")
+          / sqrt((dec(col("n")) * col("saa") - col("sa") * col("sa"))
+              .cast("double")
+            * (dec(col("n")) * col("sbb") - col("sb") * col("sb"))
+              .cast("double"))).as("spearman"))
+  }
+
   /** Pivot with MULTIPLE aggregates per cell: hour-of-day × event_type
     * matrix carrying both the count and the exact decimal value sum —
     * Spark names the columns `{pivotValue}_{aggAlias}`; the oracle
@@ -532,6 +578,7 @@ object AggQueries {
     "q_pivot" -> qPivot,
     "q_pivot_multi" -> qPivotMulti,
     "q_agg_corr" -> qAggCorr,
+    "q_corr_spearman" -> qCorrSpearman,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_moving" -> qWindowMoving,
@@ -654,6 +701,33 @@ object AggQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_corr_spearman" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM lineitem),
+         r AS (
+           SELECT l_returnflag,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS ra,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS rb
+           FROM b),
+         m AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(ra AS HUGEINT)) AS sa,
+             SUM(CAST(rb AS HUGEINT)) AS sb,
+             SUM(CAST(ra AS HUGEINT) * ra) AS saa,
+             SUM(CAST(rb AS HUGEINT) * rb) AS sbb,
+             SUM(CAST(ra AS HUGEINT) * rb) AS sab
+           FROM r GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           CAST(CAST(n AS HUGEINT) * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(CAST(n AS HUGEINT) * saa - sa * sa AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT) * sbb - sb * sb AS DOUBLE))
+             AS spearman
+         FROM m ORDER BY l_returnflag""",
     "q_agg_corr" ->
       """WITH m AS (
            SELECT l_returnflag, COUNT(*) AS n,

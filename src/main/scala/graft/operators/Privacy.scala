@@ -92,8 +92,37 @@ object Privacy {
   val qPrivacyForget: Q = (s, d) => forgetManifest(
     Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
 
+  /** Keyed pseudonymization with join consistency — the third leg of
+    * the release triad (audit → pseudonymize → erase): subject keys are
+    * replaced by a peppered sha-256 prefix (the pepper is a literal
+    * here; production fetches it from a secret store and rotates it per
+    * release), which is irreversible without the pepper yet DETERMINISTIC,
+    * so foreign keys keep joining after the rewrite. The query proves
+    * that property: customer and orders are pseudonymized
+    * INDEPENDENTLY, re-joined on the pseudonym alone, and the utility
+    * column (segment) plus per-subject order counts survive. 64-bit
+    * prefix → birthday collisions at ~2³² subjects; widen the prefix
+    * past ~10⁸ subjects.
+    *
+    * Scale shape: pseudonymization is a map-side projection on both
+    * sides; the join shuffles on the pseudonym exactly as it would have
+    * on the raw key. */
+  def pseudonym(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(sha2(concat(lit("p2024:"), c.cast("string")), 256), 1, 16)
+
+  val qPrivacyPseudonym: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .select(pseudonym(col("c_custkey")).as("pid"), col("c_mktsegment"))
+    val ord = Tables.orders(s, d)
+      .select(pseudonym(col("o_custkey")).as("pid"))
+    ord.groupBy(col("pid")).agg(count(lit(1)).as("n_orders"))
+      .join(cust, "pid")
+      .select(col("pid"), col("c_mktsegment"), col("n_orders"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_privacy_kanon" -> qPrivacyKanon,
+    "q_privacy_pseudonym" -> qPrivacyPseudonym,
     "q_privacy_forget" -> qPrivacyForget)
 
   val oracleSql: Map[String, String] = Map(
@@ -119,6 +148,20 @@ object Privacy {
          LEFT JOIN no ON no.c_custkey = t.c_custkey
          LEFT JOIN ni ON ni.c_custkey = t.c_custkey
          ORDER BY t.c_custkey""",
+    "q_privacy_pseudonym" ->
+      """WITH cust AS (
+           SELECT substring(sha256('p2024:' || CAST(c_custkey AS VARCHAR)),
+                    1, 16) AS pid,
+             c_mktsegment
+           FROM customer),
+         ord AS (
+           SELECT substring(sha256('p2024:' || CAST(o_custkey AS VARCHAR)),
+                    1, 16) AS pid,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT o.pid, c.c_mktsegment, o.n_orders
+         FROM ord o JOIN cust c USING (pid)
+         ORDER BY pid""",
     "q_privacy_kanon" ->
       """WITH g AS (
            SELECT lang, n_chars // 200 AS len_bucket, source

@@ -83,6 +83,52 @@ class Round11OpsSpec extends AnyFunSuite {
     assert((tampered - victim) == (base - victim))
   }
 
+  test("spearman matches a naive average-rank double reference per flag") {
+    val got = graft.operators.AggQueries.qCorrSpearman(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        math.round(r.getDouble(2) * 100)))
+    def avgRanks(xs: Seq[Long]): Map[Long, Double] = {
+      val sorted = xs.sorted
+      xs.distinct.map { v =>
+        val first = sorted.indexOf(v) + 1
+        val t = sorted.count(_ == v)
+        v -> (first + (t - 1) / 2.0)
+      }.toMap
+    }
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val (xs, ys) = (rs.toSeq.map(_._2), rs.toSeq.map(_._3))
+      val (rx, ry) = (avgRanks(xs), avgRanks(ys))
+      val a = xs.map(rx)
+      val b = ys.map(ry)
+      val n = a.length.toDouble
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val num = a.zip(b).map { case (p, q) => (p - ma) * (q - mb) }.sum
+      val den = math.sqrt(a.map(p => (p - ma) * (p - ma)).sum *
+        b.map(q => (q - mb) * (q - mb)).sum)
+      val want = num / den
+      assert(math.abs(got(flag) - want) < 1e-9,
+        s"$flag: engine ${got(flag)} vs naive $want")
+    }
+  }
+
+  test("pseudonymization is deterministic and join-consistent") {
+    import graft.operators.Privacy
+    val out = Privacy.qPrivacyPseudonym(spark, sf)
+    // every customer with >=1 order appears exactly once, counts intact
+    val expected = Tables.orders(spark, sf)
+      .groupBy("o_custkey").count().count()
+    assert(out.count() == expected)
+    // deterministic across plan rebuilds
+    val again = Privacy.qPrivacyPseudonym(spark, sf)
+    assert(out.exceptAll(again).isEmpty)
+    // pseudonyms are collision-free on the fixture key space
+    assert(out.select("pid").distinct().count() == expected)
+  }
+
   test("quality terciles: balanced buckets, head strictly above tail") {
     val rows = CurationOps.qQualityTerciles(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
