@@ -206,7 +206,7 @@ object CorpusPipeline {
     * threshold J ≥ 0.9. */
   val qCorpusCurate: Q = (s, d) =>
     curate(Tables.documents(s, d), minTokens = 15, maxStopPct = 40,
-      tNum = 9, tDen = 10, cacheKey = Some(s"curated:$d:15:40"))
+      tNum = 9, tDen = 10, cacheKey = Some(s"curated:${System.identityHashCode(s)}:$d:15:40"))
 
   /** sha-256 digest of the document's distinct-token SET — the SAME
     * identity every set-based similarity measure keys on

@@ -347,7 +347,7 @@ object Graph {
     // The per-round eager checkpoints run at plan-build; memoized per
     // corpus so steady-state construction is job-free (LazyRegistrySpec)
     // — the ingest-artifact discipline for iterative results.
-    Artifacts.memo(edgeCache, s"kcore:$d", Artifacts.unpersistDf)(
+    Artifacts.memo(edgeCache, s"kcore:${System.identityHashCode(s)}:$d", Artifacts.unpersistDf)(
       kcorePeel(coOrderEdges(s, d), 8, 3))
 
   /** Bounded Bellman–Ford: `rounds` synchronous relaxations of integer
@@ -381,7 +381,7 @@ object Graph {
   val qGraphSssp: Q = (s, d) =>
     // Memoized like qGraphKcore: the per-round relaxations checkpoint
     // eagerly at plan-build, once per session.
-    Artifacts.memo(edgeCache, s"sssp:$d", Artifacts.unpersistDf) {
+    Artifacts.memo(edgeCache, s"sssp:${System.identityHashCode(s)}:$d", Artifacts.unpersistDf) {
       val edges = coOrderEdges(s, d)
         .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(5L)))
       val seeds = degrees(coOrderEdges(s, d))

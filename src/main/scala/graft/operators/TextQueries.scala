@@ -503,7 +503,8 @@ object TextQueries {
   /** Declared query: top-30 vocabulary with cumulative corpus coverage. */
   val qVocabTopk: Q = (s, d) =>
     vocabTopK(Tables.documents(s, d), k = 30,
-      cacheKey = Some(s"vocab:$d")).orderBy("rank")
+      cacheKey = Some(s"vocab:${System.identityHashCode(s)}:$d"))
+      .orderBy("rank")
 
   /** Unigram language-model scoring (the cheap perplexity proxy every
     * corpus-quality pipeline runs — CCNet/Gopher-style filtering uses a
@@ -562,7 +563,7 @@ object TextQueries {
   val qTextPerplexity: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     unigramLogLoss(docs, unigramCounts(docs),
-      cacheKey = Some(s"unigram:$d"))
+      cacheKey = Some(s"unigram:${System.identityHashCode(s)}:$d"))
   }
 
   /** Inverted index in its scale-honest FLAT form: one row per (token,
@@ -671,7 +672,7 @@ object TextQueries {
     * onto the token stream; one source-keyed aggregate. */
   val qVocabCoverage: Q = (s, d) => {
     val top = vocabTopK(Tables.documents(s, d), k = 30,
-        cacheKey = Some(s"vocab:$d"))
+        cacheKey = Some(s"vocab:${System.identityHashCode(s)}:$d"))
       .select(col("token"), lit(1).as("in_top"))
     Tables.documents(s, d)
       .select(col("source"),

@@ -65,7 +65,8 @@ object SessionTimeout {
       }
       acc.update((start, last, n, sum))
       // one armed timer per key: re-arm at the new session horizon
-      if (hadState) getHandle.listTimers().foreach(t =>
+      // (materialize before deleting — the iterator is store-backed)
+      if (hadState) getHandle.listTimers().toList.foreach(t =>
         getHandle.deleteTimer(t.asInstanceOf[Long]))
       getHandle.registerTimer(last + gapMs)
       closed.iterator
