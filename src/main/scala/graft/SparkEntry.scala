@@ -56,6 +56,7 @@ object SparkEntry {
       FrontierOps.queries ++
       Spark4Surface.queries ++
       StatsOps.queries ++
+      AssociationOps.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +100,6 @@ object SparkEntry {
       FrontierOps.oracleSql ++
       Spark4Surface.oracleSql ++
       StatsOps.oracleSql ++
+      AssociationOps.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }

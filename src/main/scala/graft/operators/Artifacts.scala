@@ -85,5 +85,6 @@ object Artifacts {
     Graph.clearArtifacts()
     QualityModel.clearCache()
     TextQueries.clearArtifacts()
+    AssociationOps.clearArtifacts()
   }
 }

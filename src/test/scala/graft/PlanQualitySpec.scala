@@ -95,7 +95,13 @@ class PlanQualitySpec extends AnyFunSuite {
     // one corpus exchange into the persisted (score,lang) cell artifact,
     // then histogram-sized: score regroup, rank window, per-lang fold —
     // the broadcast subtree re-plans the regroup+window pair (4 total)
-    "q_eval_auc" -> 4).withDefaultValue(2)
+    "q_eval_auc" -> 4,
+    // one corpus exchange into the checkpointed contingency-cell
+    // artifact, then cell-sized: pair-join re-exchange on event_type,
+    // margin/tie rollups — 6 in a fresh session before the checkpoint
+    // cuts the lineage, every post-build exchange moves ≤ |grid|·|types|
+    // rows (same order-dependence caveat as the incremental pair above)
+    "q_corr_kendall" -> 6).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements
