@@ -36,13 +36,15 @@ object StatsOps {
     Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L,
       16767247L, 16775819L, 16777044L, 16777197L)
 
-  /** Deterministic Poisson(1) bootstrap weight for (row, replica).
-    * One md5 yields FIVE independent 6-hex draw windows (avalanche
-    * makes the windows independent), so 32 replicas cost ⌈32/5⌉ = 7
-    * hashes per row instead of 32 — md5 is the whole cost of the
-    * replica fan-out at scale (measured 5× at sf1). Window selection
-    * `r mod 5` over hash input `r div 5` is mirrored verbatim in the
-    * oracle. */
+  /** Deterministic Poisson(1) bootstrap weight for (row, replica) —
+    * the single-expression REFERENCE form (the distribution spec
+    * drives it directly; [[qBootstrapCi]] stages the same draw so the
+    * 7 md5s evaluate once per row, see its shape note). One md5 yields
+    * FIVE independent 6-hex draw windows (avalanche makes the windows
+    * independent), so 32 replicas cost ⌈32/5⌉ = 7 hashes per row
+    * instead of 32 — md5 is the whole cost of the replica fan-out at
+    * scale (measured 5× at sf1). Window selection `r mod 5` over hash
+    * input `r div 5` is mirrored verbatim in the oracle. */
   def poissonWeight(idCol: Column, replica: Column): Column = {
     val grp = floor(replica.cast("double") / 5.0).cast("int")
     val hash = md5(concat(idCol.cast(StringType), lit("#boot"),
@@ -71,18 +73,37 @@ object StatsOps {
     * longs. */
   val qBootstrapCi: Q = (s, d) => {
     val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
-    // Shape note (measured at sf0.1): explode-then-hash — one draw per
-    // (row, replica) row inside whole-stage codegen — runs ~10× faster
-    // than materializing a 32-weight array before the fan-out. Both a
-    // transform() HOF and a statically-unrolled array re-evaluate their
-    // big expression trees per generated element under GenerateExec
-    // (40×/10× worse respectively); generators like their inputs cheap
-    // and their heavy arithmetic AFTER the fan-out.
+    // Shape note (all variants measured at sf0.1, local[4]): the 7
+    // md5s live in a Project BELOW the Generate (attributes, evaluated
+    // once per INPUT row — CollapseProject won't inline them into the
+    // generator because each is referenced five times), and the 32
+    // 6-hex window extractions ride the generator input array, which
+    // GenerateExec evaluates once per input row. Steady state 2.8 s vs
+    // 4.2 s for the old hash-after-explode shape (which paid one md5
+    // per OUTPUT row = 32/row). Rejected variants: md5s inlined in the
+    // generator array — 10.5 s (the generator child loses the
+    // project's codegen CSE, all 32 md5 run); window extraction ALSO
+    // staged as columns — 4.5-5.9 s (three stacked projects re-merge
+    // badly). The transform()-HOF and post-generate-arithmetic
+    // hazards from round 11's first measurement stand (40×/10×); the
+    // inverse-CDF compare (9 integer comparisons) stays AFTER the
+    // fan-out where per-element work is cheap.
+    val nHashes = (Replicas + 4) / 5
+    val hashCols = (0 until nHashes).map { g =>
+      md5(concat(col("event_id").cast(StringType), lit("#boot"),
+        lit(g).cast(StringType))).as(s"mh$g")
+    }
+    val draws = array((0 until Replicas).map { r =>
+      conv(substr(col(s"mh${r / 5}"), lit(1 + 6 * (r % 5)), lit(6)), 16, 10)
+        .cast("long")
+    }: _*)
     val reps = Tables.events(s, d)
-      .select(col("event_type"), col("event_id"), cents.as("cents"))
-      .select(col("event_type"), col("event_id"), col("cents"),
-        explode(sequence(lit(0), lit(Replicas - 1))).as("r"))
-      .withColumn("w", poissonWeight(col("event_id"), col("r")))
+      .select(Seq(col("event_type"), cents.as("cents")) ++ hashCols: _*)
+      .select(col("event_type"), col("cents"),
+        posexplode(draws).as(Seq("r", "h")))
+      .withColumn("w",
+        PoissonCum24.map(c => when(col("h") >= c, 1).otherwise(0))
+          .reduce(_ + _))
       .groupBy(col("event_type"), col("r"))
       .agg(sum(col("w").cast("long")).as("sw"),
         sum(col("w").cast("decimal(19,0)") * col("cents")).as("swc"))
