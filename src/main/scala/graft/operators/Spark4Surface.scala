@@ -73,10 +73,36 @@ object Spark4Surface {
          |> SELECT user_id, n, n_buy""")
   }
 
+  /** Collated grouping (Spark 4 COLLATE): a deterministically
+    * case-varied copy of c_mktsegment (even keys lowercased) groups
+    * under UTF8_LCASE back into the five segments — the collation does
+    * the case-folding inside the grouping key itself (hash and equality
+    * are collation-aware; one exchange, no pre-normalization pass) —
+    * while COUNT(DISTINCT raw) pins that each merged group really held
+    * two binary spellings. The emitted key is lower()ed because the
+    * representative a collated group surfaces is engine-arbitrary;
+    * lower() of either spelling is the same string, which is what the
+    * oracle (DuckDB lower()-keyed grouping) states. */
+  val qCollateGroup: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("coll_customer")
+    s.sql(
+      """SELECT lower(seg) AS segment, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_spellings
+         FROM (SELECT collate(CASE WHEN c_custkey % 2 = 0
+                         THEN lower(c_mktsegment) ELSE c_mktsegment END,
+                       'UTF8_LCASE') AS seg,
+                      CASE WHEN c_custkey % 2 = 0
+                         THEN lower(c_mktsegment) ELSE c_mktsegment END
+                        AS raw
+               FROM coll_customer)
+         GROUP BY seg""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_variant_extract" -> qVariantExtract,
     "q_sql_udf" -> qSqlUdf,
-    "q_sql_pipe" -> qSqlPipe)
+    "q_sql_pipe" -> qSqlPipe,
+    "q_collate_group" -> qCollateGroup)
 
   val oracleSql: Map[String, String] = Map(
     "q_variant_extract" ->
@@ -96,5 +122,13 @@ object Spark4Surface {
            CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
              AS BIGINT) AS n_buy
          FROM events WHERE event_type IN ('click', 'purchase')
-         GROUP BY user_id HAVING COUNT(*) >= 5""")
+         GROUP BY user_id HAVING COUNT(*) >= 5""",
+    "q_collate_group" ->
+      """WITH c AS (
+           SELECT CASE WHEN c_custkey % 2 = 0
+                    THEN lower(c_mktsegment) ELSE c_mktsegment END AS raw
+           FROM customer)
+         SELECT lower(raw) AS segment, COUNT(*) AS n,
+           CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_spellings
+         FROM c GROUP BY lower(raw)""")
 }

@@ -165,11 +165,109 @@ object StatsOps {
       .withColumn("drifted", col("contrib_micro") > 3841000L)
   }
 
+  /** One-way ANOVA F across FIVE md5 experiment arms, per event type —
+    * the k-group extension of [[Attribution.abtestTtest]] (same
+    * deterministic md5 arm assignment, `% 5` instead of `% 2`). The
+    * between/within sums of squares ride a DECLARED cents² integer
+    * grain: every per-arm term (S_j² div n_j, (n_j·Q_j − S_j²) div n_j)
+    * is an exact integer floor identical in both engines, every div
+    * operand is non-negative (n_j·Q_j ≥ S_j² by Cauchy–Schwarz, so
+    * trunc-vs-floor division semantics never diverge cross-engine),
+    * and the α = 0.05 decision is the cross-multiplied inequality
+    * ssb·(N−k)·10⁴ > F_crit(k−1, ∞)·10⁴ · ssw·(k−1) with the
+    * asymptotic (df₂ → ∞) critical values pinned as identical CASE
+    * literals — the large-N screen a corpus-scale experiment readout
+    * wants (exact F_crit at small N is smaller-df₂-larger, so this
+    * under-rejects slightly on tiny fixtures; declared).
+    *
+    * Headroom: with cents ≤ 10⁵, S_j² div n_j ≤ 10¹⁰·n_j — the LONG
+    * div result is safe to n_j ≈ 10⁸ rows per arm; the decision
+    * products ride decimal(38) to N ≈ 10⁹. Past that, pre-aggregate
+    * values to a coarser grain first (the [[AggQueries]] qAggSkew
+    * discipline).
+    *
+    * 100 TB shape: ONE map-side-combinable rollup of the stream into
+    * 5 types × 5 arms of three sufficient statistics; everything after
+    * is 25-row arithmetic. */
+  val qAbtestAnova: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val arms = Tables.events(s, d)
+      .select(col("event_type"),
+        Hashing.md5Bucket(col("user_id"), "", 5L).as("arm"),
+        cents.as("cents"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("nj"),
+        sum(col("cents")).as("sj"),
+        sum(col("cents").cast("decimal(19,0)") * col("cents")).as("qj"))
+    arms.groupBy(col("event_type"))
+      .agg(sum(col("nj")).as("n"),
+        count(lit(1)).as("k"),
+        sum(col("sj")).as("stot"),
+        sum(expr("CAST((CAST(sj AS DECIMAL(38,0)) * sj) div nj" +
+          " AS DECIMAL(38,0))")).as("sb_part"),
+        sum(expr("CAST((CAST(nj AS DECIMAL(38,0)) * qj" +
+          " - CAST(sj AS DECIMAL(38,0)) * sj) div nj" +
+          " AS DECIMAL(38,0))")).as("sswd"))
+      .withColumn("ssbd", col("sb_part") -
+        expr("(CAST(stot AS DECIMAL(38,0)) * stot) div n"))
+      .withColumn("crit4",
+        expr("""CASE k WHEN 2 THEN 38415 WHEN 3 THEN 29957
+                       WHEN 4 THEN 26049 ELSE 23719 END"""))
+      .select(col("event_type"), col("n"), col("k").as("k_arms"),
+        col("ssbd").cast("long").as("ssb_q"),
+        col("sswd").cast("long").as("ssw_q"),
+        when(col("sswd") > 0 && col("k") > 1,
+          expr("CAST((CAST(ssbd AS DECIMAL(38,0)) * (n - k) * 1000)" +
+            " div (CAST(sswd AS DECIMAL(38,0)) * (k - 1)) AS LONG)"))
+          .as("f_milli"),
+        when(col("sswd") > 0 && col("k") > 1,
+          dec(col("ssbd")) * (col("n") - col("k")) * lit(10000) >
+            dec(col("crit4")) * col("sswd") * (col("k") - 1))
+          .as("rejected"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bootstrap_ci" -> qBootstrapCi,
-    "q_drift_chisq" -> qDriftChisq)
+    "q_drift_chisq" -> qDriftChisq,
+    "q_abtest_anova" -> qAbtestAnova)
 
   val oracleSql: Map[String, String] = Map(
+    "q_abtest_anova" ->
+      """WITH e AS (
+           SELECT event_type,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4)
+               AS INT) % 5 AS arm,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         a AS (
+           SELECT event_type, arm, COUNT(*) AS nj,
+             CAST(SUM(cents) AS BIGINT) AS sj,
+             SUM(CAST(cents AS HUGEINT) * cents) AS qj
+           FROM e GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, CAST(SUM(nj) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(sj) AS HUGEINT) AS stot,
+             SUM((CAST(sj AS HUGEINT) * sj) // nj) AS sb_part,
+             SUM((CAST(nj AS HUGEINT) * qj
+                  - CAST(sj AS HUGEINT) * sj) // nj) AS sswd
+           FROM a GROUP BY 1),
+         f AS (
+           SELECT event_type, n, k,
+             sb_part - (stot * stot) // n AS ssbd, sswd,
+             CASE k WHEN 2 THEN 38415 WHEN 3 THEN 29957
+                    WHEN 4 THEN 26049 ELSE 23719 END AS crit4
+           FROM g)
+         SELECT event_type, n, k AS k_arms,
+           CAST(ssbd AS BIGINT) AS ssb_q, CAST(sswd AS BIGINT) AS ssw_q,
+           CASE WHEN sswd > 0 AND k > 1
+             THEN CAST((ssbd * (n - k) * 1000) // (sswd * (k - 1))
+               AS BIGINT) END AS f_milli,
+           CASE WHEN sswd > 0 AND k > 1
+             THEN ssbd * (n - k) * 10000 > crit4 * sswd * (k - 1)
+             END AS rejected
+         FROM f ORDER BY event_type""",
     "q_bootstrap_ci" ->
       """WITH reps AS (
            SELECT event_type, event_id,

@@ -255,4 +255,74 @@ class OracleIndependenceSpec extends AnyFunSuite {
     }
     assert(counts.size >= 100)
   }
+
+  // --------------------------------------------------------------- anova
+
+  test("q_abtest_anova matches a naive double one-way ANOVA reference " +
+    "on 100+ random groups") {
+    import spark.implicits._
+    val rnd = new Random(421104)
+    val rows = (0 until 130).flatMap { g =>
+      val tpe = f"a$g%03d"
+      // small groups included so some arms come up empty (k < 5)
+      val n = 6 + rnd.nextInt(60)
+      (0 until n).map { i =>
+        val cents = rnd.nextInt(10001).toLong
+        (g * 1000L + i, Timestamp.valueOf("2024-01-01 12:00:00"),
+          rnd.nextLong().abs % 1000000000L, tpe, cents / 100.0, "{}")
+      }
+    }
+    val dir = tmpDir("anova")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("q_abtest_anova")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getBoolean(6))))
+      .toMap
+
+    val critOf = Map(2 -> 3.8415, 3 -> 2.9957, 4 -> 2.6049, 5 -> 2.3719)
+    var compared = 0
+    var skipped = 0
+    rows.groupBy(_._4).foreach { case (tpe, rs) =>
+      val byArm = rs.map(r => (md5Bucket(r._3, 5L),
+        math.round(r._5 * 100).toDouble)).groupBy(_._1)
+        .map { case (_, xs) => xs.map(_._2) }.toSeq
+      val k = byArm.size
+      val n = rs.size.toDouble
+      val (gk, gf, grej) = got(tpe)
+      assert(gk == k.toLong, s"$tpe: arm count $gk vs $k")
+      if (k < 2) assert(grej.isEmpty, s"$tpe: k=1 must yield NULL")
+      else {
+        val grand = byArm.flatten.sum / n
+        val ssb = byArm.map(a =>
+          a.length * math.pow(a.sum / a.length - grand, 2)).sum
+        val ssw = byArm.map(a => {
+          val m = a.sum / a.length
+          a.map(x => (x - m) * (x - m)).sum
+        }).sum
+        if (ssw < 100.0) skipped += 1 // quantization-noise regime
+        else {
+          val f = (ssb / (k - 1)) / (ssw / (n - k))
+          val crit = critOf(k)
+          if (math.abs(f - crit) < 0.01 * crit) skipped += 1
+          else {
+            compared += 1
+            assert(grej.contains(f > crit),
+              s"$tpe: naive F=$f crit=$crit, engine said $grej " +
+                s"(k=$k n=${rs.size})")
+            // milli readout tracks the naive F (quantized SS: loose band)
+            gf.foreach(m => assert(math.abs(m / 1000.0 - f) <
+              0.01 * math.max(1.0, f) + 0.005,
+              s"$tpe: f_milli=$m vs naive F=$f"))
+          }
+        }
+      }
+    }
+    assert(compared >= 100, s"only $compared groups compared")
+    assert(skipped <= 13, s"$skipped groups skipped — fixture too " +
+      "boundary-heavy to be evidence")
+  }
 }

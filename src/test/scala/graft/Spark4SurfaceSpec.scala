@@ -43,4 +43,23 @@ class Spark4SurfaceSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     rows.foreach { case (et, _, sumK, _) => assert(sumK == want(et)) }
   }
+
+  test("collated grouping merges case variants the binary grouping splits") {
+    val rows = Spark4Surface.qCollateGroup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // five segments survive the UTF8_LCASE merge, each holding both the
+    // upper and the lower spelling (customer keys alternate parity)
+    assert(rows.length == 5, s"expected 5 collated groups, got $rows")
+    rows.foreach { case (seg, n, spellings) =>
+      assert(seg == seg.toLowerCase)
+      assert(n > 0L)
+      assert(spellings == 2L, s"$seg: expected 2 binary spellings")
+    }
+    // control: binary (default-collation) grouping sees 10 keys
+    val binary = Tables.customer(spark, sf)
+      .selectExpr("""CASE WHEN c_custkey % 2 = 0
+          THEN lower(c_mktsegment) ELSE c_mktsegment END AS raw""")
+      .groupBy("raw").count().count()
+    assert(binary == 10L)
+  }
 }
