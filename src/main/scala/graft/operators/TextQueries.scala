@@ -416,6 +416,114 @@ object TextQueries {
          ORDER BY rank"""
   }
 
+  /** BPE ENCODE — the tokenizer-APPLICATION closure of [[qTextBpeTrain]]:
+    * run the corpus's trained merge ladder over every document and
+    * report exact per-doc token accounting (words, pre-merge symbols =
+    * characters, post-merge tokens) — the "how many tokens is this
+    * corpus under MY tokenizer" question every training-data budget
+    * starts with.
+    *
+    * The merge table rides as a driver-side scalar artifact (≤
+    * [[BpeRounds]] (pair, merged) strings collected ONCE from the
+    * memoized train artifact — the IVF-centroid precedent), unrolled
+    * into a chained-replace expression with the same doubled-space
+    * non-overlapping-scan device the trainer uses, so encode(word)
+    * reproduces the trainer's symbol stream bit-for-bit.
+    *
+    * Scale shape — SET CONTRACTION again: the expensive chained
+    * replace runs once per DISTINCT word (the MB-scale vocab, one
+    * exchange), the corpus maps through a BROADCAST word→n_tokens
+    * lookup, and the per-doc rollup is the only corpus-keyed exchange.
+    * The oracle re-derives the merge ladder independently via the
+    * unrolled k-round SQL and re-applies it per word. */
+  val qTextBpeEncode: Q = (s, d) => {
+    val merges: Seq[(String, String)] =
+      Artifacts.scalar(s"bpe-merges:$d:$BpeRounds") {
+        qTextBpeTrain(s, d).orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      }
+    def applyMerges(sym0: Column): Column =
+      merges.foldLeft(sym0) { case (sym, (pair, merged)) =>
+        val dbl = pair.replace(" ", "  ")
+        trim(call_function("replace",
+          call_function("replace",
+            concat(lit(" "),
+              call_function("replace", sym, lit(" "), lit("  ")),
+              lit(" ")),
+            lit(s" $dbl "), lit(s" $merged ")),
+          lit("  "), lit(" ")))
+      }
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val encVocab = words.select("word").distinct()
+      .select(col("word"), size(split(applyMerges(
+        trim(regexp_replace(col("word"), "(.)", "$1 "))), " "))
+        .cast("long").as("wtok"))
+    words.join(broadcast(encVocab), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_syms"),
+        sum(col("wtok")).as("n_tokens"))
+  }
+
+  private def bpeEncodeOracle(rounds: Int): String = {
+    // re-derives the merge ladder with the train oracle's CTE stages,
+    // then applies it per distinct word; chr(1) sentinel keeps an
+    // exhausted round (empty b_r) a no-op instead of a NULL poison
+    val stages = (1 to rounds).map { r =>
+      s"""p$r AS (
+           SELECT pr.pair, CAST(SUM(v.n) AS BIGINT) AS cnt
+           FROM v${r - 1} v, LATERAL (
+             SELECT unnest(list_transform(
+               generate_series(1, len(string_split(v.sym, ' ')) - 1),
+               i -> string_split(v.sym, ' ')[i] || ' ' ||
+                    string_split(v.sym, ' ')[i + 1])) AS pair) pr
+           GROUP BY pr.pair),
+         b$r AS (SELECT pair, replace(pair, ' ', '') AS merged
+                 FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         v$r AS (
+           SELECT v.n, trim(replace(replace(
+               ' ' || replace(v.sym, ' ', '  ') || ' ',
+               ' ' || coalesce(replace((SELECT pair FROM b$r), ' ', '  '),
+                               chr(1)) || ' ',
+               ' ' || coalesce((SELECT merged FROM b$r), chr(1)) || ' '),
+               '  ', ' ')) AS sym
+           FROM v${r - 1} v),
+         e$r AS (
+           SELECT e.word, trim(replace(replace(
+               ' ' || replace(e.sym, ' ', '  ') || ' ',
+               ' ' || coalesce(replace((SELECT pair FROM b$r), ' ', '  '),
+                               chr(1)) || ' ',
+               ' ' || coalesce((SELECT merged FROM b$r), chr(1)) || ' '),
+               '  ', ' ')) AS sym
+           FROM e${r - 1} e)"""
+    }.mkString(",\n         ")
+    s"""WITH w AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+           FROM documents),
+         v0 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+           FROM w WHERE len(word) > 0 GROUP BY word),
+         e0 AS (
+           SELECT DISTINCT word,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+           FROM w WHERE len(word) > 0),
+         $stages,
+         lens AS (
+           SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT)
+             AS wtok
+           FROM e$rounds)
+         SELECT w.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(len(w.word)) AS BIGINT) AS n_syms,
+           CAST(SUM(l.wtok) AS BIGINT) AS n_tokens
+         FROM w JOIN lens l USING (word)
+         WHERE len(w.word) > 0
+         GROUP BY w.doc_id ORDER BY w.doc_id"""
+  }
+
   /** PII-style redaction: digit runs → <NUM>, named-entity-ish tokens →
     * <ENT> (the fixture corpus has no digits, so the oracle verifies the
     * <NUM> no-match path; the positive path is unit-tested on
@@ -693,6 +801,7 @@ object TextQueries {
     "q_text_gopher" -> qTextGopher,
     "q_text_bpe_pairs" -> qTextBpePairs,
     "q_text_bpe_train" -> qTextBpeTrain,
+    "q_text_bpe_encode" -> qTextBpeEncode,
     "q_text_token_count" -> qTextTokenCount,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_tfidf" -> qTextTfidf,
@@ -747,6 +856,7 @@ object TextQueries {
          FROM t LEFT JOIN k ON t.token = k.token
          GROUP BY source ORDER BY source""",
     "q_text_bpe_train" -> bpeTrainOracle(BpeRounds),
+    "q_text_bpe_encode" -> bpeEncodeOracle(BpeRounds),
     "q_text_langid" ->
       """WITH sc AS (
            SELECT doc_id,

@@ -255,4 +255,47 @@ class TextOpsSpec extends AnyFunSuite {
     val dry = TextQueries.bpeTrain(tiny, rounds = 10).collect()
     assert(dry.length == 1) // 'a b' merges once, then nothing is left
   }
+
+  test("bpe encode matches canonical token-list merge application " +
+      "per document") {
+    val sf = TestSpark.sf
+    // ground truth applies the trained merges as canonical left-to-right
+    // non-overlapping TOKEN-LIST merges (Sennrich), independent of the
+    // engine's doubled-space string-replace device
+    val merges = SparkEntry.queries("q_text_bpe_train")(spark, sf)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1).split(" "), r.getString(2)))
+    def encode(word: String): Int = {
+      var t = word.map(_.toString).toArray
+      merges.foreach { case (Array(pa, pb), merged) =>
+        val b = collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < t.length) {
+          if (i + 1 < t.length && t(i) == pa && t(i + 1) == pb) {
+            b += merged; i += 2
+          } else { b += t(i); i += 1 }
+        }
+        t = b.toArray
+      }
+      t.length
+    }
+    val want = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      .map { case (id, text) =>
+        val ws = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        id -> (ws.length.toLong, ws.map(_.length.toLong).sum,
+          ws.map(encode(_).toLong).sum)
+      }.filter(_._2._1 > 0).toMap
+    val got = SparkEntry.queries("q_text_bpe_encode")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, v) =>
+      assert(v == want(id), s"doc $id: engine $v vs reference ${want(id)}")
+    }
+    // the trained merges actually compress: some doc got shorter
+    assert(got.exists { case (_, (_, syms, toks)) => toks < syms })
+  }
 }
