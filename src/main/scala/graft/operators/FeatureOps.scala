@@ -139,11 +139,50 @@ object FeatureOps {
           .as("weight_ppm"))
   }
 
+  /** Per-segment winsorization (clip at exact p05/p95 order statistics)
+    * of the account balance — the robust-scaling prequel to
+    * [[qFeatureScale]] that keeps one fat-tailed outlier from crushing
+    * the min-max range. Percentile INDICES are a DECLARED rule
+    * (lo = max(1, ⌊5n/100⌋), hi = min(n, ⌊95n/100⌋+1) over the
+    * (cents, key)-ordered ranks) so both engines pick identical exact
+    * cents values; the clip itself is greatest/least.
+    *
+    * 100 TB shape: exact order statistics WITHOUT sorting the fact
+    * table — the stream contracts to (segment, cents-value) cells (one
+    * map-side-combinable rollup, ≤ |value domain| rows per segment),
+    * the cumulative rank walk runs over that contraction, and the
+    * 5-row bounds table broadcast-joins back to the scan. The same
+    * value-contraction device as the weighted percentiles and the AUC
+    * histogram. */
+  val qFeatureWinsorize: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        cents("c_acctbal").as("cents"))
+    val cells = cust.groupBy(col("seg"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("seg").orderBy("cents")
+    val wSeg = Window.partitionBy("seg")
+    val bounds = cells
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wSeg))
+      .withColumn("lo_idx", greatest(lit(1L), expr("(5 * n) div 100")))
+      .withColumn("hi_idx", least(col("n"), expr("(95 * n) div 100 + 1")))
+      .groupBy(col("seg"))
+      .agg(min(when(col("cum") >= col("lo_idx"), col("cents"))).as("lo"),
+        min(when(col("cum") >= col("hi_idx"), col("cents"))).as("hi"))
+    cust.join(broadcast(bounds), Seq("seg"))
+      .select(col("c_custkey"), col("seg"), col("cents"),
+        greatest(col("lo"), least(col("hi"), col("cents"))).as("w_cents"),
+        (col("cents") < col("lo") || col("cents") > col("hi"))
+          .as("clipped"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_feature_onehot" -> qFeatureOnehot,
     "q_feature_bucketize" -> qFeatureBucketize,
     "q_feature_target_enc" -> qFeatureTargetEnc,
     "q_feature_scale" -> qFeatureScale,
+    "q_feature_winsorize" -> qFeatureWinsorize,
     "q_train_kfold" -> qTrainKfold,
     "q_class_weights" -> qClassWeights)
 
@@ -187,6 +226,30 @@ object FeatureOps {
                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
                    AS bal_cents
                FROM customer)""",
+    "q_feature_winsorize" ->
+      """WITH cust AS (
+           SELECT c_custkey, c_mktsegment AS seg,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM customer),
+         cells AS (
+           SELECT seg, cents, COUNT(*) AS c FROM cust GROUP BY 1, 2),
+         rk AS (
+           SELECT seg, cents,
+             SUM(c) OVER (PARTITION BY seg ORDER BY cents) AS cum,
+             SUM(c) OVER (PARTITION BY seg) AS n
+           FROM cells),
+         b AS (
+           SELECT seg,
+             MIN(CASE WHEN cum >= GREATEST(1, (5 * n) // 100)
+               THEN cents END) AS lo,
+             MIN(CASE WHEN cum >= LEAST(n, (95 * n) // 100 + 1)
+               THEN cents END) AS hi
+           FROM rk GROUP BY seg)
+         SELECT c_custkey, seg, cents,
+           GREATEST(lo, LEAST(hi, cents)) AS w_cents,
+           (cents < lo OR cents > hi) AS clipped
+         FROM cust JOIN b USING (seg)""",
     "q_train_kfold" ->
       """SELECT CAST(CAST('0x' || substring(
              md5(CAST(doc_id AS VARCHAR) || 'kfold'), 1, 4) AS INT) % 5

@@ -96,4 +96,25 @@ class FeatureOpsSpec extends AnyFunSuite {
     val sorted = rows.sortBy(_._2)
     assert(sorted.map(_._3).reverse.sameElements(sorted.map(_._3).sorted))
   }
+
+  test("winsorize clips at the declared per-segment order statistics") {
+    val rows = FeatureOps.qFeatureWinsorize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == cust.length)
+    rows.groupBy(_._2).foreach { case (seg, rs) =>
+      // reference bounds from a plain sort of the segment's cents
+      val sortedC = cust.filter(_._2 == seg).map(c => cents(c._3)).sorted
+      val n = sortedC.length.toLong
+      val lo = sortedC(((5 * n) / 100).max(1L).toInt - 1)
+      val hi = sortedC(((95 * n) / 100 + 1).min(n).toInt - 1)
+      rs.foreach { case (_, _, c, w, clipped) =>
+        assert(w == math.max(lo, math.min(hi, c)))
+        assert(clipped == (c < lo || c > hi))
+      }
+      // the clip is real but bounded: ≤ ~5% per tail on this fixture
+      val frac = rs.count(_._5).toDouble / rs.length
+      assert(frac > 0.0 && frac <= 0.11, s"$seg: clipped fraction $frac")
+    }
+  }
 }
