@@ -389,6 +389,47 @@ object Graph {
       ssspRounds(edges, seeds, rounds = 3)
     }
 
+  /** Synchronous label propagation (Raghavan et al. 2007's LPA made
+    * deterministic): labels start as node ids; each round every node
+    * adopts the most frequent label among its neighbors with ties
+    * broken toward the SMALLEST label (argmin over the orderable
+    * (−count, label) struct — LPA's usual random tie-break is what
+    * makes it nondeterministic, and a total order restores
+    * engine-exact replay). A FIXED round count, per-round materialized
+    * label tables (the [[kcorePeel]] frontier discipline: each round is
+    * one adjacency join + two keyed aggregations over |V| rows, and the
+    * eager localCheckpoint keeps the plan constant-size instead of
+    * 4^rounds). Community detection as the dedup/linkage family uses
+    * it: after r rounds, label = a community representative id. */
+  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    val adj = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("cnt")).as("nc"), col("label").as("lb")))
+          .as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Declared query: 3 synchronous LPA rounds on the co-order graph.
+    * Memoized like [[qGraphSssp]]: the per-round label tables
+    * checkpoint eagerly at plan-build, once per session. */
+  val qGraphLabelProp: Q = (s, d) =>
+    Artifacts.memo(edgeCache,
+      s"lpa:${System.identityHashCode(s)}:$d", Artifacts.unpersistDf) {
+      labelPropagate(coOrderEdges(s, d), rounds = 3)
+    }
+
   val queries: Map[String, Q] = Map(
     "q_graph_degree" -> qGraphDegree,
     "q_graph_triangles" -> qGraphTriangles,
@@ -397,7 +438,8 @@ object Graph {
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_bfs" -> qGraphBfs,
     "q_graph_kcore" -> qGraphKcore,
-    "q_graph_sssp" -> qGraphSssp)
+    "q_graph_sssp" -> qGraphSssp,
+    "q_graph_label_prop" -> qGraphLabelProp)
 
   /** Shared oracle prelude: the same canonical co-order edge set. */
   private val edgeCteBody: String =
@@ -411,6 +453,30 @@ object Graph {
   private val edgeCte: String = "WITH " + edgeCteBody
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_label_prop" -> (edgeCte +
+      """,
+       adj AS (SELECT u AS node, v AS nbr FROM e
+               UNION ALL SELECT v AS node, u AS nbr FROM e),
+       l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+       c1 AS (SELECT a.node, l.label, COUNT(*) AS cnt
+              FROM adj a JOIN l0 l ON a.nbr = l.node GROUP BY 1, 2),
+       l1 AS (SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER (
+                  PARTITION BY node ORDER BY cnt DESC, label) AS rk
+                FROM c1) WHERE rk = 1),
+       c2 AS (SELECT a.node, l.label, COUNT(*) AS cnt
+              FROM adj a JOIN l1 l ON a.nbr = l.node GROUP BY 1, 2),
+       l2 AS (SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER (
+                  PARTITION BY node ORDER BY cnt DESC, label) AS rk
+                FROM c2) WHERE rk = 1),
+       c3 AS (SELECT a.node, l.label, COUNT(*) AS cnt
+              FROM adj a JOIN l2 l ON a.nbr = l.node GROUP BY 1, 2),
+       l3 AS (SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER (
+                  PARTITION BY node ORDER BY cnt DESC, label) AS rk
+                FROM c3) WHERE rk = 1)
+       SELECT node, label FROM l3 ORDER BY node"""),
     "q_graph_sssp" -> (edgeCte +
       """,
        we AS (SELECT u, v, 1 + (u + v) % 5 AS w FROM e),

@@ -137,4 +137,24 @@ class GraphSpec extends AnyFunSuite {
     assert(pr.nonEmpty && pr.forall(_._2 > 0))
     assert(pr.map(_._2).sum <= 1000000000000L)
   }
+
+  test("label propagation matches a plain-Scala synchronous LPA mirror") {
+    import spark.implicits._
+    val edges = Graph.coOrderEdges(spark, sf)
+      .as[(Long, Long)].collect()
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).map { case (l, xs) => (l, xs.size) }
+        n -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graph.qGraphLabelProp(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == labels)
+    // communities actually formed: strictly fewer labels than nodes
+    assert(got.values.toSet.size < got.size)
+  }
 }
