@@ -188,12 +188,76 @@ object AssociationOps {
           .as("rejected"))
   }
 
+  /** Market-basket association rules (Agrawal et al. 1993's
+    * support/confidence plus lift) over order baskets: for every part
+    * pair co-ordered in ≥ `MinSupport` baskets, the pair support and
+    * both directed confidences + the symmetric lift as exact ppm
+    * rationals (supp_ab·10⁶ div supp_a; N·supp_ab·10⁶ div
+    * (supp_a·supp_b) in decimal(38) — headroom past 10¹² baskets).
+    * N rides a 1-row rollup broadcast-cross-joined in (keeps plan
+    * construction job-free, unlike a collected scalar).
+    *
+    * 100 TB shape: baskets contract to distinct (order, item) pairs
+    * map-side; the pair count is a self-join on the order key (both
+    * sides cluster on ok, one exchange each) immediately contracted by
+    * the pair rollup; item supports broadcast back to the
+    * support-filtered pair table. The min-support filter is what keeps
+    * the pair table sub-quadratic — the same reason A-Priori prunes. */
+  val MinSupport = 2L
+
+  val qBasketRules: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val supp = items.groupBy(col("item")).agg(count(lit(1)).as("s"))
+    val n = items.select(countDistinct(col("ok")).as("n_baskets"))
+    val pairs = items.select(col("ok"), col("item").as("a"))
+      .join(items.select(col("ok"), col("item").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= MinSupport)
+    pairs
+      .join(broadcast(supp.select(col("item").as("a"), col("s").as("sa"))),
+        "a")
+      .join(broadcast(supp.select(col("item").as("b"), col("s").as("sb"))),
+        "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("supp_ab"),
+        expr("(supp_ab * 1000000) div sa").as("conf_ab_ppm"),
+        expr("(supp_ab * 1000000) div sb").as("conf_ba_ppm"),
+        expr("CAST((CAST(n_baskets AS DECIMAL(38,0)) * supp_ab * 1000000)" +
+          " div (CAST(sa AS DECIMAL(38,0)) * sb) AS LONG)").as("lift_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_regr_fit" -> qRegrFit,
     "q_corr_kendall" -> qCorrKendall,
-    "q_stat_ks" -> qStatKs)
+    "q_stat_ks" -> qStatKs,
+    "q_basket_rules" -> qBasketRules)
 
   val oracleSql: Map[String, String] = Map(
+    "q_basket_rules" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+           FROM lineitem WHERE l_linenumber <= 3),
+         supp AS (SELECT item, COUNT(*) AS s FROM items GROUP BY item),
+         n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+         pairs AS (
+           SELECT a.item AS a, b.item AS b, COUNT(*) AS supp_ab
+           FROM items a JOIN items b
+             ON a.ok = b.ok AND a.item < b.item
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT p.a, p.b, p.supp_ab,
+           (p.supp_ab * 1000000) // sa.s AS conf_ab_ppm,
+           (p.supp_ab * 1000000) // sb.s AS conf_ba_ppm,
+           CAST((CAST(n.n_baskets AS HUGEINT) * p.supp_ab * 1000000)
+             // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_ppm
+         FROM pairs p
+           JOIN supp sa ON p.a = sa.item
+           JOIN supp sb ON p.b = sb.item
+           CROSS JOIN n
+         ORDER BY p.a, p.b""",
     "q_regr_fit" ->
       """WITH s AS (
            SELECT l_returnflag,

@@ -108,4 +108,34 @@ class AssociationOpsSpec extends AnyFunSuite {
     if (math.abs(d - crit) > 1e-4)
       assert(rejected == (d > crit), s"rejected=$rejected D=$d crit=$crit")
   }
+
+  test("basket_rules matches a naive per-basket pair mirror") {
+    val items = Tables.lineitem(spark, sf)
+      .filter("l_linenumber <= 3")
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val supp = items.groupBy(_._2).map { case (i, xs) => i -> xs.length }
+    val nBaskets = items.map(_._1).distinct.length
+    val pairCounts = items.groupBy(_._1).values.flatMap { basket =>
+      val is = basket.map(_._2).sorted
+      for (i <- is.indices; j <- (i + 1) until is.length)
+        yield (is(i), is(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size }
+      .filter(_._2 >= AssociationOps.MinSupport)
+    val got = AssociationOps.qBasketRules(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == pairCounts.keySet)
+    assert(got.nonEmpty, "fixture yields no frequent pairs — weaken gate")
+    got.foreach { case ((a, b), (sab, cab, cba, lift)) =>
+      assert(sab == pairCounts((a, b)).toLong)
+      assert(cab == sab * 1000000L / supp(a))
+      assert(cba == sab * 1000000L / supp(b))
+      assert(lift ==
+        (BigInt(nBaskets) * sab * 1000000 /
+          (BigInt(supp(a)) * supp(b))).toLong)
+      // confidence is a probability: supp_ab ≤ supp of either side
+      assert(cab <= 1000000L && cba <= 1000000L)
+    }
+  }
 }

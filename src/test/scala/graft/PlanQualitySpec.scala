@@ -21,7 +21,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_cluster_update",    // same fan-out, update half of the iteration
     "q_similarity_lsh",    // 1-row query vector vs bucketed candidates
     "q_similarity_ivf",    // same, IVF cells
-    "q_resample_gapfill")  // grid × 5 event types
+    "q_resample_gapfill",  // grid × 5 event types
+    "q_basket_rules")      // 1-row broadcast basket-count total
 
   test("no accidental cartesian or nested-loop joins in the registry") {
     def nestedLoops(p: SparkPlan): Seq[String] = {
@@ -101,7 +102,13 @@ class PlanQualitySpec extends AnyFunSuite {
     // margin/tie rollups — 6 in a fresh session before the checkpoint
     // cuts the lineage, every post-build exchange moves ≤ |grid|·|types|
     // rows (same order-dependence caveat as the incremental pair above)
-    "q_corr_kendall" -> 6).withDefaultValue(2)
+    "q_corr_kendall" -> 6,
+    // the basket contraction (1 distinct exchange, ReuseExchange dedupes
+    // its three other consumers) feeds the ok-keyed pair self-join (2,
+    // shared subtree), the (a,b) pair rollup, the item-support rollup,
+    // and the 2-exchange count-distinct basket total — a multi-stage
+    // mining pipeline over shrinking keyed data, the q_text_tfidf class
+    "q_basket_rules" -> 6).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements
