@@ -416,6 +416,46 @@ object TextQueries {
          ORDER BY rank"""
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
+    * document-fingerprinting algorithm): hash every k=5 char-gram with
+    * the shared polynomial [[fingerprint]] hash, slide a w=4 window
+    * over the gram-hash stream, keep each window's MINIMUM — the local
+    * sampling that guarantees any match of length ≥ w+k−1 shares a
+    * fingerprint, which is what makes it the near-dup/contamination
+    * primitive plain shingle sampling isn't. Declared output per doc:
+    * gram count, DISTINCT fingerprint count, and their exact integer
+    * sum (the content-sensitive digest; canonical winnowing dedups
+    * consecutive equal minima — the distinct-set contraction is the
+    * declared variant and subsumes it).
+    *
+    * 100 TB shape: pure map-side HOF work (nested transform/slice over
+    * per-doc arrays), zero shuffles, linear in corpus size; the
+    * fingerprint SET (not emitted here) is what an ingest job would
+    * explode into the (fingerprint → doc) inverted index for
+    * cross-doc matching. */
+  val qTextWinnowing: Q = (s, d) => {
+    val k = 5
+    val w = 4
+    val txt = lower(col("text"))
+    val nGrams = greatest(length(txt) - (k - 1), lit(0))
+    val grams = when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams),
+        i => fingerprint(txt.substr(i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    val wins = when(col("n_grams") - (w - 1) >= 1,
+      transform(sequence(lit(1L), col("n_grams") - (w - 1)),
+        j => array_min(slice(col("grams"), j, lit(w)))))
+      .otherwise(array().cast("array<bigint>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), nGrams.cast("long").as("n_grams"),
+        grams.as("grams"))
+      .select(col("doc_id"), col("n_grams"),
+        array_distinct(wins).as("fps"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("fp_sum"))
+  }
+
   /** BPE ENCODE — the tokenizer-APPLICATION closure of [[qTextBpeTrain]]:
     * run the corpus's trained merge ladder over every document and
     * report exact per-doc token accounting (words, pre-merge symbols =
@@ -804,6 +844,7 @@ object TextQueries {
     "q_text_bpe_encode" -> qTextBpeEncode,
     "q_text_token_count" -> qTextTokenCount,
     "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_winnowing" -> qTextWinnowing,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_bm25" -> qTextBm25,
     "q_text_ngrams" -> qTextNgrams,
@@ -940,6 +981,32 @@ object TextQueries {
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpeish,
            CAST(len(string_split(text, ' ')) AS INT) AS n_ws
          FROM documents ORDER BY doc_id""",
+    "q_text_winnowing" ->
+      """WITH g AS (
+           SELECT doc_id, lower(text) AS t,
+             greatest(len(lower(text)) - 4, 0) AS ng
+           FROM documents),
+         gr AS (
+           SELECT doc_id, ng,
+             CASE WHEN ng >= 1 THEN
+               list_transform(generate_series(1, ng),
+                 i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(substr(t, CAST(i AS INT), 5), ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+                      (h, c) -> (h * 31 + c) % 1000000007))
+             ELSE CAST([] AS BIGINT[]) END AS grams
+           FROM g),
+         w AS (
+           SELECT doc_id, ng,
+             CASE WHEN ng - 3 >= 1 THEN
+               list_distinct(list_transform(generate_series(1, ng - 3),
+                 j -> list_min(grams[CAST(j AS INT):CAST(j + 3 AS INT)])))
+             ELSE CAST([] AS BIGINT[]) END AS fps
+           FROM gr)
+         SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum
+         FROM w ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
            list_reduce(

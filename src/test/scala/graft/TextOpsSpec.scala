@@ -298,4 +298,37 @@ class TextOpsSpec extends AnyFunSuite {
     // the trained merges actually compress: some doc got shorter
     assert(got.exists { case (_, (_, syms, toks)) => toks < syms })
   }
+
+  test("winnowing matches a plain-Scala k-gram/window-min mirror and " +
+      "keeps the shared-substring guarantee") {
+    val sf = TestSpark.sf
+    def hash5(s: String): Long =
+      s.foldLeft(0L)((h, c) => math.floorMod(h * 31 + c.toLong, 1000000007L))
+    def mirror(text: String): (Long, Set[Long]) = {
+      val t = text.toLowerCase
+      val grams = (0 to t.length - 5).map(i => hash5(t.substring(i, i + 5)))
+      val fps = (0 to grams.length - 4)
+        .map(j => grams.slice(j, j + 4).min).toSet
+      (grams.length.toLong, fps)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    val got = SparkEntry.queries("q_text_winnowing")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val (ng, fps) = mirror(text)
+      val (gng, gnfp, gsum) = got(id)
+      assert(gng == ng, s"doc $id gram count")
+      assert(gnfp == fps.size.toLong, s"doc $id fingerprint count")
+      assert(gsum == fps.sum, s"doc $id fingerprint sum")
+    }
+    // the winnowing guarantee: two texts sharing a substring of length
+    // >= w + k - 1 = 8 share at least one fingerprint
+    val (_, fa) = mirror("xxxx common words yyyy")
+    val (_, fb) = mirror("zz common words aaaaaa")
+    assert((fa intersect fb).nonEmpty)
+  }
 }
