@@ -430,8 +430,29 @@ object Graph {
       labelPropagate(coOrderEdges(s, d), rounds = 3)
     }
 
+  /** Per-node local clustering coefficient in exact ppm:
+    * cc = 2·triangles div (deg·(deg−1)), NULL for degree-1 nodes (the
+    * coefficient is undefined on a single edge; DuckDB's `// 0`
+    * agrees). Pure arithmetic over [[triangleCounts]] — the wedge join
+    * runs once, degree-oriented, and the readout costs nothing more
+    * than the triangle table itself. Headroom: 2·tri·10⁶ rides
+    * decimal(38); tri ≤ deg² ≤ 10¹⁸ for a 10⁹-degree hub stays inside. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame =
+    triangleCounts(edges)
+      .select(col("node"), col("degree"), col("triangles"),
+        expr("""CASE WHEN degree >= 2 THEN
+                CAST(CAST(triangles AS DECIMAL(38,0)) * 2000000
+                  div (CAST(degree AS DECIMAL(38,0)) * (degree - 1))
+                AS LONG) END""").as("cc_ppm"))
+
+  /** Declared query: local clustering coefficient on the co-order
+    * part graph. */
+  val qGraphClustering: Q = (s, d) =>
+    clusteringCoefficients(coOrderEdges(s, d))
+
   val queries: Map[String, Q] = Map(
     "q_graph_degree" -> qGraphDegree,
+    "q_graph_clustering" -> qGraphClustering,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_jaccard" -> qGraphJaccard,
     "q_graph_components" -> qGraphComponents,
@@ -545,6 +566,27 @@ object Graph {
          SELECT node, count(*) AS degree
          FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
          GROUP BY node ORDER BY node"""),
+    "q_graph_clustering" -> (edgeCte +
+      """,
+       d AS (
+         SELECT node, count(*) AS degree
+         FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+         GROUP BY node),
+       t AS (
+         SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         FROM e e1
+         JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+       tc AS (
+         SELECT node, count(*) AS tri
+         FROM (SELECT unnest([x, y, z]) AS node FROM t) GROUP BY node)
+       SELECT d.node, d.degree,
+         CAST(COALESCE(tc.tri, 0) AS BIGINT) AS triangles,
+         CASE WHEN d.degree >= 2 THEN
+           CAST(CAST(COALESCE(tc.tri, 0) AS HUGEINT) * 2000000
+             // (CAST(d.degree AS HUGEINT) * (d.degree - 1)) AS BIGINT)
+         END AS cc_ppm
+       FROM d LEFT JOIN tc USING (node) ORDER BY d.node"""),
     "q_graph_triangles" -> (edgeCte +
       """,
        d AS (

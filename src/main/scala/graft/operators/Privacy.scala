@@ -120,8 +120,72 @@ object Privacy {
       .select(col("pid"), col("c_mktsegment"), col("n_orders"))
   }
 
+  /** Declared t-closeness release threshold (t = 0.2, in ppm). */
+  val TClosenessPpm = 200000L
+
+  /** t-closeness audit (Li et al. 2007) of the same QI classes as
+    * [[kAnonymityAudit]], sensitive attribute `source` ORDERED
+    * lexicographically: per class, the ordered earth-mover's distance
+    * between the class's sensitive distribution and the corpus-wide
+    * one, exactly —
+    * EMD = (1/(m−1)) · Σᵥ |Pcum(v) − Qcum(v)| becomes the integer
+    * t_ppm = 10⁶ · Σᵥ |cum_c(v)·N − cum_g(v)·n_c| div ((m−1)·n_c·N)
+    * (m = distinct sensitive values; the v = last term is identically
+    * zero so the sum runs over the full grid). k-anonymity bounds
+    * re-identification, l-diversity bounds attribute disclosure;
+    * t-closeness is the third rung — it bounds what the CLASS's skew
+    * toward particular sources reveals.
+    *
+    * Scale shape: ONE corpus exchange builds the (class, source) cell
+    * table; the global distribution re-derives from the cells (no
+    * second scan), broadcasts onto the |classes|·|V| grid, and both
+    * cumulative windows ride that bounded grid. Headroom: the summed
+    * |cum_c·N − cum_g·n_c| products stay inside decimal(38) past 10¹²
+    * docs with m ≤ 10⁴ sensitive values. */
+  def tClosenessAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cells = docs
+      .select(col("lang"), expr("n_chars div 200").as("len_bucket"),
+        col("source"))
+      .groupBy("lang", "len_bucket", "source")
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val global = cells.groupBy(col("source")).agg(sum(col("c")).as("g"))
+      .withColumn("cum_g", sum(col("g")).over(wOrd))
+      .withColumn("n_total", sum(col("g")).over(wAll))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .select(col("source"), col("cum_g"), col("n_total"), col("m"))
+    val classes = cells.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("c")).as("n_c"))
+    val wClass = Window.partitionBy("lang", "len_bucket")
+      .orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes
+      .crossJoin(broadcast(global))
+      .join(cells, Seq("lang", "len_bucket", "source"), "left")
+      .withColumn("cum_c",
+        sum(coalesce(col("c"), lit(0L))).over(wClass))
+      .groupBy(col("lang"), col("len_bucket"), col("n_c"),
+        col("n_total"), col("m"))
+      .agg(sum(abs(dec(col("cum_c")) * col("n_total")
+        - dec(col("cum_g")) * col("n_c"))).as("emd_num"))
+      .select(col("lang"), col("len_bucket"), col("n_c"),
+        expr(s"""CASE WHEN m > 1 THEN
+                 CAST((emd_num * 1000000)
+                   div ((m - 1) * CAST(n_c AS DECIMAL(38,0)) * n_total)
+                 AS LONG) ELSE 0 END""").as("t_ppm"))
+      .withColumn("t_close", col("t_ppm") <= TClosenessPpm)
+  }
+
+  val qPrivacyTcloseness: Q = (s, d) =>
+    tClosenessAudit(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "q_privacy_kanon" -> qPrivacyKanon,
+    "q_privacy_tcloseness" -> qPrivacyTcloseness,
     "q_privacy_pseudonym" -> qPrivacyPseudonym,
     "q_privacy_forget" -> qPrivacyForget)
 
@@ -162,6 +226,46 @@ object Privacy {
          SELECT o.pid, c.c_mktsegment, o.n_orders
          FROM ord o JOIN cust c USING (pid)
          ORDER BY pid""",
+    "q_privacy_tcloseness" ->
+      """WITH cells AS (
+           SELECT lang, n_chars // 200 AS len_bucket, source,
+             COUNT(*) AS c
+           FROM documents GROUP BY 1, 2, 3),
+         gdist AS (
+           SELECT source,
+             SUM(SUM(c)) OVER (ORDER BY source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g,
+             SUM(SUM(c)) OVER () AS n_total,
+             COUNT(*) OVER () AS m
+           FROM cells GROUP BY source),
+         cl AS (
+           SELECT lang, len_bucket, SUM(c) AS n_c FROM cells
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT cl.lang, cl.len_bucket, cl.n_c,
+             g.source, g.cum_g, g.n_total, g.m,
+             SUM(COALESCE(cells.c, 0)) OVER (
+               PARTITION BY cl.lang, cl.len_bucket ORDER BY g.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+           FROM cl CROSS JOIN gdist g
+           LEFT JOIN cells ON cells.lang = cl.lang
+             AND cells.len_bucket = cl.len_bucket
+             AND cells.source = g.source),
+         agg AS (
+           SELECT lang, len_bucket, n_c, n_total, m,
+             SUM(abs(CAST(cum_c AS HUGEINT) * n_total
+               - CAST(cum_g AS HUGEINT) * n_c)) AS emd_num
+           FROM grid GROUP BY 1, 2, 3, 4, 5)
+         SELECT lang, len_bucket, CAST(n_c AS BIGINT) AS n_c,
+           CASE WHEN m > 1 THEN
+             CAST((emd_num * 1000000)
+               // ((m - 1) * CAST(n_c AS HUGEINT) * n_total) AS BIGINT)
+           ELSE 0 END AS t_ppm,
+           CASE WHEN m > 1 THEN
+             CAST((emd_num * 1000000)
+               // ((m - 1) * CAST(n_c AS HUGEINT) * n_total) AS BIGINT)
+           ELSE 0 END <= 200000 AS t_close
+         FROM agg ORDER BY lang, len_bucket""",
     "q_privacy_kanon" ->
       """WITH g AS (
            SELECT lang, n_chars // 200 AS len_bucket, source

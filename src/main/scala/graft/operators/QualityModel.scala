@@ -168,14 +168,156 @@ object QualityModel {
                 AS LONG) END""").as("auc_ppm"))
   }
 
+  /** Declared confusion threshold: predict positive when the score
+    * (n_chars) clears the fixture median — both branches populated at
+    * every sf. */
+  val ConfusionCut = 300L
+
+  /** Gains / lift / PR curve at score-histogram grain, one-vs-rest per
+    * language: for every (score, lang) CELL, ranking documents by score
+    * descending, the cumulative capture of that language —
+    * `cum_n` (documents at or above the score), `cum_pos` (of them, in
+    * the language), and the three exact readouts a ranking evaluation
+    * wants: `recall_ppm` (= the gains curve), `precision_ppm` (= the PR
+    * curve at this threshold), `lift_ppm` (capture rate over base
+    * rate). Emitting one row per OBSERVED cell is the histogram-grain
+    * device [[qEvalAuc]] established: the curve is exact at every
+    * threshold that changes it, and no per-document ranking (global
+    * sort) ever happens.
+    *
+    * Scale shape: the corpus contracts once into [[scoreCells]]
+    * (shared, persisted); the global per-score histogram broadcasts
+    * back onto the cell table, and both cumulative windows ride
+    * histogram-sized data. A 100 TB corpus pays one exchange; the
+    * curve costs what the histogram costs. Headroom: cum_pos·total·10⁶
+    * ≤ 10³⁰ at 10¹² docs inside decimal(38). */
+  val qEvalGains: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cells = scoreCells(s, d)
+    val perScore = cells.groupBy(col("score"))
+      .agg(sum(col("n_pos_g")).as("n_g"))
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perScore
+      .withColumn("cum_n", sum(col("n_g")).over(wDesc))
+      .withColumn("total",
+        sum(col("n_g")).over(Window.partitionBy()))
+      .select(col("score"), col("cum_n"), col("total"))
+    val wLang = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAllLang = Window.partitionBy(col("lang"))
+    cells.join(broadcast(ranked), "score")
+      .withColumn("cum_pos", sum(col("n_pos_g")).over(wLang))
+      .withColumn("n_pos", sum(col("n_pos_g")).over(wAllLang))
+      .select(col("lang"), col("score"), col("cum_n"), col("cum_pos"),
+        expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000" +
+          " div n_pos AS LONG)").as("recall_ppm"),
+        expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000" +
+          " div cum_n AS LONG)").as("precision_ppm"),
+        expr("CAST((CAST(cum_pos AS DECIMAL(38,0)) * total * 1000000)" +
+          " div (CAST(cum_n AS DECIMAL(38,0)) * n_pos) AS LONG)")
+          .as("lift_ppm"))
+  }
+
+  /** Confusion-matrix evaluation of the declared threshold scorer
+    * (positive ⇔ n_chars ≥ [[ConfusionCut]]), one-vs-rest per language:
+    * tp/fp/fn/tn plus exact precision / recall / F1 in ppm
+    * (F1 = 2·tp·10⁶ div (2·tp + fp + fn) — the harmonic mean without a
+    * float). Degenerate classes (no predicted positives) read NULL
+    * precision, mirroring DuckDB's `// 0`.
+    *
+    * Scale shape: everything derives from the shared [[scoreCells]]
+    * contraction — one 5-row per-lang fold over the cells plus a 1-row
+    * global rollup re-derived from the fold itself (window over the
+    * 5-row frame, no second scan, no driver scalar). */
+  val qEvalConfusion: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cells = scoreCells(s, d)
+    val perLang = cells.groupBy(col("lang"))
+      .agg(sum(when(col("score") >= ConfusionCut, col("n_pos_g"))
+        .otherwise(lit(0L))).as("tp"),
+        sum(col("n_pos_g")).as("n_pos"))
+    val wAll = Window.partitionBy()
+    perLang
+      .withColumn("hi", sum(col("tp")).over(wAll))
+      .withColumn("total", sum(col("n_pos")).over(wAll))
+      .select(col("lang"), col("tp"),
+        (col("hi") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("total") - col("hi") - col("n_pos") + col("tp")).as("tn"),
+        expr("CASE WHEN hi > 0 THEN CAST(CAST(tp AS DECIMAL(38,0))" +
+          " * 1000000 div hi AS LONG) END").as("precision_ppm"),
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div n_pos AS LONG)")
+          .as("recall_ppm"),
+        // 2tp + fp + fn = hi + n_pos, and n_pos ≥ 1 on every emitted
+        // lang row, so F1's denominator never vanishes
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 2000000" +
+          " div (hi + n_pos) AS LONG)").as("f1_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_quality_logistic" -> qQualityLogistic,
-    "q_eval_auc" -> qEvalAuc)
+    "q_eval_auc" -> qEvalAuc,
+    "q_eval_gains" -> qEvalGains,
+    "q_eval_confusion" -> qEvalConfusion)
 
   /** q_quality_logistic is the no-oracle float class (sigmoid);
     * QualitySpec pins accuracy vs the gate and rerun determinism.
     * q_eval_auc is integer-exact and oracle-pinned below. */
   val oracleSql: Map[String, String] = Map(
+    "q_eval_gains" ->
+      """WITH pl AS (
+           SELECT n_chars AS score, lang, COUNT(*) AS n_pos_g
+           FROM documents GROUP BY 1, 2),
+         h AS (
+           SELECT score, SUM(n_pos_g) AS n_g FROM pl GROUP BY 1),
+         r AS (
+           SELECT score,
+             SUM(n_g) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             SUM(n_g) OVER () AS total
+           FROM h),
+         c AS (
+           SELECT pl.lang, pl.score, r.cum_n, r.total,
+             SUM(pl.n_pos_g) OVER (PARTITION BY pl.lang
+               ORDER BY pl.score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos,
+             SUM(pl.n_pos_g) OVER (PARTITION BY pl.lang) AS n_pos
+           FROM pl JOIN r USING (score))
+         SELECT lang, score,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(CAST(cum_pos AS HUGEINT) * 1000000 // n_pos AS BIGINT)
+             AS recall_ppm,
+           CAST(CAST(cum_pos AS HUGEINT) * 1000000 // cum_n AS BIGINT)
+             AS precision_ppm,
+           CAST(CAST(cum_pos AS HUGEINT) * total * 1000000
+             // (CAST(cum_n AS HUGEINT) * n_pos) AS BIGINT) AS lift_ppm
+         FROM c ORDER BY lang, score""",
+    "q_eval_confusion" ->
+      """WITH pl AS (
+           SELECT lang,
+             SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS tp,
+             COUNT(*) AS n_pos
+           FROM documents GROUP BY 1),
+         g AS (
+           SELECT lang, tp, n_pos,
+             SUM(tp) OVER () AS hi, SUM(n_pos) OVER () AS total
+           FROM pl)
+         SELECT lang, CAST(tp AS BIGINT) AS tp,
+           CAST(hi - tp AS BIGINT) AS fp,
+           CAST(n_pos - tp AS BIGINT) AS fn,
+           CAST(total - hi - n_pos + tp AS BIGINT) AS tn,
+           CASE WHEN hi > 0
+             THEN CAST(CAST(tp AS HUGEINT) * 1000000 // hi AS BIGINT) END
+             AS precision_ppm,
+           CAST(CAST(tp AS HUGEINT) * 1000000 // n_pos AS BIGINT)
+             AS recall_ppm,
+           CAST(CAST(tp AS HUGEINT) * 2000000 // (hi + n_pos) AS BIGINT)
+             AS f1_ppm
+         FROM g ORDER BY lang""",
     "q_eval_auc" ->
       """WITH h AS (
            SELECT n_chars AS score, COUNT(*) AS n_g FROM documents

@@ -773,6 +773,48 @@ object TextQueries {
 
   val qTextSkipgrams: Q = (s, d) => skipgramPairs(Tables.documents(s, d))
 
+  /** Adjacent-bigram collocation mining (Smadja 1993's n-gram
+    * association stage) scored by the Dice coefficient in exact ppm:
+    * dice = 2·c(w,c)·10⁶ div (c(w) + c(c)) over corpus-wide bigram and
+    * unigram counts, floored at `minPairs` occurrences (the A-Priori
+    * prune that keeps the pair table sub-quadratic in the vocabulary).
+    * Dice is the classic collocation measure that needs no logarithm —
+    * PMI's ln() stays in the JVM float tier ([[skipgramPairs]] note),
+    * while the Dice rational is integer-exact cross-engine.
+    *
+    * 100 TB shape: bigrams generate MAP-SIDE (the [[skipgramPairs]]
+    * index-HOF device — per-doc work is O(len)); only pair-keyed
+    * partial counts shuffle, once; the unigram table contracts to the
+    * vocabulary and broadcasts back onto the pruned pair table.
+    * Headroom: 2·c_ab·10⁶ rides decimal(38) past 10³⁰ pair
+    * occurrences. */
+  def collocations(docs: DataFrame, minPairs: Long = 5L): DataFrame = {
+    val withToks = docs.withColumn("toks", split(lower(col("text")), " "))
+    val bigrams = withToks
+      .select(explode(transform(
+        filter(sequence(lit(0), size(col("toks")) - 1),
+          i => i + lit(1) < size(col("toks"))),
+        i => struct(
+          element_at(col("toks"), i + 1).as("w"),
+          element_at(col("toks"), i + 2).as("c")))).as("p"))
+      .select(col("p.w"), col("p.c"))
+      .groupBy("w", "c").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    val unigrams = withToks
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    bigrams
+      .join(broadcast(unigrams.select(col("tok").as("w"),
+        col("n_tok").as("n_w"))), "w")
+      .join(broadcast(unigrams.select(col("tok").as("c"),
+        col("n_tok").as("n_c"))), "c")
+      .select(col("w"), col("c"), col("n_ab"), col("n_w"), col("n_c"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 2000000" +
+          " div (n_w + n_c) AS LONG)").as("dice_ppm"))
+  }
+
+  val qTextColloc: Q = (s, d) => collocations(Tables.documents(s, d))
+
   /** Hashing-trick featurization (Weinberger et al. 2009, the
     * fixed-width sparse text featurizer): each token hashes to one of
     * `nBuckets` feature slots (16 md5 bits via the engine's standard
@@ -853,6 +895,7 @@ object TextQueries {
     "q_text_perplexity" -> qTextPerplexity,
     "q_index_inverted" -> qIndexInverted,
     "q_text_skipgrams" -> qTextSkipgrams,
+    "q_text_colloc" -> qTextColloc,
     "q_text_hash_features" -> qTextHashFeatures,
     "q_vocab_topk" -> qVocabTopk)
 
@@ -1106,6 +1149,28 @@ object TextQueries {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
            string_agg(bucket || ':' || cnt, ' ' ORDER BY bucket) AS features
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_colloc" ->
+      """WITH t AS (
+           SELECT string_split(lower(text), ' ') AS toks
+           FROM documents),
+         p AS (
+           SELECT unnest(list_transform(range(len(toks) - 1), i ->
+             {'w': toks[i + 1], 'c': toks[i + 2]})) AS u
+           FROM t),
+         b AS (
+           SELECT u.w AS w, u.c AS c, COUNT(*) AS n_ab
+           FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         uni AS (
+           SELECT tok, COUNT(*) AS n_tok
+           FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok)
+         SELECT b.w, b.c, CAST(b.n_ab AS BIGINT) AS n_ab,
+           CAST(uw.n_tok AS BIGINT) AS n_w,
+           CAST(uc.n_tok AS BIGINT) AS n_c,
+           CAST(CAST(b.n_ab AS HUGEINT) * 2000000
+             // (uw.n_tok + uc.n_tok) AS BIGINT) AS dice_ppm
+         FROM b JOIN uni uw ON b.w = uw.tok
+           JOIN uni uc ON b.c = uc.tok
+         ORDER BY b.w, b.c""",
     "q_text_skipgrams" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(text), ' ') AS toks

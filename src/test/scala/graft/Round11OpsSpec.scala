@@ -147,4 +147,121 @@ class Round11OpsSpec extends AnyFunSuite {
         s"tail max ${tail._5}")
     }
   }
+
+  test("eval gains: cumulative capture matches a naive ranking") {
+    import graft.operators.QualityModel
+    val got = QualityModel.qEvalGains(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val total = BigInt(docs.length)
+    val byLang = docs.groupBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case ((lang, score), (cumN, cumPos, rec, prec, lift)) =>
+      val wantCumN = BigInt(docs.count(_._2 >= score))
+      val pos = byLang(lang).map(_._2)
+      val wantCumPos = BigInt(pos.count(_ >= score))
+      val nPos = BigInt(pos.length)
+      assert(cumN == wantCumN && cumPos == wantCumPos,
+        s"$lang@$score: cum ($cumN,$cumPos) vs ($wantCumN,$wantCumPos)")
+      assert(rec == wantCumPos * 1000000 / nPos)
+      assert(prec == wantCumPos * 1000000 / wantCumN)
+      assert(lift == wantCumPos * total * 1000000 / (wantCumN * nPos))
+    }
+    // the curve is complete: every lang's deepest row captures everything
+    byLang.keys.foreach { lang =>
+      val deepest = got.keys.filter(_._1 == lang).minBy(_._2)
+      assert(got(deepest)._2 == byLang(lang).length)
+    }
+  }
+
+  test("eval confusion: counts partition the corpus, F1 is harmonic") {
+    import graft.operators.QualityModel
+    val rows = QualityModel.qEvalConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, tp, fp, fn, tn) =>
+      assert(tp + fp + fn + tn == n, s"$lang: cells don't partition")
+      val naive = Tables.documents(spark, sf)
+        .select(col("lang"), col("n_chars")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val wantTp = naive.count(d =>
+        d._1 == lang && d._2 >= QualityModel.ConfusionCut)
+      assert(tp == wantTp, s"$lang: tp $tp vs $wantTp")
+    }
+  }
+
+  test("collocations: Dice matches a naive bigram count") {
+    import graft.operators.TextQueries
+    val got = TextQueries.qTextColloc(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val bi = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5L)
+    assert(got.keySet == bi.toMap.keySet)
+    got.foreach { case ((w, c), (nAb, nW, nC, dice)) =>
+      assert(nAb == bi((w, c)) && nW == uni(w) && nC == uni(c))
+      assert(dice == BigInt(nAb) * 2000000 / (BigInt(nW) + BigInt(nC)))
+      assert(dice >= 0 && dice <= 1000000)
+    }
+  }
+
+  test("t-closeness: exact ppm EMD matches a naive double reference") {
+    import graft.operators.Privacy
+    val rows = Privacy.qPrivacyTcloseness(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), expr("n_chars div 200").as("b"), col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val values = docs.map(_._3).distinct.sorted
+    val m = values.length
+    val globCum = values.map(v => docs.count(_._3 <= v).toDouble)
+    val n = docs.length.toDouble
+    assert(rows.nonEmpty && m > 1)
+    rows.foreach { case ((lang, b), (nC, tPpm, tClose)) =>
+      val cls = docs.filter(d => d._1 == lang && d._2 == b)
+      assert(nC == cls.length)
+      val emd = values.zipWithIndex.map { case (v, i) =>
+        math.abs(cls.count(_._3 <= v) / cls.length.toDouble
+          - globCum(i) / n)
+      }.sum / (m - 1)
+      val want = emd * 1000000
+      // integer floor vs float reference: within one ppm + fp noise
+      assert(math.abs(tPpm - want) <= 1.5, s"$lang/$b: $tPpm vs $want")
+      assert(tClose == (tPpm <= Privacy.TClosenessPpm))
+      assert(tPpm >= 0 && tPpm <= 1000000)
+    }
+  }
+
+  test("clustering coefficient: ppm matches naive adjacency sets") {
+    import graft.operators.Graph
+    val edges = Graph.coOrderEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges.map(e => (e._1, e._2)) ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Graph.qGraphClustering(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got.keySet == adj.keySet)
+    got.foreach { case (node, (deg, tri, cc)) =>
+      val nbrs = adj(node)
+      assert(deg == nbrs.size.toLong)
+      val wantTri = nbrs.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }
+      assert(tri == wantTri.toLong, s"$node: tri $tri vs $wantTri")
+      if (deg < 2) assert(cc.isEmpty)
+      else assert(cc.contains(
+        (BigInt(wantTri) * 2000000 / (BigInt(deg) * (deg - 1))).toLong))
+    }
+  }
 }
