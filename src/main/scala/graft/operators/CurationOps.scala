@@ -85,6 +85,35 @@ object CurationOps {
         (col("n_shared") > 0).as("contaminated"))
   }
 
+  /** Marginal-novelty scoring in ingest order (the "how much NEW
+    * content does each document add" curve a curated corpus tracks as
+    * it grows — the per-shard version decides whether another crawl
+    * snapshot is worth training on): a token 4-gram is novel for a doc
+    * when no earlier doc (smaller doc_id — the declared ingest order)
+    * contains it; per doc, its distinct-shingle count, the novel
+    * subset, and novelty in exact ppm. A wholly-duplicated document
+    * scores 0; the corpus's first occurrence of everything scores 10⁶.
+    *
+    * 100 TB shape: reads the SAME shared shingle artifact as
+    * [[qTextContamination]] (one explode pass per corpus); first
+    * occurrences are a g-keyed min rollup and the join back rides the
+    * same g-keyed exchange (co-partitioned), then one doc-keyed fold.
+    * Nothing is quadratic — novelty against ALL earlier docs costs two
+    * keyed exchanges regardless of corpus size. */
+  val qTextNovelty: Q = (s, d) => {
+    val sh = shingleTable(Tables.documents(s, d), 4,
+      cacheKey = Some(s"docs:$d"))
+    val firstSeen = sh.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+    sh.join(firstSeen, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("CAST(CAST(n_novel AS DECIMAL(38,0)) * 1000000" +
+          " div n_shingles AS LONG)").as("novelty_ppm"))
+  }
+
   /** Corpus-level block dedup (the C4 "remove duplicate lines across the
     * corpus" operator; the fixture text has no newlines, so a "line" is a
     * 3-token block). Every block keeps only its first occurrence ordered
@@ -373,6 +402,7 @@ object CurationOps {
     "q_mix_upsample" -> qMixUpsample,
     "q_mix_temperature" -> qMixTemperature,
     "q_text_contamination" -> qTextContamination,
+    "q_text_novelty" -> qTextNovelty,
     "q_dedup_lines" -> qDedupLines,
     "q_text_repetition" -> qTextRepetition,
     "q_text_diversity" -> qTextDiversity,
@@ -451,6 +481,23 @@ object CurationOps {
          SELECT doc_id, lang, CAST(u.i AS INT) AS rep_idx
          FROM r, unnest(generate_series(1, r.reps)) AS u(i)
          ORDER BY doc_id, rep_idx""",
+    "q_text_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                    FROM documents WHERE len(string_split(lower(text), ' ')) >= 4),
+         sh AS (SELECT DISTINCT doc_id, g FROM (
+                  SELECT doc_id,
+                    unnest(list_transform(range(len(toks) - 3),
+                      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+                  FROM t)),
+         fs AS (SELECT g, MIN(doc_id) AS fd FROM sh GROUP BY g)
+         SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN fs.fd = sh.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(CAST(SUM(CASE WHEN fs.fd = sh.doc_id THEN 1 ELSE 0 END)
+             AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+         FROM sh JOIN fs USING (g)
+         GROUP BY sh.doc_id ORDER BY sh.doc_id""",
     "q_text_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
                     FROM documents WHERE len(string_split(lower(text), ' ')) >= 4),

@@ -450,9 +450,52 @@ object Graph {
   val qGraphClustering: Q = (s, d) =>
     clusteringCoefficients(coOrderEdges(s, d))
 
+  /** Degree assortativity (Newman 2002, Phys. Rev. Lett. 89.208701):
+    * the Pearson correlation of endpoint degrees over the undirected
+    * edge list, from four exact sufficient statistics —
+    * m, S1 = Σₑ(j+k), S2 = Σₑ(j²+k²), S3 = Σₑ jk — with the one float
+    * readout r = (4m·S3 − S1²) / (2m·S2 − S1²) evaluated as the
+    * IDENTICAL expression over the same exact integers in both engines
+    * (the [[AssociationOps.qRegrFit]] slope device; an integer ppm is
+    * deliberately NOT emitted — r can be negative, where Spark's `div`
+    * truncates but DuckDB's `//` floors).
+    *
+    * 100 TB shape: the degree table joins the edge list TWICE on its
+    * own keys (u then v) — two keyed shuffles over (edge, degree) rows,
+    * then one map-side-combinable fold to a single row. Headroom: S1
+    * rides decimal(38) and S1² is the envelope — safe to S1 ≈ 10¹⁹
+    * (≈10¹⁵ edges at average degree 10⁴); past that, scale degrees to a
+    * declared coarser grain first (the qAggSkew discipline). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    edges
+      .join(deg.select(col("node").as("u"), col("degree").as("j")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("k")), "v")
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("j")) + col("k")).as("s1"),
+        sum(dec(col("j")) * col("j") + dec(col("k")) * col("k")).as("s2"),
+        sum(dec(col("j")) * col("k")).as("s3"))
+      // num/den go decimal→STRING→double (the exactDouble device,
+      // DESIGN.md §7 rule 3): s1² outgrows 2⁵³ grain already at sf1,
+      // where DuckDB's native int128→double would double-round
+      .select(col("m"),
+        col("s1").cast("long").as("s1"),
+        col("s2").cast("long").as("s2"),
+        col("s3").cast("long").as("s3"),
+        ((lit(4) * col("m") * col("s3") - col("s1") * col("s1"))
+          .cast("string").cast("double")
+          / (lit(2) * col("m") * col("s2") - col("s1") * col("s1"))
+            .cast("string").cast("double")).as("r"))
+  }
+
+  /** Declared query: degree assortativity of the co-order part graph. */
+  val qGraphAssortativity: Q = (s, d) => assortativity(coOrderEdges(s, d))
+
   val queries: Map[String, Q] = Map(
     "q_graph_degree" -> qGraphDegree,
     "q_graph_clustering" -> qGraphClustering,
+    "q_graph_assortativity" -> qGraphAssortativity,
     "q_graph_triangles" -> qGraphTriangles,
     "q_graph_jaccard" -> qGraphJaccard,
     "q_graph_components" -> qGraphComponents,
@@ -566,6 +609,27 @@ object Graph {
          SELECT node, count(*) AS degree
          FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
          GROUP BY node ORDER BY node"""),
+    "q_graph_assortativity" -> (edgeCte +
+      """,
+       d AS (
+         SELECT node, count(*) AS degree
+         FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+         GROUP BY node),
+       ed AS (
+         SELECT du.degree AS j, dv.degree AS k
+         FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v),
+       a AS (
+         SELECT COUNT(*) AS m,
+           SUM(CAST(j AS HUGEINT) + k) AS s1,
+           SUM(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k) AS s2,
+           SUM(CAST(j AS HUGEINT) * k) AS s3
+         FROM ed)
+       SELECT CAST(m AS BIGINT) AS m,
+         CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+         CAST(s3 AS BIGINT) AS s3,
+         CAST(CAST(4 * m * s3 - s1 * s1 AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(2 * m * s2 - s1 * s1 AS VARCHAR) AS DOUBLE) AS r
+       FROM a"""),
     "q_graph_clustering" -> (edgeCte +
       """,
        d AS (

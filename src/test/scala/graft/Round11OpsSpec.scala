@@ -264,4 +264,53 @@ class Round11OpsSpec extends AnyFunSuite {
         (BigInt(wantTri) * 2000000 / (BigInt(deg) * (deg - 1))).toLong))
     }
   }
+
+  test("assortativity: sufficient stats match a naive edge fold") {
+    import graft.operators.Graph
+    val edges = Graph.coOrderEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (m, s1, s2, s3) = edges.foldLeft(
+      (0L, BigInt(0), BigInt(0), BigInt(0))) { case ((cm, a, b, c), (u, v)) =>
+      val (j, k) = (BigInt(deg(u)), BigInt(deg(v)))
+      (cm + 1, a + j + k, b + j * j + k * k, c + j * k)
+    }
+    val row = Graph.qGraphAssortativity(spark, sf).collect().head
+    assert(row.getLong(0) == m)
+    assert(row.getLong(1) == s1.toLong)
+    assert(row.getLong(2) == s2.toLong)
+    assert(row.getLong(3) == s3.toLong)
+    val want = (4 * BigInt(m) * s3 - s1 * s1).toString.toDouble /
+      (2 * BigInt(m) * s2 - s1 * s1).toString.toDouble
+    assert(row.getDouble(4) == want, s"r ${row.getDouble(4)} vs $want")
+    assert(row.getDouble(4) >= -1.0 && row.getDouble(4) <= 1.0)
+  }
+
+  test("novelty: first-occurrence accounting matches a naive scan") {
+    import graft.operators.CurationOps
+    val got = CurationOps.qTextNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1)))
+      .filter(_._2.length >= 4)
+    val shingles = docs.map { case (id, t) =>
+      id -> t.sliding(4).map(_.mkString(" ")).toSet
+    }.toMap
+    val firstSeen = shingles.toSeq.flatMap { case (id, gs) =>
+      gs.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    assert(got.keySet == shingles.keySet)
+    got.foreach { case (id, (n, novel, ppm)) =>
+      assert(n == shingles(id).size.toLong)
+      val wantNovel = shingles(id).count(g => firstSeen(g) == id).toLong
+      assert(novel == wantNovel, s"doc $id: $novel vs $wantNovel")
+      assert(ppm == BigInt(wantNovel) * 1000000 / n)
+    }
+    // the earliest document is all-novel by construction
+    val firstDoc = shingles.keys.min
+    assert(got(firstDoc)._3 == 1000000L)
+  }
 }
