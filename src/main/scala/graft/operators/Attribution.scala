@@ -46,6 +46,45 @@ object Attribution {
 
   val qAttributionLast: Q = (s, d) => attributionLast(Tables.events(s, d))
 
+  /** Linear multi-touch attribution: every purchase splits its credit
+    * EQUALLY across all of the user's preceding touchpoints (clicks
+    * and views strictly before it in the (ts, event_id) trace order),
+    * with the per-touch share declared as the integer
+    * `10⁶ div n_touches` ppm — deterministic and engine-exact where a
+    * float 1/n would drift. Output is the production artifact: one row
+    * per purchase carrying its per-channel touch counts and the ppm
+    * credit each channel earns (`NULL` for organic purchases with no
+    * preceding touch, matching DuckDB's `// 0`).
+    *
+    * Shape: NO purchase×touch join — the per-channel preceding-touch
+    * counts are two running window sums over the user's trace, so the
+    * whole query is one user-keyed window pass (the
+    * [[attributionLast]] discipline extended to counts), linear at any
+    * trace length. */
+  def attributionLinear(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("n_click", coalesce(sum(
+        when(col("event_type") === "click", 1L)).over(w), lit(0L)))
+      .withColumn("n_view", coalesce(sum(
+        when(col("event_type") === "view", 1L)).over(w), lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("n_click"), col("n_view"),
+        expr("""CASE WHEN n_click + n_view > 0 THEN
+                CAST(n_click * (1000000 div (n_click + n_view)) AS LONG)
+                END""").as("click_credit_ppm"),
+        expr("""CASE WHEN n_click + n_view > 0 THEN
+                CAST(n_view * (1000000 div (n_click + n_view)) AS LONG)
+                END""").as("view_credit_ppm"))
+  }
+
+  val qAttributionLinear: Q = (s, d) =>
+    attributionLinear(Tables.events(s, d))
+
   /** Top-20 opening paths: each user's first five event types joined
     * with '>' (shorter traces yield shorter paths — concat_ws skips the
     * NULL steps identically in both engines), counted across users.
@@ -175,6 +214,7 @@ object Attribution {
 
   val queries: Map[String, Q] = Map(
     "q_attribution_last" -> qAttributionLast,
+    "q_attribution_linear" -> qAttributionLinear,
     "q_path_topk" -> qPathTopk,
     "q_time_to_convert" -> qTimeToConvert,
     "q_abtest_conversion" -> qAbtestConversion,
@@ -210,6 +250,28 @@ object Attribution {
                      - CAST(sum_b AS HUGEINT) * sum_b)
                     * n_a * n_a * (n_a - 1)) AS significant
          FROM g""",
+    "q_attribution_linear" ->
+      """WITH s AS (
+           SELECT user_id, event_type, event_id,
+             COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_click,
+             COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_view
+           FROM events WHERE event_type IN ('click', 'view', 'purchase'))
+         SELECT event_id AS purchase_id, user_id,
+           CAST(n_click AS BIGINT) AS n_click,
+           CAST(n_view AS BIGINT) AS n_view,
+           CASE WHEN n_click + n_view > 0 THEN
+             CAST(n_click * (1000000 // (n_click + n_view)) AS BIGINT)
+           END AS click_credit_ppm,
+           CASE WHEN n_click + n_view > 0 THEN
+             CAST(n_view * (1000000 // (n_click + n_view)) AS BIGINT)
+           END AS view_credit_ppm
+         FROM s WHERE event_type = 'purchase' ORDER BY purchase_id""",
     "q_attribution_last" ->
       """WITH s AS (
            SELECT user_id, event_type, event_id,

@@ -73,6 +73,52 @@ object Behavior {
 
   val qRetentionCohort: Q = (s, d) => retentionCohort(Tables.events(s, d))
 
+  /** Cohort lifetime-value curve — the revenue companion to
+    * [[retentionCohort]]: users cohort by their first-seen day, every
+    * purchase lands in a whole-week age bucket
+    * (`datediff div 7` — integer, engine-exact), and each
+    * (cohort, age_week) cell reads purchases, exact cents, the
+    * cohort's running cumulative cents, and cumulative LTV per cohort
+    * user in milli-cents (`cum·1000 div n_users`). Ages without
+    * purchases simply have no row — the cumulative is exact at every
+    * emitted cell.
+    *
+    * Shape: the cohort stamp is the same user-keyed window min as
+    * retention; the (cohort, age) fold contracts the trace, the
+    * cumulative window and the |cohorts|-row size join ride the
+    * contraction. Headroom: cents sums ride decimal(38,0) (HUGEINT in
+    * the oracle) — exact past 10¹⁸ cents per cell. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val base = events
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("cents"))
+      .withColumn("cohort", min(col("day")).over(w))
+    val sizes = base.groupBy(col("cohort"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    val cells = base
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("cohort"),
+        expr("datediff(day, cohort) div 7").as("age_week"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents").cast("decimal(38,0)")).as("value_cents"))
+    val wCum = Window.partitionBy("cohort").orderBy("age_week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum(col("value_cents")).over(wCum))
+      .join(sizes, "cohort")
+      .select(col("cohort"), col("age_week"), col("n_users"),
+        col("n_purchases"),
+        col("value_cents").cast("long").as("value_cents"),
+        col("cum_cents").cast("long").as("cum_cents"),
+        expr("CAST(cum_cents * 1000 div n_users AS LONG)")
+          .as("ltv_milli_cents"))
+  }
+
+  val qCohortLtv: Q = (s, d) => cohortLtv(Tables.events(s, d))
+
   /** Gaps-and-islands: maximal runs of consecutive same-type events per
     * user — the classic relational pattern behind dwell/stop detection on
     * a trace ("how long did the vehicle keep reporting `error`"), distinct
@@ -240,6 +286,7 @@ object Behavior {
     "q_pattern_sequence" -> qPatternSequence,
     "q_funnel_steps" -> qFunnelSteps,
     "q_retention_cohort" -> qRetentionCohort,
+    "q_cohort_ltv" -> qCohortLtv,
     "q_markov_transitions" -> qMarkovTransitions,
     "q_feature_user" -> qFeatureUser,
     "q_runs_consecutive" -> qRunsConsecutive)
@@ -316,6 +363,36 @@ object Behavior {
          SELECT cohort, COUNT(*) AS n_users,
                 COUNT(*) FILTER (WHERE retained = 1) AS n_retained
          FROM r GROUP BY cohort ORDER BY cohort""",
+    "q_cohort_ltv" ->
+      """WITH b AS (
+           SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         u AS (SELECT user_id, MIN(day) AS cohort FROM b GROUP BY user_id),
+         sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+                FROM u GROUP BY cohort),
+         cells AS (
+           SELECT u.cohort,
+             datediff('day', u.cohort, b.day) // 7 AS age_week,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             SUM(CAST(b.cents AS HUGEINT)) AS value_cents
+           FROM b JOIN u USING (user_id)
+           WHERE b.event_type = 'purchase'
+           GROUP BY 1, 2),
+         c AS (
+           SELECT cohort, age_week, n_purchases, value_cents,
+             SUM(value_cents) OVER (PARTITION BY cohort ORDER BY age_week
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+           FROM cells)
+         SELECT c.cohort, CAST(c.age_week AS BIGINT) AS age_week,
+           sz.n_users, c.n_purchases,
+           CAST(c.value_cents AS BIGINT) AS value_cents,
+           CAST(c.cum_cents AS BIGINT) AS cum_cents,
+           CAST(c.cum_cents * 1000 // sz.n_users AS BIGINT)
+             AS ltv_milli_cents
+         FROM c JOIN sz USING (cohort)
+         ORDER BY c.cohort, c.age_week""",
     "q_feature_user" ->
       """SELECT user_id,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,

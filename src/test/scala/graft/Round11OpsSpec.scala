@@ -313,4 +313,73 @@ class Round11OpsSpec extends AnyFunSuite {
     val firstDoc = shingles.keys.min
     assert(got(firstDoc)._3 == 1000000L)
   }
+
+  test("linear attribution: credits match a naive trace walk") {
+    import graft.operators.Attribution
+    val got = Attribution.qAttributionLinear(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    val trace = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getLong(3)))
+    val byUser = trace.groupBy(_._1)
+    var purchases = 0
+    byUser.values.foreach { evs =>
+      val ordered = evs.sortBy(e => (e._3, e._4))
+      var (nc, nv) = (0L, 0L)
+      ordered.foreach { e =>
+        if (e._2 == "purchase") {
+          purchases += 1
+          val (gc, gv, cc, vc) = got(e._4)
+          assert(gc == nc && gv == nv, s"purchase ${e._4}: ($gc,$gv) vs ($nc,$nv)")
+          if (nc + nv == 0) assert(cc.isEmpty && vc.isEmpty)
+          else {
+            val share = 1000000L / (nc + nv)
+            assert(cc.contains(nc * share) && vc.contains(nv * share))
+            // credit conservation up to per-touch truncation
+            assert(cc.get + vc.get <= 1000000L)
+            assert(cc.get + vc.get >= 1000000L - (nc + nv))
+          }
+        }
+        else if (e._2 == "click") nc += 1
+        else nv += 1
+      }
+    }
+    assert(got.size == purchases)
+  }
+
+  test("cohort LTV: cumulative cents match a naive cohort fold") {
+    import graft.operators.Behavior
+    val got = Behavior.qCohortLtv(spark, sf).collect()
+      .map(r => ((r.getDate(0).toString, r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate,
+        math.round(r.getDouble(3) * 100)))
+    val cohortOf = evs.groupBy(_._1).view
+      .mapValues(_.map(_._3).min(Ordering.by((d: java.time.LocalDate) =>
+        d.toEpochDay))).toMap
+    val cells = evs.filter(_._2 == "purchase")
+      .groupBy(e => (cohortOf(e._1),
+        java.time.temporal.ChronoUnit.DAYS.between(cohortOf(e._1), e._3) / 7))
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size)
+    assert(got.keySet == cells.keySet.map(k => (k._1.toString, k._2)))
+    cells.foreach { case ((cohort, age), ps) =>
+      val (nUsers, nP, cents, cum, ltv) = got((cohort.toString, age))
+      assert(nUsers == sizes(cohort).toLong)
+      assert(nP == ps.length.toLong)
+      assert(cents == ps.map(_._4).sum)
+      val wantCum = cells.filter { case ((c, a), _) =>
+        c == cohort && a <= age }.values.flatten.map(_._4).sum
+      assert(cum == wantCum, s"$cohort/$age: cum $cum vs $wantCum")
+      assert(ltv == BigInt(wantCum) * 1000 / nUsers)
+    }
+  }
 }
