@@ -262,7 +262,47 @@ object TimeSeries {
   val qTsTimeWeighted: Q = (s, d) =>
     timeWeightedAvg(Tables.events(s, d), "user_id", "value")
 
+  /** Seasonal-naive forecast backtest — the evaluation harness every
+    * production forecaster is judged against before anything fancier
+    * ships: predict each day's per-type total as the SAME WEEKDAY's
+    * total one week earlier, then score the whole history per type
+    * with exact integer error metrics — n_days evaluated, the summed
+    * absolute error in cents, MAE in milli-cents
+    * (`sae·1000 div n_days`) and WAPE in ppm (`sae·10⁶ div Σ|actual|`
+    * — the aggregate-normalized form that stays exact where per-day
+    * MAPE would divide by near-zero days).
+    *
+    * Scale shape: ONE corpus exchange contracts the trace to the
+    * (type, day) daily table; the forecast join is the contraction
+    * against itself on (type, day−7) and the final per-type fold rides
+    * the same keys. Days with no week-earlier actual are skipped —
+    * backtests score where a prediction exists. Headroom: cents sums
+    * in decimal(38) past 10¹⁸ cents/day. */
+  val qTsBacktest: Q = (s, d) => {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("actual"))
+    val fc = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("actual").as("forecast"))
+    daily.join(fc, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(dec(col("actual")) - col("forecast"))).as("sae"),
+        sum(abs(dec(col("actual")))).as("sum_actual"))
+      .select(col("event_type"), col("n_days"),
+        col("sae").cast("long").as("sae_cents"),
+        expr("CAST(sae * 1000 div n_days AS LONG)").as("mae_milli_cents"),
+        expr("""CASE WHEN sum_actual > 0 THEN
+                CAST(sae * 1000000 div sum_actual AS LONG) END""")
+          .as("wape_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_backtest" -> qTsBacktest,
     "q_ts_changepoint" -> qTsChangepoint,
     "q_ts_time_weighted" -> qTsTimeWeighted,
     "q_fill_forward" -> qFillForward,
@@ -272,6 +312,27 @@ object TimeSeries {
     "q_resample_ohlc" -> qResampleOhlc)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ts_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS actual
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT a.event_type, a.actual, f.actual AS forecast
+           FROM daily a JOIN daily f
+             ON f.event_type = a.event_type AND f.day = a.day - 7),
+         g AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(abs(CAST(actual AS HUGEINT) - forecast)) AS sae,
+             SUM(abs(CAST(actual AS HUGEINT))) AS sum_actual
+           FROM j GROUP BY event_type)
+         SELECT event_type, n_days,
+           CAST(sae AS BIGINT) AS sae_cents,
+           CAST(sae * 1000 // n_days AS BIGINT) AS mae_milli_cents,
+           CASE WHEN sum_actual > 0 THEN
+             CAST(sae * 1000000 // sum_actual AS BIGINT) END AS wape_ppm
+         FROM g ORDER BY event_type""",
     "q_ts_time_weighted" ->
       """WITH g AS (
            SELECT user_id,
