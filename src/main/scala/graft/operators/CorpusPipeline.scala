@@ -256,6 +256,36 @@ object CorpusPipeline {
       .select(col("source"), col("doc_id"), col("rn"))
   }
 
+  /** Class-balanced downsampling — equalize per-language corpus shares
+    * by keeping exactly min-class-count documents from EVERY language,
+    * chosen by the salted md5 rank device ([[qSampleReservoir]]'s
+    * order-by-hash uniform draw, its own salt): the standard rebalance
+    * step before training a classifier on skewed labels (undersample
+    * the majority classes; cf. the inverse-frequency weighting twin
+    * [[FeatureOps]] q_class_weights — weights reweight the loss, this
+    * reweights the DATA).
+    *
+    * Scale shape: one |langs|-row count rollup re-derives the min class
+    * size via a window over the contraction (no driver scalar), then
+    * broadcasts back onto the lang-keyed rank window — one corpus
+    * exchange on the class key, bounded output (k·|langs| rows). */
+  val qSampleBalanced: Q = (s, d) => {
+    val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit("#bal"))), 1, 8), 16, 10).cast(LongType)
+    val minN = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("min_n",
+        min(col("n")).over(Window.partitionBy()))
+      .select(col("lang"), col("min_n"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("h", h)
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(minN), "lang")
+      .filter(col("rn") <= col("min_n"))
+      .select(col("lang"), col("doc_id"), col("rn"))
+  }
+
   /** Deterministic negative sampling for contrastive training: each doc
     * draws `negsPerDoc` pseudo-random partners via salted md5 offsets
     * over the dense 0..N−1 id space — neg_k = (doc_id + 1 +
@@ -334,9 +364,24 @@ object CorpusPipeline {
     "q_source_quota_salted" -> qSourceQuotaSalted,
     "q_sample_weighted" -> qSampleWeighted,
     "q_sample_reservoir" -> qSampleReservoir,
+    "q_sample_balanced" -> qSampleBalanced,
     "q_negative_sample" -> qNegativeSample)
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_balanced" ->
+      """WITH c AS (
+           SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         m AS (SELECT lang, MIN(n) OVER () AS min_n FROM c),
+         r AS (
+           SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#bal'),
+                 1, 8) AS BIGINT), doc_id) AS rn
+           FROM documents)
+         SELECT r.lang, r.doc_id, CAST(rn AS INT) AS rn
+         FROM r JOIN m ON m.lang = r.lang
+         WHERE rn <= m.min_n
+         ORDER BY r.lang, rn""",
     "q_sample_reservoir" ->
       """SELECT source, doc_id, CAST(rn AS INT) AS rn FROM (
            SELECT source, doc_id,

@@ -492,7 +492,51 @@ object Graph {
   /** Declared query: degree assortativity of the co-order part graph. */
   val qGraphAssortativity: Q = (s, d) => assortativity(coOrderEdges(s, d))
 
+  /** Newman modularity of the BRAND partition of the co-order graph —
+    * "are same-brand parts co-ordered more than degree-chance predicts?"
+    * Q = Σ_c [e_c/m − (d_c/2m)²] = Σ_c (4m·e_c − d_c²) / 4m², emitted
+    * as exact integers: per brand `e_in` (intra-brand edges), `d_c`
+    * (degree mass), the contribution NUMERATOR `4m·e_c − d_c²` and the
+    * shared denominator `4m²` — numerator/denominator stay separate
+    * columns because contributions go negative, where Spark's `div`
+    * truncates but DuckDB's `//` floors (the [[assortativity]] rule).
+    *
+    * 100 TB shape: the brand dim broadcasts onto both edge endpoints
+    * (|part| rows — at real scale a bucketed dim join), each edge then
+    * UNPIVOTS into its two (brand, intra?) stubs map-side, and ONE
+    * brand-keyed fold yields d_c = stubs, 2e_c = intra stubs per brand;
+    * 2m re-derives from the |brands|-row fold itself via a partition-
+    * less window (no second scan, no driver scalar). Headroom: the
+    * products ride decimal(38) internally; the emitted LONGs hold to
+    * m2 ≈ 3·10⁹ stubs (1.5·10⁹ edges) — past that, emit the decimals
+    * through the exactDouble string device (DESIGN.md §7 rule 3). */
+  val qGraphModularity: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val brand = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"))
+    val withB = coOrderEdges(s, d)
+      .join(broadcast(brand.select(col("p_partkey").as("u"),
+        col("p_brand").as("bu"))), "u")
+      .join(broadcast(brand.select(col("p_partkey").as("v"),
+        col("p_brand").as("bv"))), "v")
+    val stubs = withB.select(col("bu").as("brand"),
+        (col("bu") === col("bv")).as("intra"))
+      .unionAll(withB.select(col("bv").as("brand"),
+        (col("bu") === col("bv")).as("intra")))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    stubs.groupBy(col("brand"))
+      .agg(count(lit(1)).as("d_c"),
+        sum(when(col("intra"), 1L).otherwise(0L)).as("e2_c"))
+      .withColumn("m2", sum(col("d_c")).over(Window.partitionBy()))
+      .select(col("brand"), expr("CAST(e2_c div 2 AS LONG)").as("e_in"),
+        col("d_c"),
+        (dec(col("m2")) * col("e2_c") - dec(col("d_c")) * col("d_c"))
+          .cast("long").as("q_num"),
+        (dec(col("m2")) * col("m2")).cast("long").as("q_den"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_modularity" -> qGraphModularity,
     "q_graph_degree" -> qGraphDegree,
     "q_graph_clustering" -> qGraphClustering,
     "q_graph_assortativity" -> qGraphAssortativity,
@@ -517,6 +561,26 @@ object Graph {
   private val edgeCte: String = "WITH " + edgeCteBody
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_modularity" -> (edgeCte +
+      """,
+       eb AS (
+         SELECT pu.p_brand AS bu, pv.p_brand AS bv
+         FROM e JOIN part pu ON pu.p_partkey = e.u
+                JOIN part pv ON pv.p_partkey = e.v),
+       stubs AS (
+         SELECT bu AS brand, bu = bv AS intra FROM eb
+         UNION ALL SELECT bv AS brand, bu = bv AS intra FROM eb),
+       f AS (
+         SELECT brand, COUNT(*) AS d_c,
+           SUM(CASE WHEN intra THEN 1 ELSE 0 END) AS e2_c
+         FROM stubs GROUP BY 1),
+       g AS (SELECT brand, d_c, e2_c, SUM(d_c) OVER () AS m2 FROM f)
+       SELECT brand, CAST(e2_c // 2 AS BIGINT) AS e_in,
+         CAST(d_c AS BIGINT) AS d_c,
+         CAST(CAST(m2 AS HUGEINT) * e2_c
+           - CAST(d_c AS HUGEINT) * d_c AS BIGINT) AS q_num,
+         CAST(CAST(m2 AS HUGEINT) * m2 AS BIGINT) AS q_den
+       FROM g ORDER BY brand"""),
     "q_graph_label_prop" -> (edgeCte +
       """,
        adj AS (SELECT u AS node, v AS nbr FROM e

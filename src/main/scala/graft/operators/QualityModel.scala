@@ -256,16 +256,68 @@ object QualityModel {
           " div (hi + n_pos) AS LONG)").as("f1_ppm"))
   }
 
+  /** Width of a reliability-diagram bucket in score (n_chars) units. */
+  val CalibrationBinWidth = 100L
+
+  /** Reliability diagram (calibration curve) for the one-vs-rest 'en'
+    * scorer, the third leg of the eval harness next to [[qEvalAuc]]
+    * (discrimination) and [[qEvalGains]] (ranking): bucket the score
+    * into fixed-width bins and compare, per bin, the mean score against
+    * the observed positive rate — a well-calibrated scorer's curve
+    * hugs the diagonal, and drift between the two columns is the
+    * standard miscalibration readout. All integer-exact: mean score in
+    * milli (Σscore·1000 div n), observed rate in ppm; empty-positive
+    * bins read 0 via the same COALESCE on both engines.
+    *
+    * Scale shape: rides the shared persisted [[scoreCells]] contraction
+    * — the per-bin fold is histogram-sized, so calibration at 100 TB
+    * costs nothing beyond the artifact every other eval query already
+    * pays for once. Headroom: Σscore·1000 in decimal(38) past 10²⁰
+    * docs per bin. */
+  val qEvalCalibration: Q = (s, d) => {
+    val cells = scoreCells(s, d)
+    cells.groupBy(expr(s"CAST(score AS LONG) div $CalibrationBinWidth")
+        .as("bin"))
+      .agg(sum(col("n_pos_g")).as("n"),
+        sum(col("score").cast("decimal(38,0)") * col("n_pos_g"))
+          .as("score_sum"),
+        coalesce(sum(when(col("lang") === "en", col("n_pos_g"))), lit(0L))
+          .as("n_pos"))
+      .select(col("bin"), col("n"),
+        expr("CAST(score_sum * 1000 div n AS LONG)")
+          .as("mean_score_milli"),
+        col("n_pos"),
+        expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 div n AS LONG)")
+          .as("pos_rate_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_quality_logistic" -> qQualityLogistic,
     "q_eval_auc" -> qEvalAuc,
     "q_eval_gains" -> qEvalGains,
-    "q_eval_confusion" -> qEvalConfusion)
+    "q_eval_confusion" -> qEvalConfusion,
+    "q_eval_calibration" -> qEvalCalibration)
 
   /** q_quality_logistic is the no-oracle float class (sigmoid);
     * QualitySpec pins accuracy vs the gate and rerun determinism.
     * q_eval_auc is integer-exact and oracle-pinned below. */
   val oracleSql: Map[String, String] = Map(
+    "q_eval_calibration" ->
+      """WITH pl AS (
+           SELECT n_chars AS score, lang, COUNT(*) AS n_pos_g
+           FROM documents GROUP BY 1, 2),
+         b AS (
+           SELECT CAST(score AS BIGINT) // 100 AS bin,
+             SUM(n_pos_g) AS n,
+             SUM(CAST(score AS HUGEINT) * n_pos_g) AS score_sum,
+             COALESCE(SUM(n_pos_g) FILTER (WHERE lang = 'en'), 0) AS n_pos
+           FROM pl GROUP BY 1)
+         SELECT bin, CAST(n AS BIGINT) AS n,
+           CAST(score_sum * 1000 // n AS BIGINT) AS mean_score_milli,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(CAST(n_pos AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS pos_rate_ppm
+         FROM b ORDER BY bin""",
     "q_eval_gains" ->
       """WITH pl AS (
            SELECT n_chars AS score, lang, COUNT(*) AS n_pos_g

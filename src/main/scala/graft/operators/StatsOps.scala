@@ -227,12 +227,88 @@ object StatsOps {
           .as("rejected"))
   }
 
+  /** McNemar's paired test across two CURATION FILTERS on the same
+    * corpus, per language — "do the word-count rule and the stopword
+    * rule keep documents at the same rate?" The filters are two real
+    * rules of [[TextQueries]]'s gopher gate (r_wordcount: 50 ≤ n_words
+    * ≤ 10⁵; r_stopwords: ≥ 2 function words), evaluated on the SAME
+    * documents, so marginal homogeneity is exactly McNemar's b/c
+    * discordant-pair statistic: χ² = (b−c)²/(b+c), α = 0.05 rejected
+    * iff (b−c)²·10⁴ > 38415·(b+c) — cross-multiplied, exact, NULL
+    * (not an ANSI error) when the filters never disagree (b+c = 0),
+    * matching DuckDB's `// 0`.
+    *
+    * 100 TB shape: both rules evaluate map-side on the text scan and
+    * contract immediately into ONE |langs|-row rollup of four cell
+    * counts; the decision is arithmetic over that contraction.
+    * Headroom: (b−c)²·10⁴ rides decimal(38) past 10¹⁶ docs. */
+  val qStatMcnemar: Q = (s, d) => {
+    val toks = split(lower(col("text")), " ")
+    val nWords = size(toks).cast("long")
+    val nStop = size(filter(toks,
+      t => t.isInCollection(TextQueries.stopwords))).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        (nWords >= 50L && nWords <= 100000L).as("pa"),
+        (nStop >= 2L).as("pb"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("pa") && col("pb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("pa") && !col("pb"), 1L).otherwise(0L)).as("a_only"),
+        sum(when(!col("pa") && col("pb"), 1L).otherwise(0L)).as("b_only"),
+        sum(when(!col("pa") && !col("pb"), 1L).otherwise(0L)).as("n00"))
+      .select(col("lang"), col("n11"), col("a_only"), col("b_only"),
+        col("n00"),
+        expr("""CASE WHEN a_only + b_only > 0 THEN
+                CAST((CAST(a_only - b_only AS DECIMAL(38,0))
+                  * (a_only - b_only) * 1000000)
+                div (a_only + b_only) AS LONG) END""").as("chi2_micro"),
+        when(col("a_only") + col("b_only") > 0,
+          dec(col("a_only") - col("b_only"))
+            * (col("a_only") - col("b_only")) * lit(10000) >
+            dec(col("a_only") + col("b_only")) * lit(38415))
+          .as("rejected"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_drift_chisq" -> qDriftChisq,
+    "q_stat_mcnemar" -> qStatMcnemar,
     "q_abtest_anova" -> qAbtestAnova)
 
   val oracleSql: Map[String, String] = Map(
+    "q_stat_mcnemar" ->
+      """WITH t AS (
+           SELECT lang,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+               AS n_words,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ('the','a','of','and','in','to'))) AS BIGINT)
+               AS n_stop
+           FROM documents),
+         p AS (
+           SELECT lang, (n_words BETWEEN 50 AND 100000) AS pa,
+             (n_stop >= 2) AS pb
+           FROM t),
+         f AS (
+           SELECT lang,
+             SUM(CASE WHEN pa AND pb THEN 1 ELSE 0 END) AS n11,
+             SUM(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END) AS a_only,
+             SUM(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END) AS b_only,
+             SUM(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END) AS n00
+           FROM p GROUP BY 1)
+         SELECT lang, CAST(n11 AS BIGINT) AS n11,
+           CAST(a_only AS BIGINT) AS a_only,
+           CAST(b_only AS BIGINT) AS b_only,
+           CAST(n00 AS BIGINT) AS n00,
+           CASE WHEN a_only + b_only > 0 THEN
+             CAST((CAST(a_only - b_only AS HUGEINT)
+               * (a_only - b_only) * 1000000)
+               // (a_only + b_only) AS BIGINT) END AS chi2_micro,
+           CASE WHEN a_only + b_only > 0 THEN
+             CAST(a_only - b_only AS HUGEINT) * (a_only - b_only) * 10000
+               > CAST(a_only + b_only AS HUGEINT) * 38415 END AS rejected
+         FROM f ORDER BY lang""",
     "q_abtest_anova" ->
       """WITH e AS (
            SELECT event_type,

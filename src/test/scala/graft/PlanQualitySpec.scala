@@ -22,7 +22,12 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_similarity_lsh",    // 1-row query vector vs bucketed candidates
     "q_similarity_ivf",    // same, IVF cells
     "q_resample_gapfill",  // grid × 5 event types
-    "q_basket_rules")      // 1-row broadcast basket-count total
+    "q_basket_rules",      // 1-row broadcast basket-count total
+    // the |classes| × |sources| audit grid is built BY a cross join of
+    // two bounded contractions (every class must score every sensitive
+    // value, absent cells included) — cartesian by construction, over
+    // rollup-sized inputs only
+    "q_privacy_tcloseness")
 
   test("no accidental cartesian or nested-loop joins in the registry") {
     def nestedLoops(p: SparkPlan): Seq[String] = {
@@ -108,7 +113,32 @@ class PlanQualitySpec extends AnyFunSuite {
     // shared subtree), the (a,b) pair rollup, the item-support rollup,
     // and the 2-exchange count-distinct basket total — a multi-stage
     // mining pipeline over shrinking keyed data, the q_text_tfidf class
-    "q_basket_rules" -> 6).withDefaultValue(2)
+    "q_basket_rules" -> 6,
+    // degree build (union-agg) + the degree table keyed onto the edge
+    // list twice (u, then v) + the final 1-row sufficient-stats fold
+    "q_graph_assortativity" -> 4,
+    // rides the triangle machinery (wedge self-join + closing edge
+    // join + degree builds) — same order-dependent artifact-build
+    // caveat as q_graph_triangles' 9
+    "q_graph_clustering" -> 9,
+    // shares q_eval_auc's persisted (score,lang) cell artifact: 3 once
+    // built (histogram regroup + the two cumulative windows), 4 when
+    // this query plans the artifact build (order-dependent)
+    "q_eval_gains" -> 4,
+    // user-keyed cohort window + cohort-size rollup + (cohort, age)
+    // rollup + the cohort-keyed cumulative window + the size join —
+    // five stages, each on shrinking keyed data
+    "q_cohort_ltv" -> 5,
+    // (type, day) daily rollup + the day−7 forecast re-key feeding the
+    // self-join + the per-type error fold
+    "q_ts_backtest" -> 3,
+    // class-count rollup (+ its |langs|-row singleton min window) +
+    // the lang-keyed rank window over the corpus
+    "q_sample_balanced" -> 3,
+    // (class, source) cell build + the global/source and class rollups
+    // + the grid's cumulative windows — everything after the first
+    // exchange moves rollup-sized data
+    "q_privacy_tcloseness" -> 5).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements

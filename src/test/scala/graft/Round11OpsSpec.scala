@@ -382,4 +382,112 @@ class Round11OpsSpec extends AnyFunSuite {
       assert(ltv == BigInt(wantCum) * 1000 / nUsers)
     }
   }
+
+  test("seasonal-naive backtest: errors match a naive daily walk") {
+    import graft.operators.TimeSeries
+    val got = TimeSeries.qTsBacktest(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate),
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val scored = daily.keys.toSeq.flatMap { case (tpe, day) =>
+      daily.get((tpe, day.minusDays(7))).map(f =>
+        (tpe, math.abs(daily((tpe, day)) - f), math.abs(daily((tpe, day)))))
+    }.groupBy(_._1)
+    assert(got.keySet == scored.keySet)
+    scored.foreach { case (tpe, rows) =>
+      val (n, sae, mae, wape) = got(tpe)
+      val wantSae = rows.map(r => BigInt(r._2)).sum
+      val wantSum = rows.map(r => BigInt(r._3)).sum
+      assert(n == rows.length.toLong)
+      assert(sae == wantSae, s"$tpe: sae $sae vs $wantSae")
+      assert(mae == wantSae * 1000 / n)
+      if (wantSum > 0) assert(wape.contains((wantSae * 1000000 / wantSum).toLong))
+      else assert(wape.isEmpty)
+    }
+  }
+
+  test("calibration: bins partition the corpus; rates match a naive count") {
+    import graft.operators.QualityModel
+    val rows = QualityModel.qEvalCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("n_chars"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._2).sum == docs.length)
+    val byBin = docs.groupBy(_._1 / QualityModel.CalibrationBinWidth)
+    assert(rows.map(_._1).toSet == byBin.keySet)
+    rows.foreach { case (bin, n, meanMilli, nPos, ppm) =>
+      val ds = byBin(bin)
+      assert(n == ds.length)
+      val pos = ds.count(_._2 == "en")
+      assert(nPos == pos.toLong)
+      assert(meanMilli == ds.map(x => BigInt(x._1)).sum * 1000 / n)
+      assert(ppm == BigInt(pos) * 1000000 / n)
+    }
+  }
+
+  test("modularity: brand partition sums match a naive edge walk") {
+    import graft.operators.Graph
+    val got = Graph.qGraphModularity(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val brandOf = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = Graph.coOrderEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = edges.length.toLong
+    val dC = edges.flatMap(e => Seq(brandOf(e._1), brandOf(e._2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val eIn = edges.filter(e => brandOf(e._1) == brandOf(e._2))
+      .groupBy(e => brandOf(e._1)).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == dC.keySet)
+    got.foreach { case (b, (ein, d, num, den)) =>
+      assert(d == dC(b))
+      assert(ein == eIn.getOrElse(b, 0L))
+      assert(num == 4 * m * ein - d * d, s"$b: num")
+      assert(den == 4 * m * m)
+    }
+    // sanity: global modularity Q = sum(num)/den lies in [-1, 1]
+    val q = got.values.map(_._3).sum.toDouble / (4.0 * m * m)
+    assert(q >= -1.0 && q <= 1.0)
+  }
+
+  test("mcnemar: cells partition each lang; decision matches naive chi2") {
+    val rows = StatsOps.qStatMcnemar(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)
+      + r.getLong(4)).sum == total)
+    rows.foreach { r =>
+      val (b, c) = (r.getLong(2), r.getLong(3))
+      if (b + c == 0) {
+        assert(r.isNullAt(5) && r.isNullAt(6))
+      } else {
+        val chi2 = (b - c).toDouble * (b - c) / (b + c)
+        assert(r.getLong(5) == ((b - c) * (b - c) * 1000000L) / (b + c))
+        assert(r.getBoolean(6) == chi2 > 3.8415)
+      }
+    }
+  }
+
+  test("balanced sample: every lang keeps exactly the min class count") {
+    import graft.operators.CorpusPipeline
+    val got = CorpusPipeline.qSampleBalanced(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = counts.values.min
+    val byLang = got.groupBy(_._1)
+    assert(byLang.keySet == counts.keySet)
+    byLang.foreach { case (l, ds) =>
+      assert(ds.length.toLong == minN, s"$l: ${ds.length} != $minN")
+      assert(ds.map(_._2).distinct.length == ds.length)
+    }
+  }
 }
