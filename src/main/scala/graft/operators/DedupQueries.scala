@@ -458,14 +458,65 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Operational audit of the LSH index the sig query builds — the
+    * bucket-size census an operator reads BEFORE running the pair join,
+    * because candidate volume is Σ s·(s−1)/2 over bucket sizes and one
+    * hot bucket is the scale hazard (see [[qDedupMinhashPairs]]'s
+    * banding note: a 3000-doc bucket ⇒ 16M+ pairs no plumbing can make
+    * cheap). Per band of the 4×3 index: bucket count, docs indexed,
+    * the largest bucket, the exact candidate-pair bill, and how many
+    * buckets are singletons (generate no candidates at all).
+    *
+    * Scale shape: the signature build's one doc-keyed exchange, then a
+    * (band, band_key) rollup and a 4-row band fold — audit cost is the
+    * index build, nothing quadratic runs. Headroom: s·(s−1) div 2 in
+    * decimal(38), LONG output safe below ~4·10⁹-doc buckets. */
+  val qDedupBucketStats: Q = (s, d) => {
+    minhashBands(Tables.documents(s, d), bands = 4, rows = 3)
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr("(CAST(sz AS DECIMAL(38,0)) * (sz - 1)) div 2"))
+          .cast("long").as("cand_pairs"),
+        sum(when(col("sz") === 1L, 1L).otherwise(0L)).as("singletons"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_cross_matrix" -> qDedupCrossMatrix,
+    "q_dedup_bucket_stats" -> qDedupBucketStats,
     "q_dedup_minhash_sig" -> qDedupMinhashSig,
     "q_dedup_minhash_pairs" -> qDedupMinhashPairs,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram)
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_bucket_stats" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents),
+         h AS (
+           SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || tok) AS hv
+           FROM tok, (SELECT unnest(generate_series(0, 11)) AS i)),
+         s AS (SELECT doc_id, i, MIN(hv) AS sig FROM h GROUP BY doc_id, i),
+         b AS (
+           SELECT doc_id, CAST(i // 3 AS INT) AS band,
+             md5(string_agg(lpad(CAST(i AS VARCHAR), 2, '0') || '=' || sig,
+                 '|' ORDER BY i)) AS band_key
+           FROM s GROUP BY doc_id, i // 3),
+         bu AS (
+           SELECT band, band_key, COUNT(*) AS sz FROM b GROUP BY 1, 2)
+         SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM(CAST(sz AS HUGEINT) * (sz - 1) // 2) AS BIGINT)
+             AS cand_pairs,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singletons
+         FROM bu GROUP BY band ORDER BY band""",
     "q_dedup_cross_matrix" ->
       """WITH tok AS (
            SELECT DISTINCT doc_id,

@@ -183,13 +183,76 @@ object Privacy {
   val qPrivacyTcloseness: Q = (s, d) =>
     tClosenessAudit(Tables.documents(s, d))
 
+  /** Generalization ladder for the length quasi-identifier — widths a
+    * release pipeline would try, coarsest last. */
+  val GenWidths: Seq[Long] = Seq(100L, 200L, 400L, 800L)
+
+  /** Generalization-lattice walk (Sweeney 2002's remedy, made a
+    * query): re-run the [[kAnonymityAudit]] census at every rung of
+    * the length-bucket ladder and emit, per width, the release
+    * readout — class count, classes below [[KFloor]], rows those
+    * classes would suppress, the coverage a suppress-and-release
+    * policy retains (ppm), and whether the width achieves full
+    * k-anonymity. The MINIMAL width with `k_anonymous = true` is the
+    * generalization a release picks; the coverage column prices the
+    * suppression alternative at every finer rung.
+    *
+    * Scale shape: each record fans out map-side into |widths| stubs
+    * that contract immediately in the (width, lang, bucket) combine
+    * (the [[StatsOps]] bootstrap's fan-out-then-contract device) —
+    * one keyed exchange over class-sized partials, then a |widths|-row
+    * fold; total N re-derives from the fold itself. Headroom:
+    * suppressed·10⁶ rides decimal(38) past 10²⁰ rows. */
+  val qPrivacyGeneralize: Q = (s, d) => {
+    val stubs = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        explode(array(GenWidths.map(lit): _*)).as("width"))
+      .select(col("width"), col("lang"),
+        expr("n_chars div width").as("bucket"))
+    stubs.groupBy(col("width"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("k") < KFloor, 1L).otherwise(0L)).as("n_below"),
+        coalesce(sum(when(col("k") < KFloor, col("k"))), lit(0L))
+          .as("rows_suppressed"),
+        sum(col("k")).as("n_total"),
+        min(col("k")).as("k_min"))
+      .select(col("width"), col("n_classes"), col("n_below"),
+        col("rows_suppressed"), col("k_min"),
+        expr("""CAST((CAST(n_total - rows_suppressed AS DECIMAL(38,0))
+                * 1000000) div n_total AS LONG)""").as("coverage_ppm"),
+        (col("n_below") === 0L).as("k_anonymous"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_privacy_kanon" -> qPrivacyKanon,
     "q_privacy_tcloseness" -> qPrivacyTcloseness,
+    "q_privacy_generalize" -> qPrivacyGeneralize,
     "q_privacy_pseudonym" -> qPrivacyPseudonym,
     "q_privacy_forget" -> qPrivacyForget)
 
   val oracleSql: Map[String, String] = Map(
+    "q_privacy_generalize" ->
+      """WITH w AS (SELECT unnest([100, 200, 400, 800]) AS width),
+         c AS (
+           SELECT CAST(w.width AS BIGINT) AS width, lang,
+             n_chars // w.width AS bucket, COUNT(*) AS k
+           FROM documents, w GROUP BY 1, 2, 3),
+         f AS (
+           SELECT width, COUNT(*) AS n_classes,
+             SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS n_below,
+             COALESCE(SUM(k) FILTER (WHERE k < 5), 0) AS rows_suppressed,
+             SUM(k) AS n_total, MIN(k) AS k_min
+           FROM c GROUP BY 1)
+         SELECT width, CAST(n_classes AS BIGINT) AS n_classes,
+           CAST(n_below AS BIGINT) AS n_below,
+           CAST(rows_suppressed AS BIGINT) AS rows_suppressed,
+           CAST(k_min AS BIGINT) AS k_min,
+           CAST((CAST(n_total - rows_suppressed AS HUGEINT) * 1000000)
+             // n_total AS BIGINT) AS coverage_ppm,
+           n_below = 0 AS k_anonymous
+         FROM f ORDER BY width""",
     "q_privacy_forget" ->
       """WITH tomb AS (
            SELECT c_custkey FROM customer

@@ -138,7 +138,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // (class, source) cell build + the global/source and class rollups
     // + the grid's cumulative windows — everything after the first
     // exchange moves rollup-sized data
-    "q_privacy_tcloseness" -> 5).withDefaultValue(2)
+    "q_privacy_tcloseness" -> 5,
+    // the signature build's doc-keyed exchange + the (band, band_key)
+    // bucket rollup + the 4-row band fold
+    "q_dedup_bucket_stats" -> 3).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements

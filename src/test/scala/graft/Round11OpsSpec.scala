@@ -476,6 +476,54 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("generalization walk: census matches naive; suppression shrinks " +
+    "as widths merge") {
+    import graft.operators.Privacy
+    val rows = Privacy.qPrivacyGeneralize(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(rows.keySet == Privacy.GenWidths.toSet)
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    Privacy.GenWidths.foreach { w =>
+      val classes = docs.groupBy(d => (d._1, d._2 / w))
+        .view.mapValues(_.length.toLong).toMap
+      val (nc, nb, sup, kmin, cov, anon) = rows(w)
+      assert(nc == classes.size.toLong)
+      val below = classes.values.filter(_ < Privacy.KFloor)
+      assert(nb == below.size.toLong)
+      assert(sup == below.sum)
+      assert(kmin == classes.values.min)
+      assert(cov == BigInt(docs.length - below.sum) * 1000000 / docs.length)
+      assert(anon == below.isEmpty)
+    }
+    // doubling the width only merges classes, so suppression never grows
+    val supByW = Privacy.GenWidths.map(w => rows(w)._3)
+    assert(supByW.zip(supByW.tail).forall { case (a, b) => b <= a },
+      s"suppression not monotone: $supByW")
+  }
+
+  test("lsh bucket audit: census matches a naive fold of the sig table") {
+    import graft.operators.DedupQueries
+    val got = DedupQueries.qDedupBucketStats(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val sig = DedupQueries.qDedupMinhashSig(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getString(2)))
+    val byBand = sig.groupBy(_._1)
+    assert(got.keySet == byBand.keySet)
+    byBand.foreach { case (band, rs) =>
+      val sizes = rs.groupBy(_._2).values.map(_.length.toLong).toSeq
+      val (nb, nd, mx, cp, sg) = got(band)
+      assert(nb == sizes.length.toLong)
+      assert(nd == sizes.sum)
+      assert(mx == sizes.max)
+      assert(cp == sizes.map(s => s * (s - 1) / 2).sum)
+      assert(sg == sizes.count(_ == 1L).toLong)
+    }
+  }
+
   test("balanced sample: every lang keeps exactly the min class count") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.qSampleBalanced(spark, sf).collect()
