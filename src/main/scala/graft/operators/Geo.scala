@@ -384,7 +384,83 @@ object Geo {
       .select(col("user_id"), col("event_id"), col("step"), col("gap_us"))
   }
 
+  /** Hotspot cell spacing (µdeg): the 1°×1° patch becomes a 10×10 grid
+    * with meaningful per-cell mass at every fixture sf. */
+  val HotspotCell = 100000L
+
+  /** Grid hotspot detection (a Getis-Ord-style local concentration
+    * screen kept exact): per populated cell, compare its event count
+    * against its 3×3 neighborhood — `hot` iff cnt·n_nbr ≥ 2·nbr_sum,
+    * i.e. the cell carries at least twice its PRESENT neighbors' mean
+    * (cross-multiplied, no division; an isolated populated cell is hot
+    * by convention — 0 ≥ 0 — concentration with no neighborhood at
+    * all). The transit-ops "where do events pile up" screen.
+    *
+    * Scale shape: ONE corpus exchange builds the cell census; the 8-way
+    * neighbor probe is a map-side explode OF THE CENSUS joined back to
+    * itself on cell-key equality (the [[neighborPairs]] device turned
+    * count-side), so every post-census stage moves |cells| rows. Packed
+    * keys cannot alias: probe keys that fall off the grid edge simply
+    * match nothing. */
+  val qGeoHotspot: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .select(derivedCoord(col("event_id"), "#lat", Range).as("lat_u"),
+        derivedCoord(col("event_id"), "#lon", Range).as("lon_u"))
+      .groupBy(gridCell(col("lat_u"), col("lon_u"), HotspotCell)
+        .as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val k = 2L * 100000000L / HotspotCell
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
+      yield lit(dx * k + dy)
+    val probes = counts
+      .select(col("cell").as("c0"), col("cnt").as("nbr_cnt"))
+      .withColumn("off", explode(array(offs: _*)))
+      .select((col("c0") + col("off")).as("cell"), col("nbr_cnt"))
+    counts.join(probes, Seq("cell"), "left")
+      .groupBy(col("cell"), col("cnt"))
+      .agg(count(col("nbr_cnt")).as("n_nbr"),
+        coalesce(sum(col("nbr_cnt")), lit(0L)).as("nbr_sum"))
+      .select(col("cell"), col("cnt"), col("n_nbr"), col("nbr_sum"),
+        (col("cnt") * col("n_nbr") >= col("nbr_sum") * 2).as("hot"))
+  }
+
+  /** Origin–destination matrix — the transit-planning staple: per
+    * (user, day) trace, origin = the cell of the FIRST event and
+    * destination = the cell of the LAST (both at [[HotspotCell]]
+    * spacing, (ts, event_id)-ordered), rolled up to flow counts per
+    * (origin, destination) cell pair. Same-cell rows are the
+    * stay-local diagonal a planner reads off first.
+    *
+    * Scale shape: one (user, day)-keyed exchange carries BOTH endpoint
+    * windows (ascending and descending row_number share the exchange,
+    * each with its own in-partition sort), the (user, day) contraction
+    * happens on that partitioning, and the final (o, d) rollup moves
+    * one row per user-day. */
+  val qGeoOdMatrix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wAsc = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), to_date(col("ts")).as("day"),
+        col("event_id"),
+        derivedCoord(col("event_id"), "#lat", Range).as("lat_u"),
+        derivedCoord(col("event_id"), "#lon", Range).as("lon_u"))
+      .withColumn("cell",
+        gridCell(col("lat_u"), col("lon_u"), HotspotCell))
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(when(col("rn_a") === 1, col("cell"))).as("o_cell"),
+        max(when(col("rn_d") === 1, col("cell"))).as("d_cell"))
+      .groupBy(col("o_cell"), col("d_cell"))
+      .agg(count(lit(1)).as("n_trips"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_geo_hotspot" -> qGeoHotspot,
+    "q_geo_od_matrix" -> qGeoOdMatrix,
     "q_geo_speed" -> qGeoSpeed,
     "q_geo_zone" -> qGeoZone,
     "q_geo_zone_concave" -> qGeoZoneConcave,
@@ -435,6 +511,56 @@ object Geo {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_geo_hotspot" ->
+      """WITH p AS (
+           SELECT
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lat'),
+               1, 8) AS BIGINT) % 1000000 AS lat_u,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lon'),
+               1, 8) AS BIGINT) % 1000000 AS lon_u
+           FROM events),
+         c AS (
+           SELECT (lat_u // 100000) * 2000 + (lon_u // 100000) AS cell,
+             COUNT(*) AS cnt
+           FROM p GROUP BY 1),
+         o AS (SELECT unnest([-2001, -2000, -1999, -1, 1,
+                              1999, 2000, 2001]) AS off),
+         nb AS (
+           SELECT c.cell + o.off AS cell, c.cnt AS nbr_cnt FROM c, o),
+         j AS (
+           SELECT c.cell, c.cnt,
+             COUNT(nb.nbr_cnt) AS n_nbr,
+             COALESCE(SUM(nb.nbr_cnt), 0) AS nbr_sum
+           FROM c LEFT JOIN nb ON nb.cell = c.cell
+           GROUP BY 1, 2)
+         SELECT cell, CAST(cnt AS BIGINT) AS cnt,
+           CAST(n_nbr AS BIGINT) AS n_nbr,
+           CAST(nbr_sum AS BIGINT) AS nbr_sum,
+           cnt * n_nbr >= nbr_sum * 2 AS hot
+         FROM j ORDER BY cell""",
+    "q_geo_od_matrix" ->
+      """WITH p AS (
+           SELECT user_id, ts, CAST(ts AS DATE) AS day, event_id,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lat'),
+               1, 8) AS BIGINT) % 1000000 AS lat_u,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lon'),
+               1, 8) AS BIGINT) % 1000000 AS lon_u
+           FROM events),
+         r AS (
+           SELECT user_id, day,
+             (lat_u // 100000) * 2000 + (lon_u // 100000) AS cell,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM p),
+         od AS (
+           SELECT user_id, day,
+             MAX(CASE WHEN rn_a = 1 THEN cell END) AS o_cell,
+             MAX(CASE WHEN rn_d = 1 THEN cell END) AS d_cell
+           FROM r GROUP BY 1, 2)
+         SELECT o_cell, d_cell, CAST(COUNT(*) AS BIGINT) AS n_trips
+         FROM od GROUP BY 1, 2 ORDER BY o_cell, d_cell""",
     "q_geo_speed" ->
       """WITH p AS (
            SELECT user_id, ts, event_id,

@@ -524,6 +524,64 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hotspot: neighborhood census matches a naive 3x3 walk") {
+    import graft.operators.Geo
+    val got = Geo.qGeoHotspot(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    val cells = Tables.events(spark, sf).select("event_id").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        def coord(salt: String) = {
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest((id.toString + salt).getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(h, 16) % 1000000L
+        }
+        (coord("#lat") / 100000L, coord("#lon") / 100000L)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.keySet == cells.keySet.map { case (x, y) => x * 2000 + y })
+    cells.foreach { case ((x, y), cnt) =>
+      val nbrs = for {
+        dx <- -1L to 1L; dy <- -1L to 1L if dx != 0 || dy != 0
+        c <- cells.get((x + dx, y + dy))
+      } yield c
+      val (gc, gn, gs, hot) = got(x * 2000 + y)
+      assert(gc == cnt)
+      assert(gn == nbrs.length.toLong)
+      assert(gs == nbrs.sum)
+      assert(hot == (cnt * nbrs.length >= 2 * nbrs.sum))
+    }
+  }
+
+  test("od matrix: flows match naive first/last per user-day") {
+    import graft.operators.Geo
+    val got = Geo.qGeoOdMatrix(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map { r =>
+        val id = r.getLong(2)
+        def coord(salt: String) = {
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest((id.toString + salt).getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(h, 16) % 1000000L
+        }
+        val cell = (coord("#lat") / 100000L) * 2000 +
+          coord("#lon") / 100000L
+        ((r.getLong(0), r.getTimestamp(1).toLocalDateTime.toLocalDate),
+          (r.getTimestamp(1), id, cell))
+      }
+    val want = ev.groupBy(_._1).values.map { rows =>
+      val sorted = rows.map(_._2).sortBy(t =>
+        (t._1.toInstant.getEpochSecond, t._1.toInstant.getNano, t._2))
+      (sorted.head._3, sorted.last._3)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+  }
+
   test("balanced sample: every lang keeps exactly the min class count") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.qSampleBalanced(spark, sf).collect()
