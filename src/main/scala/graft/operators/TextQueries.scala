@@ -875,7 +875,30 @@ object TextQueries {
         expr("covered_tokens * 1000000 div total_tokens"))
   }
 
+  /** Zipf-conformance audit of the head vocabulary — the corpus-health
+    * screen: under Zipf's law freq(r) ≈ freq(1)/r, so the exact ppm
+    * readout `zipf_ppm = freq(r)·r·10⁶ div freq(1)` reads ~10⁶ flat on
+    * a natural corpus and drifts hard on template/boilerplate-heavy or
+    * synthetic text (a flat head → ppm grows linearly with rank; a
+    * single-token spam corpus → collapses toward 0 past rank 1).
+    * Rides the session vocab artifact ([[vocabTopK]]'s counts/total
+    * pair, k-independent), so the corpus scans once across all vocab
+    * consumers; everything here is arithmetic over the 50-row top-k.
+    * Headroom: cnt·rank·10⁶ in decimal(38) past 10²⁸ occurrences. */
+  val qTextZipf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    vocabTopK(Tables.documents(s, d), k = 50,
+      cacheKey = Some(s"vocab:${System.identityHashCode(s)}:$d"))
+      .withColumn("f1",
+        max(when(col("rank") === 1, col("cnt")))
+          .over(Window.partitionBy()))
+      .select(col("rank"), col("token"), col("cnt"),
+        expr("""CAST((CAST(cnt AS DECIMAL(38,0)) * rank * 1000000)
+                div f1 AS LONG)""").as("zipf_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_zipf" -> qTextZipf,
     "q_langid_confusion" -> qLangidConfusion,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_text_langid" -> qTextLangid,
@@ -900,6 +923,26 @@ object TextQueries {
     "q_vocab_topk" -> qVocabTopk)
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_zipf" ->
+      """WITH t AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS token
+           FROM documents),
+         c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+         k AS (SELECT token, cnt FROM c
+               ORDER BY cnt DESC, token LIMIT 50),
+         r AS (
+           SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+           FROM k),
+         z AS (
+           SELECT rank, token, cnt,
+             MAX(CASE WHEN rank = 1 THEN cnt END) OVER () AS f1
+           FROM r)
+         SELECT CAST(rank AS INT) AS rank, token,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST((CAST(cnt AS HUGEINT) * rank * 1000000) // f1 AS BIGINT)
+             AS zipf_ppm
+         FROM z ORDER BY rank""",
     "q_langid_confusion" ->
       """WITH sc AS (
            SELECT doc_id,

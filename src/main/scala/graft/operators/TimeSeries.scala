@@ -301,7 +301,58 @@ object TimeSeries {
           .as("wape_ppm"))
   }
 
+  /** Lags (days) swept by the cross-correlation scan. */
+  val CrossCorrLags: Seq[Int] = 0 to 7
+
+  /** Lead–lag discovery: Pearson cross-correlation of every event
+    * type's daily cents series against the `purchase` anchor series at
+    * lags 0..7 days — "which signals lead purchases, and by how much?"
+    * Sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * decimal(38) integers; the single float readout
+    * r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+    * is the IDENTICAL expression over the same exact integers in both
+    * engines — sqrt, ×, / are all correctly-rounded IEEE ops, so
+    * cross-engine parity holds where exp/ln would not (the
+    * [[graft.operators.Graph]] assortativity device plus one sqrt).
+    * Degenerate windows (either series constant) read NULL.
+    *
+    * Scale shape: ONE corpus exchange builds the (type, day) daily
+    * contraction; the 8-lag fan-out is map-side ON the contraction
+    * (the bootstrap device), the anchor join re-keys contraction-sized
+    * data by day, and the (type, lag) fold ends it. Headroom: n·Σx²
+    * rides decimal(38) to ~10¹² cents/day × 10⁴ days. */
+  val qTsCrossCorr: Q = (s, d) => {
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("v"))
+    val anchor = daily.filter(col("event_type") === "purchase")
+      .select(col("day"), col("v").as("y"))
+    daily
+      .withColumn("lag", explode(array(CrossCorrLags.map(lit): _*)))
+      .select(col("event_type"), col("lag"),
+        date_add(col("day"), col("lag")).as("day"), col("v").as("x"))
+      .join(anchor, "day")
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        expr("""CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy THEN
+                CAST(CAST(n * sxy - sx * sy AS STRING) AS DOUBLE)
+                / sqrt(CAST(CAST(n * sxx - sx * sx AS STRING) AS DOUBLE)
+                     * CAST(CAST(n * syy - sy * sy AS STRING) AS DOUBLE))
+                END""").as("r"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_cross_corr" -> qTsCrossCorr,
     "q_ts_backtest" -> qTsBacktest,
     "q_ts_changepoint" -> qTsChangepoint,
     "q_ts_time_weighted" -> qTsTimeWeighted,
@@ -312,6 +363,34 @@ object TimeSeries {
     "q_resample_ohlc" -> qResampleOhlc)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ts_cross_corr" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+           FROM events GROUP BY 1, 2),
+         a AS (SELECT day, v AS y FROM daily
+               WHERE event_type = 'purchase'),
+         x AS (
+           SELECT d.event_type, l.lag,
+             d.day + CAST(l.lag AS INT) AS day, d.v AS x
+           FROM daily d,
+             (SELECT unnest(generate_series(0, 7)) AS lag) l),
+         g AS (
+           SELECT x.event_type, x.lag, COUNT(*) AS n,
+             SUM(CAST(x.x AS HUGEINT)) AS sx,
+             SUM(CAST(a.y AS HUGEINT)) AS sy,
+             SUM(CAST(x.x AS HUGEINT) * a.y) AS sxy,
+             SUM(CAST(x.x AS HUGEINT) * x.x) AS sxx,
+             SUM(CAST(a.y AS HUGEINT) * a.y) AS syy
+           FROM x JOIN a USING (day) GROUP BY 1, 2)
+         SELECT event_type, CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx > sx * sx AND n * syy > sy * sy THEN
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+           END AS r
+         FROM g ORDER BY event_type, lag""",
     "q_ts_backtest" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,

@@ -141,7 +141,11 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_privacy_tcloseness" -> 5,
     // the signature build's doc-keyed exchange + the (band, band_key)
     // bucket rollup + the 4-row band fold
-    "q_dedup_bucket_stats" -> 3).withDefaultValue(2)
+    "q_dedup_bucket_stats" -> 3,
+    // (type, day) daily contraction + the day-keyed anchor join re-key
+    // + the (type, lag) sufficient-stats fold — post-contraction
+    // stages move |days|·|lags| rows
+    "q_ts_cross_corr" -> 3).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements

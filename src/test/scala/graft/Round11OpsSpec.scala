@@ -582,6 +582,58 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("cross-correlation: r matches a naive double fold; lag-0 " +
+    "purchase autocorr is 1") {
+    import graft.operators.TimeSeries
+    val got = TimeSeries.qTsCrossCorr(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate),
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val anchor = daily.collect { case ((t, d), v) if t == "purchase" =>
+      d -> v }
+    got.foreach { case ((tpe, lag), (n, r)) =>
+      val pairs = daily.toSeq.collect {
+        case ((t, d), x) if t == tpe && anchor.contains(d.plusDays(lag)) =>
+          (x.toDouble, anchor(d.plusDays(lag)).toDouble)
+      }
+      assert(n == pairs.length.toLong)
+      val nn = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val num = nn * pairs.map(p => p._1 * p._2).sum - sx * sy
+      val d1 = nn * pairs.map(p => p._1 * p._1).sum - sx * sx
+      val d2 = nn * pairs.map(p => p._2 * p._2).sum - sy * sy
+      if (d1 > 0 && d2 > 0) {
+        val want = num / math.sqrt(d1 * d2)
+        assert(math.abs(r.get - want) < 1e-9, s"$tpe lag$lag: $r vs $want")
+      } else assert(r.isEmpty)
+    }
+    assert(math.abs(got(("purchase", 0))._2.get - 1.0) < 1e-12)
+  }
+
+  test("zipf audit: rank 1 reads exactly 1e6 ppm; ratios match naive") {
+    import graft.operators.TextQueries
+    val rows = TextQueries.qTextZipf(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .distinct().count()
+    assert(rows.length.toLong == math.min(50L, vocab))
+    val f1 = rows.find(_._1 == 1).get._3
+    assert(rows.find(_._1 == 1).get._4 == 1000000L)
+    rows.foreach { case (rank, _, cnt, ppm) =>
+      assert(ppm == BigInt(cnt) * rank * 1000000 / f1)
+    }
+    // counts are rank-ordered (non-increasing)
+    val byRank = rows.sortBy(_._1).map(_._3)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => b <= a })
+  }
+
   test("balanced sample: every lang keeps exactly the min class count") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.qSampleBalanced(spark, sf).collect()
