@@ -291,17 +291,79 @@ object QualityModel {
           .as("pos_rate_ppm"))
   }
 
+  /** Brier score of the binned historical-rate predictor: predict each
+    * document's P(en) as its [[qEvalCalibration]] bin's observed rate,
+    * then score mean squared error against the true outcome — the
+    * proper scoring rule that closes the eval harness (AUC ranks,
+    * calibration eyeballs, Brier PRICES). Exactly integer at the
+    * micro² grain: rate in ppm, outcome at 10⁶, per-doc squared error
+    * (rate − y·10⁶)², reported as `brier_micro2 = Σ div n` (0 =
+    * perfect, 2.5·10¹¹ = the coin-flip 0.25 ceiling for a balanced
+    * class). In-sample by declaration — the predictor and the
+    * evaluation share the corpus, exactly how a pipeline smoke-checks
+    * its calibration table before deployment.
+    *
+    * Scale shape: two passes over the SHARED persisted [[scoreCells]]
+    * contraction (bin rates, then the weighted fold with the rate
+    * table broadcast back) — the corpus itself scans once across the
+    * whole eval family. Headroom: n_g·(rate−y)² ≤ 10¹²·n in
+    * decimal(38) past 10²⁰ docs. */
+  val qEvalBrier: Q = (s, d) => {
+    val cells = scoreCells(s, d).withColumn("bin",
+      expr(s"CAST(score AS LONG) div $CalibrationBinWidth"))
+    val binRate = cells.groupBy(col("bin"))
+      .agg(sum(col("n_pos_g")).as("bn"),
+        coalesce(sum(when(col("lang") === "en", col("n_pos_g"))), lit(0L))
+          .as("bpos"))
+      .select(col("bin"),
+        expr("CAST(CAST(bpos AS DECIMAL(38,0)) * 1000000 div bn AS LONG)")
+          .as("rate_ppm"))
+    cells.join(broadcast(binRate), "bin")
+      .withColumn("y6",
+        when(col("lang") === "en", 1000000L).otherwise(0L))
+      .agg(sum(col("n_pos_g")).as("n"),
+        sum(col("n_pos_g").cast("decimal(38,0)")
+          * (col("rate_ppm") - col("y6")) * (col("rate_ppm") - col("y6")))
+          .as("se"))
+      .select(col("n"),
+        expr("CAST(se div n AS LONG)").as("brier_micro2"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_quality_logistic" -> qQualityLogistic,
     "q_eval_auc" -> qEvalAuc,
     "q_eval_gains" -> qEvalGains,
     "q_eval_confusion" -> qEvalConfusion,
-    "q_eval_calibration" -> qEvalCalibration)
+    "q_eval_calibration" -> qEvalCalibration,
+    "q_eval_brier" -> qEvalBrier)
 
   /** q_quality_logistic is the no-oracle float class (sigmoid);
     * QualitySpec pins accuracy vs the gate and rerun determinism.
     * q_eval_auc is integer-exact and oracle-pinned below. */
   val oracleSql: Map[String, String] = Map(
+    "q_eval_brier" ->
+      """WITH pl AS (
+           SELECT n_chars AS score, lang, COUNT(*) AS n_pos_g
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT CAST(score AS BIGINT) // 100 AS bin, lang, n_pos_g
+           FROM pl),
+         br AS (
+           SELECT bin,
+             CAST(COALESCE(SUM(n_pos_g) FILTER (WHERE lang = 'en'), 0)
+               AS HUGEINT) * 1000000 // SUM(n_pos_g) AS rate_ppm
+           FROM c GROUP BY 1),
+         f AS (
+           SELECT SUM(c.n_pos_g) AS n,
+             SUM(CAST(c.n_pos_g AS HUGEINT)
+               * (br.rate_ppm - CASE WHEN c.lang = 'en'
+                   THEN 1000000 ELSE 0 END)
+               * (br.rate_ppm - CASE WHEN c.lang = 'en'
+                   THEN 1000000 ELSE 0 END)) AS se
+           FROM c JOIN br USING (bin))
+         SELECT CAST(n AS BIGINT) AS n,
+           CAST(se // n AS BIGINT) AS brier_micro2
+         FROM f""",
     "q_eval_calibration" ->
       """WITH pl AS (
            SELECT n_chars AS score, lang, COUNT(*) AS n_pos_g

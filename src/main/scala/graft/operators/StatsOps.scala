@@ -270,13 +270,147 @@ object StatsOps {
           .as("rejected"))
   }
 
+  /** Wilson containment test for a per-type event proportion (share of
+    * events with cents ≥ 50000), kept PURELY integer: the Wilson 95%
+    * interval is exactly the inversion of the binomial score test, so
+    * "is rate p₀ = k% inside the interval" is the cross-multiplied
+    * inequality (100x − kn)²·10⁴ ≤ 38416·k·(100−k)·n (1.96²·10⁴ =
+    * 38416 exactly) — the rate-SLO monitor ("is this consistent with
+    * ≤1%?") without a single float. Emitting the float bounds
+    * themselves was tried and REVERTED: the c ± m chain (two
+    * divisions, a sqrt, a cancelling subtraction) drifts 1 ULP
+    * cross-engine at sf1 — multi-op float chains are not the
+    * single-division device (DESIGN.md §7), and this inversion is the
+    * exact form the same readout should take.
+    *
+    * Scale shape: ONE map-side-combinable rollup to |types| rows;
+    * everything after is 5-row arithmetic. Headroom: (100x)²·10⁴
+    * rides decimal(38) past 10¹⁵ events per type. */
+  val qStatWilson: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def inside(k: Int): Column =
+      (dec(lit(100) * col("x") - lit(k) * col("n"))
+        * (lit(100) * col("x") - lit(k) * col("n")) * lit(10000)
+        <= dec(lit(38416L * k * (100 - k))) * col("n"))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        when(cents >= 50000L, 1L).otherwise(0L).as("hit"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("x"))
+      .select(col("event_type"), col("n"), col("x"),
+        expr("CAST(CAST(x AS DECIMAL(38,0)) * 1000000 div n AS LONG)")
+          .as("p_ppm"),
+        inside(1).as("consistent_1pct"),
+        inside(5).as("consistent_5pct"))
+  }
+
+  /** Wald–Wolfowitz runs test on each type's day-over-day direction
+    * sequence — "is the daily movement random, or trending/oscillating?"
+    * Directions are up (delta > 0) vs down (first day dropped), R =
+    * observed runs, and the α = 0.05 two-sided decision
+    * (R − μ)² > z²σ² is cross-multiplied into PURE integers:
+    * with N = n₁+n₂, A = 2n₁n₂ —
+    * ((R−1)·N − A)² · (N−1) · 10⁴ > 38416 · A · (A − N)
+    * (μ = A/N + 1, σ² = A(A−N)/(N²(N−1)), 1.96²·10⁴ = 38416; both
+    * sides share the N²(N−1) denominator, every operand non-negative
+    * since A ≥ N whenever both directions occur). Degenerate sequences
+    * (all one direction, or N < 2) read NULL.
+    *
+    * Scale shape: the (type, day) contraction, then two type-keyed
+    * windows (delta sign, run breaks) riding ONE exchange, then the
+    * |types|-row fold. Headroom: the decision products ride decimal(38)
+    * past 10⁹ days. */
+  val qStatRuns: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("v"))
+      .withColumn("delta", col("v") - lag("v", 1).over(w))
+      .filter(col("delta").isNotNull)
+      .withColumn("up", (col("delta") > 0).cast("long"))
+      .withColumn("brk",
+        when(lag("up", 1).over(w).isNull
+          || lag("up", 1).over(w) =!= col("up"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("up")).as("n_up"),
+        sum(lit(1L) - col("up")).as("n_down"),
+        sum(col("brk")).as("runs"))
+      .select(col("event_type"), col("n_up"), col("n_down"), col("runs"),
+        when(col("n_up") > 0 && col("n_down") > 0,
+          dec((col("runs") - 1) * (col("n_up") + col("n_down"))
+            - lit(2) * col("n_up") * col("n_down"))
+            * ((col("runs") - 1) * (col("n_up") + col("n_down"))
+              - lit(2) * col("n_up") * col("n_down"))
+            * (col("n_up") + col("n_down") - 1) * lit(10000) >
+            dec(lit(38416)) * (lit(2) * col("n_up") * col("n_down"))
+              * (lit(2) * col("n_up") * col("n_down")
+                - col("n_up") - col("n_down")))
+          .as("rejected"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_drift_chisq" -> qDriftChisq,
     "q_stat_mcnemar" -> qStatMcnemar,
+    "q_stat_wilson" -> qStatWilson,
+    "q_stat_runs" -> qStatRuns,
     "q_abtest_anova" -> qAbtestAnova)
 
   val oracleSql: Map[String, String] = Map(
+    "q_stat_wilson" ->
+      """WITH f AS (
+           SELECT event_type, COUNT(*) AS n,
+             SUM(CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+               AS BIGINT) >= 50000 THEN 1 ELSE 0 END) AS x
+           FROM events GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+           CAST(CAST(x AS HUGEINT) * 1000000 // n AS BIGINT) AS p_ppm,
+           CAST(100 * x - 1 * n AS HUGEINT) * (100 * x - 1 * n) * 10000
+             <= CAST(3803184 AS HUGEINT) * n AS consistent_1pct,
+           CAST(100 * x - 5 * n AS HUGEINT) * (100 * x - 5 * n) * 10000
+             <= CAST(18247600 AS HUGEINT) * n AS consistent_5pct
+         FROM f ORDER BY event_type""",
+    "q_stat_runs" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+           FROM events GROUP BY 1, 2),
+         dlt AS (
+           SELECT event_type, day,
+             v - LAG(v) OVER (PARTITION BY event_type ORDER BY day)
+               AS delta
+           FROM daily),
+         dir AS (
+           SELECT event_type, day,
+             CASE WHEN delta > 0 THEN 1 ELSE 0 END AS up
+           FROM dlt WHERE delta IS NOT NULL),
+         brk AS (
+           SELECT event_type, up,
+             CASE WHEN LAG(up) OVER (PARTITION BY event_type
+                 ORDER BY day) IS DISTINCT FROM up
+               THEN 1 ELSE 0 END AS brk
+           FROM dir),
+         f AS (
+           SELECT event_type, SUM(up) AS n_up,
+             SUM(1 - up) AS n_down, SUM(brk) AS runs
+           FROM brk GROUP BY 1)
+         SELECT event_type, CAST(n_up AS BIGINT) AS n_up,
+           CAST(n_down AS BIGINT) AS n_down,
+           CAST(runs AS BIGINT) AS runs,
+           CASE WHEN n_up > 0 AND n_down > 0 THEN
+             CAST((runs - 1) * (n_up + n_down)
+               - 2 * n_up * n_down AS HUGEINT)
+             * ((runs - 1) * (n_up + n_down) - 2 * n_up * n_down)
+             * (n_up + n_down - 1) * 10000 >
+             CAST(38416 AS HUGEINT) * (2 * n_up * n_down)
+               * (2 * n_up * n_down - n_up - n_down)
+           END AS rejected
+         FROM f ORDER BY event_type""",
     "q_stat_mcnemar" ->
       """WITH t AS (
            SELECT lang,

@@ -634,6 +634,63 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(byRank.zip(byRank.tail).forall { case (a, b) => b <= a })
   }
 
+  test("wilson containment: flags agree with the naive double Wilson " +
+    "interval") {
+    val rows = StatsOps.qStatWilson(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.length == 5)
+    rows.foreach { case (tpe, n, x, ppm, c1, c5) =>
+      assert(ppm == BigInt(x) * 1000000 / n)
+      val (nn, xx) = (n.toDouble, x.toDouble)
+      val c = (xx + 1.9208) / (nn + 3.8416)
+      val m = 1.96 / (nn + 3.8416) * math.sqrt(xx * (nn - xx) / nn + 0.9604)
+      // the integer score test IS the Wilson-interval inversion: each
+      // containment flag must agree with the naive double interval
+      // (the fixture rates sit far from the decision boundary)
+      Seq(0.01 -> c1, 0.05 -> c5).foreach { case (p0, flag) =>
+        assert(flag == (p0 >= c - m && p0 <= c + m),
+          s"$tpe@$p0: flag=$flag vs [${c - m}, ${c + m}]")
+      }
+    }
+  }
+
+  test("runs test: decision matches a naive z-statistic") {
+    val rows = StatsOps.qStatRuns(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n1, n2, runs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (n1 == 0 || n2 == 0) assert(r.isNullAt(4))
+      else {
+        val nn = (n1 + n2).toDouble
+        val a = 2.0 * n1 * n2
+        val mu = a / nn + 1
+        val s2 = a * (a - nn) / (nn * nn * (nn - 1))
+        val rej = (runs - mu) * (runs - mu) > 3.8416 * s2
+        assert(r.getBoolean(4) == rej,
+          s"${r.getString(0)}: n1=$n1 n2=$n2 R=$runs")
+      }
+    }
+  }
+
+  test("brier: matches a naive bin-rate walk and sits in [0, 2.5e11]") {
+    import graft.operators.QualityModel
+    val row = QualityModel.qEvalBrier(spark, sf).collect()(0)
+    val docs = Tables.documents(spark, sf)
+      .select(col("n_chars"), col("lang")).collect()
+      .map(r => (r.getLong(0) / QualityModel.CalibrationBinWidth,
+        r.getString(1) == "en"))
+    val rate = docs.groupBy(_._1).view.mapValues(ds =>
+      BigInt(ds.count(_._2)) * 1000000 / ds.length).toMap
+    val se = docs.map { case (bin, en) =>
+      val diff = rate(bin) - (if (en) BigInt(1000000) else BigInt(0))
+      diff * diff
+    }.sum
+    assert(row.getLong(0) == docs.length.toLong)
+    assert(row.getLong(1) == se / docs.length)
+    assert(row.getLong(1) >= 0L && row.getLong(1) <= 250000000000L)
+  }
+
   test("balanced sample: every lang keeps exactly the min class count") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.qSampleBalanced(spark, sf).collect()
