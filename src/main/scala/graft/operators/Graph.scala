@@ -535,7 +535,33 @@ object Graph {
         (dec(col("m2")) * col("m2")).cast("long").as("q_den"))
   }
 
+  /** Degree-distribution census of the co-order graph: per observed
+    * degree value, the node count and the exact CCDF in ppm
+    * (`nodes with degree ≥ d` · 10⁶ div |V|) — the one-glance
+    * power-law-or-not health readout every graph pipeline snapshots
+    * before trusting hub-sensitive algorithms (triangle orientation,
+    * salting decisions both key off the tail this table exposes).
+    *
+    * Scale shape: degrees is one union-agg exchange; the histogram is
+    * a |distinct degrees|-row contraction and both the descending
+    * cumulative window and the total ride it. */
+  val qGraphDegreeDist: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val hist = degrees(coOrderEdges(s, d))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val wDesc = Window.orderBy(col("degree").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_ge", sum(col("n_nodes")).over(wDesc))
+      .withColumn("total",
+        sum(col("n_nodes")).over(Window.partitionBy()))
+      .select(col("degree"), col("n_nodes"), col("n_ge"),
+        expr("""CAST(CAST(n_ge AS DECIMAL(38,0)) * 1000000 div total
+                AS LONG)""").as("ccdf_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_degree_dist" -> qGraphDegreeDist,
     "q_graph_modularity" -> qGraphModularity,
     "q_graph_degree" -> qGraphDegree,
     "q_graph_clustering" -> qGraphClustering,
@@ -561,6 +587,24 @@ object Graph {
   private val edgeCte: String = "WITH " + edgeCteBody
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_degree_dist" -> (edgeCte +
+      """,
+       deg AS (
+         SELECT node, COUNT(*) AS degree FROM (
+           SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+         GROUP BY 1),
+       h AS (SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY 1),
+       r AS (
+         SELECT degree, n_nodes,
+           SUM(n_nodes) OVER (ORDER BY degree DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_ge,
+           SUM(n_nodes) OVER () AS total
+         FROM h)
+       SELECT degree, CAST(n_nodes AS BIGINT) AS n_nodes,
+         CAST(n_ge AS BIGINT) AS n_ge,
+         CAST(CAST(n_ge AS HUGEINT) * 1000000 // total AS BIGINT)
+           AS ccdf_ppm
+       FROM r ORDER BY degree"""),
     "q_graph_modularity" -> (edgeCte +
       """,
        eb AS (

@@ -897,7 +897,36 @@ object TextQueries {
                 div f1 AS LONG)""").as("zipf_ppm"))
   }
 
+  /** Token burstiness for the head vocabulary — Church & Gale's
+    * corpus-linguistics diagnostic: burst = CF/DF, the mean occurrences
+    * per CONTAINING document, emitted as the exact milli integer
+    * `CF·1000 div DF`. 1000 = the token appears once wherever it
+    * appears (function-word behavior); high = it CLUMPS (topic words,
+    * boilerplate, templates) — the signal that separates "frequent
+    * because everywhere" from "frequent because duplicated", which is
+    * why dedup pipelines read it next to [[qTextZipf]].
+    *
+    * Scale shape: CF rides the shared session vocab artifact (corpus
+    * scanned once across vocab consumers); DF is one doc-distinct
+    * explode into a token-keyed rollup joined to the 50-row head —
+    * AQE broadcasts the head side, so the join never shuffles the DF
+    * table. Headroom: CF·1000 in decimal(38) past 10³⁰ occurrences. */
+  val qTextBurstiness: Q = (s, d) => {
+    val head = vocabTopK(Tables.documents(s, d), k = 50,
+      cacheKey = Some(s"vocab:${System.identityHashCode(s)}:$d"))
+      .select(col("rank"), col("token"), col("cnt").as("cf"))
+    val df = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(
+        split(lower(col("text")), " "))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    df.join(broadcast(head), "token")
+      .select(col("rank"), col("token"), col("cf"), col("df"),
+        expr("CAST(CAST(cf AS DECIMAL(38,0)) * 1000 div df AS LONG)")
+          .as("burst_milli"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_burstiness" -> qTextBurstiness,
     "q_text_zipf" -> qTextZipf,
     "q_langid_confusion" -> qLangidConfusion,
     "q_vocab_coverage" -> qVocabCoverage,
@@ -923,6 +952,28 @@ object TextQueries {
     "q_vocab_topk" -> qVocabTopk)
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_burstiness" ->
+      """WITH t AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS token
+           FROM documents),
+         c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+         k AS (SELECT token, cnt FROM c
+               ORDER BY cnt DESC, token LIMIT 50),
+         head AS (
+           SELECT token, cnt AS cf,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+           FROM k),
+         docdist AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' ')))
+               AS token
+           FROM documents),
+         df AS (SELECT token, COUNT(*) AS df FROM docdist GROUP BY 1)
+         SELECT CAST(head.rank AS INT) AS rank, head.token,
+           CAST(head.cf AS BIGINT) AS cf, CAST(df.df AS BIGINT) AS df,
+           CAST(CAST(head.cf AS HUGEINT) * 1000 // df.df AS BIGINT)
+             AS burst_milli
+         FROM df JOIN head USING (token) ORDER BY rank""",
     "q_text_zipf" ->
       """WITH t AS (
            SELECT unnest(string_split(lower(text), ' ')) AS token

@@ -351,7 +351,68 @@ object TimeSeries {
                 END""").as("r"))
   }
 
+  /** Offset that keeps every Theil–Sen slope numerator non-negative
+    * before the integer division (|Δcents|·1000 can never reach K·Δday
+    * for Δday ≥ 1 at any plausible daily volume — K = 10¹⁸ milli-cents
+    * per day), so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree on NEGATIVE slopes too: slope = (Δv·1000 + K·Δd) div Δd − K,
+    * with the left operand non-negative by construction. */
+  val TheilSenOffset = BigDecimal("1000000000000000000")
+
+  /** Theil–Sen robust trend per event type at a DECLARED milli-cents/
+    * day grain: the median of all pairwise daily slopes — the trend
+    * estimator that shrugs off the outlier days OLS chases
+    * ([[graft.operators.AssociationOps]] qRegrFit is the L2 twin).
+    * Slopes quantize to exact integers via the offset device above;
+    * the median is an exact ORDER STATISTIC (row_number over the
+    * per-type slope ranking), emitted as the two middle order stats
+    * `med_lo`/`med_hi` rather than their average — averaging two
+    * possibly-negative milli values reintroduces the trunc-vs-floor
+    * divergence the offset just removed.
+    *
+    * Scale shape: the (type, day) contraction self-joins on the type
+    * key (day < day residual) — pair volume is |days|² per type, and
+    * |days| is bounded by the CALENDAR, not the corpus, so the pair
+    * table stays ~10⁵ rows per type-year at any data scale; the rank
+    * window and fold ride the pair table's own type partitioning. */
+  val qTsTheilSen: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("day"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("v"))
+    val slopes = daily.as("a")
+      .join(daily.as("b"), col("a.event_type") === col("b.event_type")
+        && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        dec(col("b.v") - col("a.v")).as("dv"),
+        (col("b.day") - col("a.day")).cast("long").as("dd"))
+      .select(col("event_type"),
+        expr("""CAST((dv * 1000
+                + CAST('1000000000000000000' AS DECIMAL(38,0)) * dd)
+                div dd
+                - CAST('1000000000000000000' AS DECIMAL(38,0)) AS LONG)""")
+          .as("slope_milli"))
+    val w = Window.partitionBy("event_type").orderBy("slope_milli")
+    val wAll = Window.partitionBy("event_type")
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col("event_type"))
+      .agg(max(col("cnt")).as("n_pairs"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"),
+          col("slope_milli"))).as("med_lo"),
+        max(when(col("rn") === expr("(cnt + 2) div 2"),
+          col("slope_milli"))).as("med_hi"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_theil_sen" -> qTsTheilSen,
     "q_ts_cross_corr" -> qTsCrossCorr,
     "q_ts_backtest" -> qTsBacktest,
     "q_ts_changepoint" -> qTsChangepoint,
@@ -363,6 +424,37 @@ object TimeSeries {
     "q_resample_ohlc" -> qResampleOhlc)
 
   val oracleSql: Map[String, String] = Map(
+    "q_ts_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS day,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type,
+             CAST(b.v - a.v AS HUGEINT) AS dv,
+             CAST(b.day - a.day AS BIGINT) AS dd
+           FROM daily a JOIN daily b
+             ON b.event_type = a.event_type AND a.day < b.day),
+         s AS (
+           SELECT event_type,
+             CAST((dv * 1000
+                 + CAST('1000000000000000000' AS HUGEINT) * dd) // dd
+               - CAST('1000000000000000000' AS HUGEINT) AS BIGINT)
+               AS slope_milli
+           FROM p),
+         r AS (
+           SELECT event_type, slope_milli,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY slope_milli) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+           FROM s)
+         SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+           MAX(CASE WHEN rn = (cnt + 1) // 2 THEN slope_milli END)
+             AS med_lo,
+           MAX(CASE WHEN rn = (cnt + 2) // 2 THEN slope_milli END)
+             AS med_hi
+         FROM r GROUP BY event_type ORDER BY event_type""",
     "q_ts_cross_corr" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day,

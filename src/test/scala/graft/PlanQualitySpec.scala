@@ -145,7 +145,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // (type, day) daily contraction + the day-keyed anchor join re-key
     // + the (type, lag) sufficient-stats fold — post-contraction
     // stages move |days|·|lags| rows
-    "q_ts_cross_corr" -> 3).withDefaultValue(2)
+    "q_ts_cross_corr" -> 3,
+    // degree build (union-agg) + the degree-histogram rollup + the
+    // singleton cumulative window over the |distinct degrees| rows
+    "q_graph_degree_dist" -> 3).withDefaultValue(2)
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements

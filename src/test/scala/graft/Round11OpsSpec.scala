@@ -691,6 +691,71 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(row.getLong(1) >= 0L && row.getLong(1) <= 250000000000L)
   }
 
+  test("theil-sen: medians match a naive pairwise slope walk") {
+    import graft.operators.TimeSeries
+    val got = TimeSeries.qTsTheilSen(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => ((r.getString(0),
+        r.getDate(1).toLocalDate.toEpochDay), // absolute day; deltas equal
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    got.foreach { case (tpe, (n, lo, hi)) =>
+      val days = daily.keys.filter(_._1 == tpe).map(_._2).toSeq.sorted
+      val slopes = (for {
+        i <- days.indices; j <- i + 1 until days.length
+        dv = BigInt(daily((tpe, days(j))) - daily((tpe, days(i))))
+        dd = BigInt(days(j) - days(i))
+        // floor division (BigInt / truncates; adjust for negatives)
+        q = (dv * 1000) / dd
+        f = if ((dv * 1000) % dd != 0 && (dv * 1000).signum < 0) q - 1
+            else q
+      } yield f.toLong).sorted
+      assert(n == slopes.length.toLong)
+      assert(lo == slopes((slopes.length + 1) / 2 - 1), s"$tpe lo")
+      assert(hi == slopes((slopes.length + 2) / 2 - 1), s"$tpe hi")
+    }
+  }
+
+  test("burstiness: cf/df match naive counts; burst >= 1000") {
+    import graft.operators.TextQueries
+    val rows = TextQueries.qTextBurstiness(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).toLowerCase.split(" ").toSeq)
+    rows.foreach { case (tok, cf, df, burst) =>
+      assert(cf == docs.map(_.count(_ == tok)).sum.toLong)
+      assert(df == docs.count(_.contains(tok)).toLong)
+      assert(burst == BigInt(cf) * 1000 / df)
+      assert(burst >= 1000L)
+    }
+  }
+
+  test("degree distribution: histogram and ccdf match a naive fold") {
+    import graft.operators.Graph
+    val got = Graph.qGraphDegreeDist(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val edges = Graph.coOrderEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hist = deg.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got.keySet == hist.keySet)
+    val total = deg.size.toLong
+    got.foreach { case (d, (n, nGe, ppm)) =>
+      assert(n == hist(d))
+      val wantGe = hist.filter(_._1 >= d).values.sum
+      assert(nGe == wantGe)
+      assert(ppm == BigInt(wantGe) * 1000000 / total)
+    }
+  }
+
   test("balanced sample: every lang keeps exactly the min class count") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.qSampleBalanced(spark, sf).collect()
