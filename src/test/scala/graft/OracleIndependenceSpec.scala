@@ -325,4 +325,158 @@ class OracleIndependenceSpec extends AnyFunSuite {
     assert(skipped <= 13, s"$skipped groups skipped — fixture too " +
       "boundary-heavy to be evidence")
   }
+
+  // ------------------------------------------------------------- mcnemar
+
+  test("q_stat_mcnemar matches a naive double chi-square reference on " +
+    "120+ random langs") {
+    import spark.implicits._
+    val rnd = new Random(421105)
+    val stop = Seq("the", "a", "of", "and", "in", "to")
+    val rows = (0 until 130).flatMap { g =>
+      val lang = f"l$g%03d"
+      (0 until 4 + rnd.nextInt(12)).map { i =>
+        val nStop = rnd.nextInt(4)
+        val nFill = 45 + rnd.nextInt(12) // straddles the 50-word gate
+        val toks = Seq.fill(nStop)(stop(rnd.nextInt(6))) ++
+          Seq.fill(nFill)(f"w${rnd.nextInt(999)}%03d")
+        (g * 1000L + i, toks.mkString(" "), lang, "src0",
+          toks.mkString(" ").length.toLong)
+      }
+    }
+    val dir = tmpDir("mcnemar")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("q_stat_mcnemar")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(6)) None else Some(r.getBoolean(6)))).toMap
+
+    var compared = 0
+    var skipped = 0
+    rows.groupBy(_._3).foreach { case (lang, ds) =>
+      val cells = ds.map { d =>
+        val toks = d._2.split(" ")
+        (toks.length >= 50 && toks.length <= 100000,
+          toks.count(stop.contains) >= 2)
+      }
+      val b = cells.count(c => c._1 && !c._2).toDouble
+      val c = cells.count(c => !c._1 && c._2).toDouble
+      if (b + c == 0) assert(got(lang).isEmpty, s"$lang: b+c=0 must NULL")
+      else {
+        val chi2 = (b - c) * (b - c) / (b + c)
+        if (math.abs(chi2 - 3.8415) < 1e-6) skipped += 1
+        else {
+          compared += 1
+          assert(got(lang).contains(chi2 > 3.8415),
+            s"$lang: naive chi2=$chi2, engine said ${got(lang)}")
+        }
+      }
+    }
+    assert(compared >= 100, s"only $compared langs compared")
+    assert(skipped <= 13, s"$skipped langs inside the ε-band")
+  }
+
+  // -------------------------------------------------------------- wilson
+
+  test("q_stat_wilson matches a naive double Wilson interval on 120+ " +
+    "random groups") {
+    import spark.implicits._
+    val rnd = new Random(421106)
+    val rows = (0 until 130).flatMap { g =>
+      val tpe = f"w$g%03d"
+      val n = 10 + rnd.nextInt(400)
+      // rates clustered around the 1% / 5% decision region
+      val rate = rnd.nextDouble() * 0.12
+      (0 until n).map { i =>
+        val v = if (rnd.nextDouble() < rate) 600.0 else 1.0
+        (g * 1000L + i, Timestamp.valueOf("2024-01-01 12:00:00"),
+          1L, tpe, v, "{}")
+      }
+    }
+    val dir = tmpDir("wilson")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("q_stat_wilson")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(4), r.getBoolean(5))).toMap
+
+    var compared = 0
+    var skipped = 0
+    rows.groupBy(_._4).foreach { case (tpe, rs) =>
+      val n = rs.length.toDouble
+      val x = rs.count(_._5 >= 500.0).toDouble
+      val c = (x + 1.9208) / (n + 3.8416)
+      val m = 1.96 / (n + 3.8416) *
+        math.sqrt(x * (n - x) / n + 0.9604)
+      Seq(0.01 -> got(tpe)._1, 0.05 -> got(tpe)._2).foreach {
+        case (p0, flag) =>
+          if (math.min(math.abs(p0 - (c - m)), math.abs(p0 - (c + m)))
+              < 1e-9) skipped += 1
+          else {
+            compared += 1
+            assert(flag == (p0 >= c - m && p0 <= c + m),
+              s"$tpe@$p0: naive [${c - m}, ${c + m}], engine said $flag" +
+                s" (n=${n.toLong} x=${x.toLong})")
+          }
+      }
+    }
+    assert(compared >= 200, s"only $compared containments compared")
+    assert(skipped <= 26, s"$skipped containments inside the ε-band")
+  }
+
+  // ---------------------------------------------------------------- runs
+
+  test("q_stat_runs matches a naive double z reference on 120+ random " +
+    "series") {
+    import spark.implicits._
+    val rnd = new Random(421107)
+    val rows = (0 until 130).flatMap { g =>
+      val tpe = f"r$g%03d"
+      // one event per day; value random walk forces up/down mixes
+      (1 to 6 + rnd.nextInt(22)).map { day =>
+        (g * 1000L + day,
+          Timestamp.valueOf(f"2024-01-${(day % 28) + 1}%02d 12:00:00"),
+          1L, tpe, 1.0 + rnd.nextInt(500) / 100.0, "{}")
+      }
+    }
+    val dir = tmpDir("runs")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = SparkEntry.queries("q_stat_runs")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+
+    var compared = 0
+    var skipped = 0
+    rows.groupBy(_._4).foreach { case (tpe, rs) =>
+      val daily = rs.groupBy(_._2).view
+        .mapValues(_.map(e => math.round(e._5 * 100)).sum)
+        .toSeq.sortBy(_._1.getTime).map(_._2)
+      val ups = daily.zip(daily.tail).map { case (a, b) => b > a }
+      if (ups.isEmpty || ups.forall(identity) || !ups.exists(identity)) {
+        assert(got(tpe).isEmpty, s"$tpe: degenerate must NULL")
+      } else {
+        val n1 = ups.count(identity).toDouble
+        val n2 = ups.count(!_).toDouble
+        val runs = 1 + ups.zip(ups.tail).count(p => p._1 != p._2)
+        val nn = n1 + n2
+        val a = 2 * n1 * n2
+        val mu = a / nn + 1
+        val s2 = a * (a - nn) / (nn * nn * (nn - 1))
+        val z2 = (runs - mu) * (runs - mu)
+        if (s2 == 0 || math.abs(z2 - 3.8416 * s2) < 1e-9 * (1 + s2))
+          skipped += 1
+        else {
+          compared += 1
+          assert(got(tpe).contains(z2 > 3.8416 * s2),
+            s"$tpe: naive z2=$z2 vs ${3.8416 * s2}, engine " +
+              s"said ${got(tpe)} (n1=$n1 n2=$n2 R=$runs)")
+        }
+      }
+    }
+    assert(compared >= 100, s"only $compared series compared")
+    assert(skipped <= 13, s"$skipped series inside the ε-band")
+  }
 }
