@@ -280,7 +280,50 @@ object Behavior {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Pareto (value-concentration) curve: rank users by total spend
+    * (cents), bucket into deciles by ntile(10) over (spend desc,
+    * user_id), and read off each decile's share of total value in ppm
+    * plus the cumulative share — the exact "do 20% of users carry 80%
+    * of value" readout, the distributional companion to
+    * [[graft.operators.FrontierOps]]'s Gini/HHI scalars (same
+    * question, curve instead of index).
+    *
+    * Scale shape: one user-keyed rollup contracts the stream to
+    * |users| rows; the global ntile/cumulative windows ride that
+    * contraction — at petabyte event volume the windowed frame is the
+    * user table, and if even that outgrew a single partition the
+    * decile boundaries come from the weighted-percentile device
+    * instead (declared). Headroom: cum·10⁶ in decimal(38) past 10²⁴
+    * total cents. */
+  val qParetoShare: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.events(s, d)
+      .select(col("user_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * 100).cast("long").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("spend"))
+    val wRank = Window.orderBy(col("spend").desc, col("user_id"))
+    val byDecile = spend
+      .withColumn("decile", ntile(10).over(wRank))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("spend")).as("value"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum_value", sum(col("value")).over(wCum))
+      .withColumn("total",
+        sum(col("value")).over(Window.partitionBy()))
+      .select(col("decile"), col("n_users"), col("value"),
+        expr("""CASE WHEN total > 0 THEN
+                CAST(CAST(value AS DECIMAL(38,0)) * 1000000 div total
+                AS LONG) END""").as("share_ppm"),
+        expr("""CASE WHEN total > 0 THEN
+                CAST(CAST(cum_value AS DECIMAL(38,0)) * 1000000
+                div total AS LONG) END""").as("cum_share_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_pareto_share" -> qParetoShare,
     "q_audience_overlap" -> qAudienceOverlap,
     "q_rfm_segments" -> qRfmSegments,
     "q_pattern_sequence" -> qPatternSequence,
@@ -292,6 +335,36 @@ object Behavior {
     "q_runs_consecutive" -> qRunsConsecutive)
 
   val oracleSql: Map[String, String] = Map(
+    "q_pareto_share" ->
+      """WITH spend AS (
+           SELECT user_id,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS spend
+           FROM events GROUP BY 1),
+         dq AS (
+           SELECT NTILE(10) OVER (ORDER BY spend DESC, user_id)
+               AS decile, spend
+           FROM spend),
+         f AS (
+           SELECT decile, COUNT(*) AS n_users, SUM(spend) AS value
+           FROM dq GROUP BY 1),
+         g AS (
+           SELECT decile, n_users, value,
+             SUM(value) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_value,
+             SUM(value) OVER () AS total
+           FROM f)
+         SELECT CAST(decile AS INT) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(value AS BIGINT) AS value,
+           CASE WHEN total > 0 THEN
+             CAST(CAST(value AS HUGEINT) * 1000000 // total AS BIGINT)
+           END AS share_ppm,
+           CASE WHEN total > 0 THEN
+             CAST(CAST(cum_value AS HUGEINT) * 1000000 // total
+               AS BIGINT) END AS cum_share_ppm
+         FROM g ORDER BY decile""",
     "q_audience_overlap" ->
       """WITH t AS (SELECT DISTINCT user_id, event_type FROM events)
          SELECT a.event_type AS type_a, b.event_type AS type_b,

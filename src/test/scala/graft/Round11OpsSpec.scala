@@ -756,6 +756,40 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pareto: decile shares match a naive spend ranking and sum to 1e6") {
+    import graft.operators.Behavior
+    val rows = Behavior.qParetoShare(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    val spend = Tables.events(spark, sf)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows.map(_._2).sum == spend.size.toLong)
+    val total = spend.values.map(BigInt(_)).sum
+    assert(rows.map(_._3).map(BigInt(_)).sum == total)
+    // decile 1 (top spenders) carries at least its proportional share
+    assert(rows.head._4 >= 100000L)
+    // cumulative share is non-decreasing and ends at ~1e6 (floor)
+    val cums = rows.map(_._5)
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    assert(cums.last == total * 1000000 / total) // == 1e6 exactly
+    // shares match a naive ntile walk
+    val ranked = spend.toSeq.sortBy { case (u, sp) => (-sp, u) }
+    val n = ranked.length
+    val want = (1 to 10).map { dl =>
+      val sz = n / 10 + (if (dl <= n % 10) 1 else 0)
+      val start = (1 until dl).map(j =>
+        n / 10 + (if (j <= n % 10) 1 else 0)).sum
+      ranked.slice(start, start + sz).map(x => BigInt(x._2)).sum
+    }
+    rows.zip(want).foreach { case ((dl, _, v, sppm, _), w) =>
+      assert(BigInt(v) == w, s"decile $dl")
+      assert(sppm == (w * 1000000 / total).toLong)
+    }
+  }
+
   test("balanced sample: every lang keeps exactly the min class count") {
     import graft.operators.CorpusPipeline
     val got = CorpusPipeline.qSampleBalanced(spark, sf).collect()
