@@ -13,6 +13,15 @@ import org.apache.spark.sql.SparkSession
   * deterministic run-to-run, unlike Map iteration order.
   */
 object Bench {
+  /** 1-minute system load average (-1.0 where the platform can't say).
+    * Captured at run start AND end: BASELINE.md records a 38–55 s swing
+    * on identical code, and r8/r11 both burned investigation time
+    * deciding whether a delta was regression or a loaded host — one
+    * field ends that ambiguity. */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,6 +52,7 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
+    val loadStart = loadAvg
     val debugReps = sys.env.contains("SPARK_GRAFT_DEBUG_REPS")
     val failed = collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -74,7 +84,10 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val cfg = s""""cpus":$cpus,"shuffle":$cpus,"reps":$reps""" + failedJson
+    val cfg = s""""cpus":$cpus,"shuffle":$cpus,"reps":$reps,""" +
+      s""""host_cpus":${Runtime.getRuntime.availableProcessors},""" +
+      f""""loadavg_start":$loadStart%.2f,"loadavg_end":${loadAvg}%.2f""" +
+      failedJson
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec",$cfg,"queries":$qs,"sf":"$sfDir"}"""
     println(full)

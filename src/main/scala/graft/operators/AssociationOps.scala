@@ -198,30 +198,40 @@ object AssociationOps {
     * construction job-free, unlike a collected scalar).
     *
     * 100 TB shape: baskets contract to distinct (order, item) pairs
-    * map-side; the pair count is a self-join on the order key (both
-    * sides cluster on ok, one exchange each) immediately contracted by
-    * the pair rollup; item supports broadcast back to the
-    * support-filtered pair table. The min-support filter is what keeps
-    * the pair table sub-quadratic — the same reason A-Priori prunes. */
+    * map-side; the A-Priori prune then runs BEFORE pair generation — an
+    * inner join against the frequent-item set (s ≥ MinSupport) shrinks
+    * BOTH inputs of the order-key self-join, because an infrequent item
+    * can never participate in a frequent pair (the downward-closure
+    * lemma), so results are provably identical under the same oracle.
+    * The prune join doubles as the support lookup: it CARRIES s, so the
+    * pair rollup picks up sa/sb with first() (constant per (a,b) group)
+    * and no post-rollup joins exist at all — the prune is free, not an
+    * extra pass. The pruned self-join clusters on ok (one exchange each
+    * side, the broadcast subtree reused across both); the shuffle
+    * payload grows by two longs per pair partial. The freq broadcast is
+    * safe: it is a contraction of the bounded part catalog, not a
+    * corpus vocabulary. */
   val MinSupport = 2L
 
   val qBasketRules: Q = (s, d) => {
-    val items = Tables.lineitem(s, d)
+    val allItems = Tables.lineitem(s, d)
       .filter(col("l_linenumber") <= 3)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
       .distinct()
-    val supp = items.groupBy(col("item")).agg(count(lit(1)).as("s"))
-    val n = items.select(countDistinct(col("ok")).as("n_baskets"))
-    val pairs = items.select(col("ok"), col("item").as("a"))
-      .join(items.select(col("ok"), col("item").as("b")), "ok")
+    val freq = allItems.groupBy(col("item")).agg(count(lit(1)).as("s"))
+      .filter(col("s") >= MinSupport)
+    val n = allItems.select(countDistinct(col("ok")).as("n_baskets"))
+    val withS = allItems.join(broadcast(freq), "item")
+    val pairs = withS
+      .select(col("ok"), col("item").as("a"), col("s").as("sa"))
+      .join(withS.select(col("ok"), col("item").as("b"), col("s").as("sb")),
+        "ok")
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp_ab"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("supp_ab"),
+        first(col("sa")).as("sa"), first(col("sb")).as("sb"))
       .filter(col("supp_ab") >= MinSupport)
     pairs
-      .join(broadcast(supp.select(col("item").as("a"), col("s").as("sa"))),
-        "a")
-      .join(broadcast(supp.select(col("item").as("b"), col("s").as("sb"))),
-        "b")
       .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("supp_ab"),
         expr("(supp_ab * 1000000) div sa").as("conf_ab_ppm"),

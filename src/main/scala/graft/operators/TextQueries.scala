@@ -471,11 +471,14 @@ object TextQueries {
     * reproduces the trainer's symbol stream bit-for-bit.
     *
     * Scale shape — SET CONTRACTION again: the expensive chained
-    * replace runs once per DISTINCT word (the MB-scale vocab, one
-    * exchange), the corpus maps through a BROADCAST word→n_tokens
-    * lookup, and the per-doc rollup is the only corpus-keyed exchange.
-    * The oracle re-derives the merge ladder independently via the
-    * unrolled k-round SQL and re-applies it per word. */
+    * replace runs once per DISTINCT word (the vocabulary, one
+    * exchange), and the corpus meets the word→n_tokens lookup on a
+    * word-keyed equi-join with NO forced broadcast: by Heaps' law a
+    * web-scale vocabulary is 10⁷–10⁹ rows, so the hint must stay a
+    * stats/AQE decision (it still broadcasts whenever the vocab
+    * genuinely fits). The per-doc rollup is the only corpus-keyed
+    * exchange. The oracle re-derives the merge ladder independently
+    * via the unrolled k-round SQL and re-applies it per word. */
   val qTextBpeEncode: Q = (s, d) => {
     val merges: Seq[(String, String)] =
       Artifacts.scalar(s"bpe-merges:$d:$BpeRounds") {
@@ -501,7 +504,7 @@ object TextQueries {
       .select(col("word"), size(split(applyMerges(
         trim(regexp_replace(col("word"), "(.)", "$1 "))), " "))
         .cast("long").as("wtok"))
-    words.join(broadcast(encVocab), "word")
+    words.join(encVocab, "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word")).cast("long")).as("n_syms"),
@@ -785,7 +788,10 @@ object TextQueries {
     * 100 TB shape: bigrams generate MAP-SIDE (the [[skipgramPairs]]
     * index-HOF device — per-doc work is O(len)); only pair-keyed
     * partial counts shuffle, once; the unigram table contracts to the
-    * vocabulary and broadcasts back onto the pruned pair table.
+    * vocabulary and meets the pruned pair table on plain w/c-keyed
+    * equi-joins — NO forced broadcast, because the vocabulary is
+    * unbounded (Heaps' law: 10⁷–10⁹ distinct tokens at web scale);
+    * AQE still broadcasts when the vocab genuinely fits.
     * Headroom: 2·c_ab·10⁶ rides decimal(38) past 10³⁰ pair
     * occurrences. */
   def collocations(docs: DataFrame, minPairs: Long = 5L): DataFrame = {
@@ -804,10 +810,10 @@ object TextQueries {
       .select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n_tok"))
     bigrams
-      .join(broadcast(unigrams.select(col("tok").as("w"),
-        col("n_tok").as("n_w"))), "w")
-      .join(broadcast(unigrams.select(col("tok").as("c"),
-        col("n_tok").as("n_c"))), "c")
+      .join(unigrams.select(col("tok").as("w"),
+        col("n_tok").as("n_w")), "w")
+      .join(unigrams.select(col("tok").as("c"),
+        col("n_tok").as("n_c")), "c")
       .select(col("w"), col("c"), col("n_ab"), col("n_w"), col("n_c"),
         expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 2000000" +
           " div (n_w + n_c) AS LONG)").as("dice_ppm"))

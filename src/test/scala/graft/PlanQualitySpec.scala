@@ -115,8 +115,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // mining pipeline over shrinking keyed data, the q_text_tfidf class
     "q_basket_rules" -> 6,
     // degree build (union-agg) + the degree table keyed onto the edge
-    // list twice (u, then v) + the final 1-row sufficient-stats fold
-    "q_graph_assortativity" -> 4,
+    // list twice (u, then v) + the final 1-row sufficient-stats fold;
+    // 5 when the degree artifact is cold (the census test above clears
+    // all artifact caches — same order-dependence caveat as triangles)
+    "q_graph_assortativity" -> 5,
     // rides the triangle machinery (wedge self-join + closing edge
     // join + degree builds) — same order-dependent artifact-build
     // caveat as q_graph_triangles' 9
@@ -149,6 +151,110 @@ class PlanQualitySpec extends AnyFunSuite {
     // degree build (union-agg) + the degree-histogram rollup + the
     // singleton cumulative window over the |distinct degrees| rows
     "q_graph_degree_dist" -> 3).withDefaultValue(2)
+
+  // A broadcast() hint is only safe when its frame is BOUNDED at any
+  // corpus size. A frame derived from documents.text tokens is not:
+  // by Heaps' law a web-scale vocabulary is 10^7-10^9 distinct tokens,
+  // so a forced broadcast there is a driver/executor OOM at 100 TB, not
+  // a plan choice (VERDICT r11's two scale-killers, q_text_bpe_encode /
+  // q_text_colloc, were exactly this). A hint subtree that touches
+  // documents.text is permitted only when the subtree itself proves
+  // boundedness with a Limit/top-k contraction, or the query is pinned
+  // below with a rationale for a boundedness the plan can't show.
+  private val pinnedBoundedTextBroadcast = Map(
+    // ngram fast path guarded by a <=62-distinct-token precondition; the
+    // vocab frame is the row_number bitmask table (DedupQueries.scala)
+    "q_dedup_ngram" -> "bitmask path statically gated at <=62 tokens",
+    "q_dedup_cross_matrix" -> "shares q_dedup_ngram's gated bitmask path",
+    "q_corpus_curate" -> "shares the gated bitmask ngram stage",
+    // per-language rollups: lang cardinality is bounded by the langid
+    // label set (5 heuristic classes), not the token vocabulary
+    "q_mix_upsample" -> "|langs|-row rate table (langid label set)",
+    "q_mix_temperature" -> "|langs|-row rate table (langid label set)",
+    "q_sample_balanced" -> "|langs|-row class-count table",
+    // contamination benchmark: a fixed external eval set, not the corpus
+    "q_text_contamination" -> "benchmark shingle set is a fixed eval list")
+
+  test("no broadcast hint over an unbounded corpus-derived frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LogicalPlan, ResolvedHint}
+    def touchesText(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case n if n.references.exists(_.name == "text") => ()
+      }.nonEmpty
+    def hasLimit(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit => () }.nonEmpty
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (n, _) => pinnedBoundedTextBroadcast.contains(n) }
+      .flatMap { case (name, fn) =>
+        val analyzed = fn(spark, TestSpark.sf).queryExecution.analyzed
+        val bad = analyzed.collect {
+          case h: ResolvedHint
+              if h.hints.strategy.nonEmpty &&
+                touchesText(h.child) && !hasLimit(h.child) => h
+        }
+        if (bad.nonEmpty)
+          Some(s"$name: ${bad.size} broadcast hint(s) over an unbounded" +
+            " corpus-vocabulary frame (no Limit in the hinted subtree)")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+
+    // positive control: the detector must fire on the exact shape the
+    // guard exists for (r11's q_text_colloc before the fix — a forced
+    // broadcast of the full distinct-token vocabulary)
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode,
+      lit, lower, split}
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val vocab = docs
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val offending = docs
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .join(broadcast(vocab), "tok")
+    val caught = offending.queryExecution.analyzed.collect {
+      case h: ResolvedHint
+          if h.hints.strategy.nonEmpty &&
+            touchesText(h.child) && !hasLimit(h.child) => h
+    }
+    assert(caught.nonEmpty,
+      "guard failed to detect a forced unbounded-vocabulary broadcast")
+  }
+
+  // Plan-fingerprint pin: docs/plan_census.tsv holds a canonical
+  // operator-shape digest per query (graft.tools.PlanCensus). A lost
+  // broadcast, a new exchange, or a join-strategy flip changes the
+  // digest and fails HERE with a census-vs-now shape diff, instead of
+  // surfacing as an unexplained bench delta rounds later. After an
+  // INTENTIONAL plan change, regenerate with
+  // `sbt "runMain graft.tools.PlanCensus"` and commit the diff.
+  test("plan fingerprints match the checked-in census") {
+    val census = scala.io.Source.fromFile("docs/plan_census.tsv", "UTF-8")
+      .getLines().filterNot(_.startsWith("#")).map { l =>
+        val a = l.split("\t", 5); a(0) -> ((a(1), a(4)))
+      }.toMap
+    // replicate the census tool's fresh-JVM conditions: cold artifact
+    // caches, empty relation cache, AQE off, sorted-name plan order
+    graft.operators.Artifacts.clearAll()
+    spark.sharedState.cacheManager.clearCache()
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.adaptive.enabled", "false")
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val missing = names.map(_._1).filterNot(census.contains)
+    val stale = (census.keySet -- names.map(_._1)).toSeq.sorted
+    val drift = names.flatMap { case (name, fn) =>
+      census.get(name).flatMap { case (d, cshape) =>
+        val s = graft.tools.PlanCensus.shape(
+          fn(fresh, TestSpark.sf).queryExecution.executedPlan)
+        if (graft.tools.PlanCensus.digest(s) == d) None
+        else Some(s"$name plan drift:\n  census: $cshape\n  now:    $s")
+      }
+    }
+    val problems =
+      missing.map(n => s"$n: not in census — regenerate PlanCensus") ++
+        stale.map(n => s"$n: in census but not registered") ++ drift
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
 
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements
