@@ -1,13 +1,15 @@
 package graft.sources
 
-import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream}
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,9 +50,13 @@ class TarShardSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TarShardSource.schema
 
+  // writes resolve against the incoming frame's schema (shard/key/ext/
+  // data — no derived `size` column), reads against the inferred one
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new TarShardTable
+    new TarShardTable(schema)
 }
 
 object TarShardSource {
@@ -95,13 +101,17 @@ object TarShardSource {
   }
 }
 
-private[sources] class TarShardTable extends Table with SupportsRead {
+private[sources] class TarShardTable(tableSchema: StructType) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = "wds"
-  override def schema(): StructType = TarShardSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TarScanBuilder(GtfsZipSource.pathsOf(options))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TarWriteBuilder(info)
 }
 
 private[sources] class TarScanBuilder(paths: Seq[String])
@@ -244,4 +254,208 @@ private[sources] class TarPartitionReader(required: StructType, path: String,
 
   override def get(): InternalRow = current
   override def close(): Unit = tin.close()
+}
+
+// ────────────────────────────── write side ──────────────────────────────
+
+/** DataSource V2 WRITER for WebDataset tar shards — the sink half of the
+  * `wds` round-trip:
+  *
+  *   df.select("shard", "key", "ext", "data")
+  *     .write.format("wds").mode("append" | "overwrite").save(dir)
+  *
+  * One tar file per distinct `shard` value, one tar member per row
+  * (`key.ext`), members of a sample contiguous — the exact layout the
+  * read side and every WebDataset consumer expect. The sharding POLICY
+  * (which sample goes to which shard, size binning) stays a query —
+  * `q_multimodal_shard` plans the manifest; this sink materializes it.
+  *
+  * Scale shape — the writer DECLARES its locality instead of trusting
+  * callers: [[RequiresDistributionAndOrdering]] asks Catalyst to cluster
+  * incoming rows by `shard` and sort by (shard, key), so Spark plans the
+  * one exchange that makes "shard = unit of sequential I/O" true and
+  * each task streams whole tars with no writer-side buffering beyond a
+  * single member. Clustered distribution puts each shard in exactly one
+  * task — no cross-task append coordination exists, matching tar's
+  * append-only format.
+  *
+  * Commit protocol (task-idempotent): tasks write to
+  * `<dir>/_staging_<queryId>/<taskId>_<attempt>_<shard>`, the driver's
+  * [[BatchWrite.commit]] renames winners into place (after deleting
+  * pre-existing `*.tar` when `mode=overwrite` → truncate) and removes
+  * the staging dir; abort deletes staging, leaving the target untouched.
+  * A zombie attempt's files are never renamed — the commit-coordinated
+  * winner's message is the only one the driver sees.
+  */
+private[sources] class TarWriteBuilder(info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val s = info.schema()
+    val need = Seq("shard" -> StringType, "key" -> StringType,
+      "ext" -> StringType, "data" -> BinaryType)
+    need.foreach { case (n, t) =>
+      val f = s.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"wds write needs column `$n` — got ${s.fieldNames.mkString(", ")}"))
+      require(f.dataType == t, s"wds write column `$n` must be $t, got ${f.dataType}")
+    }
+    val dir = Option(info.options.get("path")).getOrElse(
+      throw new IllegalArgumentException("wds write needs a path"))
+    new TarWrite(dir, s, info.queryId(), doTruncate)
+  }
+}
+
+private[sources] class TarWrite(dir: String, schema: StructType,
+    queryId: String, doTruncate: Boolean)
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.identity("shard")))
+
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.identity("shard"), SortDirection.ASCENDING),
+    Expressions.sort(Expressions.identity("key"), SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite = new TarBatchWrite(
+    dir, schema, queryId, doTruncate, TarShardSource.confCapture())
+}
+
+private[sources] case class TarTaskCommit(renames: Seq[(String, String)])
+    extends WriterCommitMessage
+
+private[sources] class TarBatchWrite(dir: String, schema: StructType,
+    queryId: String, doTruncate: Boolean, confMap: Map[String, String])
+    extends BatchWrite {
+
+  private def fs(conf: Configuration): FileSystem =
+    FileSystem.get(new Path(dir).toUri, conf)
+
+  private def conf(): Configuration = {
+    val c = new Configuration(false)
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private def stagingDir: Path = new Path(dir, s"_staging_$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new TarWriterFactory(dir, stagingDir.toString, schema, confMap)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val c = conf()
+    val f = fs(c)
+    val target = new Path(dir)
+    f.mkdirs(target)
+    if (doTruncate)
+      f.listStatus(target).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".tar"))
+        .foreach(s => f.delete(s.getPath, false))
+    val renames = messages.flatMap {
+      case TarTaskCommit(rs) => rs
+      case _ => Seq.empty
+    }
+    val dup = renames.groupBy(_._2).filter(_._2.length > 1).keys
+    require(dup.isEmpty,
+      s"wds write: shard(s) ${dup.mkString(", ")} produced by more than " +
+        "one task — clustered distribution violated")
+    renames.foreach { case (tmp, fin) =>
+      val dst = new Path(target, fin)
+      if (f.exists(dst)) f.delete(dst, false) // re-run of a committed query
+      require(f.rename(new Path(tmp), dst),
+        s"wds write: rename $tmp -> $dst failed")
+    }
+    f.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs(conf())
+    f.delete(stagingDir, true)
+  }
+}
+
+private[sources] class TarWriterFactory(dir: String, staging: String,
+    schema: StructType, confMap: Map[String, String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TarDataWriter(dir, staging, schema, confMap, partitionId, taskId)
+}
+
+/** Streams one task's clustered+sorted rows into tar shards, rolling the
+  * output file whenever the `shard` value changes. */
+private[sources] class TarDataWriter(dir: String, staging: String,
+    schema: StructType, confMap: Map[String, String],
+    partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val iShard = schema.fieldIndex("shard")
+  private val iKey = schema.fieldIndex("key")
+  private val iExt = schema.fieldIndex("ext")
+  private val iData = schema.fieldIndex("data")
+
+  private val conf = {
+    val c = new Configuration(false)
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val fs = FileSystem.get(new Path(dir).toUri, conf)
+
+  private var currentShard: String = _
+  private var out: TarArchiveOutputStream = _
+  private val done = collection.mutable.LinkedHashSet[String]()
+  private val renames = collection.mutable.ListBuffer[(String, String)]()
+
+  private def shardFile(shard: String): String =
+    if (shard.endsWith(".tar")) shard else shard + ".tar"
+
+  private def roll(shard: String): Unit = {
+    closeCurrent()
+    require(!shard.contains('/') && shard.nonEmpty,
+      s"wds write: shard name must be a bare file name, got '$shard'")
+    require(!done.contains(shard),
+      s"wds write: shard '$shard' re-appeared after its tar closed — " +
+        "input was not sorted by (shard, key) within the task")
+    done += shard
+    val fin = shardFile(shard)
+    val tmp = new Path(staging, s"${partitionId}_${taskId}_$fin")
+    fs.mkdirs(new Path(staging))
+    out = new TarArchiveOutputStream(fs.create(tmp, true))
+    out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    renames += ((tmp.toString, fin))
+    currentShard = shard
+  }
+
+  private def closeCurrent(): Unit =
+    if (out != null) { out.finish(); out.close(); out = null }
+
+  override def write(row: InternalRow): Unit = {
+    val shard = row.getUTF8String(iShard).toString
+    if (shard != currentShard || out == null) roll(shard)
+    val key = row.getUTF8String(iKey).toString
+    val ext = row.getUTF8String(iExt).toString
+    val data = row.getBinary(iData)
+    val name = if (ext.isEmpty) key else s"$key.$ext"
+    val entry = new TarArchiveEntry(name)
+    entry.setSize(data.length.toLong)
+    out.putArchiveEntry(entry)
+    out.write(data)
+    out.closeArchiveEntry()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeCurrent()
+    TarTaskCommit(renames.toList)
+  }
+
+  override def abort(): Unit = {
+    closeCurrent()
+    renames.foreach { case (tmp, _) =>
+      try fs.delete(new Path(tmp), false) catch { case _: Throwable => () }
+    }
+  }
+
+  override def close(): Unit = closeCurrent()
 }

@@ -97,4 +97,92 @@ class TarShardSpec extends AnyFunSuite {
       .load(s"$dir/shard-000.tar", s"$dir/shard-001.tar")
     assert(both.count() == 7)
   }
+
+  // ──────────────────────────── write side ────────────────────────────
+
+  import spark.implicits._
+
+  private def sampleRows = Seq(
+    ("out-000.tar", "000001", "txt", "alpha".getBytes("UTF-8")),
+    ("out-000.tar", "000000", "json", """{"y":1}""".getBytes("UTF-8")),
+    ("out-000.tar", "000000", "txt", "zero".getBytes("UTF-8")),
+    ("out-001.tar", "000002", "bin", Array[Byte](0, 127, -128, 64)),
+    ("out-001.tar", "000002", "json", "[]".getBytes("UTF-8")))
+
+  test("writer round-trips through the reader byte-exactly") {
+    val out = Files.createTempDirectory("graft-wds-w").toString
+    sampleRows.toDF("shard", "key", "ext", "data")
+      .write.format("wds").mode("append").save(out)
+    val files = new java.io.File(out).listFiles.filter(_.getName.endsWith(".tar"))
+    assert(files.map(_.getName).toSet == Set("out-000.tar", "out-001.tar"))
+    assert(!new java.io.File(out).listFiles.exists(_.getName.startsWith("_staging")),
+      "staging dir must be cleaned up on commit")
+    val back = spark.read.format("wds").load(out)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Array[Byte]](3).toSeq))
+      .toSet
+    assert(back == sampleRows
+      .map(t => (t._1, t._2, t._3, t._4.toSeq)).toSet)
+  }
+
+  test("writer emits sample members contiguously, sorted by (shard, key)") {
+    val out = Files.createTempDirectory("graft-wds-w2").toString
+    sampleRows.toDF("shard", "key", "ext", "data")
+      .write.format("wds").mode("append").save(out)
+    // the WebDataset contract: within a shard, all members of a sample
+    // are adjacent — stream the tar raw and check key runs never split
+    val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.io.FileInputStream(s"$out/out-000.tar"))
+    val names = Iterator.continually(tin.getNextEntry)
+      .takeWhile(_ != null).map(_.getName).toList
+    tin.close()
+    val keys = names.map(n => n.substring(0, n.indexOf('.')))
+    assert(keys == keys.sorted, s"member keys not sorted: $keys")
+    assert(keys.distinct.length == keys.toSet.size, "sample keys split")
+  }
+
+  test("overwrite truncates stale shards; append leaves them in place") {
+    val out = Files.createTempDirectory("graft-wds-w3").toString
+    sampleRows.toDF("shard", "key", "ext", "data")
+      .write.format("wds").mode("append").save(out)
+    val extra = Seq(("out-009.tar", "000009", "txt", "nine".getBytes("UTF-8")))
+    extra.toDF("shard", "key", "ext", "data")
+      .write.format("wds").mode("append").save(out)
+    assert(spark.read.format("wds").load(out).count() == 6)
+    // overwrite with only the extra shard — the out-000/out-001 tars go
+    extra.toDF("shard", "key", "ext", "data")
+      .write.format("wds").mode("overwrite").save(out)
+    val left = spark.read.format("wds").load(out)
+    assert(left.count() == 1)
+    assert(left.select("shard").as[String].first() == "out-009.tar")
+  }
+
+  test("writer declares shard clustering: one task per shard, no dup tars") {
+    val out = Files.createTempDirectory("graft-wds-w4").toString
+    // many shards from a deliberately scrambled, repartitioned input —
+    // RequiresDistributionAndOrdering must reassemble them
+    val rows = (0 until 200).map { i =>
+      (f"sh-${i % 7}%03d.tar", f"k$i%05d", "txt", s"v$i".getBytes("UTF-8"))
+    }
+    rows.toDF("shard", "key", "ext", "data")
+      .repartition(13)
+      .write.format("wds").mode("append").save(out)
+    val files = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".tar")).map(_.getName)
+    assert(files.length == 7, s"expected 7 shards, got ${files.toSeq}")
+    val back = spark.read.format("wds").load(out)
+    assert(back.count() == 200)
+    assert(back.groupBy("shard").count().collect()
+      .forall(r => r.getLong(1) >= 28 && r.getLong(1) <= 29))
+  }
+
+  test("writer rejects a frame without the wds columns") {
+    val out = Files.createTempDirectory("graft-wds-w5").toString
+    val e = intercept[Exception] {
+      Seq(("a", "b")).toDF("shard", "key")
+        .write.format("wds").mode("append").save(out)
+    }
+    assert(e.getMessage.contains("wds write needs column"))
+  }
 }
