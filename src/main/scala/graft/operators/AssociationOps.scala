@@ -207,10 +207,14 @@ object AssociationOps {
     * pair rollup picks up sa/sb with first() (constant per (a,b) group)
     * and no post-rollup joins exist at all — the prune is free, not an
     * extra pass. The pruned self-join clusters on ok (one exchange each
-    * side, the broadcast subtree reused across both); the shuffle
-    * payload grows by two longs per pair partial. The freq broadcast is
-    * safe: it is a contraction of the bounded part catalog, not a
-    * corpus vocabulary. */
+    * side); the shuffle payload grows by two longs per pair partial.
+    * The prune join deliberately carries NO broadcast hint: under the
+    * absolute MinSupport the frequent-item set converges to nearly the
+    * whole item catalog, which scales with the corpus (part = 200k×SF
+    * in TPC-H) — forcing a broadcast there is the same Heaps'-law
+    * hazard as a corpus vocabulary. The join is item-keyed, so the
+    * shuffled form is one exchange; AQE still broadcasts at runtime
+    * whenever freq genuinely fits. */
   val MinSupport = 2L
 
   val qBasketRules: Q = (s, d) => {
@@ -221,10 +225,17 @@ object AssociationOps {
     val freq = allItems.groupBy(col("item")).agg(count(lit(1)).as("s"))
       .filter(col("s") >= MinSupport)
     val n = allItems.select(countDistinct(col("ok")).as("n_baskets"))
-    val withS = allItems.join(broadcast(freq), "item")
+    val withS = allItems.join(freq, "item")
+    // the ok self-join is pinned SHUFFLE_HASH: without a strategy hint
+    // Catalyst's size-only estimator can decide the joined withS frame
+    // is broadcastable and build a corpus-scale hash relation (measured
+    // +87% at sf0.1, an OOM at lake scale); a shuffle hint is scale-safe
+    // by construction — both sides hash on ok and the identical subtree
+    // is planned once
     val pairs = withS
       .select(col("ok"), col("item").as("a"), col("s").as("sa"))
-      .join(withS.select(col("ok"), col("item").as("b"), col("s").as("sb")),
+      .join(withS.select(col("ok"), col("item").as("b"), col("s").as("sb"))
+        .hint("shuffle_hash"),
         "ok")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))

@@ -38,12 +38,15 @@ object Cdc {
 
   /** Latest-wins merge assuming every delta row supersedes the base row
     * with the same key (the snapshot-refresh contract): anti-join the
-    * base against the broadcast delta key set, then append the delta.
-    * No shuffle of the base side. */
+    * base against the delta key set, then append the delta. The key set
+    * carries NO broadcast hint — a delta is bounded per micro-batch
+    * operationally, not structurally, so AQE broadcasts it at runtime
+    * when it fits (no shuffle of the base side) and a backfill-sized
+    * delta falls back to the keyed shuffle instead of an OOM. */
   def mergeUpsertSmallDelta(base: DataFrame, delta: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
-    base.join(broadcast(deltaKeys), keyCols, "left_anti")
+    base.join(deltaKeys, keyCols, "left_anti")
       .unionByName(delta)
   }
 

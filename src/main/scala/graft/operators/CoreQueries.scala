@@ -80,8 +80,13 @@ object CoreQueries {
       .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
   }
 
-  /** Explicit broadcast join with the `part` dimension: no shuffle of the
-    * fact side at any scale (dimension tables stay broadcast-sized). */
+  /** The DECLARED broadcast()-hint API surface: an explicit broadcast
+    * join of lineitem with `part`, pinned so the hint's semantics stay
+    * covered. NOTE part scales with SF (200k×SF), so at lake scale this
+    * hint must come off — [[qJoinInner]] is the unhinted sibling whose
+    * strategy the planner/AQE sizes adaptively; this query is the API
+    * demonstration, not the scale pattern (allowlisted with that
+    * rationale in PlanQualitySpec's broadcast guard). */
   val qJoinBroadcast: Q = (s, d) => {
     val l = Tables.lineitem(s, d)
     val p = Tables.part(s, d)

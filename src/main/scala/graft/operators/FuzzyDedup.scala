@@ -23,9 +23,10 @@ object FuzzyDedup {
     * the lossless length-band prefilter. The band is an EQUI-join, not a
     * theta-join: the left side explodes to its `2·maxDist + 1` candidate
     * lengths (levenshtein ≤ k ⇒ |len(a) − len(b)| ≤ k) and hash-joins the
-    * right side's exact length — a BroadcastHashJoin, never a
-    * nested-loop, so the same plan holds when the vocabulary outgrows a
-    * driver-sized cross product. */
+    * right side's exact length — a hash join, never a nested-loop. No
+    * forced broadcast: the vocabulary scales with the corpus, so AQE
+    * broadcasts the band table only while it genuinely fits and falls
+    * back to a length-keyed shuffle beyond that. */
   def fuzzyPairs(values: DataFrame, valueCol: String,
       maxDist: Int): DataFrame = {
     val v = values.select(col(valueCol)).distinct()
@@ -38,7 +39,7 @@ object FuzzyDedup {
     // exceeds maxDist (banded O(k·n), not O(n²)) and returns -1 past the
     // threshold — the per-pair cost that dominates once the band join
     // scales to a real vocabulary
-    a.join(broadcast(b), Seq("_blen"))
+    a.join(b, Seq("_blen"))
       .filter(col("name_a") < col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)

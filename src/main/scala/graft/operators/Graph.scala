@@ -501,8 +501,9 @@ object Graph {
     * columns because contributions go negative, where Spark's `div`
     * truncates but DuckDB's `//` floors (the [[assortativity]] rule).
     *
-    * 100 TB shape: the brand dim broadcasts onto both edge endpoints
-    * (|part| rows — at real scale a bucketed dim join), each edge then
+    * 100 TB shape: the brand dim joins onto both edge endpoints with
+    * NO forced broadcast (|part| rows scale with SF — AQE broadcasts
+    * while it fits, a bucketed dim join past that), each edge then
     * UNPIVOTS into its two (brand, intra?) stubs map-side, and ONE
     * brand-keyed fold yields d_c = stubs, 2e_c = intra stubs per brand;
     * 2m re-derives from the |brands|-row fold itself via a partition-
@@ -515,10 +516,10 @@ object Graph {
     val brand = Tables.part(s, d)
       .select(col("p_partkey"), col("p_brand"))
     val withB = coOrderEdges(s, d)
-      .join(broadcast(brand.select(col("p_partkey").as("u"),
-        col("p_brand").as("bu"))), "u")
-      .join(broadcast(brand.select(col("p_partkey").as("v"),
-        col("p_brand").as("bv"))), "v")
+      .join(brand.select(col("p_partkey").as("u"),
+        col("p_brand").as("bu")), "u")
+      .join(brand.select(col("p_partkey").as("v"),
+        col("p_brand").as("bv")), "v")
     val stubs = withB.select(col("bu").as("brand"),
         (col("bu") === col("bv")).as("intra"))
       .unionAll(withB.select(col("bv").as("brand"),

@@ -334,10 +334,12 @@ object MiscQueries {
     // NULL keys are the not_null constraint's finding, not an FK orphan —
     // filtered on BOTH engines (a left_anti keeps null keys while SQL
     // NOT IN drops them, so leaving nulls in would diverge cross-engine)
+    // customer scales with SF — no forced broadcast of the FK dimension;
+    // the anti-join is keyed, AQE broadcasts it while it fits
     val fkViolations = orders.filter(col("o_custkey").isNotNull)
       .join(
-        broadcast(graft.Tables(s, d, "customer")
-          .select(col("c_custkey").as("o_custkey"))),
+        graft.Tables(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey")),
         Seq("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("fk_orphans"))
     val cs = rowLocal.select(explode(array(

@@ -322,7 +322,9 @@ object TpchQueries {
     * l_partkey; the region dim chain is broadcast. Ties keep every
     * minimal supplier (deterministic set). */
   val qTpchQ2: Q = (s, d) => {
-    val eur = broadcast(Tables.supplier(s, d)
+    // supplier scales with SF — no forced broadcast of the joined slice;
+    // AQE broadcasts it at runtime whenever it genuinely fits
+    val eur = (Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)
           .filter(col("r_name") === "EUROPE").select("r_regionkey")),
@@ -361,8 +363,8 @@ object TpchQueries {
         "l_extendedprice", "l_discount")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
@@ -373,7 +375,9 @@ object TpchQueries {
     * AMERICA-region customers' revenue supplied from NATION_3, as an
     * exact decimal ratio of two separately-folded sums. */
   val qTpchQ8: Q = (s, d) => {
-    val amer = broadcast(Tables.customer(s, d)
+    // customer/supplier scale with SF — the nation/region dims inside
+    // stay hinted, the outer joined slices are left to the planner/AQE
+    val amer = (Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)
           .filter(col("r_name") === "AMERICA").select("r_regionkey")),
@@ -381,11 +385,11 @@ object TpchQueries {
         .select(col("n_nationkey").as("cn_key"))),
         col("c_nationkey") === col("cn_key"))
       .select("c_custkey"))
-    val supp = broadcast(Tables.supplier(s, d)
+    val supp = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").as("sn_key"), col("n_name"))),
         col("s_nationkey") === col("sn_key"))
-      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val rev = col("l_extendedprice").cast(dec2) *
       (lit(1).cast(dec2) - col("l_discount").cast(dec2))
     Tables.lineitem(s, d)
@@ -407,11 +411,12 @@ object TpchQueries {
     * by supplier nation and ship year. Both folds stay in decimal and
     * difference at a common scale. */
   val qTpchQ9: Q = (s, d) => {
-    val supp = broadcast(Tables.supplier(s, d)
+    // supplier scales with SF — only the nation dim keeps its hint
+    val supp = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)
         .select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
-      .select("s_suppkey", "n_name"))
+      .select("s_suppkey", "n_name")
     val pt = Tables.part(s, d)
       .filter(col("p_type") === "STANDARD")
       .select("p_partkey", "p_retailprice")
@@ -500,9 +505,11 @@ object TpchQueries {
       .agg(sum(col("l_extendedprice").cast(dec2) *
         (lit(1).cast(dec2) - col("l_discount").cast(dec2)))
         .cast(dec4).as("total_rev_dec"))
+    // the max-revenue frame is the tiny side — AQE broadcasts IT; a
+    // forced broadcast of the SF-scaling supplier table was backwards
     rev.withColumn("max_rev", max(col("total_rev_dec")).over(all))
       .filter(col("total_rev_dec") === col("max_rev"))
-      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev_dec").cast("double").as("total_rev"))

@@ -284,6 +284,9 @@ private[sources] class TarPartitionReader(required: StructType, path: String,
   * [[BatchWrite.commit]] renames winners into place (after deleting
   * pre-existing `*.tar` when `mode=overwrite` → truncate) and removes
   * the staging dir; abort deletes staging, leaving the target untouched.
+  * Append-mode collision contract: a shard name that already exists in
+  * the target directory FAILS the batch before any rename — append adds
+  * shards, it never replaces committed ones; only overwrite rewrites.
   * A zombie attempt's files are never renamed — the commit-coordinated
   * winner's message is the only one the driver sees.
   */
@@ -362,9 +365,22 @@ private[sources] class TarBatchWrite(dir: String, schema: StructType,
     require(dup.isEmpty,
       s"wds write: shard(s) ${dup.mkString(", ")} produced by more than " +
         "one task — clustered distribution violated")
+    // Append never replaces committed data: a target-name collision in
+    // append mode is an error (checked up front, before any rename, so
+    // the batch fails atomically). Overwrite replaces by contract — the
+    // truncate above already cleared *.tar, the per-rename delete only
+    // covers a leftover from an interrupted previous commit.
+    if (!doTruncate) {
+      val clashes = renames.map(_._2)
+        .filter(fin => f.exists(new Path(target, fin)))
+      require(clashes.isEmpty,
+        s"wds append: shard(s) ${clashes.mkString(", ")} already exist " +
+          s"in $dir — append adds new shards only; use mode 'overwrite' " +
+          "to replace, or emit batch-unique shard names")
+    }
     renames.foreach { case (tmp, fin) =>
       val dst = new Path(target, fin)
-      if (f.exists(dst)) f.delete(dst, false) // re-run of a committed query
+      if (doTruncate && f.exists(dst)) f.delete(dst, false)
       require(f.rename(new Path(tmp), dst),
         s"wds write: rename $tmp -> $dst failed")
     }
@@ -432,6 +448,14 @@ private[sources] class TarDataWriter(dir: String, staging: String,
     if (out != null) { out.finish(); out.close(); out = null }
 
   override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(iShard) || row.isNullAt(iKey) ||
+        row.isNullAt(iExt) || row.isNullAt(iData)) {
+      val nulls = Seq("shard" -> iShard, "key" -> iKey, "ext" -> iExt,
+        "data" -> iData).collect { case (n, i) if row.isNullAt(i) => n }
+      throw new IllegalArgumentException(
+        s"wds write: null in required column(s) ${nulls.mkString(", ")} — " +
+          "shard, key, ext and data must all be non-null")
+    }
     val shard = row.getUTF8String(iShard).toString
     if (shard != currentShard || out == null) roll(shard)
     val key = row.getUTF8String(iKey).toString
@@ -451,7 +475,12 @@ private[sources] class TarDataWriter(dir: String, staging: String,
   }
 
   override def abort(): Unit = {
-    closeCurrent()
+    // finish() throws on an unclosed entry — exactly the state a failed
+    // write() leaves behind. Never let closing mask the staging cleanup.
+    if (out != null) {
+      try { out.finish(); out.close() } catch { case _: Throwable => () }
+      out = null
+    }
     renames.foreach { case (tmp, _) =>
       try fs.delete(new Path(tmp), false) catch { case _: Throwable => () }
     }

@@ -94,6 +94,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // order key + the final supplier rollup (exchange reuse dedupes the
     // shared late subtree)
     "q_tpch_q21" -> 3,
+    // after the r13 de-forcing of the customer/supplier slice broadcasts
+    // the STATIC (AQE-off, no CBO stats) planner sort-merges the amer
+    // slice join — two sort exchanges + the final year rollup. At
+    // runtime AQE re-plans it as a broadcast while the slice fits; at
+    // lake scale the SMJ fallback is exactly the plan we want
+    "q_tpch_q8" -> 3,
     // per-custkey spend rollup + the customer-segment join + the
     // (segment, point) dedupe feeding the running-max window — three
     // stages, each on shrinking keyed data
@@ -109,11 +115,13 @@ class PlanQualitySpec extends AnyFunSuite {
     // rows (same order-dependence caveat as the incremental pair above)
     "q_corr_kendall" -> 6,
     // the basket contraction (1 distinct exchange, ReuseExchange dedupes
-    // its three other consumers) feeds the ok-keyed pair self-join (2,
-    // shared subtree), the (a,b) pair rollup, the item-support rollup,
-    // and the 2-exchange count-distinct basket total — a multi-stage
-    // mining pipeline over shrinking keyed data, the q_text_tfidf class
-    "q_basket_rules" -> 6,
+    // its three other consumers) feeds the item-keyed prune join (the
+    // r13 de-forced freq exchange), the ok-keyed SHUFFLE_HASH pair
+    // self-join (2, shared subtree), the (a,b) pair rollup, the
+    // item-support rollup, and the 2-exchange count-distinct basket
+    // total — a multi-stage mining pipeline over shrinking keyed data;
+    // 7 in the AQE-off static view, runtime reuse collapses the twins
+    "q_basket_rules" -> 7,
     // degree build (union-agg) + the degree table keyed onto the edge
     // list twice (u, then v) + the final 1-row sufficient-stats fold;
     // 5 when the degree artifact is cold (the census test above clears
@@ -153,58 +161,121 @@ class PlanQualitySpec extends AnyFunSuite {
     "q_graph_degree_dist" -> 3).withDefaultValue(2)
 
   // A broadcast() hint is only safe when its frame is BOUNDED at any
-  // corpus size. A frame derived from documents.text tokens is not:
-  // by Heaps' law a web-scale vocabulary is 10^7-10^9 distinct tokens,
-  // so a forced broadcast there is a driver/executor OOM at 100 TB, not
-  // a plan choice (VERDICT r11's two scale-killers, q_text_bpe_encode /
-  // q_text_colloc, were exactly this). A hint subtree that touches
-  // documents.text is permitted only when the subtree itself proves
-  // boundedness with a Limit/top-k contraction, or the query is pinned
-  // below with a rationale for a boundedness the plan can't show.
-  private val pinnedBoundedTextBroadcast = Map(
+  // corpus size. That rules out more than text vocabularies (r11's two
+  // scale-killers, q_text_bpe_encode / q_text_colloc): ANY frame derived
+  // from a table whose row count scales with SF — lineitem, orders,
+  // events, customer, supplier, part, documents, embeddings — is a
+  // driver/executor OOM at 100 TB unless the hinted subtree itself
+  // contracts it. Contractions the plan can prove:
+  //   * a Limit / top-k anywhere in the hinted subtree;
+  //   * a global Aggregate (no grouping → ≤1 row);
+  //   * an Aggregate grouped ONLY by declared bounded-domain columns
+  //     (below) — |domain| rows regardless of corpus size.
+  // Everything else must be pinned in pinnedBoundedBroadcast with a
+  // rationale for a boundedness the plan cannot show, or de-forced
+  // (drop the hint; AQE still broadcasts at runtime when the frame
+  // genuinely fits — r12's q_basket_rules freq-set fix).
+
+  // Value domains bounded by schema or by construction, NOT by corpus
+  // size. Grouping a scaling table by only these contracts it to a
+  // constant-size rollup. (The token/item/key columns are deliberately
+  // absent: vocabulary and catalog cardinality grow with the corpus.)
+  private val boundedDomainCols = Set(
+    "l_returnflag", "l_linestatus",           // 3 / 2 flag values
+    "o_orderstatus", "o_orderpriority",       // 3 / 5 values
+    "event_type",                             // 5-value fixture domain
+    "lang",                                   // langid label set (5)
+    "c_mktsegment", "seg",                    // 5 TPC-H segments
+    "n_nationkey", "n_name", "r_name",        // 25 / 5 dim keys
+    "label",                                  // embeddings class labels
+    "score", "bin",                           // quality-score / calib bins
+    "r", "b")                                 // CMS cell coords (≤ D·W)
+
+  private val pinnedBoundedBroadcast = Map(
     // ngram fast path guarded by a <=62-distinct-token precondition; the
     // vocab frame is the row_number bitmask table (DedupQueries.scala)
     "q_dedup_ngram" -> "bitmask path statically gated at <=62 tokens",
     "q_dedup_cross_matrix" -> "shares q_dedup_ngram's gated bitmask path",
     "q_corpus_curate" -> "shares the gated bitmask ngram stage",
-    // per-language rollups: lang cardinality is bounded by the langid
-    // label set (5 heuristic classes), not the token vocabulary
-    "q_mix_upsample" -> "|langs|-row rate table (langid label set)",
-    "q_mix_temperature" -> "|langs|-row rate table (langid label set)",
-    "q_sample_balanced" -> "|langs|-row class-count table",
     // contamination benchmark: a fixed external eval set, not the corpus
-    "q_text_contamination" -> "benchmark shingle set is a fixed eval list")
+    "q_text_contamination" -> "benchmark shingle set is a fixed eval list",
+    // literal seed/probe/query frames: bounded by a key-literal filter
+    // the plan can't classify as a contraction
+    "q_similarity_topk" -> "1-row query vector (vec_id = 0 key equality)",
+    "q_similarity_range" -> "<=8-row probe batch (vec_id < 8 literal)",
+    "q_cluster_assign" ->
+      ("8-seed centroid frame (vec_id < 8 literal; k fits memory by " +
+        "the k-means contract, IVF is the path past that)"),
+    "q_cluster_update" -> "shares q_cluster_assign's 8-seed frame",
+    // erasure planning: the tombstone set is a 2^-20 key-hash sample of
+    // customers (~|C|/10^6) and both count tables are |tombstone|-row
+    // rollups keyed by it — broadcast-scale at any SF that fits a lake
+    "q_privacy_forget" ->
+      "tombstone set is a 2^-20 key-hash sample; count tables ride it",
+    // the hinted frame is the |sources|-row global distribution; the
+    // t-closeness contract declares m <= 10^4 sensitive values and the
+    // scaladoc pins the decimal headroom to that bound
+    "q_privacy_tcloseness" ->
+      "|sources|-row global distribution (m <= 10^4 by contract)",
+    // the DECLARED broadcast()-hint API surface: exists to pin hint
+    // semantics on the canonical fact-dim shape; its scaladoc documents
+    // that part outgrows broadcast at lake scale and qJoinInner is the
+    // unhinted sibling the planner sizes adaptively
+    "q_join_broadcast" -> "declared broadcast-hint API surface query")
 
-  test("no broadcast hint over an unbounded corpus-derived frame") {
-    import org.apache.spark.sql.catalyst.plans.logical.{
-      GlobalLimit, LogicalPlan, ResolvedHint}
-    def touchesText(p: LogicalPlan): Boolean =
-      p.collectFirst {
-        case n if n.references.exists(_.name == "text") => ()
-      }.nonEmpty
-    def hasLimit(p: LogicalPlan): Boolean =
-      p.collectFirst { case _: GlobalLimit => () }.nonEmpty
+  import org.apache.spark.sql.catalyst.plans.logical.{
+    Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}
+
+  // One key column per fixture table whose row count scales with SF.
+  // nation (25) and region (5) are schema-constant dims and excluded.
+  private val scalingTableMarkers = Set("l_orderkey", "o_orderkey",
+    "c_custkey", "s_suppkey", "p_partkey", "event_id", "doc_id", "vec_id")
+
+  private def touchesScalingTable(p: LogicalPlan): Boolean =
+    p.collectLeaves().exists(_.output.exists(a =>
+      scalingTableMarkers.contains(a.name)))
+
+  private def provablyContracted(p: LogicalPlan): Boolean =
+    p.collectFirst {
+      case _: GlobalLimit => ()
+      case a: Aggregate if a.groupingExpressions.isEmpty => ()
+      case a: Aggregate
+          if a.groupingExpressions.nonEmpty &&
+            a.groupingExpressions.forall(_.references.forall(r =>
+              boundedDomainCols.contains(r.name))) => ()
+    }.nonEmpty
+
+  // Only the BROADCAST strategy is a scale hazard — SHUFFLE_MERGE /
+  // SHUFFLE_HASH hints pin the partitioned strategy and are safe (they
+  // exist to STOP the size-only estimator from broadcasting a corpus-
+  // scale frame, e.g. q_basket_rules' pair self-join).
+  private def unboundedForcedBroadcasts(plan: LogicalPlan): Seq[ResolvedHint] =
+    plan.collect {
+      case h: ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) &&
+            touchesScalingTable(h.child) &&
+            !provablyContracted(h.child) => h
+    }
+
+  test("no broadcast hint over an unbounded scaling-table frame") {
     val offenders = SparkEntry.queries.toSeq
-      .filterNot { case (n, _) => pinnedBoundedTextBroadcast.contains(n) }
+      .filterNot { case (n, _) => pinnedBoundedBroadcast.contains(n) }
       .flatMap { case (name, fn) =>
         val analyzed = fn(spark, TestSpark.sf).queryExecution.analyzed
-        val bad = analyzed.collect {
-          case h: ResolvedHint
-              if h.hints.strategy.nonEmpty &&
-                touchesText(h.child) && !hasLimit(h.child) => h
-        }
+        val bad = unboundedForcedBroadcasts(analyzed)
         if (bad.nonEmpty)
-          Some(s"$name: ${bad.size} broadcast hint(s) over an unbounded" +
-            " corpus-vocabulary frame (no Limit in the hinted subtree)")
+          Some(s"$name: ${bad.size} broadcast hint(s) over a scaling-" +
+            "table frame with no provable contraction in the subtree")
         else None
       }
     assert(offenders.isEmpty, offenders.mkString("\n"))
 
-    // positive control: the detector must fire on the exact shape the
-    // guard exists for (r11's q_text_colloc before the fix — a forced
-    // broadcast of the full distinct-token vocabulary)
     import org.apache.spark.sql.functions.{broadcast, col, count, explode,
       lit, lower, split}
+
+    // positive control 1: r11's q_text_colloc pre-fix shape — a forced
+    // broadcast of the full distinct-token vocabulary
     val docs = Tables.documents(spark, TestSpark.sf)
     val vocab = docs
       .select(explode(split(lower(col("text")), " ")).as("tok"))
@@ -212,13 +283,22 @@ class PlanQualitySpec extends AnyFunSuite {
     val offending = docs
       .select(explode(split(lower(col("text")), " ")).as("tok"))
       .join(broadcast(vocab), "tok")
-    val caught = offending.queryExecution.analyzed.collect {
-      case h: ResolvedHint
-          if h.hints.strategy.nonEmpty &&
-            touchesText(h.child) && !hasLimit(h.child) => h
-    }
-    assert(caught.nonEmpty,
+    assert(unboundedForcedBroadcasts(
+      offending.queryExecution.analyzed).nonEmpty,
       "guard failed to detect a forced unbounded-vocabulary broadcast")
+
+    // positive control 2: r12's q_basket_rules pre-fix shape — a forced
+    // broadcast of the frequent-item set (grouped by the SF-scaling item
+    // catalog, so NOT a bounded contraction)
+    val items = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val freq = items.groupBy(col("item")).agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2L)
+    val basketShape = items.join(broadcast(freq), "item")
+    assert(unboundedForcedBroadcasts(
+      basketShape.queryExecution.analyzed).nonEmpty,
+      "guard failed to detect a forced frequent-item-set broadcast")
   }
 
   // Plan-fingerprint pin: docs/plan_census.tsv holds a canonical
@@ -259,7 +339,12 @@ class PlanQualitySpec extends AnyFunSuite {
   test("shuffle-count budget: no query grows an unplanned exchange") {
     // AQE defers exchange insertion — plan without it so EnsureRequirements
     // exchanges are visible (same setup as tools/ShuffleCensus); restore
-    // whatever value the suite started with, not a hard-coded default
+    // whatever value the suite started with, not a hard-coded default.
+    // The pins below assume COLD artifact/relation caches (a cached
+    // frontier artifact hides its build-side exchanges), so establish
+    // that state here instead of inheriting it from test order.
+    graft.operators.Artifacts.clearAll()
+    spark.sharedState.cacheManager.clearCache()
     val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -185,4 +185,88 @@ class TarShardSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("wds write needs column"))
   }
+
+  private def causeChain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+
+  test("append fails loudly on a pre-existing shard-name collision") {
+    val out = Files.createTempDirectory("graft-wds-w6").toString
+    sampleRows.toDF("shard", "key", "ext", "data")
+      .write.format("wds").mode("append").save(out)
+    val e = intercept[Exception] {
+      Seq(("out-000.tar", "000042", "txt", "clobber".getBytes("UTF-8")))
+        .toDF("shard", "key", "ext", "data")
+        .write.format("wds").mode("append").save(out)
+    }
+    assert(causeChain(e).contains("already exist"), causeChain(e))
+    // the committed shard survives byte-identical — append never replaces
+    val back = spark.read.format("wds").load(out)
+    assert(back.count() == 5)
+    assert(back.filter(col("key") === "000042").count() == 0)
+    // overwrite IS the replace mode: the same collision succeeds there
+    Seq(("out-000.tar", "000042", "txt", "fresh".getBytes("UTF-8")))
+      .toDF("shard", "key", "ext", "data")
+      .write.format("wds").mode("overwrite").save(out)
+    val after = spark.read.format("wds").load(out)
+    assert(after.count() == 1)
+    assert(after.select("key").as[String].first() == "000042")
+  }
+
+  test("writer names the null column instead of an opaque NPE") {
+    val out = Files.createTempDirectory("graft-wds-w7").toString
+    val e = intercept[Exception] {
+      Seq(("out-000.tar", "000001", null.asInstanceOf[String],
+          "x".getBytes("UTF-8")))
+        .toDF("shard", "key", "ext", "data")
+        .write.format("wds").mode("append").save(out)
+    }
+    val msg = causeChain(e)
+    assert(msg.contains("null in required column") && msg.contains("ext"),
+      msg)
+  }
+
+  test("packing manifest bins are exactly the tars the writer produces") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Files.createTempDirectory("graft-wds-x").toString
+    // per-item assignment = the SAME running-offset rule the manifest
+    // rolls up (Layout.qMultimodalShard), kept before its groupBy
+    val sized = graft.multimodal.MediaOps.mediaTable(spark, TestSpark.sf)
+      .select(col("doc_id"), col("kind"), col("media"),
+        octet_length(col("media")).cast("long").as("bytes"))
+    val w = Window.partitionBy("kind").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized
+      .withColumn("cum_before",
+        coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("shard_id", expr("cum_before div 16384"))
+      .select(
+        format_string("%s-%04d.tar", col("kind"), col("shard_id"))
+          .as("shard"),
+        format_string("%012d", col("doc_id")).as("key"),
+        lit("bin").as("ext"), col("media").as("data"))
+      .write.format("wds").mode("append").save(out)
+    val produced = spark.read.format("wds").load(out)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"),
+        sum(octet_length(col("data")).cast("long")).as("b"),
+        min(col("key")).as("kmin"), max(col("key")).as("kmax"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3).toLong, r.getString(4).toLong))).toMap
+    val manifest = SparkEntry.queries("q_multimodal_shard")(
+        spark, TestSpark.sf)
+      .collect()
+      .map(r => f"${r.getAs[String]("kind")}-${r.getAs[Long]("shard")}%04d.tar" ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("bytes_total"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))).toMap
+    assert(produced.keySet == manifest.keySet,
+      s"shard sets differ: ${produced.keySet.diff(manifest.keySet)} / " +
+        s"${manifest.keySet.diff(produced.keySet)}")
+    manifest.foreach { case (shard, (n, bytes, firstDoc, lastDoc)) =>
+      assert(produced(shard) == ((n, bytes, firstDoc, lastDoc)),
+        s"$shard: manifest ($n,$bytes,$firstDoc,$lastDoc) vs " +
+          s"tar ${produced(shard)}")
+    }
+  }
 }

@@ -53,8 +53,12 @@ def main():
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
 
-    old_total = sum(v for q, v in old.items() if q in new and v is not None)
-    new_total = sum(v for q, v in new.items() if q in old and v is not None)
+    # Restrict both totals to queries with a non-None timing in BOTH
+    # files, so a null on one side can't skew the headline percent.
+    both = [q for q in shared
+            if old[q] is not None and new[q] is not None]
+    old_total = sum(old[q] for q in both)
+    new_total = sum(new[q] for q in both)
     print(f"comparable queries: {len(shared)}")
     print(f"comparable totals:  {old_total:.2f} s -> {new_total:.2f} s "
           f"({(new_total / old_total - 1) * 100:+.1f}%)")
