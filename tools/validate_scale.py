@@ -7,13 +7,81 @@ grinding for hours at 10x fixtures. Spark-side outputs are still fully
 read + canonicalized (sortability is part of the driver contract).
 
 Usage: python3 tools/validate_scale.py <sfDir> <verifyOutDir> [timeout_s]
+
+Sampled gate for the perpetual infeasible-oracle skips (round 13):
+
+    python3 tools/validate_scale.py --sample <sfDir> <workDir> [timeout_s] \
+        [--only q_a,q_b]
+
+For each query in SAMPLE_SPECS this builds a deterministic SLICE of its
+one scaling input table — predicate `(key % 10^7) % M = 0`, where 10^7
+is GenScale.Span so every key-shifted mirror copy of a selected entity
+(its whole dup group / basket / user) survives the cut together — runs
+the Spark side (graft.Verify) against the sliced fixture dir, and then
+runs the SAME DuckDB oracle SQL on the same slice. Small enough for the
+quadratic oracles, real enough to catch engine divergence: the data is
+drawn from the scale fixture itself, not regenerated.
 """
 import json
 import multiprocessing as mp
 import os
+import subprocess
 import sys
 
 import pandas as pd
+
+# GenScale.Span — mirror copies shift every key by c * 10^7, so the
+# composite predicate keeps entity groups (dup copies, baskets) whole.
+SPAN = 10_000_000
+
+# query -> (table, key column, predicate). Predicates:
+#   ("mod", M)  keep (key % SPAN) % M == 0   — uniform entity sample
+#   ("lt", K)   keep (key % SPAN) < K        — contiguous key-range slice
+# One scaling input table each (verified against the oracle SQL); sized
+# so the quadratic oracle lands near sf0.01 volume while drawing from
+# the scale fixture. The graph/basket queries use a PART-range slice
+# (all baskets survive, the item/node domain contracts): a basket
+# sample instead destroys co-occurrence — a 1/37 basket slice yields an
+# edgeless graph and zero rules, which the 0-row guard below rejects.
+SAMPLE_SPECS = {
+    # lineitem-driven: whole baskets survive (all rows share l_orderkey)
+    "q_projection": ("lineitem", "l_orderkey", ("mod", 37)),
+    "q_unpivot": ("lineitem", "l_orderkey", ("mod", 37)),
+    "q_join_broadcast": ("lineitem", "l_orderkey", ("mod", 37)),
+    "q_join_delta_view": ("lineitem", "l_orderkey", ("mod", 37)),
+    "q_join_salted": ("lineitem", "l_orderkey", ("mod", 37)),
+    # co-order graph: induced subgraph on a 500-part node subset
+    # (includes the BFS seed nodes pk <= 10). q_basket_rules and
+    # q_graph_kcore are NOT sampleable this way — pair support scales
+    # with the SQUARE of the node-keep fraction, so any slice sparse
+    # enough for the quadratic oracle yields an empty result; their
+    # scale record is the full oracle under a dedicated long watchdog
+    # (basket_rules PASS at sf1/1800s in r12; kcore r13, BASELINE.md).
+    "q_graph_bfs": ("lineitem", "l_partkey", ("lt", 500)),
+    # customer-driven pair queries
+    "q_join_theta_range": ("customer", "c_custkey", ("mod", 37)),
+    "q_geo_neighbors": ("customer", "c_custkey", ("mod", 37)),
+    # events-driven full-output queries (sf10 comparator-cap relief)
+    "q_outlier_iqr": ("events", "event_id", ("mod", 7)),
+    # documents-driven quadratic dedup/curation oracles; dup groups stay
+    # whole under the composite predicate
+    "q_corpus_curate": ("documents", "doc_id", ("mod", 199)),
+    "q_dedup_cluster": ("documents", "doc_id", ("mod", 199)),
+    "q_dedup_cross_matrix": ("documents", "doc_id", ("mod", 199)),
+    "q_dedup_minhash_pairs": ("documents", "doc_id", ("mod", 199)),
+    "q_dedup_ngram": ("documents", "doc_id", ("mod", 199)),
+    # embeddings-driven ANN dedup oracles
+    "q_dedup_embed_cluster": ("embeddings", "vec_id", ("mod", 7)),
+    "q_dedup_embed_incremental": ("embeddings", "vec_id", ("mod", 7)),
+    "q_dedup_embed_lsh": ("embeddings", "vec_id", ("mod", 7)),
+}
+
+
+def pred_sql(key, pred):
+    kind, arg = pred
+    if kind == "mod":
+        return f"({key} % {SPAN}) % {arg} = 0"
+    return f"({key} % {SPAN}) < {arg}"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -29,6 +97,20 @@ def run_oracle(sf_dir, sql, q):
     """Worker: evaluate one oracle; ship the canonicalized frame back."""
     import duckdb
     con = duckdb.connect()
+    # heavy oracles (recursive BFS at sf10) spill; give DuckDB a temp
+    # dir with real space + an explicit memory budget instead of dying
+    # on the default cwd-relative temp file (the r12 out-of-disk)
+    tmp = os.environ.get("GRAFT_DUCKDB_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        # the comparator re-sorts both sides anyway; dropping insertion-
+        # order preservation lets DuckDB stream the big CTE pipelines
+        # instead of buffering them (the sf10 BFS oracle's 60 GB spill)
+        con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         glob = f"{path}/*.parquet" if os.path.isdir(path) else path
@@ -131,6 +213,94 @@ def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6):
     return 1 if n_fail else 0
 
 
+def build_slice(sf_dir, slice_dir, table, key, pred):
+    """Materialize the sliced fixture dir: symlink every table, rewrite
+    the sliced one through DuckDB with the group-preserving predicate."""
+    import duckdb
+    os.makedirs(slice_dir, exist_ok=True)
+    for t in TABLES:
+        dst = f"{slice_dir}/{t}.parquet"
+        if os.path.lexists(dst):
+            continue
+        if t != table:
+            os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"), dst)
+    dst = f"{slice_dir}/{table}.parquet"
+    if not os.path.exists(dst):
+        src = f"{sf_dir}/{table}.parquet"
+        glob = f"{src}/*.parquet" if os.path.isdir(src) else src
+        con = duckdb.connect()
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{glob}') "
+            f"WHERE {pred_sql(key, pred)}) "
+            f"TO '{dst}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')"
+                        ).fetchone()[0]
+        print(f"[sample] {table} sliced {pred_sql(key, pred)} "
+              f"-> {n} rows", flush=True)
+
+
+def sample_main(sf_dir, work_dir, timeout_s, only=None):
+    names = sorted(n for n in SAMPLE_SPECS if not only or n in only)
+    if not names:
+        print("no sampled queries selected")
+        return 1
+    groups = {}
+    for n in names:
+        groups.setdefault(SAMPLE_SPECS[n], []).append(n)
+
+    n_pass = n_fail = n_skip = 0
+    for (table, key, pred), qs in sorted(groups.items()):
+        tag = f"{table}_{pred[0]}{pred[1]}"
+        slice_dir = os.path.abspath(f"{work_dir}/slice_{tag}")
+        dump_dir = os.path.abspath(f"{work_dir}/dump_{tag}")
+        build_slice(sf_dir, slice_dir, table, key, pred)
+        print(f"[sample] spark side: {','.join(qs)} on {slice_dir}",
+              flush=True)
+        r = subprocess.run(
+            ["sbt", "-batch",
+             f"runMain graft.Verify {slice_dir} {dump_dir} {','.join(qs)}"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"FAIL group {tag}: graft.Verify rc="
+                  f"{r.returncode}\n{r.stdout[-2000:]}", flush=True)
+            n_fail += len(qs)
+            continue
+        with open(f"{dump_dir}/oracle_sql.json") as f:
+            oracles = json.load(f)
+        for name in qs:
+            if name not in oracles:
+                print(f"SKIP {name}: no oracle SQL (sketch/float class)")
+                n_skip += 1
+                continue
+            status, msg = check_one(name, oracles[name], slice_dir,
+                                    dump_dir, timeout_s, 5_000_000)
+            # a sampled gate that verifies zero rows proves nothing —
+            # the slice must be re-tuned, not waved through
+            if status == "PASS" and msg.endswith("(0 rows)"):
+                status, msg = "FAIL", (f"FAIL {name}: sampled slice "
+                                       "produced 0 rows — widen the slice")
+            print("SAMPLED " + msg, flush=True)
+            if status == "PASS":
+                n_pass += 1
+            elif status == "FAIL":
+                n_fail += 1
+            else:
+                n_skip += 1
+    print(f"\nsampled gate: {n_pass} pass, {n_fail} fail, {n_skip} skip")
+    return 1 if n_fail else 0
+
+
 if __name__ == "__main__":
-    t = int(sys.argv[3]) if len(sys.argv) > 3 else 180
-    sys.exit(main(sys.argv[1], sys.argv[2], t))
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--sample":
+        argv = argv[1:]
+        only = None
+        if "--only" in argv:
+            i = argv.index("--only")
+            only = set(argv[i + 1].split(","))
+            argv = argv[:i] + argv[i + 2:]
+        t = int(argv[2]) if len(argv) > 2 else 600
+        sys.exit(sample_main(argv[0], argv[1], t, only))
+    t = int(argv[2]) if len(argv) > 2 else 180
+    sys.exit(main(argv[0], argv[1], t))
