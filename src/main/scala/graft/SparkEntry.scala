@@ -57,6 +57,7 @@ object SparkEntry {
       Spark4Surface.queries ++
       StatsOps.queries ++
       AssociationOps.queries ++
+      TrainMixOps.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,6 @@ object SparkEntry {
       Spark4Surface.oracleSql ++
       StatsOps.oracleSql ++
       AssociationOps.oracleSql ++
+      TrainMixOps.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }
