@@ -576,12 +576,19 @@ object Graph {
     "q_graph_sssp" -> qGraphSssp,
     "q_graph_label_prop" -> qGraphLabelProp)
 
-  /** Shared oracle prelude: the same canonical co-order edge set. */
+  /** Shared oracle prelude: the same canonical co-order edge set.
+    * `AS MATERIALIZED` is a DuckDB evaluation hint, not a semantic
+    * change: every graph oracle references `e` (and often a derived
+    * `adj`) several times, and DuckDB inlines CTEs by default — at the
+    * sf10 rehearsal the q_graph_bfs oracle recomputed the blocking
+    * 45M-row DISTINCT self-join once per frontier level and spilled
+    * past 80 GB of temp disk; materialized, the same oracle finishes
+    * in under a minute (round 13, BASELINE.md sf10 row). */
   private val edgeCteBody: String =
-    """p AS (
+    """p AS MATERIALIZED (
          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
          FROM lineitem WHERE l_linenumber <= 3),
-       e AS (
+       e AS MATERIALIZED (
          SELECT DISTINCT a.pk AS u, b.pk AS v
          FROM p a JOIN p b ON a.ok = b.ok AND a.pk < b.pk)"""
 
@@ -628,7 +635,7 @@ object Graph {
        FROM g ORDER BY brand"""),
     "q_graph_label_prop" -> (edgeCte +
       """,
-       adj AS (SELECT u AS node, v AS nbr FROM e
+       adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e
                UNION ALL SELECT v AS node, u AS nbr FROM e),
        l0 AS (SELECT DISTINCT node, node AS label FROM adj),
        c1 AS (SELECT a.node, l.label, COUNT(*) AS cnt
@@ -653,7 +660,7 @@ object Graph {
     "q_graph_sssp" -> (edgeCte +
       """,
        we AS (SELECT u, v, 1 + (u + v) % 5 AS w FROM e),
-       adj AS (SELECT u AS a, v AS b, w FROM we
+       adj AS MATERIALIZED (SELECT u AS a, v AS b, w FROM we
                UNION ALL SELECT v AS a, u AS b, w FROM we),
        d0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist
               FROM adj WHERE a <= 10),
@@ -679,26 +686,26 @@ object Graph {
                FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
                GROUP BY node),
        k0 AS (SELECT node FROM dg0 WHERE degree >= 8),
-       e1 AS (SELECT e.u, e.v FROM e
+       e1 AS MATERIALIZED (SELECT e.u, e.v FROM e
               JOIN k0 a ON e.u = a.node JOIN k0 b ON e.v = b.node),
        dg1 AS (SELECT node, count(*) AS degree
                FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
                GROUP BY node),
        k1 AS (SELECT node FROM dg1 WHERE degree >= 8),
-       e2 AS (SELECT e1.u, e1.v FROM e1
+       e2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1
               JOIN k1 a ON e1.u = a.node JOIN k1 b ON e1.v = b.node),
        dg2 AS (SELECT node, count(*) AS degree
                FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
                GROUP BY node),
        k2 AS (SELECT node FROM dg2 WHERE degree >= 8),
-       e3 AS (SELECT e2.u, e2.v FROM e2
+       e3 AS MATERIALIZED (SELECT e2.u, e2.v FROM e2
               JOIN k2 a ON e2.u = a.node JOIN k2 b ON e2.v = b.node)
        SELECT node, count(*) AS degree
        FROM (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
        GROUP BY node ORDER BY node"""),
     "q_graph_bfs" -> (edgeCte +
       """,
-       adj AS (SELECT u AS a, v AS b FROM e
+       adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e
                UNION ALL SELECT v AS a, u AS b FROM e),
        d0 AS (SELECT DISTINCT a AS node FROM adj WHERE a <= 10),
        l1 AS (SELECT DISTINCT adj.b AS node
@@ -816,13 +823,16 @@ object Graph {
        SELECT id AS node, MIN(r) AS component
        FROM reach GROUP BY id ORDER BY node"""),
     "q_graph_pagerank" ->
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
            SELECT DISTINCT l_suppkey AS src,
              l_partkey + 10000000 AS dst
            FROM lineitem),
-         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         p AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
-         od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         nodes AS MATERIALIZED (
+           SELECT src AS node FROM e UNION SELECT dst FROM e),
+         p AS MATERIALIZED (
+           SELECT 1000000000000 // count(*) AS base FROM nodes),
+         od AS MATERIALIZED (
+           SELECT src, count(*) AS od FROM e GROUP BY src),
          r0 AS (SELECT node, (SELECT base FROM p) AS rank FROM nodes),
          s1 AS (
            SELECT e.dst AS node, CAST(SUM(r0.rank // od.od) AS BIGINT) AS s
