@@ -58,6 +58,7 @@ object SparkEntry {
       StatsOps.queries ++
       AssociationOps.queries ++
       TrainMixOps.queries ++
+      DataDietOps.queries ++
       graft.multimodal.MediaOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +104,6 @@ object SparkEntry {
       StatsOps.oracleSql ++
       AssociationOps.oracleSql ++
       TrainMixOps.oracleSql ++
+      DataDietOps.oracleSql ++
       graft.multimodal.MediaOps.oracleSql
 }
