@@ -225,7 +225,47 @@ object Privacy {
         (col("n_below") === 0L).as("k_anonymous"))
   }
 
+  /** Cumulative CDF of the two-sided geometric (discrete Laplace)
+    * distribution with α = 1/2, truncated to [-8, 8] and renormalized,
+    * floored into the 2²⁴ draw grain (the [[StatsOps.PoissonCum24]]
+    * device): noise K = −8 + #{c : h ≥ c} for a uniform 6-hex md5 draw
+    * h ∈ [0, 2²⁴). α = 1/2 ⇔ ε = ln 2 per release under the geometric
+    * mechanism. Identical literals in both engines → exact integer
+    * inverse-CDF, no floats. */
+  val GeomCum24: Seq[Long] = Seq(21902L, 65707L, 153316L, 328535L,
+    678973L, 1379849L, 2781601L, 5585104L, 11192111L, 13995614L,
+    15397366L, 16098242L, 16448680L, 16623899L, 16711508L, 16755313L)
+
+  /** Differentially-private release of per-language document counts via
+    * the geometric mechanism (Ghosh-Roughgarden-Sundararajan 2009; the
+    * integer-noise mechanism family the 2020 US Census DAS built on):
+    * each released count is the true count plus a two-sided
+    * geometric(α=1/2) draw, ε = ln 2 per statistic, sensitivity 1 for
+    * a count query. The draw is a seeded md5 inverse-CDF so the release
+    * is rerun-stable and cross-engine exact — a production release
+    * would substitute a fresh entropy source for the seed (the
+    * deterministic draw is this engine's verifiability device, same
+    * trade as the md5 samplers); the mechanism's shape — noise table,
+    * grain, truncation — is what carries to production unchanged.
+    *
+    * 100 TB shape: one map-side-combinable count rollup to |langs|
+    * rows; the noise arithmetic runs on the rollup. Only the noisy
+    * count is emitted — the true count and the draw never leave the
+    * query, matching the DP release contract. */
+  val qPrivacyDpCount: Q = (s, d) => {
+    val h = conv(substring(md5(concat(col("lang"), lit("#dp1"))), 1, 6),
+      16, 10).cast("long")
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise",
+        GeomCum24.map(c => when(h >= c, 1L).otherwise(0L))
+          .reduce(_ + _) - lit(8L))
+      .select(col("lang"), (col("n_true") + col("noise")).as("n_noisy"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_privacy_dpcount" -> qPrivacyDpCount,
     "q_privacy_kanon" -> qPrivacyKanon,
     "q_privacy_tcloseness" -> qPrivacyTcloseness,
     "q_privacy_generalize" -> qPrivacyGeneralize,
@@ -233,6 +273,31 @@ object Privacy {
     "q_privacy_forget" -> qPrivacyForget)
 
   val oracleSql: Map[String, String] = Map(
+    "q_privacy_dpcount" ->
+      """WITH c AS (
+           SELECT lang, COUNT(*) AS n_true,
+             CAST('0x' || substring(md5(lang || '#dp1'), 1, 6) AS INT)
+               AS h
+           FROM documents GROUP BY lang)
+         SELECT lang, CAST(n_true
+           + (CASE WHEN h >= 21902 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 65707 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 153316 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 328535 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 678973 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 1379849 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 2781601 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 5585104 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 11192111 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 13995614 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 15397366 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 16098242 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 16448680 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 16623899 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 16711508 THEN 1 ELSE 0 END)
+           + (CASE WHEN h >= 16755313 THEN 1 ELSE 0 END)
+           - 8 AS BIGINT) AS n_noisy
+         FROM c""",
     "q_privacy_generalize" ->
       """WITH w AS (SELECT unnest([100, 200, 400, 800]) AS width),
          c AS (

@@ -353,7 +353,55 @@ object StatsOps {
           .as("rejected"))
   }
 
+  /** Cohen's kappa inter-rater agreement (Cohen 1960) between two
+    * deterministic per-user labelers — "frequent purchaser" (≥ 14
+    * purchase events, above the fixture median) vs "high spender"
+    * (total ≥ 3300.00 in exact cents, near the fixture median) — per
+    * user-decile bucket: the label-quality check a
+    * training pipeline runs over redundant annotators before trusting
+    * either. kappa = (p_o − p_e)/(1 − p_e) emitted as EXACT ppm by
+    * cross-multiplying through the N² denominator:
+    * num = N·(n11+n00) − (ma·mb + (N−ma)·(N−mb)),
+    * den = N² − (ma·mb + (N−ma)·(N−mb)), kappa_ppm = 10⁶·num div den —
+    * all in decimal(38) (N²·10⁶ stays exact past 10¹⁵ users/bucket).
+    * den = 0 (a degenerate marginal, p_e = 1) yields NULL under a CASE
+    * guard, matching the statistic's undefined case and DuckDB's `//`.
+    *
+    * 100 TB shape: one user-keyed rollup (bounded per-user state), then
+    * a map-side-combinable contingency rollup to 10 bucket rows. */
+  val qEvalKappa: Q = (s, d) => {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), cents.as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"),
+        sum(col("cents")).as("tc"))
+      .select(col("user_id"),
+        (col("np") >= 14L).as("a"), (col("tc") >= 330000L).as("b"))
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("bucket"), col("n"), col("n11"), col("n10"),
+        col("n01"), col("n00"),
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n
+                  - ((n11+n10) * CAST(n11+n01 AS DECIMAL(38,0))
+                     + (n01+n00) * CAST(n10+n00 AS DECIMAL(38,0))) > 0
+                THEN CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * (n11+n00)
+                  - ((n11+n10) * CAST(n11+n01 AS DECIMAL(38,0))
+                     + (n01+n00) * CAST(n10+n00 AS DECIMAL(38,0)))))
+                  div (CAST(n AS DECIMAL(38,0)) * n
+                  - ((n11+n10) * CAST(n11+n01 AS DECIMAL(38,0))
+                     + (n01+n00) * CAST(n10+n00 AS DECIMAL(38,0))))
+                  AS LONG) END""").as("kappa_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eval_kappa" -> qEvalKappa,
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_drift_chisq" -> qDriftChisq,
     "q_stat_mcnemar" -> qStatMcnemar,
@@ -362,6 +410,35 @@ object StatsOps {
     "q_abtest_anova" -> qAbtestAnova)
 
   val oracleSql: Map[String, String] = Map(
+    "q_eval_kappa" ->
+      """WITH per AS (
+           SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               >= 14 AS a,
+             SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+               >= 330000 AS b
+           FROM events GROUP BY user_id),
+         ct AS (
+           SELECT user_id % 10 AS bucket, COUNT(*) AS n,
+             SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+             SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+             SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+             SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+           FROM per GROUP BY user_id % 10)
+         SELECT bucket, CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+           CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+           CAST(n00 AS BIGINT) AS n00,
+           CASE WHEN CAST(n AS HUGEINT) * n
+                  - ((n11+n10) * CAST(n11+n01 AS HUGEINT)
+                     + (n01+n00) * CAST(n10+n00 AS HUGEINT)) > 0
+           THEN CAST((1000000 * (CAST(n AS HUGEINT) * (n11+n00)
+                  - ((n11+n10) * CAST(n11+n01 AS HUGEINT)
+                     + (n01+n00) * CAST(n10+n00 AS HUGEINT))))
+                  // (CAST(n AS HUGEINT) * n
+                  - ((n11+n10) * CAST(n11+n01 AS HUGEINT)
+                     + (n01+n00) * CAST(n10+n00 AS HUGEINT)))
+                  AS BIGINT) END AS kappa_ppm
+         FROM ct""",
     "q_stat_wilson" ->
       """WITH f AS (
            SELECT event_type, COUNT(*) AS n,

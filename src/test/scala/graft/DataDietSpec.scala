@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.DataDietOps
+import graft.operators.{DataDietOps, Privacy, StatsOps}
 
 /** Round-13 data-diet operators: brute-force in-JVM references for each
   * exact query (SURVEY.md §5.2 item 2) plus the funnel-monotonicity and
@@ -78,6 +78,68 @@ class DataDietSpec extends AnyFunSuite {
       assert(consumed + deficit == math.max(share, consumed),
         s"$src: consumed+deficit must reconstruct the share when capped")
     }
+  }
+
+  test("q_privacy_dpcount: noise bounded by the truncated support; counts shift deterministically") {
+    val truth = Tables.documents(spark, sf)
+      .select("lang").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = StableRuns(2)(
+      Privacy.qPrivacyDpCount(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (lang, noisy) =>
+      val k = noisy - truth(lang)
+      assert(k >= -8L && k <= 8L,
+        s"$lang: noise $k outside the truncated geometric support")
+    }
+    // the draw must not be constant across languages on this fixture
+    assert(got.map { case (l, n) => n - truth(l) }.toSet.size > 1,
+      "all languages drew identical noise — seed device is suspect")
+  }
+
+  /** Runs `body` n times and asserts the results identical (rerun
+    * stability is part of the DP release contract here). */
+  private object StableRuns {
+    def apply[A](n: Int)(body: => A): A = {
+      val runs = Seq.fill(n)(body)
+      assert(runs.distinct.size == 1, "release must be rerun-stable")
+      runs.head
+    }
+  }
+
+  test("q_eval_kappa matches a BigInt brute-force on the fixture") {
+    val per = Tables.events(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact))
+      .groupBy(_._1).map { case (u, rows) =>
+        (u, rows.count(_._2 == "purchase") >= 14, rows.map(_._3).sum >= 330000L)
+      }
+    val want = per.groupBy(_._1 % 10).map { case (bkt, us) =>
+      val n = BigInt(us.size)
+      val n11 = BigInt(us.count(t => t._2 && t._3))
+      val n10 = BigInt(us.count(t => t._2 && !t._3))
+      val n01 = BigInt(us.count(t => !t._2 && t._3))
+      val n00 = BigInt(us.count(t => !t._2 && !t._3))
+      val pe = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+      val den = n * n - pe
+      val kappa = if (den > 0)
+        Some(((BigInt(1000000) * (n * (n11 + n00) - pe)) / den).toLong)
+      else None
+      bkt -> (n.toLong, n11.toLong, n10.toLong, n01.toLong, n00.toLong, kappa)
+    }
+    val got = StatsOps.qEvalKappa(spark, sf).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))
+    }.toMap
+    assert(got == want)
+    // the fixture must actually exercise the statistic (non-trivial
+    // agreement table in at least one bucket)
+    assert(got.values.exists(_._6.exists(k => k != 0L)),
+      "kappa is 0/NULL everywhere — labelers degenerate on fixture")
   }
 
   test("q_curriculum_buckets matches a brute-force phase assignment") {
