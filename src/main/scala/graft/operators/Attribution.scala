@@ -161,18 +161,26 @@ object Attribution {
 
   val qAbtestConversion: Q = (s, d) => abtestConversion(Tables.events(s, d))
 
-  /** Welch two-sample significance readout per event type, EXACT: the
-    * arms are the same md5 split as [[abtestConversion]]; values ride
-    * integer cents; and the |t| > 2 decision is the fully
-    * cross-multiplied inequality
-    *   A²·(n_a−1)(n_b−1) > 4·[(n_a·Q_a − S_a²)·n_b²·(n_b−1)
-    *                        + (n_b·Q_b − S_b²)·n_a²·(n_a−1)],
-    * A = S_a·n_b − S_b·n_a — so no division, sqrt, or float anywhere;
-    * DuckDB mirrors in HUGEINT. Operands ride decimal(19,0)/decimal(38,0)
-    * partials (the [[TimeSeries.autocorr]] convention) — headroom to
-    * ~10⁹ rows per (type, arm) cell at cent precision before the
-    * decimal(38) products saturate; past that, pre-aggregate per day
-    * first.
+  /** Welch two-sample significance readout per event type: the arms
+    * are the same md5 split as [[abtestConversion]]; values ride
+    * integer cents; the |t| > 2 decision is the NORMALIZED quantized
+    * inequality
+    *   d_m²·(n_a−1)(n_b−1) > 4·[v_ua·(n_b−1) + v_ub·(n_a−1)],
+    *   d_m  = (10³·|S_a·n_b − S_b·n_a|) div (n_a·n_b)   (milli-cents),
+    *   v_u* = (10⁶·(n·Q − S²)) div n²                    (micro grain)
+    * — no sqrt or float anywhere, and both engines integer-divide the
+    * same non-negative operands. The decision is the Welch test at
+    * DECLARED grain (the qDriftChisq micro-grain precedent): a true
+    * mean difference under one milli-cent reads insignificant by
+    * construction.
+    *
+    * History: through round 12 this was the raw cross-multiplied form
+    * A²(n_a−1)(n_b−1) > 4[(n_aQ_a−S_a²)n_b²(n_b−1) + …] — degree 6 in
+    * the arm counts, which breached decimal(38) AND DuckDB's HUGEINT
+    * at the 100× fixture (2×10⁶ rows/arm → 2.07·10³⁸; caught by the
+    * round-13 full sf10 gate, the old "headroom to ~10⁹ rows" docstring
+    * had misjudged the n⁶ growth). The normalized form caps every
+    * intermediate at ~10³⁶ through 10¹⁰ rows per arm with cents ≤ 10⁵.
     *
     * Plan shape: ONE map-side-combinable rollup of the raw stream into
     * 5×(6 sufficient statistics) — the significance decision itself
@@ -198,16 +206,47 @@ object Attribution {
           .as("q_a"),
         sum(when(!col("arm_a"), dec(col("cents")) * dec(col("cents"))))
           .as("q_b"))
-    val a = dec(col("sum_a")) * dec(col("n_b")) -
-      dec(col("sum_b")) * dec(col("n_a"))
-    val lhs = a * a * (dec(col("n_a")) - lit(1)) * (dec(col("n_b")) - lit(1))
-    val rhs = lit(4) * (
-      (dec(col("n_a")) * col("q_a") - dec(col("sum_a")) * dec(col("sum_a")))
-        * dec(col("n_b")) * dec(col("n_b")) * (dec(col("n_b")) - lit(1)) +
-      (dec(col("n_b")) * col("q_b") - dec(col("sum_b")) * dec(col("sum_b")))
-        * dec(col("n_a")) * dec(col("n_a")) * (dec(col("n_a")) - lit(1)))
+    // Decision in the NORMALIZED form (round-13 sf10 catch): the raw
+    // cross-multiplied inequality a²·A·B > 4(V_a n_b² B + V_b n_a² A)
+    // is degree-6 in the arm counts — at 2×10⁶ rows/arm (the 100×
+    // fixture) a²·A·B alone breaches decimal(38) AND DuckDB's HUGEINT,
+    // so BOTH engines die exactly where the test matters most. Divide
+    // through by (n_a n_b)² and quantize the two rationals at fixed
+    // grains (the qDriftChisq micro-grain precedent): d_m = |mean
+    // difference| in MILLI-cents (10³·|a| div n_a n_b), v_u = per-arm
+    // variance proxy in micro grain (10⁶·V div n²). The decision
+    //   d_m²·A·B > 4(v_ua·B + v_ub·A)
+    // is the same Welch test at declared grain — effect sizes under a
+    // milli-cent read insignificant by construction — and every
+    // intermediate stays ≤ ~10³⁶ through 10¹⁰ rows per arm (10³·|a| ≤
+    // 10³·C·n² and 10⁶·V ≤ 10⁶·n²C² with cents C ≤ 10⁵). All operands
+    // non-negative (abs; V ≥ 0 by Cauchy-Schwarz), so Spark's div and
+    // DuckDB's // agree. Found by the round-13 full sf10 gate:
+    // NUMERIC_VALUE_OUT_OF_RANGE at 2.07e38.
     g.select(col("event_type"), col("n_a"), col("n_b"),
-      col("sum_a"), col("sum_b"), (lhs > rhs).as("significant"))
+        col("sum_a"), col("sum_b"),
+        // CASE guards: ANSI `div` raises on a zero divisor even with a
+        // NULL numerator, so an empty arm must short-circuit to NULL
+        // (the FeatureOps degenerate-denominator pattern)
+        expr("""CASE WHEN n_a > 0 AND n_b > 0 THEN
+                (1000 * abs(CAST(sum_a AS DECIMAL(38,0)) * n_b
+                  - CAST(sum_b AS DECIMAL(38,0)) * n_a))
+                div (CAST(n_a AS DECIMAL(38,0)) * n_b) END""").as("dm"),
+        expr("""CASE WHEN n_a > 0 THEN
+                (1000000 * (CAST(n_a AS DECIMAL(38,0)) * q_a
+                  - CAST(sum_a AS DECIMAL(38,0)) * sum_a))
+                div (CAST(n_a AS DECIMAL(38,0)) * n_a) END""").as("vua"),
+        expr("""CASE WHEN n_b > 0 THEN
+                (1000000 * (CAST(n_b AS DECIMAL(38,0)) * q_b
+                  - CAST(sum_b AS DECIMAL(38,0)) * sum_b))
+                div (CAST(n_b AS DECIMAL(38,0)) * n_b) END""").as("vub"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("sum_a"), col("sum_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("""dm * dm * (CAST(n_a AS DECIMAL(38,0)) - 1) * (n_b - 1)
+                  > 4 * (vua * (CAST(n_b AS DECIMAL(38,0)) - 1)
+                       + vub * (CAST(n_a AS DECIMAL(38,0)) - 1))"""))
+          .as("significant"))
   }
 
   val qAbtestTtest: Q = (s, d) => abtestTtest(Tables.events(s, d))
@@ -238,18 +277,28 @@ object Attribution {
                AS q_a,
              SUM(CAST(cents AS HUGEINT) * cents) FILTER (WHERE NOT arm_a)
                AS q_b
-           FROM e GROUP BY event_type)
+           FROM e GROUP BY event_type),
+         q AS (
+           SELECT event_type, n_a, n_b, sum_a, sum_b,
+             CASE WHEN n_a > 0 AND n_b > 0 THEN
+               (1000 * abs(CAST(sum_a AS HUGEINT) * n_b
+                 - CAST(sum_b AS HUGEINT) * n_a))
+               // (CAST(n_a AS HUGEINT) * n_b) END AS dm,
+             CASE WHEN n_a > 0 THEN
+               (1000000 * (CAST(n_a AS HUGEINT) * q_a
+                 - CAST(sum_a AS HUGEINT) * sum_a))
+               // (CAST(n_a AS HUGEINT) * n_a) END AS vua,
+             CASE WHEN n_b > 0 THEN
+               (1000000 * (CAST(n_b AS HUGEINT) * q_b
+                 - CAST(sum_b AS HUGEINT) * sum_b))
+               // (CAST(n_b AS HUGEINT) * n_b) END AS vub
+           FROM g)
          SELECT event_type, n_a, n_b, sum_a, sum_b,
-           (CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a)
-             * (CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a)
-             * (n_a - 1) * (n_b - 1)
-           > 4 * ((CAST(n_a AS HUGEINT) * q_a
-                     - CAST(sum_a AS HUGEINT) * sum_a)
-                    * n_b * n_b * (n_b - 1)
-                + (CAST(n_b AS HUGEINT) * q_b
-                     - CAST(sum_b AS HUGEINT) * sum_b)
-                    * n_a * n_a * (n_a - 1)) AS significant
-         FROM g""",
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             dm * dm * (n_a - 1) * (CAST(n_b AS HUGEINT) - 1)
+             > 4 * (vua * (CAST(n_b AS HUGEINT) - 1)
+                  + vub * (CAST(n_a AS HUGEINT) - 1)) END AS significant
+         FROM q""",
     "q_attribution_linear" ->
       """WITH s AS (
            SELECT user_id, event_type, event_id,

@@ -71,11 +71,16 @@ class Round10OpsSpec extends AnyFunSuite {
       assert(ga.sum == sa && gb.sum == sb)
       val (qa, qb) = (ga.map(c => BigInt(c) * c).sum,
         gb.map(c => BigInt(c) * c).sum)
+      // normalized quantized decision (round-13 sf10 overflow fix):
+      // milli-cent mean difference, micro-grain variance proxies
       val a = BigInt(sa) * nb - BigInt(sb) * na
-      val lhs = a * a * (na - 1) * (nb - 1)
-      val rhs = 4 * ((BigInt(na) * qa - BigInt(sa) * sa)
-        * nb * nb * (nb - 1) +
-        (BigInt(nb) * qb - BigInt(sb) * sb) * na * na * (na - 1))
+      val dm = (BigInt(1000) * a.abs) / (BigInt(na) * nb)
+      val vua = (BigInt(1000000) * (BigInt(na) * qa - BigInt(sa) * sa)) /
+        (BigInt(na) * na)
+      val vub = (BigInt(1000000) * (BigInt(nb) * qb - BigInt(sb) * sb)) /
+        (BigInt(nb) * nb)
+      val lhs = dm * dm * (na - 1) * (nb - 1)
+      val rhs = 4 * (vua * (nb - 1) + vub * (na - 1))
       assert(sig == (lhs > rhs))
     }
   }
