@@ -646,7 +646,17 @@ object Similarity {
   /** Shared oracle CTE chain for the embedding dedup queries, generated
     * with the same quantized-plane literals the Spark plans embed:
     * candidates = bucket hamming ≤ 1 in any table, verification in
-    * HUGEINT; the final `vpairs` CTE is the verified pair list. */
+    * HUGEINT; the final `vpairs` CTE is the verified pair list.
+    *
+    * The multi-referenced CTEs carry `AS MATERIALIZED` (the Graph-oracle
+    * device, round 13): DuckDB inlines CTEs by default, so `n` (read by
+    * bk and twice by ver), `bk` (self-joined in cand), and `vpairs`
+    * (read twice by the cluster closure's `e`, which the RECURSIVE
+    * reach then re-evaluates per iteration) each recomputed the whole
+    * LSH pipeline per reference — at the 100× fixture the cluster
+    * oracle spilled past the machine's free temp disk exactly like the
+    * r12 BFS oracle. An evaluation hint, zero semantic change;
+    * re-verified at sf0.01. */
   private def embedLshCtes(tables: Int, nbits: Int, dim: Int,
       cosSq1e4: Long): String = {
     val planes = quantizedPlanes(tables * nbits, dim)
@@ -657,12 +667,12 @@ object Similarity {
            SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
            FROM embeddings),
-         n AS (
+         n AS MATERIALIZED (
            SELECT vec_id, qv,
              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm2
            FROM q),
          pl AS (SELECT * FROM (VALUES $planeRows) AS t(tbl, b, plane)),
-         bk AS (
+         bk AS MATERIALIZED (
            SELECT vec_id, tbl,
              CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(qv, plane),
                     t -> t[1] * t[2])) > 0
@@ -679,7 +689,7 @@ object Similarity {
              a.nrm2 AS na2, b.nrm2 AS nb2
            FROM cand JOIN n a ON a.vec_id = cand.id_a
                      JOIN n b ON b.vec_id = cand.id_b),
-         vpairs AS (
+         vpairs AS MATERIALIZED (
            SELECT id_a, id_b, dot, na2, nb2 FROM ver
            WHERE dot > 0
              AND CAST(dot AS HUGEINT) * dot * 10000
@@ -699,7 +709,7 @@ object Similarity {
   private def embedClusterOracle(tables: Int, nbits: Int, dim: Int,
       cosSq1e4: Long): String =
     s"""WITH RECURSIVE ${embedLshCtes(tables, nbits, dim, cosSq1e4)},
-         e AS (
+         e AS MATERIALIZED (
            SELECT id_a AS id, id_b AS nbr FROM vpairs
            UNION ALL
            SELECT id_b AS id, id_a AS nbr FROM vpairs),
