@@ -70,9 +70,14 @@ SAMPLE_SPECS = {
     "q_dedup_cross_matrix": ("documents", "doc_id", ("mod", 199)),
     "q_dedup_minhash_pairs": ("documents", "doc_id", ("mod", 199)),
     "q_dedup_ngram": ("documents", "doc_id", ("mod", 199)),
-    # embeddings-driven ANN dedup oracles
-    "q_dedup_embed_cluster": ("embeddings", "vec_id", ("mod", 7)),
-    "q_dedup_embed_incremental": ("embeddings", "vec_id", ("mod", 7)),
+    # embeddings-driven ANN dedup oracles. cluster/incremental carry
+    # the RELATIONAL closure/anti-join oracles whose candidate tables
+    # materialize two 64-long arrays per pair — at an sf10 mod-7 slice
+    # (28.6k vectors in whole 100-copy near-dup groups) that is tens of
+    # GB of DuckDB spill, so those two sample at mod 63 (~3.2k vectors,
+    # dup groups still whole); the pair-list oracle stays at mod 7
+    "q_dedup_embed_cluster": ("embeddings", "vec_id", ("mod", 63)),
+    "q_dedup_embed_incremental": ("embeddings", "vec_id", ("mod", 63)),
     "q_dedup_embed_lsh": ("embeddings", "vec_id", ("mod", 7)),
 }
 
@@ -111,6 +116,14 @@ def run_oracle(sf_dir, sql, q):
         # order preservation lets DuckDB stream the big CTE pipelines
         # instead of buffering them (the sf10 BFS oracle's 60 GB spill)
         con.execute("SET preserve_insertion_order=false")
+        # DuckDB's perfect-hash GROUP BY shifts by the key RANGE; the
+        # GenScale mirrors spread keys across c*10^7 spans, so at sf10
+        # the range (~9.9e8) overflows the shift ("Left-shift value
+        # ... out of range" on q_dedup_simhash) or builds enormous
+        # sparse tables (the 1800s q_dedup_cluster timeouts). Plain
+        # hash aggregation finishes the same oracle in ~23 s — an
+        # evaluation setting, zero semantic change (round 13).
+        con.execute("SET perfect_ht_threshold=0")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         glob = f"{path}/*.parquet" if os.path.isdir(path) else path
