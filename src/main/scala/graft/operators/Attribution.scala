@@ -242,10 +242,19 @@ object Attribution {
                 div (CAST(n_b AS DECIMAL(38,0)) * n_b) END""").as("vub"))
       .select(col("event_type"), col("n_a"), col("n_b"),
         col("sum_a"), col("sum_b"),
+        // dm/vua/vub land as LONG out of Spark's integral `div` while
+        // the DuckDB oracle keeps them HUGEINT — rehydrate to
+        // DECIMAL(38,0) BEFORE the squaring/products so exceeding the
+        // documented envelope (cents ≤ 10⁵, ≤ 10¹⁰ rows/arm) surfaces
+        // as a loud NULL/overflow on both engines instead of a silent
+        // int64 wrap on the Spark side only (ADVICE r13).
         when(col("n_a") > 0 && col("n_b") > 0,
-          expr("""dm * dm * (CAST(n_a AS DECIMAL(38,0)) - 1) * (n_b - 1)
-                  > 4 * (vua * (CAST(n_b AS DECIMAL(38,0)) - 1)
-                       + vub * (CAST(n_a AS DECIMAL(38,0)) - 1))"""))
+          expr("""CAST(dm AS DECIMAL(38,0)) * dm
+                    * (CAST(n_a AS DECIMAL(38,0)) - 1) * (n_b - 1)
+                  > 4 * (CAST(vua AS DECIMAL(38,0))
+                           * (CAST(n_b AS DECIMAL(38,0)) - 1)
+                       + CAST(vub AS DECIMAL(38,0))
+                           * (CAST(n_a AS DECIMAL(38,0)) - 1))"""))
           .as("significant"))
   }
 

@@ -236,17 +236,21 @@ object Privacy {
     678973L, 1379849L, 2781601L, 5585104L, 11192111L, 13995614L,
     15397366L, 16098242L, 16448680L, 16623899L, 16711508L, 16755313L)
 
-  /** Differentially-private release of per-language document counts via
-    * the geometric mechanism (Ghosh-Roughgarden-Sundararajan 2009; the
-    * integer-noise mechanism family the 2020 US Census DAS built on):
-    * each released count is the true count plus a two-sided
-    * geometric(α=1/2) draw, ε = ln 2 per statistic, sensitivity 1 for
-    * a count query. The draw is a seeded md5 inverse-CDF so the release
-    * is rerun-stable and cross-engine exact — a production release
-    * would substitute a fresh entropy source for the seed (the
-    * deterministic draw is this engine's verifiability device, same
-    * trade as the md5 samplers); the mechanism's shape — noise table,
-    * grain, truncation — is what carries to production unchanged.
+  /** Geometric-mechanism count demo: the seeded draw is publicly
+    * recomputable, so NO actual privacy as shipped. The mechanism is
+    * the real thing (Ghosh-Roughgarden-
+    * Sundararajan 2009; the integer-noise family the 2020 US Census DAS
+    * built on): each released count is the true count plus a two-sided
+    * geometric(α=1/2) draw — ε = ln 2 per statistic, sensitivity 1 —
+    * but ONLY once the draw comes from entropy the adversary cannot
+    * reproduce. Here the draw is a seeded md5 inverse-CDF (md5(lang ||
+    * '#dp1')), a deterministic public function of the released group
+    * key, chosen so the release is rerun-stable and cross-engine exact
+    * for the oracle gate; anyone can recompute it and recover the true
+    * counts. A production release substitutes a fresh entropy source
+    * for the seed — the mechanism's shape (noise table, grain,
+    * truncation) is what carries to production unchanged, not the
+    * guarantee of this demo form.
     *
     * 100 TB shape: one map-side-combinable count rollup to |langs|
     * rows; the noise arithmetic runs on the rollup. Only the noisy
