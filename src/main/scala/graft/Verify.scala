@@ -19,11 +19,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // coalesce(1) keeps the driver's comparator contract (one file per
+    // query) but is a single-threaded write wall at scale fixtures —
+    // SPARK_GRAFT_DUMP_PARTS=1 keeps the natural partitioning for the
+    // sf1/sf10 gates, whose comparators glob-read the dump directory.
+    val parts = sys.env.contains("SPARK_GRAFT_DUMP_PARTS")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        (if (parts) df else df.coalesce(1)).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -7,6 +7,17 @@ grinding for hours at 10x fixtures. Spark-side outputs are still fully
 read + canonicalized (sortability is part of the driver contract).
 
 Usage: python3 tools/validate_scale.py <sfDir> <verifyOutDir> [timeout_s]
+           [--digest-timeout S] [--workers N] [--force-digest]
+
+Outputs past the 5M-row comparator cap are no longer skipped (round 14):
+they get an order-independent DIGEST comparison — count + bit_xor + the
+summed 30-bit halves of a 60-bit hash over length-prefixed stringified
+rows (the q_ingest_manifest device) — computed inside ONE DuckDB worker
+over both the oracle SQL and read_parquet() of the Spark dump, so value
+stringification is a single engine's and cancels. `--force-digest`
+routes EVERY query through the digest path (the sf0.01 self-check that
+proves the digest agrees with the frame comparator); `--digest-timeout`
+gives the heavy past-cap oracles their own watchdog.
 
 Sampled gate for the perpetual infeasible-oracle skips (round 13):
 
@@ -142,15 +153,125 @@ def nrows(path):
                for f in glob.glob(f"{path}/*.parquet"))
 
 
-def check_one(name, sql, sf_dir, out_dir, timeout_s, max_rows):
+# --- digest comparator (round 14) -----------------------------------------
+# For outputs past the row cap, compare an ORDER-INDEPENDENT digest instead
+# of materialized frames: count + bit_xor + the summed 30-bit halves of a
+# 60-bit per-row hash over length-prefixed stringified values — the exact
+# device q_ingest_manifest (operators/Maintenance.scala) already proves
+# engine-independent. BOTH digests are computed inside the SAME DuckDB
+# worker — one over the oracle SQL, one over read_parquet() of the Spark
+# dump — so stringification is one engine's and cancels; the only inputs
+# that must agree are the VALUES.
+
+def _norm_exprs(cols_a, cols_b):
+    """Per-column normalization derived from BOTH schemas at once.
+    Returns {col: sql_wrapper} applied identically to the two sides."""
+    import re as _re
+    out = {}
+    for c in cols_a:
+        ta, tb = cols_a[c].upper(), cols_b[c].upper()
+        v = f'"{c}"'
+        if "TIMESTAMP" in ta or "TIMESTAMP" in tb:
+            # Spark parquet lands TIMESTAMPTZ (isAdjustedToUTC); the
+            # oracle computes naive TIMESTAMP — strip to naive UTC
+            v = f"CAST({v} AS TIMESTAMP)"
+        elif {ta, tb} & {"FLOAT", "REAL"}:
+            v = f"CAST({v} AS DOUBLE)"  # exact widening
+        elif ta.startswith("DECIMAL") or tb.startswith("DECIMAL"):
+            scales = [int(m.group(2)) for t in (ta, tb)
+                      for m in [_re.match(r"DECIMAL\((\d+),(\d+)\)", t)]
+                      if m]
+            if scales and len(set(scales)) > 1:
+                v = f"CAST({v} AS DECIMAL(38,{max(scales)}))"
+        out[c] = v
+    return out
+
+
+def _digest_sql(cols, norm, src):
+    parts = []
+    for c in sorted(cols):
+        s = f"coalesce(CAST({norm[c]} AS VARCHAR), chr(1))"
+        parts.append(f"CAST(length({s}) AS VARCHAR) || ':' || {s}")
+    row = " || '|' || ".join(parts)
+    return (
+        "SELECT count(*) AS n, coalesce(bit_xor(h), 0) AS fp,"
+        " coalesce(sum(h % 1073741824), 0) AS lo,"
+        " coalesce(sum(h // 1073741824), 0) AS hi FROM"
+        f" (SELECT CAST(('0x' || substring(md5({row}), 1, 15)) AS BIGINT)"
+        f" AS h FROM {src})")
+
+
+def run_digest(sf_dir, sql, out_glob, q):
+    """Worker: digest the oracle result AND the Spark dump, ship both."""
+    import duckdb
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    tmp = os.environ.get("GRAFT_DUCKDB_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET perfect_ht_threshold=0")
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+    spark_src = f"read_parquet('{out_glob}')"
+    try:
+        cols_s = {r[0]: r[1] for r in
+                  con.execute(f"DESCRIBE SELECT * FROM {spark_src}")
+                  .fetchall()}
+        cols_o = {r[0]: r[1] for r in
+                  con.execute(f"DESCRIBE ({sql})").fetchall()}
+        if sorted(cols_s) != sorted(cols_o):
+            q.put(("err", f"digest schema: spark={sorted(cols_s)} "
+                   f"oracle={sorted(cols_o)}"))
+            return
+        norm = _norm_exprs(cols_s, cols_o)
+        got = con.execute(_digest_sql(cols_s, norm, spark_src)).fetchone()
+        want = con.execute(_digest_sql(cols_o, norm, f"({sql})")).fetchone()
+        q.put(("ok", (tuple(got), tuple(want))))
+    except Exception as e:
+        q.put(("err", str(e)[:300]))
+
+
+def check_digest(name, sql, sf_dir, out_dir, timeout_s, n_out):
+    q = mp.Queue()
+    p = mp.Process(target=run_digest,
+                   args=(sf_dir, sql, f"{out_dir}/{name}/*.parquet", q))
+    p.start()
+    try:
+        status, payload = q.get(timeout=timeout_s)
+    except Exception:
+        p.terminate()
+        p.join()
+        return ("SKIP", f"SKIP {name}: digest oracle exceeded {timeout_s}s "
+                f"(spark rows={n_out})")
+    p.join()
+    if status == "err":
+        return ("FAIL", f"FAIL {name}: digest error: {payload}")
+    got, want = payload
+    if got != want:
+        return ("FAIL", f"FAIL {name}: digest mismatch "
+                f"got(n,fp,lo,hi)={got} want={want}")
+    return ("PASS", f"DIGEST-PASS {name} ({got[0]} rows, "
+            f"fp={got[1]:#x})")
+
+
+def check_one(name, sql, sf_dir, out_dir, timeout_s, max_rows,
+              digest_timeout=None, force_digest=False):
     """One oracle check; returns ('PASS'|'FAIL'|'SKIP', message)."""
     n_out = nrows(f"{out_dir}/{name}")
-    if n_out > max_rows:
-        # a pandas stringify-sort of a 10^8-row pair table is not a
-        # meaningful check (and its oracle is the quadratic one that
-        # times out anyway) — record and move on
-        return ("SKIP", f"SKIP {name}: spark output {n_out} rows > "
-                f"{max_rows} row comparator cap")
+    if force_digest or n_out > max_rows:
+        # past the cap, a pandas stringify-sort of a 10^8-row pair table
+        # is not meaningful — compare order-independent digests computed
+        # inside DuckDB on both sides instead (round 14)
+        return check_digest(name, sql, sf_dir, out_dir,
+                            digest_timeout or timeout_s, n_out)
     try:
         got = canon(pd.read_parquet(f"{out_dir}/{name}"))
     except Exception as e:
@@ -188,7 +309,8 @@ def check_one(name, sql, sf_dir, out_dir, timeout_s, max_rows):
     return ("PASS", f"PASS {name} ({len(got)} rows)")
 
 
-def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6):
+def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6,
+         digest_timeout=None, force_digest=False):
     from concurrent.futures import ThreadPoolExecutor
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
@@ -197,7 +319,8 @@ def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6):
     timed_out = []
     with ThreadPoolExecutor(max_workers=workers) as ex:
         futs = {name: ex.submit(check_one, name, sql, sf_dir, out_dir,
-                                timeout_s, max_rows)
+                                timeout_s, max_rows, digest_timeout,
+                                force_digest)
                 for name, sql in sorted(oracles.items())}
         for name in sorted(futs):
             status, msg = futs[name].result()
@@ -315,5 +438,19 @@ if __name__ == "__main__":
             argv = argv[:i] + argv[i + 2:]
         t = int(argv[2]) if len(argv) > 2 else 600
         sys.exit(sample_main(argv[0], argv[1], t, only))
+    force_digest = "--force-digest" in argv
+    if force_digest:
+        argv.remove("--force-digest")
+    digest_t = None
+    if "--digest-timeout" in argv:
+        i = argv.index("--digest-timeout")
+        digest_t = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    workers = 6
+    if "--workers" in argv:
+        i = argv.index("--workers")
+        workers = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     t = int(argv[2]) if len(argv) > 2 else 180
-    sys.exit(main(argv[0], argv[1], t))
+    sys.exit(main(argv[0], argv[1], t, workers=workers,
+                  digest_timeout=digest_t, force_digest=force_digest))
