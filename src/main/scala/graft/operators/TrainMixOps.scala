@@ -71,35 +71,39 @@ object TrainMixOps {
         sum(col("h10")).as("hits_at10"),
         sum(col("nrel")).as("n_rel"))
 
-  // the DCG position discount, shared by the DCG and IDCG folds below so
-  // a perfect ranking's ratio is EXACTLY 1.0 (same expression tree, same
-  // IEEE operation order — no literal-vs-runtime log ulp mismatch)
-  private def dcgFold(ranks: org.apache.spark.sql.Column) =
-    aggregate(ranks, lit(0.0),
-      (acc, r) => acc + lit(1.0) / log2(r.cast("double") + lit(1.0)))
+  // DCG position gains at declared MICRO grain: G(r) = round(10⁶ /
+  // log2(r+1)) for ranks 1..10, and their prefix sums (the ideal-DCG
+  // ladder). Pinning the ten reachable discount values as integer
+  // literals — identical in the Spark plan and the DuckDB oracle —
+  // removes the float fold entirely (the q_similarity_topk
+  // integer-quantization precedent), so NDCG@10 is EXACT-oracle.
+  private val DcgGainMicro = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+  private val IdcgMicro = DcgGainMicro.scanLeft(0L)(_ + _).tail
 
-  /** NDCG@10 per user-decile bucket (no-oracle float-fold class, like
-    * q_text_perplexity): per user, DCG folds the SORTED top-10 relevant
-    * ranks left-to-right (`aggregate` HOF — one addition order at any
-    * partitioning), IDCG runs the SAME fold over `sequence(1,
-    * min(nrel,10))`, and the per-user score is floored to exact ppm
-    * before the bucket sum, so the emitted longs are stable run to run.
-    * Property-pinned in TrainMixSpec: all-relevant users score 1e6
-    * exactly; scores never exceed 1e6; users with no relevant events are
-    * excluded. */
+  /** NDCG@10 per user-decile bucket, EXACT at declared micro grain
+    * (round 14; formerly a no-oracle float fold): the ten reachable
+    * position discounts 1/log2(r+1) are pinned as micro-grain integer
+    * literals shared verbatim with the oracle, DCG sums the gains of
+    * relevant top-10 ranks, IDCG is the literal prefix-sum ladder at
+    * min(nrel, 10), and the per-user score is the integral
+    * `(dcg · 10⁶) div idcg` — every value an exact integer in both
+    * engines. A perfect ranking scores exactly 10⁶ (dcg = idcg by
+    * construction). Property-pinned in TrainMixSpec; users with no
+    * relevant events are excluded. */
   val qEvalNdcg: Q = (s, d) =>
     rankedEvents(s, d)
       .groupBy(col("user_id"))
       .agg(
-        sort_array(collect_list(when(col("rel") && col("rk") <= 10,
-          col("rk")))).as("rel_ranks"),
+        sum(when(col("rel") && col("rk") <= 10,
+          element_at(array(DcgGainMicro.map(lit): _*), col("rk")))
+          .otherwise(0L)).as("dcg_micro"),
         sum(when(col("rel"), 1L).otherwise(0L)).as("nrel"))
       .filter(col("nrel") > 0)
-      .withColumn("dcg", dcgFold(col("rel_ranks")))
-      .withColumn("idcg",
-        dcgFold(sequence(lit(1), least(col("nrel"), lit(10L)).cast("int"))))
       .withColumn("ndcg_ppm",
-        floor(col("dcg") * lit(1000000.0) / col("idcg")).cast("long"))
+        expr("(dcg_micro * 1000000) div " +
+          s"element_at(array(${IdcgMicro.mkString("L,")}L), " +
+          "CAST(least(nrel, 10) AS INT))"))
       .groupBy((col("user_id") % 10).as("bucket"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("ndcg_ppm")).as("sum_ndcg_ppm"))
@@ -185,6 +189,28 @@ object TrainMixOps {
            CAST(SUM(h10) AS BIGINT) AS hits_at10,
            CAST(SUM(nrel) AS BIGINT) AS n_rel
          FROM per GROUP BY user_id % 10""",
+    "q_eval_ndcg" ->
+      """WITH ranked AS (
+           SELECT user_id, event_type = 'purchase' AS rel,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+           FROM events),
+         per AS (
+           SELECT user_id,
+             SUM(CASE WHEN rel AND rk <= 10 THEN
+               ([1000000,630930,500000,430677,386853,
+                 356207,333333,315465,301030,289065])[rk]
+               ELSE 0 END) AS dcg_micro,
+             SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS nrel
+           FROM ranked GROUP BY user_id)
+         SELECT user_id % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM((dcg_micro * 1000000) //
+             ([1000000,1630930,2130930,2561607,2948460,
+               3304667,3638000,3953465,4254495,4543560])[
+               CAST(LEAST(nrel, 10) AS INT)])
+             AS BIGINT) AS sum_ndcg_ppm
+         FROM per WHERE nrel > 0 GROUP BY user_id % 10""",
     "q_tokenizer_fertility" ->
       """WITH agg AS (
            SELECT lang, COUNT(*) AS n_docs,
