@@ -255,28 +255,50 @@ object Clustering {
 
   val queries: Map[String, Q] = Map("q_dedup_cluster" -> qDedupCluster)
 
-  /** Oracle: transitive closure by recursive CTE, min reachable id. */
+  /** Oracle: transitive closure by recursive CTE, min reachable id —
+    * CONTRACTED on the distinct token SET (round 14; the same
+    * set-quotient the Spark side uses). Jaccard is a pure function of
+    * the two token sets, and docs sharing a set are pairwise similar
+    * (Jaccard 1 ≥ 0.9; sets are never empty — string_split yields at
+    * least one element), so the expanded
+    * doc graph's components are the set graph's components with whole
+    * set-groups substituted for their reps; each group's min doc_id IS
+    * its rep (MIN over the group), so min reachable doc = min reachable
+    * rep. The r13 form self-joined ALL docs (quadratic in the corpus —
+    * the 1800 s sf10 timeout); contracted, the quadratic step runs on
+    * distinct token sets, which the 100× mirror's verbatim text copies
+    * keep at base-corpus scale. `list_sort` canonicalizes the set so
+    * GROUP BY list equality is order-insensitive (list_intersect never
+    * cared; GROUP BY does). Old-vs-new verified row-identical at
+    * sf0.01 and on an sf1 slice this round. */
   val oracleSql: Map[String, String] = Map(
     "q_dedup_cluster" ->
       """WITH RECURSIVE t AS (
-           SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+           SELECT doc_id,
+             list_sort(list_distinct(string_split(lower(text), ' ')))
+               AS toks
            FROM documents),
+         g AS MATERIALIZED (
+           SELECT toks, MIN(doc_id) AS rep, COUNT(*) AS sz
+           FROM t GROUP BY toks),
+         mem AS MATERIALIZED (
+           SELECT g.rep, t.doc_id FROM t JOIN g USING (toks)),
          p AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM t a JOIN t b ON a.doc_id < b.doc_id
+           SELECT a.rep AS rep_a, b.rep AS rep_b
+           FROM g a JOIN g b ON a.rep < b.rep
            WHERE len(list_intersect(a.toks, b.toks)) * 10 >=
                  (len(a.toks) + len(b.toks)
                   - len(list_intersect(a.toks, b.toks))) * 9),
-         e AS (
-           SELECT doc_a AS id, doc_b AS nbr FROM p
+         e AS MATERIALIZED (
+           SELECT rep_a AS id, rep_b AS nbr FROM p
            UNION ALL
-           SELECT doc_b AS id, doc_a AS nbr FROM p),
+           SELECT rep_b AS id, rep_a AS nbr FROM p),
          reach(id, r) AS (
-           SELECT id, id FROM e
+           SELECT rep, rep FROM g
            UNION
            SELECT e.id, reach.r FROM e JOIN reach ON reach.id = e.nbr),
          labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
-         SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster
-         FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
-         ORDER BY d.doc_id""")
+         SELECT m.doc_id, l.label AS cluster
+         FROM mem m JOIN labels l ON l.id = m.rep
+         ORDER BY m.doc_id""")
 }

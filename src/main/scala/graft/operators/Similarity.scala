@@ -648,15 +648,38 @@ object Similarity {
     * candidates = bucket hamming ≤ 1 in any table, verification in
     * HUGEINT; the final `vpairs` CTE is the verified pair list.
     *
-    * The multi-referenced CTEs carry `AS MATERIALIZED` (the Graph-oracle
-    * device, round 13): DuckDB inlines CTEs by default, so `n` (read by
-    * bk and twice by ver), `bk` (self-joined in cand), and `vpairs`
-    * (read twice by the cluster closure's `e`, which the RECURSIVE
-    * reach then re-evaluates per iteration) each recomputed the whole
-    * LSH pipeline per reference — at the 100× fixture the cluster
-    * oracle spilled past the machine's free temp disk exactly like the
-    * r12 BFS oracle. An evaluation hint, zero semantic change;
-    * re-verified at sf0.01. */
+    * Round 14, two structural changes:
+    *
+    * (1) CONTRACTION on the quantized vector `qv` — buckets, norms,
+    * and dots are pure functions of qv, so the candidate/verify step
+    * runs once per DISTINCT vector (`g`, rep = min vec_id) and the
+    * verified rep-pair list `vrep` expands back to member pairs at the
+    * end. Exact equivalence: identical vectors share buckets (hamming
+    * 0) and verify iff nrm2 > 0 (dot = nrm2; nrm2²·10⁴ ≥ cos²·nrm2²
+    * always at cos² ≤ 10⁴) — the `g.sz > 1 AND nrm2 > 0` self-pair
+    * row; cross-group verification depends only on (qv_a, qv_b). This
+    * collapses corpora with exact-duplicate embeddings; note the
+    * GenScale mirror is NOT such a corpus (it micro-jitters each copy
+    * precisely to break ties), so at sf1/sf10 the contraction is an
+    * exactness-preserving no-op, not a speedup.
+    *
+    * (2) STREAMING candidates — the r13 `SELECT DISTINCT` inside
+    * `cand` deduped the raw Θ(n²/2^nbits) candidate stream BEFORE
+    * verification, building a multi-10-GB hash/spill of pair keys at
+    * the 100× fixture (the disk death). The DISTINCT now runs in
+    * `vrep` AFTER the cosine filter, where surviving rows are
+    * output-scale; `cand`→`ver` streams each candidate through an
+    * in-memory 200k-row array build and drops it immediately.
+    * Verification work for pairs probed by both tables is duplicated
+    * (≤2×) but never materialized. The candidate COUNT itself remains
+    * Θ(n²/2^nbits) with 64-dim dot verification — at sf10 (400M+
+    * candidates × 2 tables) that is the documented full-oracle
+    * ceiling; the sampled-sf10 gate (mod-63 slice) stays the 100×
+    * evidence, with sf1 the full-oracle frontier.
+    *
+    * Multi-referenced CTEs keep `AS MATERIALIZED` (the Graph-oracle
+    * device, round 13) so DuckDB's CTE inlining cannot re-evaluate the
+    * pipeline per reference. */
   private def embedLshCtes(tables: Int, nbits: Int, dim: Int,
       cosSq1e4: Long): String = {
     val planes = quantizedPlanes(tables * nbits, dim)
@@ -667,33 +690,49 @@ object Similarity {
            SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
            FROM embeddings),
-         n AS MATERIALIZED (
-           SELECT vec_id, qv,
+         g AS MATERIALIZED (
+           SELECT qv, MIN(vec_id) AS rep, COUNT(*) AS sz,
              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm2
-           FROM q),
+           FROM q GROUP BY qv),
+         mem AS MATERIALIZED (
+           SELECT g.rep, q.vec_id FROM q JOIN g USING (qv)),
          pl AS (SELECT * FROM (VALUES $planeRows) AS t(tbl, b, plane)),
          bk AS MATERIALIZED (
-           SELECT vec_id, tbl,
+           SELECT rep, tbl,
              CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(qv, plane),
                     t -> t[1] * t[2])) > 0
                   THEN (1 << b) ELSE 0 END) AS BIGINT) AS bucket
-           FROM n, pl GROUP BY vec_id, tbl),
+           FROM g, pl GROUP BY rep, tbl),
          cand AS (
-           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.vec_id < b.vec_id
+           SELECT a.rep AS rep_a, b.rep AS rep_b
+           FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.rep < b.rep
            WHERE bit_count(xor(a.bucket, b.bucket)) <= 1),
          ver AS (
-           SELECT id_a, id_b,
+           SELECT rep_a, rep_b,
              CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
                t -> t[1] * t[2])) AS BIGINT) AS dot,
              a.nrm2 AS na2, b.nrm2 AS nb2
-           FROM cand JOIN n a ON a.vec_id = cand.id_a
-                     JOIN n b ON b.vec_id = cand.id_b),
-         vpairs AS MATERIALIZED (
-           SELECT id_a, id_b, dot, na2, nb2 FROM ver
+           FROM cand JOIN g a ON a.rep = cand.rep_a
+                     JOIN g b ON b.rep = cand.rep_b),
+         vrep AS MATERIALIZED (
+           SELECT DISTINCT rep_a, rep_b, dot, na2, nb2 FROM ver
            WHERE dot > 0
              AND CAST(dot AS HUGEINT) * dot * 10000
-                 >= $cosSq1e4 * CAST(na2 AS HUGEINT) * nb2)"""
+                 >= $cosSq1e4 * CAST(na2 AS HUGEINT) * nb2
+           UNION ALL
+           SELECT rep, rep, nrm2, nrm2, nrm2 FROM g
+           WHERE sz > 1 AND nrm2 > 0),
+         vrep2 AS (
+           SELECT rep_a AS qa, rep_b AS qb, dot, na2, nb2 FROM vrep
+           UNION ALL
+           SELECT rep_b, rep_a, dot, nb2, na2 FROM vrep
+           WHERE rep_a <> rep_b),
+         vpairs AS MATERIALIZED (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, v.dot,
+             v.na2, v.nb2
+           FROM vrep2 v JOIN mem a ON a.rep = v.qa
+                        JOIN mem b ON b.rep = v.qb
+           WHERE a.vec_id < b.vec_id)"""
   }
 
   private def embedLshOracle(tables: Int, nbits: Int, dim: Int,
@@ -702,25 +741,33 @@ object Similarity {
          SELECT id_a, id_b, dot, na2, nb2 FROM vpairs
          ORDER BY id_a, id_b"""
 
-  /** Oracle for [[qDedupEmbedCluster]]: the verified pair list, then
-    * transitive closure by recursive CTE (min reachable id), singleton
-    * vectors labeling themselves — same closure shape as
-    * q_dedup_cluster's oracle. */
+  /** Oracle for [[qDedupEmbedCluster]]: transitive closure by recursive
+    * CTE (min reachable id), run on the CONTRACTED rep graph (round 14).
+    * Equivalence: members of an nrm2 > 0 group are pairwise connected
+    * through the self-pair rows, so the expanded graph's components are
+    * exactly the rep graph's components with whole groups substituted
+    * for their reps; each group's min vec_id IS its rep, so the
+    * component's min vec_id = min reachable rep. Zero-vector groups
+    * (nrm2 = 0) have NO edges at all — dot = 0 fails `dot > 0` even
+    * between identical copies — so every member labels itself, exactly
+    * as in the uncontracted closure. */
   private def embedClusterOracle(tables: Int, nbits: Int, dim: Int,
       cosSq1e4: Long): String =
     s"""WITH RECURSIVE ${embedLshCtes(tables, nbits, dim, cosSq1e4)},
          e AS MATERIALIZED (
-           SELECT id_a AS id, id_b AS nbr FROM vpairs
+           SELECT rep_a AS id, rep_b AS nbr FROM vrep WHERE rep_a <> rep_b
            UNION ALL
-           SELECT id_b AS id, id_a AS nbr FROM vpairs),
+           SELECT rep_b AS id, rep_a AS nbr FROM vrep WHERE rep_a <> rep_b),
          reach(id, r) AS (
-           SELECT id, id FROM e
+           SELECT rep, rep FROM g WHERE nrm2 > 0
            UNION
            SELECT e.id, reach.r FROM e JOIN reach ON reach.id = e.nbr),
          labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
-         SELECT v.vec_id, COALESCE(l.label, v.vec_id) AS cluster
-         FROM embeddings v LEFT JOIN labels l ON l.id = v.vec_id
-         ORDER BY v.vec_id"""
+         SELECT m.vec_id,
+           CASE WHEN gg.nrm2 > 0 THEN l.label ELSE m.vec_id END AS cluster
+         FROM mem m JOIN g gg ON gg.rep = m.rep
+                    LEFT JOIN labels l ON l.id = m.rep
+         ORDER BY m.vec_id"""
 
   /** Cross-snapshot embedding dedup — the IncrementalDedup pattern at
     * vector granularity: even vec_ids are the ingested corpus (state),
@@ -742,16 +789,22 @@ object Similarity {
       .select(col("vec_id"))
   }
 
+  /** Contracted form (round 14): an odd (batch) vector is a dup iff its
+    * group reaches a group holding an even (state) member through one
+    * verified edge — the self row covers "my own group has an even
+    * copy" (parities differ, so the even copy is a distinct vector and
+    * the pair exists whenever the self row does). */
   private def embedIncrementalOracle(tables: Int, nbits: Int, dim: Int,
       cosSq1e4: Long): String =
     s"""WITH ${embedLshCtes(tables, nbits, dim, cosSq1e4)},
-         dup AS (
-           SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END
-             AS vec_id
-           FROM vpairs WHERE (id_a % 2) <> (id_b % 2))
-         SELECT v.vec_id FROM embeddings v
-         WHERE v.vec_id % 2 = 1
-           AND v.vec_id NOT IN (SELECT vec_id FROM dup)
+         geven AS (
+           SELECT rep FROM mem WHERE vec_id % 2 = 0 GROUP BY rep),
+         dup_groups AS (
+           SELECT DISTINCT v.qa AS rep FROM vrep2 v
+           JOIN geven ge ON ge.rep = v.qb)
+         SELECT m.vec_id FROM mem m
+         WHERE m.vec_id % 2 = 1
+           AND m.rep NOT IN (SELECT rep FROM dup_groups)
          ORDER BY vec_id"""
 
   /** Coverage (diversity-aware) sampling — the selection step that keeps

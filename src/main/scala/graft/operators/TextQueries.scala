@@ -1239,10 +1239,12 @@ object TextQueries {
       """WITH t AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
            FROM documents),
-         b AS (
-           SELECT doc_id,
+         v AS MATERIALIZED (
+           SELECT tok,
              CAST('0x' || substring(md5(tok), 1, 4) AS INT) % 256 AS bucket
-           FROM t),
+           FROM (SELECT DISTINCT tok FROM t)),
+         b AS (
+           SELECT t.doc_id, v.bucket FROM t JOIN v USING (tok)),
          c AS (
            SELECT doc_id, bucket, COUNT(*) AS cnt
            FROM b GROUP BY doc_id, bucket)
