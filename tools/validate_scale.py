@@ -116,8 +116,12 @@ def run_oracle(sf_dir, sql, q):
     # heavy oracles (recursive BFS at sf10) spill; give DuckDB a temp
     # dir with real space + an explicit memory budget instead of dying
     # on the default cwd-relative temp file (the r12 out-of-disk)
+    # PER-PROCESS temp subdir: concurrent DuckDB workers sharing one
+    # temp_directory collide on duckdb_temp_storage-*.tmp (worker A
+    # removes worker B's spill file -> hard terminate; round-14 catch)
     tmp = os.environ.get("GRAFT_DUCKDB_TMP")
     if tmp:
+        tmp = f"{tmp}/w{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}'")
     mem = os.environ.get("GRAFT_DUCKDB_MEM")
@@ -206,8 +210,12 @@ def run_digest(sf_dir, sql, out_glob, q):
     import duckdb
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # PER-PROCESS temp subdir: concurrent DuckDB workers sharing one
+    # temp_directory collide on duckdb_temp_storage-*.tmp (worker A
+    # removes worker B's spill file -> hard terminate; round-14 catch)
     tmp = os.environ.get("GRAFT_DUCKDB_TMP")
     if tmp:
+        tmp = f"{tmp}/w{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}'")
     mem = os.environ.get("GRAFT_DUCKDB_MEM")
@@ -310,10 +318,12 @@ def check_one(name, sql, sf_dir, out_dir, timeout_s, max_rows,
 
 
 def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6,
-         digest_timeout=None, force_digest=False):
+         digest_timeout=None, force_digest=False, only=None):
     from concurrent.futures import ThreadPoolExecutor
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
 
     n_pass = n_fail = n_timeout = 0
     timed_out = []
@@ -335,6 +345,8 @@ def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6,
 
     for name in sorted(os.listdir(out_dir)):
         if name in oracles or not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        if only is not None and name not in only:
             continue
         try:
             df = canon(pd.read_parquet(f"{out_dir}/{name}"))
@@ -451,6 +463,12 @@ if __name__ == "__main__":
         i = argv.index("--workers")
         workers = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
     t = int(argv[2]) if len(argv) > 2 else 180
     sys.exit(main(argv[0], argv[1], t, workers=workers,
-                  digest_timeout=digest_t, force_digest=force_digest))
+                  digest_timeout=digest_t, force_digest=force_digest,
+                  only=only))
