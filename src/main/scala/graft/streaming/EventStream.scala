@@ -310,7 +310,8 @@ object EventStream {
     * stream has delivered — rollup freshness costs |batch| rows per
     * trigger, never an events rescan. */
   def streamRollupPartials(events: DataFrame, path: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -323,6 +324,11 @@ object EventStream {
         ()
       }
       .option("checkpointLocation", checkpointDir)
+      // default: continuous micro-batching (the long-lived service
+      // shape); pass Trigger.AvailableNow() for drain-and-stop runs
+      // (the StreamSoak crash-recovery gate) — without it
+      // awaitTermination never returns on a bounded backlog
+      .trigger(trigger)
       .start()
 
   /** Current rollup: re-sum the landed per-batch partials. A reader
