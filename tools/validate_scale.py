@@ -205,9 +205,42 @@ def _digest_sql(cols, norm, src):
         f" AS h FROM {src})")
 
 
+def strip_trailing_order_by(sql):
+    """Remove a TOP-LEVEL trailing ORDER BY from an oracle before
+    digesting it: the digest is order-independent, but DuckDB does not
+    prune a subquery's ORDER BY, so a 3e9-row oracle would pay a full
+    external sort (46 GB of spill on q_join_theta_range) for nothing.
+    Only strips when the last depth-0 'ORDER BY' is followed solely by
+    sort-key tokens (idents/commas/ASC/DESC/numbers) to the end of the
+    string — anything else (LIMIT, parens) leaves the SQL untouched."""
+    import re
+    up = sql.upper()
+    if "DISTINCT ON" in up:
+        # DuckDB's DISTINCT ON picks the surviving row FROM the ORDER BY
+        # — stripping it would change which rows the oracle returns
+        return sql
+    depth = 0
+    pos = -1
+    for i, ch in enumerate(sql):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith("ORDER BY", i):
+            pos = i
+    if pos < 0:
+        return sql
+    tail = sql[pos + len("ORDER BY"):]
+    if re.fullmatch(r"[\sA-Za-z0-9_.,]*", tail) and \
+            "LIMIT" not in tail.upper():
+        return sql[:pos]
+    return sql
+
+
 def run_digest(sf_dir, sql, out_glob, q):
     """Worker: digest the oracle result AND the Spark dump, ship both."""
     import duckdb
+    sql = strip_trailing_order_by(sql)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     # PER-PROCESS temp subdir: concurrent DuckDB workers sharing one
