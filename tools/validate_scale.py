@@ -139,6 +139,9 @@ def run_oracle(sf_dir, sql, q):
         # hash aggregation finishes the same oracle in ~23 s — an
         # evaluation setting, zero semantic change (round 13).
         con.execute("SET perfect_ht_threshold=0")
+    dis = os.environ.get("GRAFT_DUCKDB_DISABLE_OPT")
+    if dis:
+        con.execute(f"SET disabled_optimizers='{dis}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         glob = f"{path}/*.parquet" if os.path.isdir(path) else path
@@ -256,6 +259,13 @@ def run_digest(sf_dir, sql, out_glob, q):
         con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET preserve_insertion_order=false")
     con.execute("SET perfect_ht_threshold=0")
+    dis = os.environ.get("GRAFT_DUCKDB_DISABLE_OPT")
+    if dis:
+        # e.g. 'join_order': keep written join order (build = right
+        # child) for oracles whose candidate side is mis-estimated as
+        # the build — the embed-LSH ver join at sf1 otherwise hashes
+        # the 10^8-row candidate stream and spills >50 GB
+        con.execute(f"SET disabled_optimizers='{dis}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         glob = f"{path}/*.parquet" if os.path.isdir(path) else path
