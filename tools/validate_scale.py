@@ -81,12 +81,12 @@ SAMPLE_SPECS = {
     "q_dedup_cross_matrix": ("documents", "doc_id", ("mod", 199)),
     "q_dedup_minhash_pairs": ("documents", "doc_id", ("mod", 199)),
     "q_dedup_ngram": ("documents", "doc_id", ("mod", 199)),
-    # embeddings-driven ANN dedup oracles. cluster/incremental carry
-    # the RELATIONAL closure/anti-join oracles whose candidate tables
-    # materialize two 64-long arrays per pair — at an sf10 mod-7 slice
-    # (28.6k vectors in whole 100-copy near-dup groups) that is tens of
-    # GB of DuckDB spill, so those two sample at mod 63 (~3.2k vectors,
-    # dup groups still whole); the pair-list oracle stays at mod 7
+    # embeddings-driven ANN dedup oracles. Round 14: the contracted +
+    # streaming oracle (Similarity.embedLshCtes) full-passes at sf1
+    # with GRAFT_DUCKDB_DISABLE_OPT=join_order; at sf10 the candidate
+    # COUNT itself (~8e9 at 4-bit buckets) stays past the oracle
+    # ceiling, so the mod-63/mod-7 sampled slices remain the 100×
+    # evidence (whole 100-copy dup groups survive the composite cut)
     "q_dedup_embed_cluster": ("embeddings", "vec_id", ("mod", 63)),
     "q_dedup_embed_incremental": ("embeddings", "vec_id", ("mod", 63)),
     "q_dedup_embed_lsh": ("embeddings", "vec_id", ("mod", 7)),
