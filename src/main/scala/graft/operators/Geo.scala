@@ -594,18 +594,31 @@ object Geo {
          SELECT c_custkey, lat_u, lon_u,
            (lat_u // 10000) * 20000 + (lon_u // 10000) AS cell
          FROM p ORDER BY c_custkey""",
+    // Grid-blocked form (round 14): |Δlat| ≤ 10000 confines a
+    // qualifying pair to adjacent 10000-unit cells, so an equi-join on
+    // the 9 neighbor offsets enumerates a superset of the band join's
+    // candidates and the final dist_sq ≤ 10⁸ filter (which implies
+    // both abs bands) reproduces the output EXACTLY; each pair matches
+    // exactly one offset, so no dedup is needed. The r13 all-pairs
+    // IEJoin exceeded a 5400 s watchdog at sf10 (1.5M points); the
+    // blocked join is the same candidate structure the Spark side uses.
     "q_geo_neighbors" ->
-      s"""WITH p AS ($coordSql)
-         SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-           (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
-             + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS dist_sq
-         FROM p a JOIN p b
-           ON a.c_custkey < b.c_custkey
-          AND abs(a.lat_u - b.lat_u) <= 10000
-          AND abs(a.lon_u - b.lon_u) <= 10000
-         WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
-             + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
-             <= 10000 * 10000
+      s"""WITH p AS MATERIALIZED (
+           SELECT c_custkey, lat_u, lon_u,
+             lat_u // 10000 AS cx, lon_u // 10000 AS cy
+           FROM ($coordSql)),
+         off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+           (0,0),(0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
+         cand AS (
+           SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+               + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS dist_sq
+           FROM p a JOIN off ON true
+                    JOIN p b ON b.cx = a.cx + off.dx
+                           AND b.cy = a.cy + off.dy
+                           AND a.c_custkey < b.c_custkey)
+         SELECT id_a, id_b, dist_sq FROM cand
+         WHERE dist_sq <= 10000 * 10000
          ORDER BY id_a, id_b""",
     "q_geo_trajectory" ->
       """WITH p AS (
