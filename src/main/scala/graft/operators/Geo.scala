@@ -179,6 +179,129 @@ object Geo {
     // qualifying pair meets on exactly one (cla, clo) key — no distinct
   }
 
+  // ---- exact fixed-point great-circle layer (oracle-bearing) -----------
+  //
+  // The float haversine above can never sit under the cross-engine hash
+  // gate: sin/cos/asin are not correctly-rounded IEEE ops, so Spark (Java
+  // Math) and DuckDB (libm) disagree in the last ulps. This layer instead
+  // DEFINES the declared queries' great-circle distance as a fixed-point
+  // integer computation — truncated odd/even Taylor series for sin/cos at
+  // scale 10¹⁸, every step exact 128-bit integer arithmetic with declared
+  // truncating division — so both engines compute bit-identical values
+  // (the q_similarity_topk / q_eval_ndcg integer-quantization device).
+  // Fidelity vs the true haversine: the patch spans < 1.6°, so series
+  // truncation (< 10⁻¹³ rel), the pinned RAD constant (3.2·10⁻¹² rel) and
+  // the 10⁻¹⁸-grain division truncations put the defined distance within
+  // ~1 µm of the true great-circle value at patch scale; the declared
+  // output grain is millimeter truncation. The only float ops kept are
+  // BIGINT→DOUBLE cast and sqrt — both correctly rounded per IEEE 754,
+  // hence bit-identical cross-engine (unlike the trig they replace).
+
+  /** SQL dialect pair so Spark and DuckDB run the SAME generated
+    * arithmetic: Spark stages in DECIMAL(38,0) with `div`, DuckDB in
+    * HUGEINT with `//`; every intermediate is provably < 10³⁸. */
+  private[operators] final case class IntDialect(big: String, idiv: String)
+  private[operators] val SparkFp = IntDialect("DECIMAL(38,0)", "div")
+  private[operators] val DuckFp = IntDialect("HUGEINT", "//")
+
+  /** Fixed-point scale: 10¹⁸. */
+  private val FpScale = "1000000000000000000"
+
+  /** round(π/180e6 · 10¹⁸) — radians per microdegree at the scale. */
+  private val RadPerUdegFp = "17453292520"
+
+  /** 4·R²·10⁶ mm² with R = 6371008.8 m — exact (R² terminates). */
+  private val FourR2Mm2 = "162359012518709760000"
+
+  /** Stages deriving the fixed-point 3D UNIT VECTOR (`{p}x`,`{p}y`,
+    * `{p}z`, each ·10¹⁸) of a point from integer-µdeg `latU`/`lonU`:
+    * sin by x − x³/6 + x⁵/120 and cos by 1 − x²/2 + x⁴/24 − x⁶/720
+    * (angles < 0.028 rad on the patch ⇒ truncation < 10⁻¹⁶ abs), then
+    * x = cosφ·cosλ, y = cosφ·sinλ, z = sinφ. ALL trig sits here on the
+    * per-point side — the per-pair side ([[chordD2Stages]]) is three
+    * subtractions and squares, which keeps the join's generated consume
+    * method far under janino's 64 KB limit (the direct per-pair sin
+    * series blew it and forced a whole-stage-codegen fallback). */
+  private[operators] def unitVecStages(latU: String, lonU: String,
+      p: String, dl: IntDialect): Seq[(String, String)] = {
+    import dl.{big, idiv}
+    def c(x: String) = s"CAST(($x) AS $big)"
+    def trig(pre: String, u: String) = Seq(
+      s"${pre}w" -> s"${c(u)} * $RadPerUdegFp",
+      s"${pre}w2" -> s"(${c(s"${pre}w")} * ${pre}w) $idiv $FpScale",
+      s"${pre}w3" -> s"(${c(s"${pre}w2")} * ${pre}w) $idiv $FpScale",
+      s"${pre}w4" -> s"(${c(s"${pre}w2")} * ${pre}w2) $idiv $FpScale",
+      s"${pre}w5" -> s"(${c(s"${pre}w4")} * ${pre}w) $idiv $FpScale",
+      s"${pre}w6" -> s"(${c(s"${pre}w4")} * ${pre}w2) $idiv $FpScale",
+      s"${pre}sin" ->
+        s"${c(s"${pre}w")} - (${pre}w3 $idiv 6) + (${pre}w5 $idiv 120)",
+      s"${pre}cos" -> (s"$FpScale - (${pre}w2 $idiv 2) + " +
+        s"(${pre}w4 $idiv 24) - (${pre}w6 $idiv 720)"))
+    trig(s"${p}a_", latU) ++ trig(s"${p}o_", lonU) ++ Seq(
+      s"${p}x" -> s"(${c(s"${p}a_cos")} * ${p}o_cos) $idiv $FpScale",
+      s"${p}y" -> s"(${c(s"${p}a_cos")} * ${p}o_sin) $idiv $FpScale",
+      s"${p}z" -> s"CAST(${p}a_sin AS BIGINT)")
+  }
+
+  /** Stages from two staged unit vectors to `d2_mm2` — the squared
+    * great-circle distance in mm² as BIGINT: chord² = |v₁−v₂|² (scale
+    * 10³⁶), the haversine value a = chord²/4 (exact identity), and
+    * d² = 4R²·asin²(√a) expanded as 4R²·(a + a²/3 + 8a³/45) — the
+    * square of the asin series, so no float asin anywhere. NULL inputs
+    * propagate to NULL. Every intermediate < 1.3·10³³ < 10³⁸. */
+  private[operators] def chordD2Stages(x1: String, y1: String, z1: String,
+      x2: String, y2: String, z2: String,
+      dl: IntDialect): Seq[(String, String)] = {
+    import dl.{big, idiv}
+    def c(x: String) = s"CAST(($x) AS $big)"
+    Seq(
+      "dx" -> s"($x1) - ($x2)",
+      "dy" -> s"($y1) - ($y2)",
+      "dz" -> s"($z1) - ($z2)",
+      "c2" -> (s"(${c("dx")} * dx) + (${c("dy")} * dy) + " +
+        s"(${c("dz")} * dz)"),
+      "a_fp" -> s"${c("c2")} $idiv 4000000000000000000",
+      "a_2" -> s"(${c("a_fp")} * a_fp) $idiv $FpScale",
+      "a_sq" -> (s"a_fp + (a_2 $idiv 3) + " +
+        s"((8 * ((${c("a_2")} * a_fp) $idiv $FpScale)) $idiv 45)"),
+      "d2_mm2" -> s"CAST((${c(FourR2Mm2)} * a_sq) $idiv $FpScale AS BIGINT)")
+  }
+
+  /** Apply staged SQL definitions as chained columns (Spark side). */
+  private def withStages(df: DataFrame,
+      stages: Seq[(String, String)]): DataFrame =
+    stages.foldLeft(df) { case (acc, (n, sql)) =>
+      acc.withColumn(n, expr(sql))
+    }
+
+  /** Nest staged SQL definitions as chained subselects (DuckDB side) —
+    * the SAME (name, expression) list as the Spark fold, so the two
+    * engines cannot drift. */
+  private def nestStages(base: String,
+      stages: Seq[(String, String)]): String =
+    stages.foldLeft(base) { case (acc, (n, sql)) =>
+      s"SELECT *, ($sql) AS $n FROM ($acc)"
+    }
+
+  /** Declared radius for the exact haversine neighbor query, meters. */
+  private val HavRadiusM = 1200.0
+
+  /** mm² filter threshold for [[HavRadiusM]]. */
+  private val HavRadiusMm2 = {
+    val mm = (HavRadiusM * 1000).toLong; mm * mm
+  }
+
+  /** Grid cell sizes (µdeg) giving total recall at [[HavRadiusM]] for a
+    * patch within |lat| ≤ 2° (the derived fixture spans [0, 1)°):
+    * latitude from d ≥ R|Δφ|, longitude from
+    * sin(d/2R) ≥ cos(2°)|sin(Δλ/2)|; +1 µdeg absorbs integer slop and
+    * the < 1 µm quantized-vs-true divergence. */
+  private val HavLatCellU: Long =
+    math.ceil(HavRadiusM / MetersPerDegLat * 1e6).toLong + 1
+  private val HavLonCellU: Long = math.ceil(math.toDegrees(2 * math.asin(
+    math.sin(HavRadiusM / (2 * EarthRadiusM)) /
+      math.cos(math.toRadians(2.0)))) * 1e6).toLong + 1
+
   type Q = (SparkSession, String) => DataFrame
 
   private val Range = 1000000L // 1°×1° patch in microdegrees
@@ -254,36 +377,72 @@ object Geo {
         max(col("event_id")).as("max_event_id"))
   }
 
-  /** Declared query (no oracle — float trig, the permitted float-fold
-    * class; property-tested in AnalyticsOpsSpec at recall 1.0 against a
-    * brute-force haversine sweep): customer pairs within 1200 m
-    * great-circle distance over the derived degree coordinates, with
-    * the true distance in meters. */
-  val qGeoNeighborsHaversine: Q = (s, d) =>
-    haversineNeighborPairs(
-      customerPoints(s, d).select(col("c_custkey"),
-        (col("lat_u") / 1e6).as("lat"), (col("lon_u") / 1e6).as("lon")),
-      "c_custkey", "lat", "lon", radiusMeters = 1200.0)
+  /** Declared query (oracle-bearing since r15 — the fixed-point
+    * great-circle layer replaced the float-fold form): customer pairs
+    * within [[HavRadiusM]] great-circle distance over the derived
+    * degree coordinates, with the distance in integer millimeters
+    * (floor(√d2_mm2): cast + sqrt are correctly-rounded IEEE ops and
+    * d2_mm2 < 2⁴¹ here, so exact cross-engine). Same grid machinery as
+    * [[neighborPairs]] — spherical-bound cells, 3×3 neighbor explode,
+    * equality join — with the exact filter on the fixed-point mm².
+    * The float [[haversineNeighborPairs]] stays the library surface for
+    * arbitrary patches (property-tested in AnalyticsOpsSpec). */
+  val qGeoNeighborsHaversine: Q = (s, d) => {
+    val pts = withStages(customerPoints(s, d),
+        unitVecStages("lat_u", "lon_u", "v", SparkFp))
+      .select(col("c_custkey"), col("vx"), col("vy"), col("vz"),
+        expr(s"lat_u div $HavLatCellU").as("cla"),
+        expr(s"lon_u div $HavLonCellU").as("clo"))
+    val right = pts.select(col("c_custkey").as("id_b"),
+      col("vx").as("x_b"), col("vy").as("y_b"), col("vz").as("z_b"),
+      col("cla"), col("clo"))
+    val offs = for (dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1))
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val left = pts.select(col("c_custkey").as("id_a"),
+        col("vx").as("x_a"), col("vy").as("y_a"), col("vz").as("z_a"),
+        col("cla").as("cla0"), col("clo").as("clo0"))
+      .withColumn("off", explode(array(offs: _*)))
+      .select(col("id_a"), col("x_a"), col("y_a"), col("z_a"),
+        (col("cla0") + col("off.dx")).as("cla"),
+        (col("clo0") + col("off.dy")).as("clo"))
+    withStages(
+        left.join(right, Seq("cla", "clo"))
+          .filter(col("id_a") < col("id_b")),
+        chordD2Stages("x_a", "y_a", "z_a", "x_b", "y_b", "z_b", SparkFp))
+      .filter(col("d2_mm2") <= lit(HavRadiusMm2))
+      .select(col("id_a"), col("id_b"),
+        floor(sqrt(col("d2_mm2").cast(DoubleType))).as("dist_mm"))
+  }
 
-  /** Declared query (no oracle — float trig; property-tested against a
-    * plain-Scala haversine fold): [[qGeoTrajectory]] with TRUE
-    * great-circle step meters instead of Manhattan microdegrees — same
-    * single-wide-exchange plan (user-keyed window, groupBy reuses the
-    * partitioning). */
+  /** Declared query (oracle-bearing since r15 — fixed-point layer):
+    * [[qGeoTrajectory]] with great-circle step MILLIMETERS instead of
+    * Manhattan microdegrees — same single-wide-exchange plan (user-keyed
+    * window carries the lagged point AND its staged cos, groupBy reuses
+    * the partitioning). A user's first event lags to NULL, which
+    * propagates through the integer stages so count/sum/max skip it,
+    * exactly as the float version's null step did. */
   val qGeoTrajectoryHaversine: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
-      col("event_id"),
-      (derivedCoord(col("event_id"), "#lat", Range) / 1e6).as("lat"),
-      (derivedCoord(col("event_id"), "#lon", Range) / 1e6).as("lon"))
+    val ev = withStages(
+      Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        derivedCoord(col("event_id"), "#lat", Range).as("lat_u"),
+        derivedCoord(col("event_id"), "#lon", Range).as("lon_u")),
+      unitVecStages("lat_u", "lon_u", "v", SparkFp))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("vx"), col("vy"), col("vz"))
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev.withColumn("step_m", haversineMeters(
-        lag("lat", 1).over(w), lag("lon", 1).over(w),
-        col("lat"), col("lon")))
+    val lagged = ev
+      .withColumn("x_p", lag("vx", 1).over(w))
+      .withColumn("y_p", lag("vy", 1).over(w))
+      .withColumn("z_p", lag("vz", 1).over(w))
+    withStages(lagged,
+        chordD2Stages("x_p", "y_p", "z_p", "vx", "vy", "vz", SparkFp))
+      .withColumn("step_mm", floor(sqrt(col("d2_mm2").cast(DoubleType))))
       .groupBy("user_id")
-      .agg(count(col("step_m")).as("n_moves"),
-        coalesce(sum("step_m"), lit(0.0)).as("dist_total_m"),
-        max("step_m").as("max_step_m"))
+      .agg(count(col("step_mm")).as("n_moves"),
+        coalesce(sum("step_mm"), lit(0L)).as("dist_total_mm"),
+        max("step_mm").as("max_step_mm"))
   }
 
   /** Convex zone rings (CCW, integer microdegrees inside the derived
@@ -510,7 +669,64 @@ object Geo {
     s"(${terms.mkString(" + ")}) % 2 = 1"
   }
 
+  private val eventsCoordSql =
+    """SELECT user_id, ts, event_id,
+         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lat'), 1, 8)
+              AS BIGINT) % 1000000 AS lat_u,
+         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || '#lon'), 1, 8)
+              AS BIGINT) % 1000000 AS lon_u
+       FROM events"""
+
   val oracleSql: Map[String, String] = Map(
+    // Same fixed-point stages as the Spark side — both sides fold the
+    // one (name, expression) list from unitVecStages/chordD2Stages, so
+    // the arithmetic cannot drift; grid-blocked like q_geo_neighbors so
+    // the oracle survives the sf10 digest gate.
+    "q_geo_neighbors_haversine" -> {
+      val p = nestStages(coordSql, unitVecStages("lat_u", "lon_u", "v", DuckFp))
+      val d2 = nestStages("SELECT * FROM cand",
+        chordD2Stages("x_a", "y_a", "z_a", "x_b", "y_b", "z_b", DuckFp))
+      s"""WITH p AS MATERIALIZED (
+           SELECT c_custkey, vx, vy, vz,
+             lat_u // $HavLatCellU AS cla, lon_u // $HavLonCellU AS clo
+           FROM ($p)),
+         off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+           (0,0),(0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
+         cand AS (
+           SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.vx AS x_a, a.vy AS y_a, a.vz AS z_a,
+             b.vx AS x_b, b.vy AS y_b, b.vz AS z_b
+           FROM p a JOIN off ON true
+                    JOIN p b ON b.cla = a.cla + off.dx
+                           AND b.clo = a.clo + off.dy
+                           AND a.c_custkey < b.c_custkey)
+         SELECT id_a, id_b,
+           CAST(floor(sqrt(CAST(d2_mm2 AS DOUBLE))) AS BIGINT) AS dist_mm
+         FROM ($d2)
+         WHERE d2_mm2 <= $HavRadiusMm2
+         ORDER BY id_a, id_b"""
+    },
+    "q_geo_trajectory_haversine" -> {
+      val p = nestStages(eventsCoordSql,
+        unitVecStages("lat_u", "lon_u", "v", DuckFp))
+      val d2 = nestStages("SELECT * FROM l",
+        chordD2Stages("x_p", "y_p", "z_p", "vx", "vy", "vz", DuckFp))
+      s"""WITH l AS (
+           SELECT user_id, vx, vy, vz,
+             lag(vx) OVER w AS x_p,
+             lag(vy) OVER w AS y_p,
+             lag(vz) OVER w AS z_p
+           FROM ($p)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         st AS (
+           SELECT user_id,
+             CAST(floor(sqrt(CAST(d2_mm2 AS DOUBLE))) AS BIGINT) AS step_mm
+           FROM ($d2))
+         SELECT user_id, COUNT(step_mm) AS n_moves,
+           COALESCE(CAST(SUM(step_mm) AS BIGINT), 0) AS dist_total_mm,
+           CAST(MAX(step_mm) AS BIGINT) AS max_step_mm
+         FROM st GROUP BY user_id ORDER BY user_id"""
+    },
     "q_geo_hotspot" ->
       """WITH p AS (
            SELECT

@@ -388,7 +388,8 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       maxAbsLatDeg = 71.0).count() == 1)
   }
 
-  test("qGeoTrajectoryHaversine matches a plain-Scala great-circle fold") {
+  test("qGeoTrajectoryHaversine (fixed-point mm) matches a plain-Scala " +
+      "great-circle fold within the declared mm grain") {
     val ev = Tables.events(spark, sf).select(col("user_id"), col("ts"),
         col("event_id"),
         (Geo.derivedCoord(col("event_id"), "#lat", 1000000L) / 1e6).as("lat"),
@@ -405,14 +406,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     val got = Geo.qGeoTrajectoryHaversine(spark, sf).collect()
       .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3)))
       .toMap
     assert(got.keySet == want.keySet)
-    want.foreach { case (u, (n, total, mx)) =>
-      val (gn, gtotal, gmx) = got(u)
+    want.foreach { case (u, (n, totalM, mxM)) =>
+      val (gn, gtotalMm, gmxMm) = got(u)
       assert(gn == n, s"user $u moves")
-      assert(math.abs(gtotal - total) <= 1e-6 * math.max(1.0, total), s"user $u total")
-      assert(math.abs(gmx - mx) <= 1e-6 * math.max(1.0, mx), s"user $u max")
+      // each step is mm-truncated, so the sum undershoots by < n mm; the
+      // fixed-point-vs-true divergence adds < 1 µm per step on the patch
+      assert(math.abs(gtotalMm / 1000.0 - totalM) <=
+        0.001 * (n + 1) + 1e-6 * math.max(1.0, totalM), s"user $u total")
+      assert(math.abs(gmxMm / 1000.0 - mxM) <=
+        0.002 + 1e-6 * math.max(1.0, mxM), s"user $u max")
+    }
+  }
+
+  test("qGeoNeighborsHaversine (fixed-point mm) agrees with the float " +
+      "library surface: identical pair set, distances within 2 mm") {
+    val exact = Geo.qGeoNeighborsHaversine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val float = Geo.haversineNeighborPairs(
+        Tables.customer(spark, sf).select(col("c_custkey"),
+          (Geo.derivedCoord(col("c_custkey"), "#lat", 1000000L) / 1e6)
+            .as("lat"),
+          (Geo.derivedCoord(col("c_custkey"), "#lon", 1000000L) / 1e6)
+            .as("lon")),
+        "c_custkey", "lat", "lon", 1200.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.keySet == float.keySet)
+    exact.foreach { case (pair, mm) =>
+      assert(math.abs(mm / 1000.0 - float(pair)) <= 0.002,
+        s"$pair: fixed-point ${mm}mm vs float ${float(pair)}m")
     }
   }
 
