@@ -197,15 +197,8 @@ object Geo {
   // BIGINT→DOUBLE cast and sqrt — both correctly rounded per IEEE 754,
   // hence bit-identical cross-engine (unlike the trig they replace).
 
-  /** SQL dialect pair so Spark and DuckDB run the SAME generated
-    * arithmetic: Spark stages in DECIMAL(38,0) with `div`, DuckDB in
-    * HUGEINT with `//`; every intermediate is provably < 10³⁸. */
-  private[operators] final case class IntDialect(big: String, idiv: String)
-  private[operators] val SparkFp = IntDialect("DECIMAL(38,0)", "div")
-  private[operators] val DuckFp = IntDialect("HUGEINT", "//")
-
-  /** Fixed-point scale: 10¹⁸. */
-  private val FpScale = "1000000000000000000"
+  import FixedPoint.{IntDialect, SparkFp, DuckFp, FpScale, withStages,
+    nestStages}
 
   /** round(π/180e6 · 10¹⁸) — radians per microdegree at the scale. */
   private val RadPerUdegFp = "17453292520"
@@ -266,22 +259,6 @@ object Geo {
         s"((8 * ((${c("a_2")} * a_fp) $idiv $FpScale)) $idiv 45)"),
       "d2_mm2" -> s"CAST((${c(FourR2Mm2)} * a_sq) $idiv $FpScale AS BIGINT)")
   }
-
-  /** Apply staged SQL definitions as chained columns (Spark side). */
-  private def withStages(df: DataFrame,
-      stages: Seq[(String, String)]): DataFrame =
-    stages.foldLeft(df) { case (acc, (n, sql)) =>
-      acc.withColumn(n, expr(sql))
-    }
-
-  /** Nest staged SQL definitions as chained subselects (DuckDB side) —
-    * the SAME (name, expression) list as the Spark fold, so the two
-    * engines cannot drift. */
-  private def nestStages(base: String,
-      stages: Seq[(String, String)]): String =
-    stages.foldLeft(base) { case (acc, (n, sql)) =>
-      s"SELECT *, ($sql) AS $n FROM ($acc)"
-    }
 
   /** Declared radius for the exact haversine neighbor query, meters. */
   private val HavRadiusM = 1200.0

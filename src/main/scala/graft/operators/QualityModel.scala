@@ -108,9 +108,13 @@ object QualityModel {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Declared query: per-doc learned quality probability, its thresholded
-    * prediction, and the heuristic gate label it approximates. */
-  val qQualityLogistic: Q = (s, d) => {
+  /** Library surface: per-doc MLlib-trained logistic probability — the
+    * "train on a sample, score a petabyte" path (weights inlined as an
+    * array literal, one `aggregate` HOF per doc, zero MLlib on the
+    * scoring plan). L-BFGS weights are floats the oracle cannot
+    * re-derive, so this stays JVM-verified (QualitySpec); the DECLARED
+    * [[qQualityLogistic]] below is its closed-form oracle-bearing twin. */
+  def mlLogisticScored(s: SparkSession, d: String): DataFrame = {
     val w = trainedWeights(s, d)
     val wLit = array(w.coef.map(x => lit(x)): _*)
     val z = aggregate(col("buckets"), lit(w.intercept),
@@ -121,6 +125,106 @@ object QualityModel {
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-z)))
       .select(col("doc_id"), col("score"), (col("score") >= 0.5).as("pred"))
       .join(gate, "doc_id")
+  }
+
+  /** Pinned sigmoid lookup: σ(z)·10⁶ rounded, z from −8.00 to +8.00 nats
+    * at centi-nat grain (1601 entries; σ(±8) has saturated to
+    * 335 ppm / 999665 ppm, so the clamp loses nothing a ppm output could
+    * show). StrictMath keeps the table bit-identical on any JVM, and the
+    * DuckDB literal list is generated from this same Seq — both engines
+    * look up the same integers by construction (the VERDICT-r14
+    * fixed-point-sigmoid device). */
+  val SigmoidPpm: IndexedSeq[Long] =
+    (0 to 1600).map(i =>
+      math.round(1e6 / (1.0 + StrictMath.exp(-(i - 800) / 100.0))))
+
+  /** The quantized doc-stat feature space of the declared NB model:
+    * (name, value expression over gopherGate's stat columns, category
+    * count for Laplace smoothing). Word-count decile, stopword count,
+    * mean word length, symbol rate — the generic Gopher-style quality
+    * statistics (Rae 2021 §A1), quantized so NB's per-category counts
+    * are exact integers both engines reproduce. */
+  private val StatFeatures: Seq[(String, String, Int)] = Seq(
+    ("wb", "least(n_words div 10, 15)", 16),
+    ("sb", "least(n_stop, 7)", 8),
+    ("lb", "least(char_sum div greatest(n_words, 1), 15)", 16),
+    ("yb", "least((10 * n_sym) div greatest(n_words, 1), 7)", 8))
+
+  /** Declared query (oracle-bearing since r15 — closed-form model +
+    * fixed-point ln + pinned sigmoid table replaced the L-BFGS float
+    * path): per-doc learned quality score as σ(z) in integer PPM, the
+    * exact sign prediction z ≥ 0, and the heuristic gate label.
+    *
+    * The model is the logistic twin DuckDB can re-derive: categorical
+    * naive Bayes over the quantized [[StatFeatures]], trained on the
+    * same gate labels —
+    *   z = ln((N₁+1)/(N₀+1)) + Σ_f [ln((n₁_fv+1)/(N₁+K_f)) −
+    *       ln((n₀_fv+1)/(N₀+K_f))]
+    * with every ln the [[graft.operators.FixedPoint.lnFpStages]]
+    * truncated series (< 5·10⁻¹¹ rel). Each doc has exactly one value
+    * per feature, so the smoothing denominators contract to one
+    * corpus-level constant. σ is the pinned [[SigmoidPpm]] table over z
+    * clamped to ±8 nats at centi-nat grain; `pred` is declared from the
+    * un-clamped exact integer sign, not the table. (A hashed-bucket NB
+    * was measured first and rejected: 0.55 accuracy vs this form's 1.00
+    * on the fixture — naive independence over 256 correlated presence
+    * bits cannot mimic a length-driven gate.)
+    *
+    * Scale shape: the ln series runs on the ≤48-row (feat, val) table
+    * and a 1-row class-count scalar (constant-folded), NEVER per
+    * document; per-doc cost is one 4-row explode + one broadcast join +
+    * one sum. Two corpus exchanges total, same as the float version. */
+  val qQualityLogistic: Q = (s, d) => {
+    import graft.operators.FixedPoint._
+    val docs = Tables.documents(s, d)
+    val g = TextQueries.gopherGate(docs).select(col("doc_id"),
+      col("n_words"), col("char_sum"), col("n_sym"), col("n_stop"),
+      col("keep"))
+    val feats = g.select(col("doc_id"), col("keep"),
+        explode(array(StatFeatures.map { case (f, v, _) =>
+          struct(lit(f).as("feat"), expr(v).as("val"))
+        }: _*)).as("fv"))
+      .select(col("doc_id"), col("keep"),
+        col("fv.feat").as("feat"), col("fv.val").as("val"))
+    val bs = feats.groupBy("feat", "val")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n0"))
+    val w = withStages(
+        bs.withColumn("n1p", col("n1") + lit(1L))
+          .withColumn("n0p", col("n0") + lit(1L)),
+        lnFpStages("n1p", "a_", SparkFp) ++ lnFpStages("n0p", "b_", SparkFp))
+      .select(col("feat"), col("val"), (col("a_ln") - col("b_ln")).as("wd_fp"))
+    // class counts: a bounded 1-row driver scalar (the unigramModel
+    // device); broadcast(w) is safe — ≤ 48 rows by construction
+    val cc = g.agg(sum(when(col("keep"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("c0")).head()
+    val (c1, c0) = (cc.getLong(0), cc.getLong(1))
+    val z = feats.join(broadcast(w), Seq("feat", "val"))
+      .groupBy("doc_id")
+      .agg(sum(col("wd_fp")).as("sw"))
+    // the six class-count ln chains run over literals — constant-folded
+    val zf = withStages(z
+        .withColumn("c1p", lit(c1 + 1)).withColumn("c0p", lit(c0 + 1))
+        .withColumn("c1s", lit(c1 + 16)).withColumn("c0s", lit(c0 + 16))
+        .withColumn("c1e", lit(c1 + 8)).withColumn("c0e", lit(c0 + 8)),
+      lnFpStages("c1p", "i1_", SparkFp) ++
+        lnFpStages("c0p", "i0_", SparkFp) ++
+        lnFpStages("c1s", "s1_", SparkFp) ++
+        lnFpStages("c0s", "s0_", SparkFp) ++
+        lnFpStages("c1e", "e1_", SparkFp) ++
+        lnFpStages("c0e", "e0_", SparkFp))
+      .withColumn("z_fp", col("i1_ln") - col("i0_ln") +
+        lit(2) * (col("s0_ln") - col("s1_ln")) +
+        lit(2) * (col("e0_ln") - col("e1_ln")) + col("sw"))
+    zf.withColumn("idx", expr(
+        "CAST((greatest(CAST(-8000000000000000000 AS DECIMAL(38,0)), " +
+          "least(CAST(8000000000000000000 AS DECIMAL(38,0)), z_fp)) " +
+          "+ 8000000000000000000) div 10000000000000000 AS INT)"))
+      .select(col("doc_id"),
+        element_at(lit(SigmoidPpm.toArray), col("idx") + 1)
+          .as("score_ppm"),
+        (col("z_fp") >= 0).as("pred"))
+      .join(g.select("doc_id", "keep"), "doc_id")
   }
 
   /** Exact AUC (Mann–Whitney U) evaluation, one-vs-rest per language,
@@ -337,10 +441,90 @@ object QualityModel {
     "q_eval_calibration" -> qEvalCalibration,
     "q_eval_brier" -> qEvalBrier)
 
-  /** q_quality_logistic is the no-oracle float class (sigmoid);
-    * QualitySpec pins accuracy vs the gate and rerun determinism.
-    * q_eval_auc is integer-exact and oracle-pinned below. */
+  /** Everything here is integer-exact and oracle-pinned —
+    * q_quality_logistic joined the class in r15 via the fixed-point ln
+    * + pinned sigmoid table (the MLlib float path stays JVM-verified as
+    * [[mlLogisticScored]]). */
   val oracleSql: Map[String, String] = Map(
+    "q_quality_logistic" -> {
+      import graft.operators.FixedPoint._
+      val (wCte, wLast) = cteStages("bs1",
+        lnFpStages("n1p", "a_", DuckFp) ++ lnFpStages("n0p", "b_", DuckFp),
+        "wl")
+      val (ccCte, ccLast) = cteStages("cc",
+        lnFpStages("c1p", "i1_", DuckFp) ++
+          lnFpStages("c0p", "i0_", DuckFp) ++
+          lnFpStages("c1s", "s1_", DuckFp) ++
+          lnFpStages("c0s", "s0_", DuckFp) ++
+          lnFpStages("c1e", "e1_", DuckFp) ++
+          lnFpStages("c0e", "e0_", DuckFp), "cl")
+      val sigList = SigmoidPpm.mkString("[", ", ", "]")
+      // the (feat, value) melt — same expressions as StatFeatures, with
+      // Spark's `div` spelled as DuckDB's `//`
+      val featSelects = StatFeatures.map { case (f, v, _) =>
+        val dv = v.replace(" div ", " // ")
+        s"SELECT doc_id, keep, '$f' AS feat, CAST(($dv) AS BIGINT) AS val FROM g"
+      }.mkString("\n           UNION ALL ")
+      s"""WITH t AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+               AS char_sum,
+             CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '[^a-z0-9]'))) AS BIGINT) AS n_sym,
+             CAST(len(list_filter(toks,
+               t -> t IN ('the','a','of','and','in','to'))) AS BIGINT)
+               AS n_stop
+           FROM t),
+         g AS (
+           SELECT doc_id, n_words, char_sum, n_sym, n_stop,
+             ((n_words BETWEEN 50 AND 100000)
+               AND (3*n_words <= char_sum AND char_sum <= 10*n_words)
+               AND (10*n_sym <= n_words) AND (5*n_alpha >= 4*n_words)
+               AND (n_stop >= 2)) AS keep
+           FROM m),
+         f AS ($featSelects),
+         bs AS (
+           SELECT feat, val,
+             SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n0
+           FROM f GROUP BY feat, val),
+         bs1 AS (SELECT feat, val, n1 + 1 AS n1p, n0 + 1 AS n0p FROM bs),
+         $wCte,
+         w AS (SELECT feat, val, a_ln - b_ln AS wd_fp FROM $wLast),
+         cc AS (
+           SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END) + 1 AS c1p,
+             SUM(CASE WHEN keep THEN 0 ELSE 1 END) + 1 AS c0p,
+             SUM(CASE WHEN keep THEN 1 ELSE 0 END) + 16 AS c1s,
+             SUM(CASE WHEN keep THEN 0 ELSE 1 END) + 16 AS c0s,
+             SUM(CASE WHEN keep THEN 1 ELSE 0 END) + 8 AS c1e,
+             SUM(CASE WHEN keep THEN 0 ELSE 1 END) + 8 AS c0e
+           FROM g),
+         $ccCte,
+         ccl AS (SELECT i1_ln, i0_ln, s1_ln, s0_ln, e1_ln, e0_ln
+                 FROM $ccLast),
+         z AS (
+           SELECT doc_id, SUM(wd_fp) AS sw
+           FROM f JOIN w USING (feat, val) GROUP BY doc_id),
+         zf AS (
+           SELECT z.doc_id,
+             ccl.i1_ln - ccl.i0_ln + 2 * (ccl.s0_ln - ccl.s1_ln)
+               + 2 * (ccl.e0_ln - ccl.e1_ln) + z.sw AS z_fp
+           FROM z, ccl)
+         SELECT zf.doc_id,
+           CAST(($sigList)[
+             CAST((greatest(CAST(-8000000000000000000 AS HUGEINT),
+               least(CAST(8000000000000000000 AS HUGEINT), z_fp))
+               + 8000000000000000000) // 10000000000000000 AS INT) + 1]
+             AS BIGINT) AS score_ppm,
+           z_fp >= 0 AS pred, g.keep
+         FROM zf JOIN g USING (doc_id) ORDER BY zf.doc_id"""
+    },
     "q_eval_brier" ->
       """WITH pl AS (
            SELECT n_chars AS score, lang, COUNT(*) AS n_pos_g

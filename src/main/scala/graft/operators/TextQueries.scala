@@ -679,20 +679,7 @@ object TextQueries {
     // explode+agg would run twice per call. With a cacheKey, (model,
     // total, vocab) is a session artifact, so repeated plan
     // construction is job-free (LazyRegistrySpec).
-    def build: (DataFrame, Long, Long) = {
-      val mm = model.localCheckpoint(true)
-      val stats = mm.agg(sum("cnt").as("total"),
-        count(lit(1)).as("vocab")).head()
-      // sum() over zero rows aggregates to NULL — surface an empty model
-      // (reachable: the docstring supports a model trained on a
-      // different slice) as a clear error, not a NullPointerException
-      require(!stats.isNullAt(0),
-        "unigramLogLoss: empty model (no (tok, cnt) rows) — add-one " +
-          "smoothing is undefined with V = 0")
-      (mm, stats.getLong(0), stats.getLong(1))
-    }
-    val (m, total, vocab) = cacheKey.fold(build)(ck =>
-      Artifacts.memo(unigramCache, ck)(build))
+    val (m, total, vocab) = unigramModel(model, cacheKey)
     val toks = docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("tok"))
@@ -706,15 +693,72 @@ object TextQueries {
       .withColumn("ppl", exp(col("avg_nll")))
   }
 
+  /** Materialized (model, total token count, vocabulary size) — shared
+    * by the float [[unigramLogLoss]] and the declared fixed-point
+    * [[qTextPerplexity]]; memoized per cacheKey so repeated plan
+    * construction is job-free (LazyRegistrySpec). */
+  def unigramModel(model: DataFrame,
+      cacheKey: Option[String]): (DataFrame, Long, Long) = {
+    def build: (DataFrame, Long, Long) = {
+      val mm = model.localCheckpoint(true)
+      val stats = mm.agg(sum("cnt").as("total"),
+        count(lit(1)).as("vocab")).head()
+      // sum() over zero rows aggregates to NULL — surface an empty model
+      // (reachable: the docstring supports a model trained on a
+      // different slice) as a clear error, not a NullPointerException
+      require(!stats.isNullAt(0),
+        "unigramLogLoss: empty model (no (tok, cnt) rows) — add-one " +
+          "smoothing is undefined with V = 0")
+      (mm, stats.getLong(0), stats.getLong(1))
+    }
+    cacheKey.fold(build)(ck => Artifacts.memo(unigramCache, ck)(build))
+  }
+
   /** Corpus unigram counts — the "model" side of [[unigramLogLoss]]. */
   def unigramCounts(docs: DataFrame): DataFrame =
     docs.select(explode(split(lower(col("text")), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
 
+  /** Declared query (oracle-bearing since r15 — the fixed-point integer
+    * ln replaced the float-log form): per document, the add-one-smoothed
+    * unigram average negative log-likelihood in integer MICRO-NATS —
+    * avg_nll_unat = (Σ_tok (lnT − ln(cnt+1))) div (n_tokens·10¹²) with
+    * both lns the [[graft.operators.FixedPoint.lnFpStages]] truncated
+    * series at scale 10¹⁸ (< 5·10⁻¹¹ relative vs true ln, so the defined
+    * value sits within ~10⁻⁴ micro-nats of the float form it replaced;
+    * exp/perplexity stays on the float library surface,
+    * [[unigramLogLoss]]).
+    *
+    * Scale shape: ln(cnt+1) is staged on the VOCAB-sized model side
+    * before the scoring join — the per-token stream just picks the
+    * integer up — and ln(T) constant-folds (T is the corpus-level ingest
+    * scalar), so the fixed-point series costs O(vocab), not O(corpus
+    * tokens). A token absent from the model (cross-slice scoring) falls
+    * back via coalesce to ln(0+1) = 0 exactly. */
   val qTextPerplexity: Q = (s, d) => {
+    import graft.operators.FixedPoint._
     val docs = Tables.documents(s, d)
-    unigramLogLoss(docs, unigramCounts(docs),
+    val (m, total, vocab) = unigramModel(unigramCounts(docs),
       cacheKey = Some(s"unigram:${System.identityHashCode(s)}:$d"))
+    val scoredModel = withStages(
+        m.withColumn("cnt1", col("cnt") + lit(1L)),
+        lnFpStages("cnt1", "c_", SparkFp))
+      .select(col("tok"), col("c_ln"))
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .join(scoredModel, Seq("tok"), "left")
+      .withColumn("tv", lit(total + vocab))
+    // the t_ chain is over a literal, so Catalyst constant-folds it —
+    // ln(T) costs nothing per row
+    withStages(toks, lnFpStages("tv", "t_", SparkFp))
+      .withColumn("nll_fp",
+        col("t_ln") - coalesce(col("c_ln"), lit(0L).cast("decimal(38,0)")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("nll_fp").as("sum_nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CAST(sum_nll div (n_tokens * 1000000000000) AS BIGINT)")
+          .as("avg_nll_unat"))
   }
 
   /** Inverted index in its scale-honest FLAT form: one row per (token,
@@ -958,6 +1002,34 @@ object TextQueries {
     "q_vocab_topk" -> qVocabTopk)
 
   val oracleSql: Map[String, String] = Map(
+    // Same fixed-point ln stages as the Spark side (FixedPoint
+    // .lnFpStages folded over the one shared stage list): ln(cnt+1) on
+    // the vocab-sized model, ln(T) on the 1-row stats scalar.
+    "q_text_perplexity" -> {
+      import graft.operators.FixedPoint._
+      val mLn = nestStages(
+        "SELECT tok, cnt + 1 AS cnt1 FROM m",
+        lnFpStages("cnt1", "c_", DuckFp))
+      val tLn = nestStages(
+        "SELECT tv FROM st", lnFpStages("tv", "t_", DuckFp))
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         m AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+         st AS (
+           SELECT CAST(SUM(cnt) AS BIGINT) + CAST(COUNT(*) AS BIGINT)
+             AS tv FROM m),
+         ml AS (SELECT tok, c_ln FROM ($mLn)),
+         tl AS (SELECT t_ln FROM ($tLn)),
+         sc AS (
+           SELECT t.doc_id,
+             tl.t_ln - COALESCE(ml.c_ln, 0) AS nll_fp
+           FROM toks t LEFT JOIN ml USING (tok), tl)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(nll_fp) // (COUNT(*) * 1000000000000) AS BIGINT)
+             AS avg_nll_unat
+         FROM sc GROUP BY doc_id ORDER BY doc_id"""
+    },
     "q_text_burstiness" ->
       """WITH t AS (
            SELECT unnest(string_split(lower(text), ' ')) AS token

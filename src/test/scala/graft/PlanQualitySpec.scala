@@ -221,7 +221,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // semantics on the canonical fact-dim shape; its scaladoc documents
     // that part outgrows broadcast at lake scale and qJoinInner is the
     // unhinted sibling the planner sizes adaptively
-    "q_join_broadcast" -> "declared broadcast-hint API surface query")
+    "q_join_broadcast" -> "declared broadcast-hint API surface query",
+    // the NB weight table groups by (feat, val) where feat is one of 4
+    // literals and val is least()-clamped to <= 16 levels — <= 48 rows
+    // by construction at any SF (QualityModel.StatFeatures)
+    "q_quality_logistic" ->
+      "<=48-row (feat, val) weight table (4 literal feats x clamped vals)")
 
   import org.apache.spark.sql.catalyst.plans.logical.{
     Aggregate, GlobalLimit, LogicalPlan, ResolvedHint}

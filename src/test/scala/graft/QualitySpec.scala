@@ -9,9 +9,9 @@ class QualitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("q_quality_logistic: map-side scoring agrees with the trained " +
-      "model and approximates the gopher gate") {
-    val out = QualityModel.qQualityLogistic(spark, sf).collect()
+  test("mlLogisticScored (library): map-side scoring agrees with the " +
+      "trained model and approximates the gopher gate") {
+    val out = QualityModel.mlLogisticScored(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
         r.getBoolean(3)))
     val n = out.length
@@ -28,8 +28,39 @@ class QualitySpec extends AnyFunSuite {
     assert(acc > majority, s"accuracy $acc <= majority baseline $majority")
     // rerun determinism: the cached artifact makes a second evaluation
     // bit-identical (Verify runs every query twice)
-    val again = QualityModel.qQualityLogistic(spark, sf).collect()
+    val again = QualityModel.mlLogisticScored(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("q_quality_logistic (declared, fixed-point NB): learns the gate, " +
+      "sigmoid table consistent, deterministic") {
+    val out = QualityModel.qQualityLogistic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    val n = out.length
+    assert(n > 0)
+    // score_ppm is a clamped-sigmoid ppm value
+    assert(out.forall { case (_, s, _, _) => s >= 335L && s <= 999665L })
+    // pred (exact z sign) and the table score agree except exactly at
+    // the 500000-ppm centi-nat boundary cell, where the table has
+    // floored a slightly-negative z onto σ(0)
+    assert(out.forall { case (_, s, p, _) =>
+      p == (s >= 500000L) || s == 500000L
+    })
+    // the closed-form NB model must also actually LEARN the gate
+    val acc = out.count { case (_, _, p, k) => p == k }.toDouble / n
+    val majority = math.max(out.count(_._4), n - out.count(_._4)).toDouble / n
+    assert(acc >= 0.85, s"accuracy $acc")
+    assert(acc > majority, s"accuracy $acc <= majority baseline $majority")
+    // monotone fidelity: the pinned table is the rounded true sigmoid
+    QualityModel.SigmoidPpm.zipWithIndex.foreach { case (v, i) =>
+      val want = math.round(1e6 / (1.0 + math.exp(-(i - 800) / 100.0)))
+      assert(v == want, s"table[$i]")
+    }
+    val again = QualityModel.qQualityLogistic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
         r.getBoolean(3)))
     assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
