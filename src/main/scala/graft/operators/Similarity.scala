@@ -671,11 +671,25 @@ object Similarity {
     * output-scale; `cand`→`ver` streams each candidate through an
     * in-memory 200k-row array build and drops it immediately.
     * Verification work for pairs probed by both tables is duplicated
-    * (≤2×) but never materialized. The candidate COUNT itself remains
-    * Θ(n²/2^nbits) with 64-dim dot verification — at sf10 (400M+
-    * candidates × 2 tables) that is the documented full-oracle
-    * ceiling; the sampled-sf10 gate (mod-63 slice) stays the 100×
-    * evidence, with sf1 the full-oracle frontier.
+    * (≤2×) but never materialized.
+    *
+    * (3) BLOCKED candidates + wide dot (round 15, the device that
+    * closed the last sf10 digest holdout): the r14 `cand` joined bk to
+    * itself on `tbl` alone (2 key values!) and filtered
+    * bit_count(xor) ≤ 1 — a Θ(n²) 4·10¹⁰-row pre-filter stream at
+    * sf10 — and `ver` re-joined g twice to run a per-row list-lambda
+    * dot (list_zip allocates per candidate). Now the probe side
+    * explodes over the nbits+1 XOR masks {0, 1<<b} and candidates meet
+    * on (tbl, bucket) EQUALITY — exactly the grid-blocked
+    * q_geo_neighbors oracle device; a hamming-0 pair meets only on
+    * mask 0 and a hamming-1 pair only on its differing bit (from both
+    * orientations, collapsed by rep_a < rep_b), so the enumerated set
+    * is identical with no dedup needed before verification. The dot
+    * runs on 64 unpacked BIGINT columns (`bkw`) as one vectorized
+    * multiply-add expression — no list allocation in the 10¹⁰-row
+    * loop. The candidate COUNT stays Θ(n²/2^nbits) by query
+    * semantics (12.76e9 measured at sf10), but the per-candidate cost
+    * drops enough to clear the digest watchdog.
     *
     * Multi-referenced CTEs keep `AS MATERIALIZED` (the Graph-oracle
     * device, round 13) so DuckDB's CTE inlining cannot re-evaluate the
@@ -703,19 +717,24 @@ object Similarity {
                     t -> t[1] * t[2])) > 0
                   THEN (1 << b) ELSE 0 END) AS BIGINT) AS bucket
            FROM g, pl GROUP BY rep, tbl),
-         cand AS (
-           SELECT a.rep AS rep_a, b.rep AS rep_b
-           FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.rep < b.rep
-           WHERE bit_count(xor(a.bucket, b.bucket)) <= 1),
-         ver AS (
-           SELECT rep_a, rep_b,
-             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
-               t -> t[1] * t[2])) AS BIGINT) AS dot,
-             a.nrm2 AS na2, b.nrm2 AS nb2
-           FROM cand JOIN g a ON a.rep = cand.rep_a
-                     JOIN g b ON b.rep = cand.rep_b),
+         bkw AS MATERIALIZED (
+           SELECT bk.rep, bk.tbl, bk.bucket, g.nrm2,
+             ${(1 to dim).map(i => s"g.qv[$i] AS e$i").mkString(", ")}
+           FROM bk JOIN g USING (rep)),
+         probe AS (
+           SELECT bkw.*, xor(bucket, msk.m) AS pbucket
+           FROM bkw, (VALUES ${(Seq(0L) ++ (0 until nbits)
+             .map(b => 1L << b)).map(m => s"(CAST($m AS BIGINT))")
+             .mkString(",")}) AS msk(m)),
          vrep AS MATERIALIZED (
-           SELECT DISTINCT rep_a, rep_b, dot, na2, nb2 FROM ver
+           SELECT DISTINCT rep_a, rep_b, dot, na2, nb2 FROM (
+             SELECT a.rep AS rep_a, b.rep AS rep_b,
+               ${(1 to dim).map(i => s"a.e$i * b.e$i").mkString(" + ")}
+                 AS dot,
+               a.nrm2 AS na2, b.nrm2 AS nb2
+             FROM probe a JOIN bkw b
+               ON b.tbl = a.tbl AND b.bucket = a.pbucket
+                 AND a.rep < b.rep)
            WHERE dot > 0
              AND CAST(dot AS HUGEINT) * dot * 10000
                  >= $cosSq1e4 * CAST(na2 AS HUGEINT) * nb2
