@@ -64,14 +64,34 @@ print(f"{d['value']:.2f} s total / {len(d['queries'])} queries, "
 PY
 )
 echo "  $BENCH"
-PREV=$(ls BENCH_r*_session.json BENCH_r*_full.json 2>/dev/null \
-  | grep -v "BENCH_r${ROUND}_session" | sort -V | tail -1 || true)
+# Idle-vs-idle diff (VERDICT r14 item 4): the r14 gate compared a
+# loadavg-72.9 session bench against a loadavg-2.9 one and printed 82
+# spurious movers. Diff THIS round's idle artifact (BENCH_r<N>_idle.json
+# — produce it on a quiet host before running the gate) against the
+# newest prior idle/full artifact; only fall back to the session bench
+# when no idle artifact exists, and say so. Both sides' loadavg is
+# stamped into the diff header so every mover line reads against it.
+NEW="BENCH_r${ROUND}_session.json"; NEWKIND="session (NO idle artifact — movers unreliable under gate load)"
+if [ -f "BENCH_r${ROUND}_idle.json" ]; then
+  NEW="BENCH_r${ROUND}_idle.json"; NEWKIND="idle"
+fi
+PREV=$(ls BENCH_r*_idle.json BENCH_r*_full.json 2>/dev/null \
+  | grep -v "BENCH_r${ROUND}_" | sort -V | tail -1 || true)
 MOVERS="(no prior per-query bench found)"
 if [ -n "$PREV" ]; then
-  python3 tools/bench_diff.py "$PREV" "BENCH_r${ROUND}_session.json" \
-    >"$OUT/bench_diff.txt" 2>&1 || true
+  {
+    python3 - "$PREV" "$NEW" <<'PY'
+import json, sys
+for f in sys.argv[1:3]:
+    d = json.load(open(f))
+    print(f"# {f}: loadavg {d.get('loadavg_start','?')}->"
+          f"{d.get('loadavg_end','?')}, local[{d.get('cpus','?')}], "
+          f"total {d.get('value','?')} s")
+PY
+    python3 tools/bench_diff.py "$PREV" "$NEW" 2>&1 || true
+  } >"$OUT/bench_diff.txt"
   MOVERS=$(grep -c "  q_" "$OUT/bench_diff.txt" || true)
-  MOVERS="$MOVERS movers beyond the ±30%/50 ms band vs $PREV (see $OUT/bench_diff.txt)"
+  MOVERS="$MOVERS movers beyond the ±30%/50 ms band, $NEWKIND vs $PREV (see $OUT/bench_diff.txt)"
 fi
 echo "  $MOVERS"
 

@@ -36,6 +36,7 @@ drawn from the scale fixture itself, not regenerated.
 import json
 import multiprocessing as mp
 import os
+import time
 import subprocess
 import sys
 
@@ -197,8 +198,14 @@ def _norm_exprs(cols_a, cols_b):
 def _digest_sql(cols, norm, src):
     parts = []
     for c in sorted(cols):
-        s = f"coalesce(CAST({norm[c]} AS VARCHAR), chr(1))"
-        parts.append(f"CAST(length({s}) AS VARCHAR) || ':' || {s}")
+        # NULL is tagged OUTSIDE the length-prefixed value space ('N' vs
+        # 'V' || len:value), so a NULL can never digest equal to any
+        # genuine string value (ADVICE r14: chr(1) collided with a real
+        # one-character '\x01' cell)
+        v = f"CAST({norm[c]} AS VARCHAR)"
+        s = (f"CASE WHEN {v} IS NULL THEN 'N' ELSE"
+             f" 'V' || CAST(length({v}) AS VARCHAR) || ':' || {v} END")
+        parts.append(s)
     row = " || '|' || ".join(parts)
     return (
         "SELECT count(*) AS n, coalesce(bit_xor(h), 0) AS fp,"
@@ -215,7 +222,10 @@ def strip_trailing_order_by(sql):
     external sort (46 GB of spill on q_join_theta_range) for nothing.
     Only strips when the last depth-0 'ORDER BY' is followed solely by
     sort-key tokens (idents/commas/ASC/DESC/numbers) to the end of the
-    string — anything else (LIMIT, parens) leaves the SQL untouched."""
+    string — anything else (LIMIT/OFFSET/FETCH, parens) leaves the SQL
+    untouched. Depth scanning skips single-quoted literals so a quoted
+    paren or 'ORDER BY' inside a string cannot mis-locate the clause
+    (ADVICE r14)."""
     import re
     up = sql.upper()
     if "DISTINCT ON" in up:
@@ -224,8 +234,15 @@ def strip_trailing_order_by(sql):
         return sql
     depth = 0
     pos = -1
+    in_str = False
     for i, ch in enumerate(sql):
-        if ch == "(":
+        if in_str:
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -234,8 +251,12 @@ def strip_trailing_order_by(sql):
     if pos < 0:
         return sql
     tail = sql[pos + len("ORDER BY"):]
+    tailUp = tail.upper()
+    # ASC/DESC/NULLS FIRST|LAST are words the token regex admits;
+    # LIMIT/OFFSET/FETCH are row-set-changing words it must reject
+    # (ADVICE r14: 'ORDER BY x OFFSET 5' would have stripped silently)
     if re.fullmatch(r"[\sA-Za-z0-9_.,]*", tail) and \
-            "LIMIT" not in tail.upper():
+            not any(w in tailUp for w in ("LIMIT", "OFFSET", "FETCH")):
         return sql[:pos]
     return sql
 
@@ -295,13 +316,27 @@ def check_digest(name, sql, sf_dir, out_dir, timeout_s, n_out):
     p = mp.Process(target=run_digest,
                    args=(sf_dir, sql, f"{out_dir}/{name}/*.parquet", q))
     p.start()
-    try:
-        status, payload = q.get(timeout=timeout_s)
-    except Exception:
-        p.terminate()
-        p.join()
-        return ("SKIP", f"SKIP {name}: digest oracle exceeded {timeout_s}s "
-                f"(spark rows={n_out})")
+    # Poll in slices so a worker that DIES without posting (DuckDB
+    # segfault / OOM kill) is reported as a FAIL with its exit code, not
+    # silently recorded as a timeout SKIP (ADVICE r14)
+    import queue as _queue
+    deadline = time.time() + timeout_s
+    status = payload = None
+    while True:
+        try:
+            status, payload = q.get(timeout=min(5, max(0.1,
+                deadline - time.time())))
+            break
+        except _queue.Empty:
+            if not p.is_alive() and p.exitcode != 0:
+                p.join()
+                return ("FAIL", f"FAIL {name}: digest worker died "
+                        f"(exitcode={p.exitcode}, spark rows={n_out})")
+            if time.time() >= deadline:
+                p.terminate()
+                p.join()
+                return ("SKIP", f"SKIP {name}: digest oracle exceeded "
+                        f"{timeout_s}s (spark rows={n_out})")
     p.join()
     if status == "err":
         return ("FAIL", f"FAIL {name}: digest error: {payload}")
