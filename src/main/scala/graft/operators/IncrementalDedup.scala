@@ -336,6 +336,12 @@ object IncrementalDedup {
     * Output-after-state (the naive order) silently LOSES docs on
     * micro-batch replay: state marks them ingested, so the replay
     * yields zero survivors and the sink never sees them. */
+  /** Test seam (graft.tools.StreamSoak): invoked between the bands
+    * append and the digests append — the exact crash window whose
+    * ordering the [[ingest]] docstring pins. Production value is a
+    * no-op; the soak's crash phase swaps in `Runtime.halt`. */
+  private[graft] var afterBandsHook: () => Unit = () => ()
+
   def ingestWith(spark: SparkSession, batch: DataFrame,
       statePath: String)(sink: DataFrame => Unit): DataFrame = {
     val digestsPath = s"$statePath/digests"
@@ -354,6 +360,7 @@ object IncrementalDedup {
     sink(survivors)
     bandsOf(survivors).select("band", "band_key")
       .write.mode(SaveMode.Append).parquet(bandsPath)
+    afterBandsHook()
     survivors.select("digest")
       .write.mode(SaveMode.Append).parquet(digestsPath)
     survivors

@@ -693,7 +693,17 @@ object Similarity {
     *
     * Multi-referenced CTEs keep `AS MATERIALIZED` (the Graph-oracle
     * device, round 13) so DuckDB's CTE inlining cannot re-evaluate the
-    * pipeline per reference. */
+    * pipeline per reference — EXCEPT bk/bkw, deliberately plain:
+    * DuckDB drives each pipeline from its source operator's morsels,
+    * and a materialized-CTE scan is a serial source, so with `bkw`
+    * materialized the entire 10¹⁰-row candidate+dot pipeline ran on
+    * ONE thread (measured: sf1 full oracle 160 s; EXPLAIN ANALYZE put
+    * 53 s in the dot projection + 17 s in the join on a single
+    * pipeline). Plain bk/bkw inline, so the hot pipeline's source is
+    * bk's radix-partitioned hash aggregate — fully parallel — at the
+    * cost of re-running the cheap 2·|reps|-row bucket build per
+    * reference (sf1: 23 s full oracle, 6.9×; the sf10 digest fits the
+    * watchdog at ~45 min). */
   private def embedLshCtes(tables: Int, nbits: Int, dim: Int,
       cosSq1e4: Long): String = {
     val planes = quantizedPlanes(tables * nbits, dim)
@@ -711,13 +721,13 @@ object Similarity {
          mem AS MATERIALIZED (
            SELECT g.rep, q.vec_id FROM q JOIN g USING (qv)),
          pl AS (SELECT * FROM (VALUES $planeRows) AS t(tbl, b, plane)),
-         bk AS MATERIALIZED (
+         bk AS (
            SELECT rep, tbl,
              CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(qv, plane),
                     t -> t[1] * t[2])) > 0
                   THEN (1 << b) ELSE 0 END) AS BIGINT) AS bucket
            FROM g, pl GROUP BY rep, tbl),
-         bkw AS MATERIALIZED (
+         bkw AS (
            SELECT bk.rep, bk.tbl, bk.bucket, g.nrm2,
              ${(1 to dim).map(i => s"g.qv[$i] AS e$i").mkString(", ")}
            FROM bk JOIN g USING (rep)),

@@ -84,6 +84,53 @@ object StreamSoak {
       .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
   }
 
+  // ---- ingestWith crash-window soak (round 15, VERDICT r14 item 8) ----
+  //
+  // Exercises the OTHER documented crash ordering: IncrementalDedup
+  // .ingestWith appends bands, then digests, and its docstring pins why
+  // a crash BETWEEN the two must yield a conservative false-drop (rerun
+  // re-drops the crashed docs via their own band keys) and never a
+  // duplicate landing or a near-dup hole. Three batches of the
+  // documents fixture; batch 2 carries re-keyed EXACT COPIES of 1/10 of
+  // batch 1's docs, so suppression after the crash can only come
+  // through the band keys (the digests append died) — the exact
+  // property the ordering buys.
+
+  private def docSlices(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    val copies = docs.filter(pmod(col("doc_id"), lit(30)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .unionByName(copies)
+    (b0, b1, b2)
+  }
+
+  private def land(dir: String)(s: DataFrame): Unit =
+    s.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+
+  private def runIngest(spark: SparkSession, sfDir: String, workDir: String,
+      tag: String, batches: Seq[Int], haltAfterBandsOnLast: Boolean): Unit = {
+    import graft.operators.IncrementalDedup
+    val (b0, b1, b2) = docSlices(spark, sfDir)
+    val all = Seq(b0, b1, b2)
+    val state = s"$workDir/istate_$tag"
+    val landDir = s"$workDir/iland_$tag"
+    batches.zipWithIndex.foreach { case (bi, i) =>
+      if (haltAfterBandsOnLast && i == batches.size - 1) {
+        IncrementalDedup.afterBandsHook = () => {
+          System.err.println(
+            "[soak] bands appended, digests NOT — halting JVM")
+          Runtime.getRuntime.halt(137)
+        }
+      }
+      IncrementalDedup.ingestWith(spark, all(bi), state)(land(landDir))
+      ()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (mode, sfDir, workDir) = (args(0), args(1), args(2))
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -130,6 +177,77 @@ object StreamSoak {
       case "golden" =>
         startAll(spark, src, workDir, "gold").foreach(_.awaitTermination())
         println("[soak] golden: uninterrupted run complete")
+
+      case "icrash" =>
+        // b0 clean, then b1 with the JVM halted between the bands and
+        // digests appends (the sink has already landed b1's survivors)
+        runIngest(spark, sfDir, workDir, "run", Seq(0, 1),
+          haltAfterBandsOnLast = true)
+        System.err.println("[soak] icrash phase completed without halting")
+        sys.exit(2)
+
+      case "iresume" =>
+        // replay b1 (the crashed batch) exactly as a micro-batch retry
+        // would, then ingest b2 (which carries the re-keyed copies)
+        runIngest(spark, sfDir, workDir, "run", Seq(1, 2),
+          haltAfterBandsOnLast = false)
+        println("[soak] iresume: replayed b1, ingested b2")
+
+      case "igolden" =>
+        runIngest(spark, sfDir, workDir, "gold", Seq(0, 1, 2),
+          haltAfterBandsOnLast = false)
+        println("[soak] igolden: uninterrupted ingest complete")
+
+      case "icheck" =>
+        def ids(p: String) = spark.read
+          .parquet(s"$workDir/$p").select("doc_id")
+        var failed = false
+        def assertEq(name: String, a: Array[String], b: Array[String]):
+            Unit =
+          if (a.sameElements(b)) println(s"[soak] PASS $name (${a.length})")
+          else {
+            failed = true
+            println(s"[soak] FAIL $name: crash-run=${a.length} " +
+              s"golden=${b.length}; only-crash=[${a.diff(b).take(3)
+                .mkString("; ")}] only-golden=[${b.diff(a).take(3)
+                .mkString("; ")}]")
+          }
+        // the landed doc set must be EXACTLY the golden one: b1 landed
+        // once in the crashed run (sink-before-state), its replay
+        // re-dropped via its own bands, nothing lost, nothing doubled
+        assertEq("ingest landed crash-vs-golden",
+          canon(ids("iland_run")), canon(ids("iland_gold")))
+        val dup = spark.read.parquet(s"$workDir/iland_run")
+          .groupBy("doc_id").count().filter(col("count") > 1).count()
+        if (dup != 0) {
+          failed = true
+          println(s"[soak] FAIL ingest landed: $dup doc_ids landed twice")
+        } else println("[soak] PASS ingest landed exactly-once per doc")
+        // the re-keyed exact copies (doc_id >= 1e9) must be suppressed
+        // in BOTH runs — in the crash run that suppression can only
+        // have come through b1's band keys, because its digests append
+        // died with the JVM
+        val digests = spark.read
+          .parquet(s"$workDir/istate_run/digests").distinct().count()
+        val goldDigests = spark.read
+          .parquet(s"$workDir/istate_gold/digests").distinct().count()
+        val copiesLanded = ids("iland_run")
+          .filter(col("doc_id") >= 1000000000L).count()
+        if (copiesLanded != 0) {
+          failed = true
+          println(s"[soak] FAIL copies: $copiesLanded re-keyed exact " +
+            "copies landed despite band suppression")
+        } else println("[soak] PASS re-keyed copies suppressed")
+        if (digests >= goldDigests) {
+          failed = true
+          println(s"[soak] FAIL crash-window evidence: crash-run digest " +
+            s"state ($digests) not smaller than golden ($goldDigests) — " +
+            "the kill did not land between the appends")
+        } else println(s"[soak] PASS crash window real: digest state " +
+          s"$digests < golden $goldDigests (b1's digests died with the " +
+          "JVM; suppression held via bands)")
+        if (failed) sys.exit(1)
+        println("[soak] ALL INGEST CHECKS PASSED")
 
       case "check" =>
         def read(p: String) = spark.read.parquet(s"$workDir/$p")
