@@ -147,8 +147,14 @@ object FuncQueries {
         element_at(col("embedding"), 1).as("first"))
 
   /** Higher-order array functions: aggregate (L1 norm fold), filter,
-    * transform, exists. No oracle (float fold order, SURVEY.md §7.4);
-    * property-tested in scalatest. */
+    * transform, exists. Oracle-bearing since r15: the fold is a FIXED
+    * left-to-right sequence of IEEE double additions over exactly
+    * widened float32 elements — addition is correctly rounded, so the
+    * same operand sequence is bit-identical in any engine (unlike the
+    * reassociation-free guarantee §7.4 denies to engine-chosen
+    * aggregation orders, an in-array-order HOF fold has no ordering
+    * freedom). The float32 comparisons/clips bind literals as FLOAT on
+    * both sides. */
   val qArrayHof: Q = (s, d) =>
     Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -157,7 +163,8 @@ object FuncQueries {
         size(filter(col("embedding"), x => x > lit(0.1f))).as("n_big"),
         exists(col("embedding"), x => x < lit(0.0f)).as("any_neg"),
         element_at(transform(col("embedding"),
-          x => least(greatest(x, lit(-0.1f)), lit(0.1f))), 1).as("first_clipped"))
+          x => least(greatest(x, lit(-0.1f)), lit(0.1f))), 1)
+          .cast(DoubleType).as("first_clipped"))
 
   // ---- registry ---------------------------------------------------------
 
@@ -316,5 +323,20 @@ object FuncQueries {
       """SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            embedding[1] AS first
+         FROM embeddings ORDER BY vec_id""",
+    // the l1 fold mirrors Spark's aggregate() element order exactly:
+    // list_reduce over abs-widened doubles, seeded by a prepended 0.0
+    "q_array_hof" ->
+      """SELECT vec_id,
+           list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+             (acc, x) -> acc + x) AS l1,
+           CAST(len(list_filter(embedding,
+             x -> x > CAST(0.1 AS FLOAT))) AS INT) AS n_big,
+           len(list_filter(embedding,
+             x -> x < CAST(0.0 AS FLOAT))) > 0 AS any_neg,
+           CAST(least(greatest(embedding[1], CAST(-0.1 AS FLOAT)),
+             CAST(0.1 AS FLOAT)) AS DOUBLE) AS first_clipped
          FROM embeddings ORDER BY vec_id""")
 }
