@@ -25,11 +25,12 @@ import graft.Tables
   * any corpus size. At 100 TB you train on a fixture-sized sample and
   * score a petabyte without the model leaving the plan.
   *
-  * Declared as the no-oracle float class (§7.4: sigmoid + double dot —
-  * fold order is fixed by the array order so the query is
-  * deterministic, but cross-engine float parity is not claimed);
-  * QualitySpec property-pins agreement with the gate it was trained on
-  * plus rerun determinism.
+  * Since r15 the MLlib path is the LIBRARY surface ([[mlLogisticScored]],
+  * QualitySpec-verified — L-BFGS weights are floats no oracle can
+  * re-derive) while the DECLARED q_quality_logistic is its closed-form
+  * oracle-bearing twin: categorical naive Bayes over quantized doc-stat
+  * features with fixed-point ln weights and the pinned [[SigmoidPpm]]
+  * table, hash-matched against DuckDB.
   */
 object QualityModel {
 
@@ -56,10 +57,14 @@ object QualityModel {
   private val cellCache =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
+  private val classCountCache =
+    scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+
   /** For tests / long-lived sessions (see the session-cache contract in
     * graft.operators.DedupQueries.clearArtifacts). */
   def clearCache(): Unit = {
     cache.clear()
+    classCountCache.clear()
     cellCache.values.foreach(df => try df.unpersist(false)
       catch { case _: Throwable => () })
     cellCache.clear()
@@ -195,10 +200,15 @@ object QualityModel {
         lnFpStages("n1p", "a_", SparkFp) ++ lnFpStages("n0p", "b_", SparkFp))
       .select(col("feat"), col("val"), (col("a_ln") - col("b_ln")).as("wd_fp"))
     // class counts: a bounded 1-row driver scalar (the unigramModel
-    // device); broadcast(w) is safe — ≤ 48 rows by construction
-    val cc = g.agg(sum(when(col("keep"), 1L).otherwise(0L)).as("c1"),
-      sum(when(col("keep"), 0L).otherwise(1L)).as("c0")).head()
-    val (c1, c0) = (cc.getLong(0), cc.getLong(1))
+    // device), memoized per (session, corpus) so repeated plan
+    // construction stays job-free (LazyRegistrySpec); broadcast(w) is
+    // safe — ≤ 48 rows by construction
+    val (c1, c0) = Artifacts.memo(classCountCache,
+        s"${System.identityHashCode(s)}:$d") {
+      val cc = g.agg(sum(when(col("keep"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("c0")).head()
+      (cc.getLong(0), cc.getLong(1))
+    }
     val z = feats.join(broadcast(w), Seq("feat", "val"))
       .groupBy("doc_id")
       .agg(sum(col("wd_fp")).as("sw"))
