@@ -99,12 +99,19 @@ object StreamSoak {
   private def docSlices(spark: SparkSession, sfDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val docs = graft.Tables.documents(spark, sfDir)
-    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
-    val copies = docs.filter(pmod(col("doc_id"), lit(30)) === 1)
+    // Slice on the GenScale-span-invariant key (copies shift doc_id by
+    // c·10⁷, so doc_id % 10⁷ is copy-invariant): a text's exact mirror
+    // copies all land in ONE batch. The naive doc_id % 3 spread every
+    // dup group across all three batches at sf10, which left the
+    // crashed batch with ZERO survivors and made the crash-window
+    // check vacuous — caught by icheck's digest-count assertion.
+    val sk = pmod(pmod(col("doc_id"), lit(10000000L)), lit(3))
+    val b0 = docs.filter(sk === 0)
+    val b1 = docs.filter(sk === 1)
+    val copies = docs
+      .filter(pmod(pmod(col("doc_id"), lit(10000000L)), lit(30)) === 1)
       .withColumn("doc_id", col("doc_id") + lit(1000000000L))
-    val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 2)
-      .unionByName(copies)
+    val b2 = docs.filter(sk === 2).unionByName(copies)
     (b0, b1, b2)
   }
 
