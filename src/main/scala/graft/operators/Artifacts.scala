@@ -86,5 +86,6 @@ object Artifacts {
     QualityModel.clearCache()
     TextQueries.clearArtifacts()
     AssociationOps.clearArtifacts()
+    Geo.clearArtifacts()
   }
 }

@@ -47,6 +47,36 @@ object FixedPoint {
       s"SELECT *, ($sql) AS $n FROM ($acc)"
     }
 
+  /** Driver-side mirror of [[lnFpStages]] — the SAME integer algorithm
+    * (same binary reduction, same truncating divisions, so bit-equal
+    * results; FixedPointSpec pins it against the staged form) — for
+    * corpus-level scalars the driver already holds: staging a 30-stage
+    * chain over a LITERAL column costs seconds of Catalyst constant
+    * folding per plan build (q_quality_logistic paid 16 s for six such
+    * chains), where this fold is microseconds. Data-dependent columns
+    * still go through [[lnFpStages]]. */
+  def lnFpScala(n: Long): BigInt = {
+    require(n >= 1, s"lnFpScala: n must be positive, got $n")
+    val S = BigInt(10).pow(18)
+    var k = 0
+    var p = BigInt(1)
+    var nn = BigInt(n)
+    for (b <- Seq(32, 16, 8, 4, 2, 1)) {
+      val pow = BigInt(1) << b
+      if (nn >= pow) { k += b; p *= pow; nn /= pow }
+    }
+    val m = (BigInt(n) * S) / p
+    val z = ((m - S) * S) / (m + S)
+    val z2 = (z * z) / S
+    var prev = z
+    var sum = z
+    for (e <- Seq(3, 5, 7, 9, 11, 13, 15, 17)) {
+      prev = (prev * z2) / S
+      sum += prev / e
+    }
+    BigInt(k) * BigInt(Ln2Fp) + 2 * sum
+  }
+
   /** Render staged definitions as a flat comma-joined CTE chain — the
     * DuckDB-side alternative to [[nestStages]] when the combined stage
     * count would blow the parser's subquery-nesting stack (~180 levels

@@ -57,14 +57,18 @@ object QualityModel {
   private val cellCache =
     scala.collection.concurrent.TrieMap[String, DataFrame]()
 
-  private val classCountCache =
-    scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+  private val classCountCache = scala.collection.concurrent
+    .TrieMap[String, (Long, Long, Seq[(String, Long, BigInt)])]()
+
+  private val gateStatsCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
 
   /** For tests / long-lived sessions (see the session-cache contract in
     * graft.operators.DedupQueries.clearArtifacts). */
   def clearCache(): Unit = {
     cache.clear()
     classCountCache.clear()
+    gateStatsCache.clear()
     cellCache.values.foreach(df => try df.unpersist(false)
       catch { case _: Throwable => () })
     cellCache.clear()
@@ -182,50 +186,70 @@ object QualityModel {
   val qQualityLogistic: Q = (s, d) => {
     import graft.operators.FixedPoint._
     val docs = Tables.documents(s, d)
-    val g = TextQueries.gopherGate(docs).select(col("doc_id"),
-      col("n_words"), col("char_sum"), col("n_sym"), col("n_stop"),
-      col("keep"))
+    // the gate-stat frame feeds three consumers (the feature melt, the
+    // class-count scalar, the final label join) — eagerly checkpointed
+    // once per (session, corpus) so the corpus tokenization pass does
+    // not re-run per reference (it showed up as 3.3 s of the sf0.1
+    // bench before the memo)
+    val g = Artifacts.memo(gateStatsCache,
+        s"gate:${System.identityHashCode(s)}:$d") {
+      TextQueries.gopherGate(docs).select(col("doc_id"),
+        col("n_words"), col("char_sum"), col("n_sym"), col("n_stop"),
+        col("keep")).localCheckpoint(true)
+    }
     val feats = g.select(col("doc_id"), col("keep"),
         explode(array(StatFeatures.map { case (f, v, _) =>
           struct(lit(f).as("feat"), expr(v).as("val"))
         }: _*)).as("fv"))
       .select(col("doc_id"), col("keep"),
         col("fv.feat").as("feat"), col("fv.val").as("val"))
-    val bs = feats.groupBy("feat", "val")
-      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n1"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n0"))
-    val w = withStages(
-        bs.withColumn("n1p", col("n1") + lit(1L))
-          .withColumn("n0p", col("n0") + lit(1L)),
-        lnFpStages("n1p", "a_", SparkFp) ++ lnFpStages("n0p", "b_", SparkFp))
-      .select(col("feat"), col("val"), (col("a_ln") - col("b_ln")).as("wd_fp"))
-    // class counts: a bounded 1-row driver scalar (the unigramModel
-    // device), memoized per (session, corpus) so repeated plan
-    // construction stays job-free (LazyRegistrySpec); broadcast(w) is
-    // safe — ≤ 48 rows by construction
-    val (c1, c0) = Artifacts.memo(classCountCache,
+    // The trained model is a bounded driver artifact (the IVF-centroid
+    // device): the (feat, val) table is ≤ 48 rows BY CONSTRUCTION (4
+    // literal feats × least()-clamped values) and the class counts one
+    // row, so the lns run through the driver-side lnFpScala mirror —
+    // bit-equal to the staged form the oracle still executes over its
+    // own CTEs, and ~7 s of Catalyst work per plan build cheaper than
+    // staging 60 ln columns. Memoized per (session, corpus) so repeated
+    // plan construction stays job-free (LazyRegistrySpec).
+    val (c1, c0, wRows) = Artifacts.memo(classCountCache,
         s"${System.identityHashCode(s)}:$d") {
       val cc = g.agg(sum(when(col("keep"), 1L).otherwise(0L)).as("c1"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("c0")).head()
-      (cc.getLong(0), cc.getLong(1))
+      val bs = feats.groupBy("feat", "val")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n0"))
+        .collect()
+      (cc.getLong(0), cc.getLong(1), bs.map { r =>
+        (r.getString(0), r.getLong(1),
+          lnFpScala(r.getLong(2) + 1) - lnFpScala(r.getLong(3) + 1))
+      }.toSeq)
     }
+    val wSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("feat",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("wd_fp",
+        org.apache.spark.sql.types.DecimalType(38, 0))))
+    val w = s.createDataFrame(
+      java.util.Arrays.asList(wRows.map { case (f, v, wd) =>
+        org.apache.spark.sql.Row(f, v, new java.math.BigDecimal(
+          wd.bigInteger)): org.apache.spark.sql.Row
+      }: _*), wSchema)
     val z = feats.join(broadcast(w), Seq("feat", "val"))
       .groupBy("doc_id")
       .agg(sum(col("wd_fp")).as("sw"))
-    // the six class-count ln chains run over literals — constant-folded
-    val zf = withStages(z
-        .withColumn("c1p", lit(c1 + 1)).withColumn("c0p", lit(c0 + 1))
-        .withColumn("c1s", lit(c1 + 16)).withColumn("c0s", lit(c0 + 16))
-        .withColumn("c1e", lit(c1 + 8)).withColumn("c0e", lit(c0 + 8)),
-      lnFpStages("c1p", "i1_", SparkFp) ++
-        lnFpStages("c0p", "i0_", SparkFp) ++
-        lnFpStages("c1s", "s1_", SparkFp) ++
-        lnFpStages("c0s", "s0_", SparkFp) ++
-        lnFpStages("c1e", "e1_", SparkFp) ++
-        lnFpStages("c0e", "e0_", SparkFp))
-      .withColumn("z_fp", col("i1_ln") - col("i0_ln") +
-        lit(2) * (col("s0_ln") - col("s1_ln")) +
-        lit(2) * (col("e0_ln") - col("e1_ln")) + col("sw"))
+    // the six class-count lns are corpus scalars — computed with the
+    // driver-side lnFpScala mirror (bit-equal to the staged form, which
+    // the oracle still runs over its cc CTE) and folded into ONE
+    // literal: six staged literal chains cost 16 s of Catalyst constant
+    // folding per plan build
+    val constFp = (lnFpScala(c1 + 1) - lnFpScala(c0 + 1)) +
+      2 * (lnFpScala(c0 + 16) - lnFpScala(c1 + 16)) +
+      2 * (lnFpScala(c0 + 8) - lnFpScala(c1 + 8))
+    val zf = z.withColumn("z_fp",
+      lit(scala.math.BigDecimal(constFp)).cast("decimal(38,0)") +
+        col("sw"))
     zf.withColumn("idx", expr(
         "CAST((greatest(CAST(-8000000000000000000 AS DECIMAL(38,0)), " +
           "least(CAST(8000000000000000000 AS DECIMAL(38,0)), z_fp)) " +

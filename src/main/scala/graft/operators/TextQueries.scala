@@ -744,16 +744,17 @@ object TextQueries {
         m.withColumn("cnt1", col("cnt") + lit(1L)),
         lnFpStages("cnt1", "c_", SparkFp))
       .select(col("tok"), col("c_ln"))
-    val toks = docs
+    // ln(T) is a corpus scalar — the driver-side lnFpScala mirror
+    // (bit-equal to the staged form the oracle runs) keeps the plan
+    // free of a 30-stage constant-folding chain
+    val tLn = scala.math.BigDecimal(lnFpScala(total + vocab))
+    docs
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("tok"))
       .join(scoredModel, Seq("tok"), "left")
-      .withColumn("tv", lit(total + vocab))
-    // the t_ chain is over a literal, so Catalyst constant-folds it —
-    // ln(T) costs nothing per row
-    withStages(toks, lnFpStages("tv", "t_", SparkFp))
       .withColumn("nll_fp",
-        col("t_ln") - coalesce(col("c_ln"), lit(0L).cast("decimal(38,0)")))
+        lit(tLn).cast("decimal(38,0)") -
+          coalesce(col("c_ln"), lit(0L).cast("decimal(38,0)")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("nll_fp").as("sum_nll"))
       .select(col("doc_id"), col("n_tokens"),

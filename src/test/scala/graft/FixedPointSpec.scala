@@ -60,6 +60,22 @@ class FixedPointSpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("lnFpScala is bit-equal to the staged lnFpStages form " +
+      "for arbitrary positive longs") {
+    val gen = Gen.oneOf(
+      Gen.chooseNum(1L, 1000L),
+      Gen.chooseNum(1L, Long.MaxValue / 2),
+      Gen.chooseNum(Long.MaxValue / 2, Long.MaxValue - 1))
+    check(Prop.forAll(Gen.listOfN(40, gen)) { ns =>
+      ns.isEmpty || {
+        val staged = lnFp(ns.distinct)
+        ns.distinct.forall { n =>
+          BigDecimal(FixedPoint.lnFpScala(n)) == staged(n)
+        }
+      }
+    }, n = 5)
+  }
+
   test("q_text_perplexity (micro-nat) matches the plain-Scala " +
       "add-one-smoothed LM fold within the declared grain") {
     val docs = Tables.documents(spark, TestSpark.sf)
