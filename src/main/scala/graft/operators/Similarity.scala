@@ -586,11 +586,51 @@ object Similarity {
         .getSeq[Float](0).toArray
     }
 
+  /** Declared query (oracle-bearing since r15 — the quantized-integer
+    * form replaced the float-cosine top-k): ANN top-10 against vec_id=0
+    * through one 4-bit sign-LSH table with hamming-1 multi-probe,
+    * candidates re-ranked by the EXACT q_similarity_topk score algebra
+    * — sign(dot)·(dot²·10¹² div (‖a‖²‖q‖²)) over milli-quantized
+    * vectors, so every bucket bit and every score is pure integer
+    * arithmetic both engines reproduce (the [[quantizedPlanes]] used by
+    * the whole embed-dedup family). The query-side bucket and norm are
+    * bounded driver scalars (the probeVec device); recall is the
+    * measured property NoOracleSpec pins — the float-plane [[lshTopK]]
+    * stays the library surface for arbitrary query vectors. */
   val qSimilarityLsh: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
-    val query = probeVec(emb, d)
-    lshTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      query, k = 10, nbits = 4)
+    import graft.functions.VectorFunctions.{dotL, milliQuant}
+    val nbits = 4
+    val dim = 64
+    val planes = quantizedPlanes(nbits, dim)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        milliQuant(col("embedding")).as("qv"))
+      .withColumn("n2", dotL(col("qv"), col("qv")))
+    val qv = Artifacts.scalar(s"qvecq:$d") {
+      e.filter(col("vec_id") === 0).select(col("qv"))
+        .collect()(0).getSeq[Long](0).toArray
+    }
+    val qn2 = qv.map(x => x * x).sum
+    val qBucket = (0 until nbits).map { b =>
+      val dot = planes(b).zip(qv).map { case (p, x) => p * x }.sum
+      if (dot > 0) 1L << b else 0L
+    }.sum
+    val probes = qBucket +: (0 until nbits).map(b => qBucket ^ (1L << b))
+    val bits = (0 until nbits).map { j =>
+      val plane = array(planes(j).map(lit): _*)
+      when(dotL(col("qv"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    e.filter(col("vec_id") =!= 0 && col("n2") > 0)
+      .withColumn("bucket", bits.reduce(_ + _))
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("dot", dotL(col("qv"), array(qv.map(lit): _*)))
+      .withColumn("score", expr(
+        s"""(CASE WHEN dot < 0 THEN -1L ELSE 1L END) *
+           ((CAST(dot AS DECIMAL(38,0)) * dot * 1000000000000)
+            div (CAST(n2 AS DECIMAL(38,0)) * ${qn2}L))"""))
+      .select(col("vec_id"), col("label"), col("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(10)
   }
 
   /** IVF ANN top-10 against vec_id=0: 8 cells, probe the 3 nearest
