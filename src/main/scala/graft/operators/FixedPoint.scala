@@ -84,6 +84,9 @@ object FixedPoint {
     * into the outer WITH and the last CTE's name. */
   def cteStages(baseName: String, stages: Seq[(String, String)],
       pre: String): (String, String) = {
+    require(stages.nonEmpty,
+      s"cteStages($baseName, _, $pre): empty stage list would emit a " +
+        "dangling reference to a CTE that was never defined")
     val frags = stages.zipWithIndex.map { case ((n, sql), i) =>
       val prev = if (i == 0) baseName else s"${pre}_${i - 1}"
       s"${pre}_$i AS (SELECT *, ($sql) AS $n FROM $prev)"

@@ -586,8 +586,12 @@ object Similarity {
         .getSeq[Float](0).toArray
     }
 
-  /** Declared query (oracle-bearing since r15 — the quantized-integer
-    * form replaced the float-cosine top-k): ANN top-10 against vec_id=0
+  /** Declared query (exact integer arithmetic since r15 — the
+    * quantized-integer form replaced the float-cosine top-k, making
+    * the scores deterministic/oracle-ready, though the query remains
+    * in the pinned no-oracle ANN-recall class — its correctness
+    * property is recall, verified by scalatest, not a DuckDB hash):
+    * ANN top-10 against vec_id=0
     * through one 4-bit sign-LSH table with hamming-1 multi-probe,
     * candidates re-ranked by the EXACT q_similarity_topk score algebra
     * — sign(dot)·(dot²·10¹² div (‖a‖²‖q‖²)) over milli-quantized

@@ -758,7 +758,11 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("nll_fp").as("sum_nll"))
       .select(col("doc_id"), col("n_tokens"),
-        expr("CAST(sum_nll div (n_tokens * 1000000000000) AS BIGINT)")
+        // n_tokens goes through DECIMAL(38,0) before the 10¹² scale-up:
+        // a BIGINT multiply would wrap silently past ~9.2M tokens/doc
+        // (ANSI off) where the DuckDB oracle's int128 stays exact
+        expr("CAST(sum_nll div (CAST(n_tokens AS DECIMAL(38,0)) * " +
+            "1000000000000) AS BIGINT)")
           .as("avg_nll_unat"))
   }
 

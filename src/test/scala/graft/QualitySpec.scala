@@ -56,7 +56,8 @@ class QualitySpec extends AnyFunSuite {
     assert(acc > majority, s"accuracy $acc <= majority baseline $majority")
     // monotone fidelity: the pinned table is the rounded true sigmoid
     QualityModel.SigmoidPpm.zipWithIndex.foreach { case (v, i) =>
-      val want = math.round(1e6 / (1.0 + math.exp(-(i - 800) / 100.0)))
+      val want =
+        math.round(1e6 / (1.0 + StrictMath.exp(-(i - 800) / 100.0)))
       assert(v == want, s"table[$i]")
     }
     val again = QualityModel.qQualityLogistic(spark, sf).collect()

@@ -75,8 +75,12 @@ NEW="BENCH_r${ROUND}_session.json"; NEWKIND="session (NO idle artifact — mover
 if [ -f "BENCH_r${ROUND}_idle.json" ]; then
   NEW="BENCH_r${ROUND}_idle.json"; NEWKIND="idle"
 fi
-PREV=$(ls BENCH_r*_idle.json BENCH_r*_full.json 2>/dev/null \
-  | grep -v "BENCH_r${ROUND}_" | sort -V | tail -1 || true)
+# Prior artifacts may have been pruned into docs/bench/ (root carries
+# only the latest round's trio + bench.json) — search both locations.
+PREV=$(ls BENCH_r*_idle.json BENCH_r*_full.json \
+  docs/bench/BENCH_r*_idle.json docs/bench/BENCH_r*_full.json \
+  2>/dev/null | grep -v "BENCH_r${ROUND}_" | sort -t r -k 2 -V \
+  | tail -1 || true)
 MOVERS="(no prior per-query bench found)"
 if [ -n "$PREV" ]; then
   {
