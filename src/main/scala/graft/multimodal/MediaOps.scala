@@ -45,18 +45,25 @@ object MediaOps {
           (pmod(col("doc_id"), lit(48L)) * 16 + 16).cast("int").as("height"),
           lit(16000).as("sampleRate")).as("meta"))
 
+  /** STUB (fallback) histogram counts — 16-bin byte histogram, the
+    * exact-integer core behind [[stubDecodeFeatures]] and the
+    * oracle-bearing [[qMultimodalFeatures]]. */
+  def stubHistCounts(media: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < media.length) {
+      hist((media(i) & 0xFF) / 16) += 1L
+      i += 1
+    }
+    hist
+  }
+
   /** STUB (fallback) decoder — stands in for codecs the JDK lacks
     * (audio/video) and absorbs undecodable payloads. Deterministic:
     * 16-bin byte histogram, L1-normalized. */
   def stubDecodeFeatures(media: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
-    var i = 0
-    while (i < media.length) {
-      hist((media(i) & 0xFF) / 16) += 1f
-      i += 1
-    }
     val n = math.max(media.length, 1).toFloat
-    hist.map(_ / n)
+    stubHistCounts(media).map(_ / n)
   }
 
   /** Container-signature sniff — PNG / JPEG / GIF / BMP magic bytes. Real
@@ -139,19 +146,26 @@ object MediaOps {
     * [[imageFeatures]]'s luminance histogram, deterministic and exact.
     * None for non-WAV / non-PCM16 payloads. */
   def wavFeatures(b: Array[Byte]): Option[Array[Float]] =
+    wavHistCounts(b).map { case (hist, n) =>
+      hist.map(_ / math.max(n, 1L).toFloat)
+    }
+
+  /** Exact-integer core of [[wavFeatures]]: amplitude-bin counts + the
+    * decoded sample count. None for non-WAV / non-PCM16 payloads. */
+  def wavHistCounts(b: Array[Byte]): Option[(Array[Long], Long)] =
     parseWav(b).filter(w => w.audioFormat == 1 && w.bitsPerSample == 16)
       .map { w =>
-        val hist = new Array[Float](16)
+        val hist = new Array[Long](16)
         val end = w.dataOffset + w.dataBytes
         var i = w.dataOffset
-        var n = 0
+        var n = 0L
         while (i + 1 < end) {
           val s = (b(i + 1).toInt << 8) | (b(i) & 0xFF)
-          hist(math.min(math.abs(s) / 2048, 15)) += 1f
+          hist(math.min(math.abs(s) / 2048, 15)) += 1L
           n += 1
           i += 2
         }
-        hist.map(_ / math.max(n, 1).toFloat)
+        (hist, n)
       }
 
   /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF). None for
@@ -168,7 +182,13 @@ object MediaOps {
   /** 16-bin L1-normalized LUMINANCE histogram over decoded pixels —
     * integer Rec.601 weights, deterministic across platforms. */
   def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
-    val hist = new Array[Float](16)
+    val n = math.max(img.getWidth * img.getHeight, 1).toFloat
+    imageHistCounts(img).map(_ / n)
+  }
+
+  /** Exact-integer core of [[imageFeatures]]: luminance-bin counts. */
+  def imageHistCounts(img: java.awt.image.BufferedImage): Array[Long] = {
+    val hist = new Array[Long](16)
     var y = 0
     while (y < img.getHeight) {
       var x = 0
@@ -176,13 +196,12 @@ object MediaOps {
         val rgb = img.getRGB(x, y)
         val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587
           + (rgb & 0xFF) * 114) / 1000
-        hist(lum / 16) += 1f
+        hist(lum / 16) += 1L
         x += 1
       }
       y += 1
     }
-    val n = math.max(img.getWidth * img.getHeight, 1).toFloat
-    hist.map(_ / n)
+    hist
   }
 
   /** Decode: real pixels when an image codec accepts the payload, real
@@ -196,6 +215,21 @@ object MediaOps {
     decodeImage(media).map(imageFeatures)
       .orElse(wavFeatures(media))
       .getOrElse(stubDecodeFeatures(media))
+
+  /** The same decode dispatch as [[decodeFeatures]], returning the
+    * exact-integer (bin counts, denominator) pair instead of the
+    * float-normalized vector — pixels for images, samples for PCM16
+    * WAV, bytes for opaque payloads. Both engines can reproduce the
+    * ppb readout exactly, which is what makes [[qMultimodalFeatures]]
+    * oracle-bearing. */
+  def decodeHistCounts(media: Array[Byte]): (Array[Long], Long) =
+    decodeImage(media)
+      .map(img => (imageHistCounts(img),
+        math.max(img.getWidth.toLong * img.getHeight, 1L)))
+      .orElse(wavHistCounts(media).map { case (h, n) =>
+        (h, math.max(n, 1L))
+      })
+      .getOrElse((stubHistCounts(media), math.max(media.length.toLong, 1L)))
 
   /** Batch feature extraction over partitions — the mapInPandas/mapPartitions
     * shape: one iterator pass per partition, constant memory. */
@@ -341,15 +375,24 @@ object MediaOps {
 
   /** Feature vectors through the full dispatch (real image codec → real
     * WAV PCM16 path → stub only for opaque bytes; the fixture payloads
-    * are synthetic text bytes, hence opaque by construction). No
-    * oracle — float features; scalatest-verified per branch (MediaSpec).
-    * The vector is emitted as its JSON string: the driver's comparator
-    * sorts rows through pandas and crashes on ndarray cells. */
+    * are synthetic text bytes, hence opaque by construction).
+    * ORACLE-BEARING since r16: the histogram weights are emitted as
+    * exact parts-per-billion longs — bin_count·10⁹ div denominator —
+    * instead of float ratios, so DuckDB reproduces every cell from the
+    * hex-decoded payload bytes (the q_multimodal_audio precedent). No
+    * overflow by construction: a binary cell caps at 2³¹ bytes in both
+    * engines, so count·10⁹ < 2⁶². The float [[decodeFeatures]] stays
+    * the library surface for ANN consumers. The vector is emitted as
+    * its JSON string: the driver's comparator sorts rows through
+    * pandas and crashes on ndarray cells. */
   val qMultimodalFeatures: Q = (s, d) => {
     import s.implicits._
     val ds = mediaTable(s, d).as[MediaRow]
-    extractFeatures(ds).toDF()
-      .select(col("doc_id"), to_json(col("features")).as("features"))
+    ds.mapPartitions(_.map { r =>
+        val (counts, n) = decodeHistCounts(r.media)
+        (r.doc_id, counts.map(c => c * 1000000000L / n))
+      }).toDF("doc_id", "ppb")
+      .select(col("doc_id"), to_json(col("ppb")).as("features_ppb"))
   }
 
   /** 64-bit average hash (aHash) of a decoded image: downscale to 8×8,
@@ -391,7 +434,8 @@ object MediaOps {
     val counts = new Array[Long](64)
     var i = 0
     while (i < b.length) {
-      val c = (i * 64) / b.length
+      // long chunk index: i*64 wraps Int for payloads past 2²⁵ bytes
+      val c = ((i.toLong * 64) / b.length).toInt
       sums(c) += (b(i) & 0xff); counts(c) += 1
       i += 1
     }
@@ -399,8 +443,11 @@ object MediaOps {
     var bits = 0L
     var j = 0
     while (j < 64) {
-      // chunk mean > global mean, cross-multiplied (no division drift)
-      if (counts(j) > 0 && sums(j) * b.length > total * counts(j))
+      // chunk mean > global mean, cross-multiplied (no division drift);
+      // BigInt: sums·len can pass 2⁶³ near the 2³¹-byte payload cap,
+      // and the oracle's HUGEINT compare must match bit-for-bit there
+      if (counts(j) > 0 &&
+          BigInt(sums(j)) * b.length > BigInt(total) * counts(j))
         bits |= (1L << j)
       j += 1
     }
@@ -443,9 +490,13 @@ object MediaOps {
   /** Declared query: per-payload perceptual hash plus the size of its
     * exact-collision bucket (n_same > 1 = image-level duplicates). The
     * hash runs map-side per partition; the one shuffle is the
-    * hash-keyed bucket count. No-oracle codec class (DuckDB cannot
-    * decode pixels); MediaSpec pins identical-pixels collision,
-    * near-dup Hamming distance, and the fallback determinism. */
+    * hash-keyed bucket count. ORACLE-BEARING since r16: the fixture's
+    * opaque payloads all route through [[byteAHash]], whose chunk-mean
+    * bit decisions are pure integer byte arithmetic DuckDB replays from
+    * the hex-decoded payload (HUGEINT bit assembly with an explicit
+    * two's-complement fold for bit 63). MediaSpec still pins the
+    * image-codec branch (identical-pixels collision, near-dup Hamming
+    * distance) that the fixture cannot reach. */
   val qMultimodalPhash: Q = (s, d) => {
     import s.implicits._
     val hashes = mediaTable(s, d).as[MediaRow]
@@ -472,6 +523,60 @@ object MediaOps {
     "q_multimodal_phash" -> qMultimodalPhash)
 
   val oracleSql: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      """WITH a AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+             CAST('0x' || substring(h, 2 * g.i + 1, 2) AS INT) // 16 AS bin
+           FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g),
+         c AS (SELECT doc_id, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         d AS (
+           SELECT a.doc_id, bins.bin,
+             COALESCE(c.cnt, 0) * 1000000000 // GREATEST(a.n, 1) AS ppb
+           FROM a
+           CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) bins
+           LEFT JOIN c ON c.doc_id = a.doc_id AND c.bin = bins.bin)
+         SELECT doc_id,
+           '[' || string_agg(CAST(ppb AS VARCHAR), ',' ORDER BY bin) || ']'
+             AS features_ppb
+         FROM d GROUP BY doc_id ORDER BY doc_id""",
+    "q_multimodal_phash" ->
+      """WITH a AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+           FROM documents),
+         b AS (
+           SELECT doc_id, n, (g.i * 64) // n AS chunk,
+             CAST('0x' || substring(h, 2 * g.i + 1, 2) AS INT) AS byte
+           FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g),
+         c AS (
+           SELECT doc_id, n, chunk, SUM(byte) AS s, COUNT(*) AS cnt
+           FROM b GROUP BY 1, 2, 3),
+         t AS (SELECT doc_id, SUM(s) AS total FROM c GROUP BY 1),
+         -- assemble the 64 chunk-mean bits in HUGEINT (1::BIGINT << 63
+         -- errors), then fold >= 2^63 back to the signed long the Spark
+         -- side carries
+         ph AS (
+           SELECT c.doc_id,
+             SUM(CASE WHEN CAST(c.s AS HUGEINT) * c.n
+                        > CAST(t.total AS HUGEINT) * c.cnt
+                 THEN 1::HUGEINT << CAST(c.chunk AS INT)
+                 ELSE 0::HUGEINT END) AS hbits
+           FROM c JOIN t USING (doc_id) GROUP BY c.doc_id),
+         sg AS (
+           SELECT a.doc_id,
+             CAST(COALESCE(ph.hbits, 0::HUGEINT)
+               - CASE WHEN COALESCE(ph.hbits, 0::HUGEINT)
+                        >= 9223372036854775808::HUGEINT
+                 THEN 18446744073709551616::HUGEINT
+                 ELSE 0::HUGEINT END AS BIGINT) AS phash
+           FROM a LEFT JOIN ph ON ph.doc_id = a.doc_id)
+         SELECT doc_id, phash,
+           COUNT(*) OVER (PARTITION BY phash) AS n_same
+         FROM sg ORDER BY doc_id""",
     "q_multimodal_audio" ->
       """WITH a AS (
            SELECT doc_id, hex(encode(text)) AS h,

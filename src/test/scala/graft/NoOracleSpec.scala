@@ -197,14 +197,29 @@ class NoOracleSpec extends AnyFunSuite {
     val brute = embeddings.filter(_._1 != 0L)
       .map { case (id, e) => (id, cosine(e, q)) }
       .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    // the r15 conversion made the scores the exact q_similarity_topk
+    // integer algebra: (vec_id, label, score: Long)
     val got = Similarity.qSimilarityLsh(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
+      .map(r => (r.getLong(0), r.getLong(2)))
     assert(got.nonEmpty)
     // ranked descending
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
-    // every LSH result's cosine matches the exact computation
-    val exact = embeddings.map { case (id, e) => id -> cosine(e, q) }.toMap
-    got.foreach { case (id, c) => assert(math.abs(c - exact(id)) < 1e-9) }
+    // every LSH result's score matches the plain-Scala quantized mirror
+    def quant(e: Array[Float]): Array[Long] =
+      e.map(x => BigDecimal(x * 1000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val qv = quant(q)
+    val qn2 = qv.map(x => x * x).sum
+    val exact = embeddings.map { case (id, e) =>
+      val v = quant(e)
+      val dot = v.zip(qv).map { case (a, b) => a * b }.sum
+      val n2 = v.map(x => x * x).sum
+      id -> (if (n2 == 0) 0L
+        else (if (dot < 0) -1L else 1L) *
+          (BigInt(dot) * BigInt(dot) * BigInt("1000000000000") /
+            (BigInt(n2) * BigInt(qn2))).toLong)
+    }.toMap
+    got.foreach { case (id, s) => assert(s == exact(id)) }
     val recall = got.map(_._1).count(brute.contains).toDouble / brute.size
     // pinned at the MEASURED value ±0.05 (round 11, tools.DbgRecall:
     // 0.20 at nbits=4 on this fixture — the recall/scan trade-off table
@@ -395,18 +410,27 @@ class NoOracleSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall of ${brute.size} pairs")
   }
 
-  test("q_multimodal_features equals the stub decoder applied directly") {
+  test("q_multimodal_features ppb readout equals the stub histogram " +
+      "and stays consistent with the float library surface") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val got = MediaOps.qMultimodalFeatures(spark, sf).collect()
     assert(got.length == texts.size)
     got.foreach { r =>
-      val want = MediaOps.stubDecodeFeatures(texts(r.getLong(0)).getBytes("UTF-8"))
-      // q_multimodal_features emits the vector as its JSON string (the
-      // driver's comparator can't sort ndarray cells); parse it back
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      val counts = MediaOps.stubHistCounts(bytes)
+      val n = math.max(bytes.length.toLong, 1L)
+      val want = counts.map(c => c * 1000000000L / n)
+      // the vector travels as its JSON string (the driver's comparator
+      // can't sort ndarray cells); parse it back
       val gotVec = r.getString(1).stripPrefix("[").stripSuffix("]")
-        .split(",").filter(_.nonEmpty).map(_.toFloat)
+        .split(",").filter(_.nonEmpty).map(_.toLong)
       assert(gotVec.sameElements(want))
+      // the float library surface normalizes the SAME counts
+      val floats = MediaOps.stubDecodeFeatures(bytes)
+      counts.zip(floats).foreach { case (c, f) =>
+        assert(f == c.toFloat / n.toFloat)
+      }
     }
   }
 

@@ -73,6 +73,7 @@ SAMPLE_SPECS = {
     # customer-driven pair queries
     "q_join_theta_range": ("customer", "c_custkey", ("mod", 37)),
     "q_geo_neighbors": ("customer", "c_custkey", ("mod", 37)),
+    "q_geo_neighbors_haversine": ("customer", "c_custkey", ("mod", 37)),
     # events-driven full-output queries (sf10 comparator-cap relief)
     "q_outlier_iqr": ("events", "event_id", ("mod", 7)),
     # documents-driven quadratic dedup/curation oracles; dup groups stay
