@@ -48,4 +48,43 @@ object FirstSeen {
     pairs.groupByKey(_._1)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** [[Processor]] with a bounded dedup horizon: the `seen` cell carries
+    * a processing-time TTL, so a digest whose FIRST occurrence is older
+    * than `ttl` is evicted from the store and its next occurrence
+    * re-emits as a fresh first-seen. Dup suppression does NOT refresh
+    * the clock — the horizon is "within `ttl` of the first emission",
+    * which keeps re-emission cadence independent of dup arrival rate
+    * (and state size proportional to distinct digests inside one
+    * horizon, the property that makes TTL dedup viable at 100 TB where
+    * unbounded digest state would grow without limit). */
+  class TtlProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[String, (String, Long), (String, Long)] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, TTLConfig(ttl))
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[(String, Long)] =
+      // an expired value reads as absent, so eviction and first-contact
+      // take the same branch
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single((key, rows.map(_._2).min))
+      }
+  }
+
+  /** [[firstSeen]] with a TTL-bounded horizon — requires
+    * `TimeMode.ProcessingTime` (state TTL is processing-time-based). */
+  def firstSeenWithTtl(pairs: Dataset[(String, Long)],
+      ttl: java.time.Duration): Dataset[(String, Long)] = {
+    import pairs.sparkSession.implicits._
+    pairs.groupByKey(_._1)
+      .transformWithState(new TtlProcessor(ttl), TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
 }

@@ -795,6 +795,69 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState TTL: an expired digest re-emits, a live one " +
+      "stays suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val priorProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Long)]
+    val dir = Files.createTempDirectory("graft-tws-ttl").toString
+    // generous margins so host load can't flip the outcome: A must age
+    // PAST the 6 s horizon (10 s sleep), B must stay WELL inside it
+    // (read immediately after its batch)
+    val ttl = java.time.Duration.ofSeconds(6)
+    // TimeMode.ProcessingTime makes the micro-batch engine re-run
+    // no-data batches continuously (shouldRunAnotherBatch is
+    // unconditionally true — processing time always advances), so
+    // processAllAvailable spins forever and Trigger.AvailableNow never
+    // self-terminates (measured: 1,898 no-data jobs before the first
+    // rewrite of this test was killed); the memory sink also refuses
+    // checkpoint recovery, ruling out restart-per-phase. So: ONE
+    // long-lived query, and each phase polls lastProgress until its
+    // own source offset has been processed.
+    val q = graft.streaming.FirstSeen.firstSeenWithTtl(mem.toDS(), ttl)
+      .toDF("digest", "doc_id")
+      .writeStream.format("memory").queryName("tws_ttl_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    def pass(data: (String, Long)*): Seq[(String, Long)] = {
+      val off = mem.addData(data: _*).json.toLong
+      def committed = Option(q.lastProgress).exists(p =>
+        p.sources.nonEmpty &&
+          Option(p.sources(0).endOffset).exists(_.toLong >= off))
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (!committed && System.nanoTime < deadline) Thread.sleep(100)
+      assert(committed, s"offset $off not processed in 120 s")
+      spark.sql("SELECT digest, doc_id FROM tws_ttl_out")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    try {
+      assert(pass(("A", 3L), ("A", 1L)) == Seq(("A", 1L))) // batch-min id
+      Thread.sleep(10000) // A's first-seen mark ages past the horizon
+      assert(pass(("B", 2L)).toSet == Set(("A", 1L), ("B", 2L)))
+      // A expired (re-emits with the new batch's min id); B live
+      // (suppressed). Same pass, so one clock serves both checks.
+      assert(pass(("A", 7L), ("B", 8L)).toSet ==
+        Set(("A", 1L), ("B", 2L), ("A", 7L)),
+        "expired A must re-emit once; live B must stay suppressed")
+      // and the re-emitted A is live again: an immediate dup suppresses
+      val end = pass(("A", 9L))
+      assert(end.count(_._1 == "A") == 2 && end.size == 3)
+    } finally {
+      q.stop()
+      priorProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming rollup partials re-sum to the exact batch recompute") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
