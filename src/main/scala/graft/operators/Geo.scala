@@ -57,23 +57,29 @@ object Geo {
     val right = pts.select(col("id").as("id_b"), col("x").as("xb"),
       col("y").as("yb"),
       gridCell(col("x"), col("y"), cell).as("cell"))
-    val offsets = Seq(-1L, 0L, 1L)
     val span = 100000000L
+    val rowStride = 2 * span / cell
+    // forward-half blocking (r16, same device as the haversine query):
+    // explode only the 5 lexicographically-forward offsets — an
+    // antisymmetric set, so each unordered cross-cell pair meets on
+    // exactly one equality key and only same-cell pairs need the id
+    // tiebreak; ids normalized least/greatest below. 5|pts| join probes
+    // instead of 9|pts|, identical result set.
+    val offsets = Seq(0L, 1L, rowStride - 1, rowStride, rowStride + 1)
     val left = pts.select(col("id").as("id_a"), col("x").as("xa"),
         col("y").as("ya"), gridCell(col("x"), col("y"), cell).as("cell0"))
-      .withColumn("off", explode(array(
-        (for (dx <- offsets; dy <- offsets)
-          yield lit(dx * (2 * span / cell) + dy)): _*)))
+      .withColumn("off", explode(array(offsets.map(lit): _*)))
       .withColumn("cell", col("cell0") + col("off"))
     left.join(right, "cell")
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("off") =!= 0L || col("id_a") < col("id_b"))
       .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
         (col("ya") - col("yb")) * (col("ya") - col("yb"))
         <= lit(radius * radius))
-      .select(col("id_a"), col("id_b"),
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
           (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist_sq"))
-    // no distinct needed: the 9 exploded offset keys are pairwise
+    // no distinct needed: the exploded offset keys are pairwise
     // different, so a qualifying pair meets on exactly one equality key
   }
 
@@ -161,22 +167,26 @@ object Geo {
         .cast(LongType).as("clo"))
     val right = pts.select(col("id").as("id_b"), col("lat").as("lat_b"),
       col("lon").as("lon_b"), col("cla"), col("clo"))
-    val offsets = for (dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L))
-      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    // forward-half blocking, like [[neighborPairs]]: 5 probes per point
+    // instead of 9, same result set
+    val offsets = Seq((0L, 0L), (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
+      .map { case (dx, dy) => struct(lit(dx).as("dx"), lit(dy).as("dy")) }
     val left = pts.select(col("id").as("id_a"), col("lat").as("lat_a"),
         col("lon").as("lon_a"), col("cla").as("cla0"), col("clo").as("clo0"))
       .withColumn("off", explode(array(offsets: _*)))
       .select(col("id_a"), col("lat_a"), col("lon_a"),
         (col("cla0") + col("off.dx")).as("cla"),
-        (col("clo0") + col("off.dy")).as("clo"))
+        (col("clo0") + col("off.dy")).as("clo"),
+        (col("off.dx") === 0L && col("off.dy") === 0L).as("same_cell"))
     left.join(right, Seq("cla", "clo"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(!col("same_cell") || col("id_a") < col("id_b"))
       .withColumn("dist_m", haversineMeters(col("lat_a"), col("lon_a"),
         col("lat_b"), col("lon_b")))
       .filter(col("dist_m") <= radiusMeters)
-      .select(col("id_a"), col("id_b"), col("dist_m"))
-    // like neighborPairs: the 9 offset keys are pairwise distinct, so a
-    // qualifying pair meets on exactly one (cla, clo) key — no distinct
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("dist_m"))
+    // like neighborPairs: the exploded offset keys are pairwise
+    // distinct, so a qualifying pair meets on exactly one (cla, clo) key
   }
 
   // ---- exact fixed-point great-circle layer (oracle-bearing) -----------
@@ -386,24 +396,35 @@ object Geo {
     * degree coordinates, with the distance in integer millimeters
     * (floor(√d2_mm2): cast + sqrt are correctly-rounded IEEE ops and
     * d2_mm2 < 2⁴¹ here, so exact cross-engine). Same grid machinery as
-    * [[neighborPairs]] — spherical-bound cells, 3×3 neighbor explode,
-    * equality join — with the exact filter on the fixed-point mm².
-    * The float [[haversineNeighborPairs]] stays the library surface for
-    * arbitrary patches (property-tested in AnalyticsOpsSpec). */
+    * [[neighborPairs]] — spherical-bound cells, FORWARD-HALF neighbor
+    * explode, equality join — with the exact filter on the fixed-point
+    * mm². Forward-half blocking (r16): instead of all 9 offsets halved
+    * by id_a < id_b AFTER the join, the left side explodes only the 5
+    * lexicographically-forward offsets {(0,0),(0,1),(1,−1),(1,0),(1,1)}
+    * — an antisymmetric set (exactly one of ±v for every v ≠ 0), so
+    * every unordered cross-cell pair is generated exactly once and only
+    * same-cell pairs need the id tiebreak; ids are normalized
+    * least/greatest at the end. Candidate volume drops from 9|pts| to
+    * 5|pts| join probes with an identical result set (the oracle's
+    * 9-offset form pins that). The float [[haversineNeighborPairs]]
+    * stays the library surface for arbitrary patches (property-tested
+    * in AnalyticsOpsSpec). */
   val qGeoNeighborsHaversine: Q = (s, d) => {
     val pts = customerVecPts(s, d)
     val right = pts.select(col("c_custkey").as("id_b"),
       col("vx").as("x_b"), col("vy").as("y_b"), col("vz").as("z_b"),
       col("cla"), col("clo"))
-    val offs = for (dx <- Seq(-1, 0, 1); dy <- Seq(-1, 0, 1))
-      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val offs = Seq((0, 0), (0, 1), (1, -1), (1, 0), (1, 1)).map {
+      case (dx, dy) => struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    }
     val left = pts.select(col("c_custkey").as("id_a"),
         col("vx").as("x_a"), col("vy").as("y_a"), col("vz").as("z_a"),
         col("cla").as("cla0"), col("clo").as("clo0"))
       .withColumn("off", explode(array(offs: _*)))
       .select(col("id_a"), col("x_a"), col("y_a"), col("z_a"),
         (col("cla0") + col("off.dx")).as("cla"),
-        (col("clo0") + col("off.dy")).as("clo"))
+        (col("clo0") + col("off.dy")).as("clo"),
+        (col("off.dx") === 0 && col("off.dy") === 0).as("same_cell"))
     // Conservative prefilters ahead of the exact decimal chain — both
     // SUPERSETS of the final predicate, so results are unchanged while
     // the (slow, per-row BigDecimal) stages run only on ~output-scale
@@ -416,7 +437,9 @@ object Geo {
     val boxBound = 189000000000000L
     def dbl(c: String) = col(c).cast(DoubleType)
     val pre = left.join(right, Seq("cla", "clo"))
-      .filter(col("id_a") < col("id_b"))
+      // same-cell pairs need the id tiebreak; forward cross-cell pairs
+      // are already unique (antisymmetric offset set)
+      .filter(!col("same_cell") || col("id_a") < col("id_b"))
       .withColumn("pdx", col("x_a") - col("x_b"))
       .withColumn("pdy", col("y_a") - col("y_b"))
       .withColumn("pdz", col("z_a") - col("z_b"))
@@ -427,7 +450,8 @@ object Geo {
     withStages(pre,
         chordD2Stages("x_a", "y_a", "z_a", "x_b", "y_b", "z_b", SparkFp))
       .filter(col("d2_mm2") <= lit(HavRadiusMm2))
-      .select(col("id_a"), col("id_b"),
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         floor(sqrt(col("d2_mm2").cast(DoubleType))).as("dist_mm"))
   }
 
