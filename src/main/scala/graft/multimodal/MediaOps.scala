@@ -507,6 +507,30 @@ object MediaOps {
       count(lit(1)).over(w).as("n_same"))
   }
 
+  /** Declared query (r16): the banded image near-dup join itself —
+    * [[phashNearDupPairs]] at Hamming ≤ 3 — evaluated the way image
+    * dedup is actually benchmarked: against PLANTED near-duplicates.
+    * Each payload gets a deterministic "recompression twin" (doc_id
+    * shifted by 10⁹, first payload byte +16 mod 256 — one histogram
+    * chunk's sum nudged, so the twin's aHash sits at Hamming 0–2 of
+    * the original, while the fixture's 500 distinct organic payloads
+    * stay far apart: measured min organic Hamming > 8). On the opaque
+    * fixture payloads every hash is the byte-domain [[byteAHash]], so
+    * the whole pipeline — hash, band split, bucket equi-join,
+    * bit_count verify — is exact integer arithmetic DuckDB replays
+    * end-to-end from hex. */
+  val qMultimodalPhashPairs: Q = (s, d) => {
+    import s.implicits._
+    val hashes = mediaTable(s, d).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        val twin = r.media.clone()
+        if (twin.nonEmpty) twin(0) = ((twin(0) + 16) & 0xFF).toByte
+        Iterator(PhashRow(r.doc_id, phash(r.media)),
+          PhashRow(r.doc_id + 1000000000L, phash(twin)))
+      }).toDF()
+    phashNearDupPairs(hashes, maxHamming = 3)
+  }
+
   /** PCM feature extraction over the audio-kind payloads. */
   val qMultimodalAudio: Q = (s, d) => {
     import s.implicits._
@@ -520,7 +544,60 @@ object MediaOps {
     "q_multimodal_resize" -> qMultimodalResize,
     "q_multimodal_audio" -> qMultimodalAudio,
     "q_multimodal_features" -> qMultimodalFeatures,
-    "q_multimodal_phash" -> qMultimodalPhash)
+    "q_multimodal_phash" -> qMultimodalPhash,
+    "q_multimodal_phash_pairs" -> qMultimodalPhashPairs)
+
+  /** Shared oracle CTE chain replaying [[byteAHash]] from the
+    * hex-encoded payload: chunk sums, HUGEINT cross-multiplied
+    * chunk-mean vs global-mean compares, HUGEINT bit assembly
+    * (1::BIGINT << 63 errors in DuckDB), and the two's-complement fold
+    * back to the signed long the Spark side carries. `base` must
+    * produce `(doc_id, h hex-string, n byte-length)`; exposes
+    * `sg(doc_id, hb HUGEINT unsigned, phash BIGINT signed)`. */
+  private def phashCtes(base: String) =
+    s"""a AS ($base),
+         b AS (
+           SELECT doc_id, n, (g.i * 64) // n AS chunk,
+             CAST('0x' || substring(h, 2 * g.i + 1, 2) AS INT) AS byte
+           FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g),
+         c AS (
+           SELECT doc_id, n, chunk, SUM(byte) AS s, COUNT(*) AS cnt
+           FROM b GROUP BY 1, 2, 3),
+         t AS (SELECT doc_id, SUM(s) AS total FROM c GROUP BY 1),
+         ph AS (
+           SELECT c.doc_id,
+             SUM(CASE WHEN CAST(c.s AS HUGEINT) * c.n
+                        > CAST(t.total AS HUGEINT) * c.cnt
+                 THEN 1::HUGEINT << CAST(c.chunk AS INT)
+                 ELSE 0::HUGEINT END) AS hbits
+           FROM c JOIN t USING (doc_id) GROUP BY c.doc_id),
+         sg AS (
+           SELECT a.doc_id, COALESCE(ph.hbits, 0::HUGEINT) AS hb,
+             CAST(COALESCE(ph.hbits, 0::HUGEINT)
+               - CASE WHEN COALESCE(ph.hbits, 0::HUGEINT)
+                        >= 9223372036854775808::HUGEINT
+                 THEN 18446744073709551616::HUGEINT
+                 ELSE 0::HUGEINT END AS BIGINT) AS phash
+           FROM a LEFT JOIN ph ON ph.doc_id = a.doc_id)"""
+
+  private val docsBase =
+    """SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+           FROM documents"""
+
+  /** [[docsBase]] plus the planted recompression twins (the
+    * qMultimodalPhashPairs construction: id +10⁹, first byte +16 mod
+    * 256 spliced into the hex string). */
+  private val docsWithTwinsBase =
+    s"""SELECT doc_id, h, n FROM ($docsBase)
+         UNION ALL
+         SELECT doc_id + 1000000000,
+           CASE WHEN n = 0 THEN h
+                ELSE lpad(upper(to_hex(
+                    (CAST('0x' || substring(h, 1, 2) AS INT) + 16) % 256)),
+                  2, '0') || substring(h, 3) END,
+           n
+         FROM ($docsBase)"""
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_features" ->
@@ -544,39 +621,28 @@ object MediaOps {
              AS features_ppb
          FROM d GROUP BY doc_id ORDER BY doc_id""",
     "q_multimodal_phash" ->
-      """WITH a AS (
-           SELECT doc_id, hex(encode(text)) AS h,
-             octet_length(encode(text)) AS n
-           FROM documents),
-         b AS (
-           SELECT doc_id, n, (g.i * 64) // n AS chunk,
-             CAST('0x' || substring(h, 2 * g.i + 1, 2) AS INT) AS byte
-           FROM a, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g),
-         c AS (
-           SELECT doc_id, n, chunk, SUM(byte) AS s, COUNT(*) AS cnt
-           FROM b GROUP BY 1, 2, 3),
-         t AS (SELECT doc_id, SUM(s) AS total FROM c GROUP BY 1),
-         -- assemble the 64 chunk-mean bits in HUGEINT (1::BIGINT << 63
-         -- errors), then fold >= 2^63 back to the signed long the Spark
-         -- side carries
-         ph AS (
-           SELECT c.doc_id,
-             SUM(CASE WHEN CAST(c.s AS HUGEINT) * c.n
-                        > CAST(t.total AS HUGEINT) * c.cnt
-                 THEN 1::HUGEINT << CAST(c.chunk AS INT)
-                 ELSE 0::HUGEINT END) AS hbits
-           FROM c JOIN t USING (doc_id) GROUP BY c.doc_id),
-         sg AS (
-           SELECT a.doc_id,
-             CAST(COALESCE(ph.hbits, 0::HUGEINT)
-               - CASE WHEN COALESCE(ph.hbits, 0::HUGEINT)
-                        >= 9223372036854775808::HUGEINT
-                 THEN 18446744073709551616::HUGEINT
-                 ELSE 0::HUGEINT END AS BIGINT) AS phash
-           FROM a LEFT JOIN ph ON ph.doc_id = a.doc_id)
+      s"""WITH ${phashCtes(docsBase)}
          SELECT doc_id, phash,
            COUNT(*) OVER (PARTITION BY phash) AS n_same
          FROM sg ORDER BY doc_id""",
+    "q_multimodal_phash_pairs" ->
+      s"""WITH ${phashCtes(docsWithTwinsBase)},
+         -- the Spark side's shiftrightunsigned banding over the
+         -- UNSIGNED hash (hb), candidates on (band, band_val) equality
+         bands AS (
+           SELECT doc_id, phash,
+             CAST((hb >> (g.band * 16)) & 65535::HUGEINT AS INT)
+               AS band_val, g.band
+           FROM sg,
+             LATERAL (SELECT unnest(generate_series(0, 3)) AS band) g),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+           FROM bands x
+           JOIN bands y ON x.band = y.band AND x.band_val = y.band_val
+           WHERE x.doc_id < y.doc_id)
+         SELECT doc_a, doc_b, hamming FROM cand
+         WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
     "q_multimodal_audio" ->
       """WITH a AS (
            SELECT doc_id, hex(encode(text)) AS h,

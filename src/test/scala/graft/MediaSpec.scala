@@ -238,6 +238,38 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("q_multimodal_phash_pairs: planted twins recalled, pairs exact " +
+      "vs a direct recompute") {
+    import graft.multimodal.MediaOps
+    val spark = TestSpark.spark
+    val out = MediaOps.qMultimodalPhashPairs(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // plain-Scala mirror of the planted-twin construction
+    val texts = Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+    val hashes = texts.flatMap { case (id, b) =>
+      val twin = b.clone()
+      if (twin.nonEmpty) twin(0) = ((twin(0) + 16) & 0xFF).toByte
+      Seq(id -> MediaOps.byteAHash(b),
+        (id + 1000000000L) -> MediaOps.byteAHash(twin))
+    }
+    val byId = hashes.toMap
+    // every emitted pair's hamming is the true hash distance and <= 3
+    out.foreach { case (a, b, hd) =>
+      assert(a < b)
+      assert(hd == java.lang.Long.bitCount(byId(a) ^ byId(b)) && hd <= 3)
+    }
+    // recall on the planted twins: the banding guarantees every
+    // (doc, twin) pair within hamming <= 3 is found
+    val planted = texts.map(_._1).filter(id =>
+      java.lang.Long.bitCount(byId(id) ^ byId(id + 1000000000L)) <= 3)
+    val found = out.map(p => (p._1, p._2)).toSet
+    planted.foreach(id => assert(found((id, id + 1000000000L)),
+      s"planted twin pair for doc $id missed"))
+    assert(planted.nonEmpty && out.nonEmpty)
+  }
+
   test("decodeFeatures routes WAV through the real PCM path — stub only " +
       "for opaque bytes") {
     // amplitudes chosen to land in distinct |s|/2048 bins: 0, 1, 15 (clamp)
