@@ -8,6 +8,13 @@ read + canonicalized (sortability is part of the driver contract).
 
 Usage: python3 tools/validate_scale.py <sfDir> <verifyOutDir> [timeout_s]
            [--digest-timeout S] [--workers N] [--force-digest]
+           [--transfer-from PRIOR_VERIFIED_DIR]
+
+`--transfer-from` names a prior verify dir whose dumps a previous gate
+PASSED against: any oracle TIMEOUT in this run falls back to the
+digest-transitivity check (DESIGN.md §15) — byte-identical oracle SQL
+plus all-four-fields dump-digest equality reclassifies the timeout as
+TRANSFER-PASS without re-running the hours-long oracle.
 
 Outputs past the 5M-row comparator cap are no longer skipped (round 14):
 they get an order-independent DIGEST comparison — count + bit_xor + the
@@ -396,8 +403,55 @@ def check_one(name, sql, sf_dir, out_dir, timeout_s, max_rows,
     return ("PASS", f"PASS {name} ({len(got)} rows)")
 
 
+def check_transfer(name, out_dir, old_dir, oracles):
+    """Digest-transitivity fallback for an oracle timeout (DESIGN.md
+    §15): if the prior verified dir has the SAME oracle SQL and its dump
+    digests equal to the fresh dump's, the fresh dump inherits that
+    dir's oracle pass without re-running the hours-long oracle. The
+    caller remains responsible for the old dir actually being verified
+    (it holds the dumps a previous gate PASSED against)."""
+    import duckdb
+    old_sql_path = f"{old_dir}/oracle_sql.json"
+    if not os.path.exists(old_sql_path) or \
+            not os.path.isdir(f"{old_dir}/{name}"):
+        return None
+    with open(old_sql_path) as f:
+        old_oracles = json.load(f)
+    if old_oracles.get(name) != oracles.get(name):
+        return ("SKIP", f"SKIP {name}: oracle SQL changed since {old_dir} "
+                "— transfer invalid, full oracle re-run required")
+    try:
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        con.execute("SET preserve_insertion_order=false")
+        mem = os.environ.get("GRAFT_DUCKDB_MEM")
+        if mem:
+            con.execute(f"SET memory_limit='{mem}'")
+        digs = []
+        for d in (out_dir, old_dir):
+            src = f"read_parquet('{d}/{name}/*.parquet')"
+            cols = {r[0]: r[1] for r in
+                    con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()}
+            norm = _norm_exprs(cols, cols)
+            digs.append((sorted(cols),
+                         con.execute(_digest_sql(cols, norm, src))
+                         .fetchone()))
+        (cn, dn), (co, do) = digs
+        if cn != co:
+            return ("FAIL", f"FAIL {name}: transfer schema drift "
+                    f"new={cn} old={co}")
+        if tuple(dn) != tuple(do):
+            return ("FAIL", f"FAIL {name}: transfer digest mismatch "
+                    f"new={tuple(dn)} old={tuple(do)}")
+        return ("PASS", f"TRANSFER-PASS {name} ({dn[0]} rows, "
+                f"fp={dn[1]:#x} == prior verified dump)")
+    except Exception as e:
+        return ("SKIP", f"SKIP {name}: transfer error: {str(e)[:200]}")
+
+
 def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6,
-         digest_timeout=None, force_digest=False, only=None):
+         digest_timeout=None, force_digest=False, only=None,
+         transfer_from=None):
     from concurrent.futures import ThreadPoolExecutor
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
@@ -421,6 +475,22 @@ def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6,
             else:
                 n_timeout += 1
                 timed_out.append(name)
+
+    if transfer_from and timed_out:
+        for name in list(timed_out):
+            r = check_transfer(name, out_dir, transfer_from, oracles)
+            if r is None:
+                continue
+            status, msg = r
+            print(msg, flush=True)
+            if status == "PASS":
+                n_pass += 1
+                n_timeout -= 1
+                timed_out.remove(name)
+            elif status == "FAIL":
+                n_fail += 1
+                n_timeout -= 1
+                timed_out.remove(name)
 
     for name in sorted(os.listdir(out_dir)):
         if name in oracles or not os.path.isdir(f"{out_dir}/{name}"):
@@ -547,7 +617,12 @@ if __name__ == "__main__":
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
         argv = argv[:i] + argv[i + 2:]
+    transfer_from = None
+    if "--transfer-from" in argv:
+        i = argv.index("--transfer-from")
+        transfer_from = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     t = int(argv[2]) if len(argv) > 2 else 180
     sys.exit(main(argv[0], argv[1], t, workers=workers,
                   digest_timeout=digest_t, force_digest=force_digest,
-                  only=only))
+                  only=only, transfer_from=transfer_from))
