@@ -59,6 +59,17 @@ object Geo {
       gridCell(col("x"), col("y"), cell).as("cell"))
     val span = 100000000L
     val rowStride = 2 * span / cell
+    // degenerate-radius guard (ADVICE r16): at rowStride <= 2 (radius >=
+    // half the coordinate span) the 5 forward offsets stop being pairwise
+    // distinct — {0,1,rowStride-1,rowStride,rowStride+1} collapses onto
+    // duplicate keys, so a pair would meet on TWO identical exploded
+    // cells and be emitted twice. Fail loudly instead of silently
+    // duplicating; a radius that large means "compare everything" and
+    // needs no grid blocking in the first place.
+    require(rowStride > 2,
+      s"neighborPairs: radius=$radius yields rowStride=$rowStride <= 2 — " +
+        "grid offsets degenerate (duplicate join keys); use a smaller " +
+        "radius or an all-pairs join for radii >= half the coord span")
     // forward-half blocking (r16, same device as the haversine query):
     // explode only the 5 lexicographically-forward offsets — an
     // antisymmetric set, so each unordered cross-cell pair meets on

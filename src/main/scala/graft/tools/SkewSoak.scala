@@ -62,7 +62,24 @@ object SkewSoak {
     val t0 = System.nanoTime()
     plan.write.format("noop").mode("overwrite").save()
     val wallS = (System.nanoTime() - t0) / 1e9
+    // the listener bus is ASYNC: task-end events for the job's final
+    // tasks can still be in flight when the submission call returns
+    // (ADVICE r16) — poll until the captured task count stops growing
+    // (3 consecutive stable 50ms reads) before detaching the listener
+    var prev = -1L
+    var stable = 0
+    var spins = 0
+    while (stable < 3 && spins < 200) {
+      val n = stats.synchronized(
+        stats.byStage.valuesIterator.map(_.size.toLong).sum)
+      if (n == prev) stable += 1 else { stable = 0; prev = n }
+      Thread.sleep(50)
+      spins += 1
+    }
     spark.sparkContext.removeSparkListener(stats)
+    require(stats.byStage.nonEmpty,
+      s"$label: no task-end events captured — listener bus dropped " +
+        "everything; straggler metrics would be meaningless")
     val (_, tasks) = stats.byStage.maxBy(_._2.map(_._2).sum)
     val durs = tasks.map(_._1).toSeq
     val recs = tasks.map(_._2).toSeq

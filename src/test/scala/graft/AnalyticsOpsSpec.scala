@@ -131,6 +131,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("neighborPairs refuses the degenerate-radius regime loudly") {
+    // ADVICE r16: at rowStride <= 2 (radius >= half the 10^8 coord span)
+    // the forward offsets {0,1,rowStride-1,rowStride,rowStride+1} stop
+    // being pairwise distinct, so a pair would meet on two identical
+    // exploded keys and be emitted twice — the guard must throw instead
+    import spark.implicits._
+    val pts = Seq((1L, 10L, 10L), (2L, 20L, 20L)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Geo.neighborPairs(pts, "id", "x", "y", radius = 100000000L)
+    }
+    assert(e.getMessage.contains("degenerate"))
+    // rowStride = 3 (just above the guard) still computes exactly
+    val ok = Geo.neighborPairs(pts, "id", "x", "y", radius = 66000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ok == Seq((1L, 2L)))
+  }
+
   test("inConvex: interior, exterior, vertex and edge points classify exactly") {
     import spark.implicits._
     // the declared 'central' ring: (200k,200k) (700k,250k) (650k,700k) (250k,650k)

@@ -306,4 +306,28 @@ class MediaSpec extends AnyFunSuite {
     assert(out(2L) == MediaOps.stubDecodeFeatures(txt).toSeq)
     assert(out(3L) == MediaOps.decodeFeatures(png(8, 8)).toSeq)
   }
+
+  test("oracle opaqueness contract: every fixture payload is undecodable, " +
+      "so Spark's decode-dispatch and the oracle's byte path agree") {
+    // ADVICE r16: q_multimodal_phash/_pairs/_features are oracle-bearing
+    // ONLY because the fixture payloads are opaque — the Spark side
+    // dispatches through decodeImage/parseWav before the byte stub while
+    // the DuckDB oracle replays just the byte path. Assert the
+    // assumption where it is made: a fixture regeneration that ever
+    // emits a PNG/JPEG/RIFF-prefixed payload fails HERE with the doc_ids
+    // named, instead of as an unexplained gate digest mismatch.
+    import spark.implicits._
+    for (dir <- Seq(TestSpark.sf, "/root/testdata/sf0.01")
+         if new java.io.File(s"$dir/documents.parquet").exists) {
+      val bad = MediaOps.mediaTable(spark, dir)
+        .select("doc_id", "media").as[(Long, Array[Byte])]
+        .mapPartitions(_.collect { case (id, b)
+            if MediaOps.decodeImage(b).nonEmpty ||
+               MediaOps.parseWav(b).nonEmpty => id })
+        .take(5)
+      assert(bad.isEmpty, s"DECODABLE fixture payloads in $dir " +
+        s"(doc_ids ${bad.mkString(",")}) — the byte-path oracle " +
+        "assumption behind q_multimodal_phash/_pairs/_features is broken")
+    }
+  }
 }

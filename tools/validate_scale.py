@@ -314,7 +314,10 @@ def run_digest(sf_dir, sql, out_glob, q):
         norm = _norm_exprs(cols_s, cols_o)
         got = con.execute(_digest_sql(cols_s, norm, spark_src)).fetchone()
         want = con.execute(_digest_sql(cols_o, norm, f"({sql})")).fetchone()
-        q.put(("ok", (tuple(got), tuple(want))))
+        # ship both schemas too: the verified manifest records them so a
+        # later --transfer-from run can reproduce this digest's exact
+        # normalization basis (ADVICE r16)
+        q.put(("ok", (tuple(got), tuple(want), cols_s, cols_o)))
     except Exception as e:
         q.put(("err", str(e)[:300]))
 
@@ -339,26 +342,29 @@ def check_digest(name, sql, sf_dir, out_dir, timeout_s, n_out):
             if not p.is_alive() and p.exitcode != 0:
                 p.join()
                 return ("FAIL", f"FAIL {name}: digest worker died "
-                        f"(exitcode={p.exitcode}, spark rows={n_out})")
+                        f"(exitcode={p.exitcode}, spark rows={n_out})", {})
             if time.time() >= deadline:
                 p.terminate()
                 p.join()
                 return ("SKIP", f"SKIP {name}: digest oracle exceeded "
-                        f"{timeout_s}s (spark rows={n_out})")
+                        f"{timeout_s}s (spark rows={n_out})", {})
     p.join()
     if status == "err":
-        return ("FAIL", f"FAIL {name}: digest error: {payload}")
-    got, want = payload
+        return ("FAIL", f"FAIL {name}: digest error: {payload}", {})
+    got, want, cols_s, cols_o = payload
     if got != want:
         return ("FAIL", f"FAIL {name}: digest mismatch "
-                f"got(n,fp,lo,hi)={got} want={want}")
+                f"got(n,fp,lo,hi)={got} want={want}", {})
     return ("PASS", f"DIGEST-PASS {name} ({got[0]} rows, "
-            f"fp={got[1]:#x})")
+            f"fp={got[1]:#x})",
+            {"mode": "digest", "rows": got[0], "digest": list(got),
+             "cols": cols_s, "oracle_cols": cols_o})
 
 
 def check_one(name, sql, sf_dir, out_dir, timeout_s, max_rows,
               digest_timeout=None, force_digest=False):
-    """One oracle check; returns ('PASS'|'FAIL'|'SKIP', message)."""
+    """One oracle check; returns ('PASS'|'FAIL'|'SKIP', message, record).
+    `record` feeds the out dir's verified_manifest.json (ADVICE r16)."""
     n_out = nrows(f"{out_dir}/{name}")
     if force_digest or n_out > max_rows:
         # past the cap, a pandas stringify-sort of a 10^8-row pair table
@@ -370,7 +376,8 @@ def check_one(name, sql, sf_dir, out_dir, timeout_s, max_rows,
         got = canon(pd.read_parquet(f"{out_dir}/{name}"))
     except Exception as e:
         return ("FAIL",
-                f"FAIL {name}: spark-side read/sort error: {str(e)[:120]}")
+                f"FAIL {name}: spark-side read/sort error: {str(e)[:120]}",
+                {})
     q = mp.Queue()
     p = mp.Process(target=run_oracle, args=(sf_dir, sql, q))
     p.start()
@@ -380,10 +387,10 @@ def check_one(name, sql, sf_dir, out_dir, timeout_s, max_rows,
         p.terminate()
         p.join()
         return ("SKIP", f"SKIP {name}: oracle exceeded {timeout_s}s "
-                f"(brute-force oracle at scale — spark rows={len(got)})")
+                f"(brute-force oracle at scale — spark rows={len(got)})", {})
     p.join()
     if status == "err":
-        return ("FAIL", f"FAIL {name}: oracle error: {want}")
+        return ("FAIL", f"FAIL {name}: oracle error: {want}", {})
     problems = []
     if list(got.columns) != list(want.columns):
         problems.append(
@@ -399,17 +406,25 @@ def check_one(name, sql, sf_dir, out_dir, timeout_s, max_rows,
                     f"col {c}: {int(ne.sum())} diffs; first at row {i}: "
                     f"got={got[c].values[i]!r} want={want[c].values[i]!r}")
     if problems:
-        return ("FAIL", f"FAIL {name}: " + "; ".join(problems))
-    return ("PASS", f"PASS {name} ({len(got)} rows)")
+        return ("FAIL", f"FAIL {name}: " + "; ".join(problems), {})
+    return ("PASS", f"PASS {name} ({len(got)} rows)",
+            {"mode": "frame", "rows": len(got)})
 
 
 def check_transfer(name, out_dir, old_dir, oracles):
     """Digest-transitivity fallback for an oracle timeout (DESIGN.md
-    §15): if the prior verified dir has the SAME oracle SQL and its dump
+    §15): if the prior VERIFIED dir has the SAME oracle SQL and its dump
     digests equal to the fresh dump's, the fresh dump inherits that
-    dir's oracle pass without re-running the hours-long oracle. The
-    caller remains responsible for the old dir actually being verified
-    (it holds the dumps a previous gate PASSED against)."""
+    dir's oracle pass without re-running the hours-long oracle.
+
+    "Verified" is no longer the caller's bare assertion (ADVICE r16):
+    the old dir must carry a verified_manifest.json whose entry for this
+    query records status PASS; when that entry also recorded a digest,
+    the old dump is re-digested under the SAME normalization basis the
+    original gate used (the manifest's recorded schemas) and must still
+    match — a dump modified after its gate PASSED is refused. Schema
+    comparison is sorted(cols.items()) — names AND types — so a type
+    change cannot hide under the VARCHAR-normalized digest."""
     import duckdb
     old_sql_path = f"{old_dir}/oracle_sql.json"
     if not os.path.exists(old_sql_path) or \
@@ -419,7 +434,18 @@ def check_transfer(name, out_dir, old_dir, oracles):
         old_oracles = json.load(f)
     if old_oracles.get(name) != oracles.get(name):
         return ("SKIP", f"SKIP {name}: oracle SQL changed since {old_dir} "
-                "— transfer invalid, full oracle re-run required")
+                "— transfer invalid, full oracle re-run required", {})
+    man_path = f"{old_dir}/verified_manifest.json"
+    if not os.path.exists(man_path):
+        return ("SKIP", f"SKIP {name}: {old_dir} carries no "
+                "verified_manifest.json — cannot prove the prior dump "
+                "passed its own gate; transfer refused", {})
+    with open(man_path) as f:
+        ent = json.load(f).get(name)
+    if not ent or ent.get("status") != "PASS":
+        return ("SKIP", f"SKIP {name}: prior manifest records "
+                f"status={ent.get('status') if ent else None} for this "
+                "query — transfer requires a recorded PASS", {})
     try:
         con = duckdb.connect()
         con.execute("SET TimeZone='UTC'")
@@ -427,26 +453,41 @@ def check_transfer(name, out_dir, old_dir, oracles):
         mem = os.environ.get("GRAFT_DUCKDB_MEM")
         if mem:
             con.execute(f"SET memory_limit='{mem}'")
+        # normalization basis: the original gate's recorded schemas when
+        # the manifest has them (digest-mode PASS), else dump-vs-dump
+        rec_cols, rec_ocols = ent.get("cols"), ent.get("oracle_cols")
         digs = []
         for d in (out_dir, old_dir):
             src = f"read_parquet('{d}/{name}/*.parquet')"
             cols = {r[0]: r[1] for r in
                     con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()}
-            norm = _norm_exprs(cols, cols)
-            digs.append((sorted(cols),
+            norm = (_norm_exprs(rec_cols, rec_ocols)
+                    if rec_cols and rec_ocols and
+                    sorted(cols.items()) == sorted(rec_cols.items())
+                    else _norm_exprs(cols, cols))
+            digs.append((sorted(cols.items()),
                          con.execute(_digest_sql(cols, norm, src))
                          .fetchone()))
         (cn, dn), (co, do) = digs
         if cn != co:
             return ("FAIL", f"FAIL {name}: transfer schema drift "
-                    f"new={cn} old={co}")
+                    f"new={cn} old={co}", {})
+        if ent.get("digest") is not None and \
+                sorted(co) == sorted((rec_cols or {}).items()) and \
+                list(do) != list(ent["digest"]):
+            return ("FAIL", f"FAIL {name}: prior dump no longer matches "
+                    f"its own verified manifest (recorded="
+                    f"{tuple(ent['digest'])} now={tuple(do)}) — dir "
+                    "modified since its gate PASSED; transfer refused", {})
         if tuple(dn) != tuple(do):
             return ("FAIL", f"FAIL {name}: transfer digest mismatch "
-                    f"new={tuple(dn)} old={tuple(do)}")
+                    f"new={tuple(dn)} old={tuple(do)}", {})
         return ("PASS", f"TRANSFER-PASS {name} ({dn[0]} rows, "
-                f"fp={dn[1]:#x} == prior verified dump)")
+                f"fp={dn[1]:#x} == prior verified dump)",
+                {"mode": "transfer", "rows": dn[0], "digest": list(dn),
+                 "cols": dict(cn), "from": old_dir})
     except Exception as e:
-        return ("SKIP", f"SKIP {name}: transfer error: {str(e)[:200]}")
+        return ("SKIP", f"SKIP {name}: transfer error: {str(e)[:200]}", {})
 
 
 def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6,
@@ -460,14 +501,16 @@ def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6,
 
     n_pass = n_fail = n_timeout = 0
     timed_out = []
+    manifest = {}
     with ThreadPoolExecutor(max_workers=workers) as ex:
         futs = {name: ex.submit(check_one, name, sql, sf_dir, out_dir,
                                 timeout_s, max_rows, digest_timeout,
                                 force_digest)
                 for name, sql in sorted(oracles.items())}
         for name in sorted(futs):
-            status, msg = futs[name].result()
+            status, msg, rec = futs[name].result()
             print(msg, flush=True)
+            manifest[name] = dict(rec, status=status)
             if status == "PASS":
                 n_pass += 1
             elif status == "FAIL":
@@ -481,13 +524,15 @@ def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6,
             r = check_transfer(name, out_dir, transfer_from, oracles)
             if r is None:
                 continue
-            status, msg = r
+            status, msg, rec = r
             print(msg, flush=True)
             if status == "PASS":
+                manifest[name] = dict(rec, status=status)
                 n_pass += 1
                 n_timeout -= 1
                 timed_out.remove(name)
             elif status == "FAIL":
+                manifest[name] = dict(rec, status=status)
                 n_fail += 1
                 n_timeout -= 1
                 timed_out.remove(name)
@@ -500,10 +545,27 @@ def main(sf_dir, out_dir, timeout_s, max_rows=5_000_000, workers=6,
         try:
             df = canon(pd.read_parquet(f"{out_dir}/{name}"))
             print(f"PASS {name} (no oracle; {len(df)} rows, sortable)")
+            manifest[name] = {"status": "PASS", "mode": "no-oracle",
+                              "rows": len(df)}
             n_pass += 1
         except Exception as e:
             print(f"FAIL {name}: no-oracle output unreadable: {str(e)[:120]}")
+            manifest[name] = {"status": "FAIL"}
             n_fail += 1
+
+    # the verified-manifest marker (ADVICE r16): per-query status + the
+    # digest/schema the gate computed, written into the dump dir so a
+    # later --transfer-from run can PROVE this dir passed rather than
+    # trusting the caller's word. Partial runs (--only) merge into any
+    # existing manifest instead of clobbering other queries' records.
+    man_path = f"{out_dir}/verified_manifest.json"
+    merged = {}
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            merged = json.load(f)
+    merged.update(manifest)
+    with open(man_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_timeout} oracle-timeout "
           f"({', '.join(timed_out)})")
@@ -570,8 +632,8 @@ def sample_main(sf_dir, work_dir, timeout_s, only=None):
                 print(f"SKIP {name}: no oracle SQL (sketch/float class)")
                 n_skip += 1
                 continue
-            status, msg = check_one(name, oracles[name], slice_dir,
-                                    dump_dir, timeout_s, 5_000_000)
+            status, msg, _rec = check_one(name, oracles[name], slice_dir,
+                                          dump_dir, timeout_s, 5_000_000)
             # a sampled gate that verifies zero rows proves nothing —
             # the slice must be re-tuned, not waved through
             if status == "PASS" and msg.endswith("(0 rows)"):
