@@ -240,20 +240,37 @@ object Geo {
       p: String, dl: IntDialect): Seq[(String, String)] = {
     import dl.{big, idiv}
     def c(x: String) = s"CAST(($x) AS $big)"
+    // r17 narrowing: on the declared patch (|angle| < 0.03 rad ⇒
+    // w < 3·10¹⁶) every post-division intermediate provably fits
+    // BIGINT — w2 < 9·10¹⁴, w3 < 2.7·10¹³, w4 < 2.7·10¹¹, w5/w6
+    // smaller, sin/cos ≤ 10¹⁸, x/y ≤ 10¹⁸ — so each stage CASTs its
+    // result to BIGINT after the one decimal/HUGEINT product that
+    // needs the headroom. Identical integers in both dialects (the
+    // casts are exact for in-range values); on the Spark side the
+    // series arithmetic then runs in long instead of BigDecimal,
+    // which is what made the staged trig a per-event cost in the
+    // trajectory query (12 decimal mult/div per point before).
     def trig(pre: String, u: String) = Seq(
-      s"${pre}w" -> s"${c(u)} * $RadPerUdegFp",
-      s"${pre}w2" -> s"(${c(s"${pre}w")} * ${pre}w) $idiv $FpScale",
-      s"${pre}w3" -> s"(${c(s"${pre}w2")} * ${pre}w) $idiv $FpScale",
-      s"${pre}w4" -> s"(${c(s"${pre}w2")} * ${pre}w2) $idiv $FpScale",
-      s"${pre}w5" -> s"(${c(s"${pre}w4")} * ${pre}w) $idiv $FpScale",
-      s"${pre}w6" -> s"(${c(s"${pre}w4")} * ${pre}w2) $idiv $FpScale",
+      s"${pre}w" -> s"CAST(($u) * $RadPerUdegFp AS BIGINT)",
+      s"${pre}w2" ->
+        s"CAST((${c(s"${pre}w")} * ${pre}w) $idiv $FpScale AS BIGINT)",
+      s"${pre}w3" ->
+        s"CAST((${c(s"${pre}w2")} * ${pre}w) $idiv $FpScale AS BIGINT)",
+      s"${pre}w4" ->
+        s"CAST((${c(s"${pre}w2")} * ${pre}w2) $idiv $FpScale AS BIGINT)",
+      s"${pre}w5" ->
+        s"CAST((${c(s"${pre}w4")} * ${pre}w) $idiv $FpScale AS BIGINT)",
+      s"${pre}w6" ->
+        s"CAST((${c(s"${pre}w4")} * ${pre}w2) $idiv $FpScale AS BIGINT)",
       s"${pre}sin" ->
-        s"${c(s"${pre}w")} - (${pre}w3 $idiv 6) + (${pre}w5 $idiv 120)",
+        s"(${pre}w) - (${pre}w3 $idiv 6) + (${pre}w5 $idiv 120)",
       s"${pre}cos" -> (s"$FpScale - (${pre}w2 $idiv 2) + " +
         s"(${pre}w4 $idiv 24) - (${pre}w6 $idiv 720)"))
     trig(s"${p}a_", latU) ++ trig(s"${p}o_", lonU) ++ Seq(
-      s"${p}x" -> s"(${c(s"${p}a_cos")} * ${p}o_cos) $idiv $FpScale",
-      s"${p}y" -> s"(${c(s"${p}a_cos")} * ${p}o_sin) $idiv $FpScale",
+      s"${p}x" ->
+        s"CAST((${c(s"${p}a_cos")} * ${p}o_cos) $idiv $FpScale AS BIGINT)",
+      s"${p}y" ->
+        s"CAST((${c(s"${p}a_cos")} * ${p}o_sin) $idiv $FpScale AS BIGINT)",
       s"${p}z" -> s"CAST(${p}a_sin AS BIGINT)")
   }
 
@@ -268,16 +285,23 @@ object Geo {
       dl: IntDialect): Seq[(String, String)] = {
     import dl.{big, idiv}
     def c(x: String) = s"CAST(($x) AS $big)"
+    // r17 narrowing (same device as [[unitVecStages]]): with the patch
+    // envelope c2 < 1.3·10³³, a_fp < 3.3·10¹⁴, a_2 < 1.1·10¹¹ and
+    // a_2·a_fp div 10¹⁸ < 3.6·10⁷ all fit BIGINT, so each stage casts
+    // down after its one wide product and the series/compare arithmetic
+    // runs in long. The staged VALUES are unchanged in both dialects
+    // (exact in-range casts); the a_2·a_fp cube term gets its own
+    // stage (`a_3t`) so the cast happens once.
     Seq(
-      "dx" -> s"($x1) - ($x2)",
-      "dy" -> s"($y1) - ($y2)",
-      "dz" -> s"($z1) - ($z2)",
+      "dx" -> s"CAST(($x1) - ($x2) AS BIGINT)",
+      "dy" -> s"CAST(($y1) - ($y2) AS BIGINT)",
+      "dz" -> s"CAST(($z1) - ($z2) AS BIGINT)",
       "c2" -> (s"(${c("dx")} * dx) + (${c("dy")} * dy) + " +
         s"(${c("dz")} * dz)"),
-      "a_fp" -> s"${c("c2")} $idiv 4000000000000000000",
-      "a_2" -> s"(${c("a_fp")} * a_fp) $idiv $FpScale",
-      "a_sq" -> (s"a_fp + (a_2 $idiv 3) + " +
-        s"((8 * ((${c("a_2")} * a_fp) $idiv $FpScale)) $idiv 45)"),
+      "a_fp" -> s"CAST(${c("c2")} $idiv 4000000000000000000 AS BIGINT)",
+      "a_2" -> s"CAST((${c("a_fp")} * a_fp) $idiv $FpScale AS BIGINT)",
+      "a_3t" -> s"CAST((${c("a_2")} * a_fp) $idiv $FpScale AS BIGINT)",
+      "a_sq" -> s"a_fp + (a_2 $idiv 3) + ((8 * a_3t) $idiv 45)",
       "d2_mm2" -> s"CAST((${c(FourR2Mm2)} * a_sq) $idiv $FpScale AS BIGINT)")
   }
 
@@ -458,9 +482,22 @@ object Geo {
         abs(col("pdz")) <= boxBound)
       .filter(dbl("pdx") * dbl("pdx") + dbl("pdy") * dbl("pdy") +
         dbl("pdz") * dbl("pdz") <= lit(3.56e28))
+    // r17: the radius filter rides a NON-DETERMINISTIC guard column
+    // (monotonically_increasing_id() ≥ 0 is always true, so d2g ≡
+    // d2_mm2) purely to pin the filter ABOVE the staged chord chain.
+    // Without the guard PushPredicateThroughJoin folds the predicate
+    // into the join condition, re-substituting the whole chain through
+    // every stage alias — the condition ends up evaluating ~8 copies
+    // of the c2 decimal chain per candidate (no CSE in join-condition
+    // codegen), which was 0.7 s of this query at sf0.1. With it the
+    // chain evaluates once per surviving row in a staged Project:
+    // 1.43 → 0.60 s bench median. Results are unchanged — the guard
+    // branch is constant-true and d2_mm2 itself stays deterministic.
     withStages(pre,
         chordD2Stages("x_a", "y_a", "z_a", "x_b", "y_b", "z_b", SparkFp))
-      .filter(col("d2_mm2") <= lit(HavRadiusMm2))
+      .withColumn("d2g",
+        when(monotonically_increasing_id() >= 0, col("d2_mm2")))
+      .filter(col("d2g") <= lit(HavRadiusMm2))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
         floor(sqrt(col("d2_mm2").cast(DoubleType))).as("dist_mm"))

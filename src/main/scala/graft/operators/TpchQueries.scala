@@ -547,13 +547,23 @@ object TpchQueries {
     // fixture timing is flat — the scan is cheap at sf0.1 — but at
     // 100 TB this halves the fact I/O and removes a fact-sized
     // exchange).
+    // r17: the quantity sums ride a LONG cents grain (quantity has ≤2
+    // decimals, so l_quantity·100 is exact; per-(part,supp) sums stay
+    // under 2⁶³ through ~10¹⁵ rows per pair at TPC-H quantities ≤ 50).
+    // The 15% share test is scale-invariant — qc·1000 > tc·150 with
+    // both sides ×100 is the same strict inequality — and q never
+    // reaches the output, so results are bit-identical while the
+    // rollup, window sum and filter all drop their per-row BigDecimal
+    // ops (rollup stage 0.93 → 0.85 s isolated; the reagg+join
+    // alternative to the window was also measured and lost, +0.5 s vs
+    // +0.22 s, so the one-fact-scan window form stands).
     val bySupp = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("q"))
+      .agg(sum((col("l_quantity").cast(dec2) * 100).cast("long")).as("qc"))
     val dominant = bySupp
-      .withColumn("t", sum(col("q")).over(
+      .withColumn("tc", sum(col("qc")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
-      .filter(col("q") * 1000 > col("t") * 150)
+      .filter(col("qc") * 1000 > col("tc") * 150)
       .select("l_suppkey")
     Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)
