@@ -683,7 +683,10 @@ object Geo {
     * windows (ascending and descending row_number share the exchange,
     * each with its own in-partition sort), the (user, day) contraction
     * happens on that partitioning, and the final (o, d) rollup moves
-    * one row per user-day. */
+    * one row per user-day. (An r17 min_by/max_by argmin rewrite — one
+    * map-side-combinable aggregate, no window sorts — measured a WASH
+    * at sf0.1: user-day groups barely contract there, so the struct
+    * agg buffers cost what the sorts did; the window form stays.) */
   val qGeoOdMatrix: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val wAsc = Window.partitionBy("user_id", "day")

@@ -234,10 +234,17 @@ object TpchQueries {
     * expensive join only sees the ~1% surviving orders — the
     * aggregate-before-join ordering that matters at 100 TB. */
   val qTpchQ18: Q = (s, d) => {
+    // r17: the per-order quantity sum rides the LONG cents grain (the
+    // q_tpch_q20 device — quantity·100 is exact at ≤2 dp, per-order
+    // sums are bounded by lines-per-order, and qc > 25000 is the same
+    // strict inequality as the DECIMAL(18,2) compare). The output
+    // double re-derives as qc/100.0: IEEE division by 100 rounds the
+    // same true rational to the same nearest double as the
+    // DECIMAL(18,2)→DOUBLE cast did, so results are bit-identical.
     val big = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty_dec"))
-      .filter(col("sum_qty_dec") > lit(250).cast(dec2))
+      .agg(sum((col("l_quantity").cast(dec2) * 100).cast("long")).as("qc"))
+      .filter(col("qc") > 25000L)
     big.join(Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
@@ -245,7 +252,7 @@ object TpchQueries {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"),
-        col("sum_qty_dec").cast("double").as("sum_qty"))
+        (col("qc").cast("double") / 100.0).as("sum_qty"))
   }
 
   /** Q19 shape — discounted revenue over three disjunctive
