@@ -29,6 +29,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r17: size-adaptive partitioning for persisted session artifacts
+      // (see GraftSession) — without it the cache freezes the raw
+      // shuffle layout and every artifact consumer pays a 32-task
+      // dispatch for batch-sized data.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
