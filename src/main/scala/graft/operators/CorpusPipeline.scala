@@ -79,7 +79,8 @@ object CorpusPipeline {
     * it exactly oracle-checkable and stable across engines, runs, and
     * cluster sizes; at 100 TB the split is a map-side projection. */
   def splitColumn(idCol: Column): Column = {
-    val pct = pmod(conv(substring(md5(idCol.cast(StringType)), 1, 4), 16, 10)
+    val pct = pmod(graft.functions.Md5Draws24
+      .md5Prefix(idCol.cast(StringType), 4)
       .cast(IntegerType), lit(100))
     when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
   }
@@ -97,8 +98,9 @@ object CorpusPipeline {
     * 25%, everything else at 10% — the downsample-the-majority-language
     * shape of real corpus curation. */
   val qSampleStratified: Q = (s, d) => {
-    val pct = pmod(conv(substring(md5(concat(col("doc_id").cast(StringType),
-      lit("#sample"))), 1, 4), 16, 10).cast(IntegerType), lit(100))
+    val pct = pmod(graft.functions.Md5Draws24.md5Prefix(
+      concat(col("doc_id").cast(StringType), lit("#sample")), 4)
+      .cast(IntegerType), lit(100))
     val rate = when(col("lang").isin("es", "zh"), 50)
       .when(col("lang") === "en", 25)
       .otherwise(10)
@@ -122,8 +124,9 @@ object CorpusPipeline {
     * map-side filter with no shuffle at any corpus size. */
   val qSampleQuality: Q = (s, d) => {
     val toks = split(lower(col("text")), " ")
-    val pct = pmod(conv(substring(md5(concat(col("doc_id").cast(StringType),
-      lit("#quality"))), 1, 4), 16, 10).cast(IntegerType), lit(100))
+    val pct = pmod(graft.functions.Md5Draws24.md5Prefix(
+      concat(col("doc_id").cast(StringType), lit("#quality")), 4)
+      .cast(IntegerType), lit(100))
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(toks).cast(LongType).as("n_words"),
@@ -194,8 +197,8 @@ object CorpusPipeline {
     * salts, and a map-side filter with no shuffle at any corpus size. */
   val qSampleWeighted: Q = (s, d) => {
     val cap = 2000L // docs at or above cap chars are always kept
-    val u16 = conv(substring(md5(concat(col("doc_id").cast(StringType),
-      lit("#wsample"))), 1, 4), 16, 10).cast(LongType)
+    val u16 = graft.functions.Md5Draws24.md5Prefix(
+      concat(col("doc_id").cast(StringType), lit("#wsample")), 4)
     Tables.documents(s, d)
       .withColumn("h", u16)
       .filter(col("h") * lit(cap) < col("n_chars") * lit(65536L))
@@ -246,8 +249,8 @@ object CorpusPipeline {
   val reservoirK = 10
 
   val qSampleReservoir: Q = (s, d) => {
-    val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
-      lit("#res"))), 1, 8), 16, 10).cast(LongType)
+    val h = graft.functions.Md5Draws24.md5Prefix(
+      concat(col("doc_id").cast(StringType), lit("#res")), 8)
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
     Tables.documents(s, d)
       .withColumn("h", h)
@@ -270,8 +273,8 @@ object CorpusPipeline {
     * broadcasts back onto the lang-keyed rank window — one corpus
     * exchange on the class key, bounded output (k·|langs| rows). */
   val qSampleBalanced: Q = (s, d) => {
-    val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
-      lit("#bal"))), 1, 8), 16, 10).cast(LongType)
+    val h = graft.functions.Md5Draws24.md5Prefix(
+      concat(col("doc_id").cast(StringType), lit("#bal")), 8)
     val minN = Tables.documents(s, d)
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .withColumn("min_n",
@@ -314,9 +317,8 @@ object CorpusPipeline {
     if (n <= 1L)
       return docs.select(col("doc_id"), lit(0).as("k"),
         col("doc_id").as("neg_id"), lit(false).as("hard")).limit(0)
-    def h16(k: Int) = conv(substring(md5(concat(
-      col("doc_id").cast(StringType), lit(s"#neg$k"))), 1, 4), 16, 10)
-      .cast(LongType)
+    def h16(k: Int) = graft.functions.Md5Draws24.md5Prefix(
+      concat(col("doc_id").cast(StringType), lit(s"#neg$k")), 4)
     val drawn = docs.select(col("doc_id"), col("source"))
       .select(col("doc_id"), col("source").as("a_source"),
         explode(array((0 until negsPerDoc).map(k =>

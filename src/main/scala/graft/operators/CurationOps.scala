@@ -286,8 +286,8 @@ object CurationOps {
             * col("scmin")))
       .groupBy("lang", "cnt")
       .agg(max(col("n")).cast(IntegerType).as("rate_c"))
-    val h = pmod(conv(substring(md5(concat(col("doc_id").cast(StringType),
-      lit("#temp"))), 1, 8), 16, 10).cast(LongType), lit(100L))
+    val h = pmod(graft.functions.Md5Draws24.md5Prefix(
+      concat(col("doc_id").cast(StringType), lit("#temp")), 8), lit(100L))
     docs.select(col("doc_id"), col("lang"), h.as("h"))
       .join(broadcast(rates), Seq("lang"))
       .filter(col("h") < col("rate_c"))

@@ -48,8 +48,8 @@ object Dedup {
     val bitSums = (0 until 60).map(j =>
       sum(expr(s"(shiftright(h, $j) & 1) * 2 - 1")).as(s"sc$j"))
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10)
-        .cast("long"))
+      .withColumn("h",
+        graft.functions.Md5Draws24.md5Prefix(col("tok"), 15))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),

@@ -32,8 +32,8 @@ object Geo {
   /** Deterministic microdegree coordinate in [0, range) derived from an
     * id column — 8 md5 hex digits → BIGINT → mod. */
   def derivedCoord(idCol: Column, salt: String, range: Long): Column =
-    pmod(conv(substring(md5(concat(idCol.cast(StringType), lit(salt))),
-      1, 8), 16, 10).cast(LongType), lit(range))
+    pmod(graft.functions.Md5Draws24.md5Prefix(
+      concat(idCol.cast(StringType), lit(salt)), 8), lit(range))
 
   /** Grid cell id for integer coordinates at `cell` spacing: a single
     * BIGINT key packing (x/cell, y/cell). `coordSpan` bounds the

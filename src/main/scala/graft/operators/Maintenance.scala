@@ -158,8 +158,9 @@ object Maintenance {
   def contentManifest(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .select(col("source"), col("doc_id"),
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
-          col("text"))), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.Md5Draws24.md5Prefix(
+          concat(col("doc_id").cast("string"), lit("|"), col("text")), 15)
+          .as("h"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("doc_id")).as("min_id"),

@@ -257,8 +257,8 @@ object Privacy {
     * count is emitted — the true count and the draw never leave the
     * query, matching the DP release contract. */
   val qPrivacyDpCount: Q = (s, d) => {
-    val h = conv(substring(md5(concat(col("lang"), lit("#dp1"))), 1, 6),
-      16, 10).cast("long")
+    val h = graft.functions.Md5Draws24.md5Prefix(
+      concat(col("lang"), lit("#dp1")), 6)
     Tables.documents(s, d)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_true"))

@@ -39,7 +39,7 @@ object QualityModel {
   /** Same bucket hash as [[TextQueries.hashFeatures]] — the features a
     * downstream consumer already materializes. */
   private def bucketOf(tok: Column): Column =
-    (conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % NumBuckets)
+    (graft.functions.Md5Draws24.md5Prefix(tok, 4) % NumBuckets)
       .cast(IntegerType)
 
   /** Distinct presence buckets per document, sorted (fixed fold order). */

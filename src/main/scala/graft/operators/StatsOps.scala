@@ -73,61 +73,42 @@ object StatsOps {
     * longs. */
   val qBootstrapCi: Q = (s, d) => {
     val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
-    // Shape note (all variants measured at sf0.1, local[4]): the 7
-    // md5s live in a Project BELOW the Generate (attributes, evaluated
-    // once per INPUT row — CollapseProject won't inline them into the
-    // generator because each is referenced five times), and the 32
-    // 6-hex window extractions ride the generator input array, which
-    // GenerateExec evaluates once per input row. Steady state 2.8 s vs
-    // 4.2 s for the old hash-after-explode shape (which paid one md5
-    // per OUTPUT row = 32/row). Rejected variants: md5s inlined in the
-    // generator array — 10.5 s (the generator child loses the
-    // project's codegen CSE, all 32 md5 run); window extraction ALSO
-    // staged as columns — 4.5-5.9 s (three stacked projects re-merge
-    // badly). The transform()-HOF and post-generate-arithmetic
-    // hazards from round 11's first measurement stand (40×/10×); the
-    // inverse-CDF compare (9 integer comparisons) stays AFTER the
-    // fan-out where per-element work is cheap.
+    // Shape note: the 7 digest draw-tuples live in a Project BELOW the
+    // Generate (attributes, evaluated once per INPUT row —
+    // CollapseProject won't inline them into the generator because each
+    // is referenced five times), and the 32 window picks ride the
+    // generator input array, which GenerateExec evaluates once per
+    // input row. The hash-after-explode shape (one digest per OUTPUT
+    // row = 32/row) measured 4.2 s vs 2.8 s back in r11 and stays
+    // rejected; the inverse-CDF compare (9 integer comparisons) stays
+    // AFTER the fan-out where per-element work is cheap.
     val nHashes = (Replicas + 4) / 5
-    val hashCols = (0 until nHashes).map { g =>
-      md5(concat(col("event_id").cast(StringType), lit("#boot"),
-        lit(g).cast(StringType))).as(s"mh$g")
-    }
-    // r17: the five 6-hex windows of one md5 are parsed as TWO 12-hex
-    // 48-bit convs + one 6-hex conv per hash (19 convs/row instead of
-    // 32), and each window re-derives by shift/mask: window 2k is the
-    // high 24 bits of chunk k, window 2k+1 the low 24 (the hex windows
-    // are nibble-aligned, so the split is exact — h-sum over all 3.2M
-    // (row, replica) draws verified identical). The chunk columns stage
-    // in a Project below the Generate exactly like the md5s (each is
-    // referenced by two array elements, so CollapseProject keeps them
-    // staged); measured 1.9 → 1.5 s for the explode stage in isolation,
-    // 3.3 → 2.45 s full query median-of-8 with the long-multiply agg
-    // change below (local[32], sf0.1). The r14 rejected
-    // variant staged all 32 WINDOW extractions (4.5–5.9 s) — staging
-    // 21 chunk convs that each feed two cheap bit ops is the form that
-    // wins.
-    val chunkCols = (0 until nHashes).flatMap { g =>
-      Seq(conv(substr(col(s"mh$g"), lit(1), lit(12)), 16, 10).cast("long")
-          .as(s"ca$g"),
-        conv(substr(col(s"mh$g"), lit(13), lit(12)), 16, 10).cast("long")
-          .as(s"cb$g"),
-        conv(substr(col(s"mh$g"), lit(25), lit(6)), 16, 10).cast("long")
-          .as(s"cc$g"))
+    // r17: the seven md5 draw tuples ride the codegen'd
+    // [[graft.functions.Md5Draws24]] kernel — the five 6-hex windows of
+    // one md5 are nibble-aligned at byte offsets 3k, so the kernel reads
+    // each 24-bit window straight off the raw digest bytes with a
+    // thread-local MessageDigest: no 32-char hex encode, no base-16
+    // conv parse (the r17 interim form paid 19 conv(substr(...)) per
+    // row; the r14 contract form, 32). Md5DrawsSpec pins the kernel
+    // against the contract hex/conv form value-for-value; the DuckDB
+    // oracle keeps the textual form, and the full-query draw stream was
+    // verified identical (equal draw sums over all 3.2M (row, replica)
+    // pairs). Measured 3.3 → 2.45 s (chunked-conv interim) → 1.6 s
+    // with this kernel + the long-multiply agg below (local[32]/sf0.1,
+    // median-of-8). The rejected variants stand: md5s inlined in the
+    // generator (10.5 s, r11), all-32-window staging (4.5–5.9 s, r14),
+    // wide 64-accumulator agg (7.0 s, codegen field limit, r17),
+    // struct-of-(w,wc) generate (49 s, post-generate hazard, r17).
+    val drawCols = (0 until nHashes).map { g =>
+      graft.functions.Md5Draws24.md5Draws(
+        concat(col("event_id").cast(StringType), lit("#boot"),
+          lit(g).cast(StringType))).as(s"dr$g")
     }
     val draws = array((0 until Replicas).map { r =>
-      val g = r / 5
-      r % 5 match {
-        case 0 => shiftright(col(s"ca$g"), 24)
-        case 1 => col(s"ca$g").bitwiseAND(lit(0xFFFFFFL))
-        case 2 => shiftright(col(s"cb$g"), 24)
-        case 3 => col(s"cb$g").bitwiseAND(lit(0xFFFFFFL))
-        case _ => col(s"cc$g")
-      }
+      element_at(col(s"dr${r / 5}"), r % 5 + 1)
     }: _*)
     val reps = Tables.events(s, d)
-      .select(Seq(col("event_type"), cents.as("cents")) ++ hashCols: _*)
-      .select(Seq(col("event_type"), col("cents")) ++ chunkCols: _*)
+      .select(Seq(col("event_type"), cents.as("cents")) ++ drawCols: _*)
       .select(col("event_type"), col("cents"),
         posexplode(draws).as(Seq("r", "h")))
       .withColumn("w",
@@ -138,9 +119,8 @@ object StatsOps {
       // DECIMAL(18,2) input cast, so |w·cents| ≤ 9·10¹⁸ < 2⁶³−1) and
       // casts ONCE to DECIMAL(28,0); the SUM keeps the same
       // DECIMAL(38,0) headroom as the old decimal×decimal form but
-      // drops a per-exploded-row BigDecimal multiply (~5% alone; with
-      // the chunked-conv staging above the full query reads 3.3→2.45 s
-      // median-of-8 at local[32]/sf0.1).
+      // drops a per-exploded-row BigDecimal multiply (~5% alone; the
+      // full-query numbers ride the kernel note above).
       .agg(sum(col("w").cast("long")).as("sw"),
         sum((col("w").cast("long") * col("cents"))
           .cast(DecimalType(28, 0))).as("swc"))

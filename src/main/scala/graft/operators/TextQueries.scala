@@ -883,7 +883,7 @@ object TextQueries {
     docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .select(col("doc_id"),
-        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast(LongType)
+        (graft.functions.Md5Draws24.md5Prefix(col("tok"), 4)
           % nBuckets).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
