@@ -807,18 +807,26 @@ object TextQueries {
   def skipgramPairs(docs: DataFrame, maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1)
     val withToks = docs.withColumn("toks", split(lower(col("text")), " "))
+    // r17: pairs at distance k come from zipping the token array with
+    // its own k-shifted slice instead of the index-sequence HOF — the
+    // zip walks both arrays positionally (no per-element sequence
+    // materialization, bounds filter, or element_at index arithmetic).
+    // arrays_zip pads the k-long tail with NULL context, which the
+    // post-explode isNotNull filter drops — exactly the pairs the
+    // bounds-checked index form produced (corpus sums verified
+    // identical; 0.84 → 0.73 s at local[32]/sf0.1).
     def pairsAt(k: Int): Column =
       transform(
-        filter(sequence(lit(0), size(col("toks")) - 1),
-          i => i + lit(k) < size(col("toks"))),
-        i => struct(
-          element_at(col("toks"), i + 1).as("w"),
-          element_at(col("toks"), i + lit(k) + 1).as("c"),
-          lit(k).as("k")))
+        arrays_zip(col("toks"),
+          slice(col("toks"), lit(k + 1),
+            greatest(size(col("toks")) - k, lit(0)))),
+        p => struct(p.getField("toks").as("w"),
+          p.getField("1").as("c"), lit(k).as("k")))
     withToks
       .select(col("doc_id"),
         explode(concat((1 to maxDist).map(pairsAt): _*)).as("p"))
       .select(col("doc_id"), col("p.w"), col("p.c"), col("p.k"))
+      .filter(col("c").isNotNull)
       .groupBy("w", "c", "k")
       .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
   }
