@@ -586,9 +586,17 @@ object TpchQueries {
   /** Q21 shape — suppliers who kept orders waiting: for finalized
     * orders, lineitems shipped > 30 days after ordering (the fixture's
     * lateness test) where the order is multi-supplier yet NO OTHER
-    * supplier was late — an EXISTS plus a NOT EXISTS, both collapsing
-    * to semi/anti joins on the order key with residual inequality
-    * conditions. Counts per supplier. */
+    * supplier was late. The EXISTS / NOT-EXISTS pair evaluates on
+    * per-order min/max supplier keys (r17): "another supplier exists in
+    * the order" ⟺ min(suppkey) ≠ max(suppkey) over the order's
+    * lineitems, and "no OTHER supplier was late" for a late row ⟺ the
+    * order's LATE rows carry one distinct supplier ⟺ late min = max —
+    * both plain map-side-combinable rollups, so the old corpus-scale
+    * semi broadcast (every (orderkey, suppkey) pair) and the
+    * residual-condition anti SMJ become two semi joins against
+    * order-keyed contractions (0.9 → 0.68 s at local[32]/sf0.1 with
+    * identical supplier/numwait sums; oracle unchanged). Counts per
+    * supplier. */
   val qTpchQ21: Q = (s, d) => {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderstatus") === "F")
@@ -599,15 +607,19 @@ object TpchQueries {
       .filter(col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .select("l_orderkey", "l_suppkey")
-    val others = li.select(col("l_orderkey").as("o2_key"),
-      col("l_suppkey").as("s2_key"))
-    val lateOthers = late.select(col("l_orderkey").as("o3_key"),
-      col("l_suppkey").as("s3_key"))
+    val multiSupp = li.groupBy(col("l_orderkey").as("po_key"))
+      .agg(min(col("l_suppkey")).as("s_min"),
+        max(col("l_suppkey")).as("s_max"))
+      .filter(col("s_min") =!= col("s_max"))
+      .select("po_key")
+    val lateSolo = late.groupBy(col("l_orderkey").as("ls_key"))
+      .agg(min(col("l_suppkey")).as("ls_min"),
+        max(col("l_suppkey")).as("ls_max"))
+      .filter(col("ls_min") === col("ls_max"))
+      .select("ls_key")
     late
-      .join(others, col("l_orderkey") === col("o2_key") &&
-        col("l_suppkey") =!= col("s2_key"), "left_semi")
-      .join(lateOthers, col("l_orderkey") === col("o3_key") &&
-        col("l_suppkey") =!= col("s3_key"), "left_anti")
+      .join(multiSupp, col("l_orderkey") === col("po_key"), "left_semi")
+      .join(lateSolo, col("l_orderkey") === col("ls_key"), "left_semi")
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
   }
