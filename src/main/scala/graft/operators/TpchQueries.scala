@@ -590,38 +590,38 @@ object TpchQueries {
     * per-order min/max supplier keys (r17): "another supplier exists in
     * the order" ⟺ min(suppkey) ≠ max(suppkey) over the order's
     * lineitems, and "no OTHER supplier was late" for a late row ⟺ the
-    * order's LATE rows carry one distinct supplier ⟺ late min = max —
-    * both plain map-side-combinable rollups, so the old corpus-scale
-    * semi broadcast (every (orderkey, suppkey) pair) and the
-    * residual-condition anti SMJ become two semi joins against
-    * order-keyed contractions (0.9 → 0.68 s at local[32]/sf0.1 with
-    * identical supplier/numwait sums; oracle unchanged). Counts per
-    * supplier. */
+    * order's LATE rows carry one distinct supplier ⟺ late min = max.
+    *
+    * r18: both contractions plus the late-row count fold into ONE
+    * order-keyed aggregate directly above the lineitem⋈orders join —
+    * the join's hash partitioning on l_orderkey already satisfies the
+    * groupBy, so the aggregate plans NO exchange of its own, and the
+    * two semi joins back onto the late rows disappear entirely (each
+    * qualifying order's late rows all carry supplier late_min, so
+    * numwait per supplier ≡ Σ late_cnt). One lineitem scan instead of
+    * two and the r17 form's two semi probes gone; results identical
+    * (oracle hash-match re-verified; the l2 subquery restricted to
+    * F orders is the same set because l1's order IS an F order). */
   val qTpchQ21: Q = (s, d) => {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
     val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey",
       "l_shipdate")
-    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") >
-        col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-      .select("l_orderkey", "l_suppkey")
-    val multiSupp = li.groupBy(col("l_orderkey").as("po_key"))
+    val lateSupp = when(
+      col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+      col("l_suppkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
       .agg(min(col("l_suppkey")).as("s_min"),
-        max(col("l_suppkey")).as("s_max"))
-      .filter(col("s_min") =!= col("s_max"))
-      .select("po_key")
-    val lateSolo = late.groupBy(col("l_orderkey").as("ls_key"))
-      .agg(min(col("l_suppkey")).as("ls_min"),
-        max(col("l_suppkey")).as("ls_max"))
-      .filter(col("ls_min") === col("ls_max"))
-      .select("ls_key")
-    late
-      .join(multiSupp, col("l_orderkey") === col("po_key"), "left_semi")
-      .join(lateSolo, col("l_orderkey") === col("ls_key"), "left_semi")
-      .groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("numwait"))
+        max(col("l_suppkey")).as("s_max"),
+        min(lateSupp).as("late_min"),
+        max(lateSupp).as("late_max"),
+        count(lateSupp).as("late_cnt"))
+      .filter(col("s_min") =!= col("s_max") &&
+        col("late_min") === col("late_max"))
+      .groupBy(col("late_min").as("l_suppkey"))
+      .agg(sum(col("late_cnt")).as("numwait"))
   }
 
   val queries: Map[String, Q] = Map(

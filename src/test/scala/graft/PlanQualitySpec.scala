@@ -90,9 +90,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // user-keyed lead window + the two-exchange distinct rewrite of
     // count_distinct(user_id) in the pair aggregate
     "q_markov_transitions" -> 3,
-    // late-set build join + the EXISTS semi + NOT-EXISTS anti on the
-    // order key + the final supplier rollup (exchange reuse dedupes the
-    // shared late subtree)
+    // r18 one-pass form: lineitem⋈orders on the order key (two sort
+    // exchanges in the static AQE-off view), the per-order min/max/late
+    // contraction riding the join's partitioning exchange-free, then
+    // the final supplier rollup
     "q_tpch_q21" -> 3,
     // after the r13 de-forcing of the customer/supplier slice broadcasts
     // the STATIC (AQE-off, no CBO stats) planner sort-merges the amer
@@ -304,6 +305,131 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(unboundedForcedBroadcasts(
       basketShape.queryExecution.analyzed).nonEmpty,
       "guard failed to detect a forced frequent-item-set broadcast")
+  }
+
+  // An UNPARTITIONED window (empty partitionBy) moves every row of its
+  // input to ONE partition — WindowExec itself warns "Moving all data to
+  // a single partition". That is safe ONLY when the input frame is
+  // provably contracted (same standard as the broadcast guard above):
+  // a Limit / ungrouped Aggregate / bounded-domain grouping below the
+  // window, or a pinned rationale for a boundedness the plan cannot
+  // show. Unlike forced broadcasts these had NO guard (VERDICT r17
+  // item 4): a future query composing one over an uncontracted frame
+  // fails only at 100 TB.
+
+  // Columns whose grouping bounds a WINDOW input but that the broadcast
+  // guard deliberately excludes: calendar grains (bounded by the
+  // fixture's time span, not corpus size) and schema-bounded value
+  // domains that rollups alias onto their grouping keys.
+  private val windowBoundedCols = boundedDomainCols ++ Set(
+    "day", "week", "month", "yr", "year", "hour", "hr",  // calendar grains
+    "dow", "iso_dow",
+    "source",                                 // documents source domain
+    "len_bucket",                             // n_chars div 200 buckets
+    "digit",                                  // Benford first digit 1..9
+    "decile",                                 // ntile(10) output 1..10
+    "brand")                                  // p_brand: schema-constant
+
+  // A grouping expression bounds the rollup when its inputs are bounded
+  // (references ⊆ windowBoundedCols) OR when it is a declared grain
+  // projection aliased onto a bounded name — `to_date(ts) AS day`,
+  // `year(o_orderdate) AS yr` — where the INPUT scales but the image
+  // set does not.
+  private def boundedWindowGrouping(a: Aggregate): Boolean =
+    a.groupingExpressions.nonEmpty && a.groupingExpressions.forall { g =>
+      g.references.forall(r => windowBoundedCols.contains(r.name)) ||
+        (g match {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+            windowBoundedCols.contains(al.name)
+          case other => a.aggregateExpressions.exists {
+            case al: org.apache.spark.sql.catalyst.expressions.Alias
+                if al.child.semanticEquals(other) =>
+              windowBoundedCols.contains(al.name)
+            case _ => false
+          }
+        })
+    }
+
+  private def windowContracted(p: LogicalPlan): Boolean =
+    p.collectFirst {
+      case _: GlobalLimit => ()
+      case a: Aggregate if a.groupingExpressions.isEmpty => ()
+      case a: Aggregate if boundedWindowGrouping(a) => ()
+    }.nonEmpty
+
+  private val pinnedUnpartitionedWindow = Map(
+    // global quantile banding IS the declared surface: ntile needs a
+    // total order over the per-entity rollup. The rollup contracts the
+    // stream to |customers| / |users| rows; past single-partition reach
+    // the banding boundaries come from the weighted-percentile device
+    // (qParetoShare scaladoc) — the window form is the declared
+    // fixture-scale shape.
+    "q_rfm_segments" ->
+      "global ntile(5) banding over the per-customer rollup (declared)",
+    "q_pareto_share" ->
+      ("global ntile(10) over the per-user rollup; scaladoc declares " +
+        "the weighted-percentile swap past single-partition reach"),
+    // the load-rank/share audit is BY DEFINITION a total order over the
+    // per-key rollup — a maintenance report sized by |keys|, not corpus
+    "q_skew_report" ->
+      "total-order load rank over the per-key rollup (audit surface)",
+    // Q11/Q15: global total / max over the per-supplier rollup — the
+    // rollup is |suppliers|-sized (contracted from lineitem but
+    // SF-scaling); both scaladocs pin the 1-row-scalar swap at scale
+    "q_tpch_q11" ->
+      "full-frame total/count over the |suppliers| rollup",
+    "q_tpch_q15" ->
+      "full-frame max over the |suppliers| revenue rollup")
+
+  test("no unpartitioned window over an uncontracted scaling frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def offendingWindows(plan: LogicalPlan): Seq[LWindow] =
+      plan.collect {
+        case w: LWindow
+            if w.partitionSpec.isEmpty &&
+              touchesScalingTable(w.child) &&
+              !windowContracted(w.child) => w
+      }
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (n, _) => pinnedUnpartitionedWindow.contains(n) }
+      .flatMap { case (name, fn) =>
+        val analyzed = fn(spark, TestSpark.sf).queryExecution.analyzed
+        val bad = offendingWindows(analyzed)
+        if (bad.nonEmpty)
+          Some(s"$name: ${bad.size} unpartitioned window(s) over a " +
+            "scaling-table frame with no provable contraction below")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+
+    import org.apache.spark.sql.functions.{col, row_number, sum}
+    import org.apache.spark.sql.expressions.{Window => EWindow}
+
+    // positive control 1: a global rank over the raw fact stream — the
+    // exact shape the guard exists to catch (all rows to one partition)
+    val li = Tables.lineitem(spark, TestSpark.sf)
+    val globalRank = li.withColumn("rk",
+      row_number().over(EWindow.orderBy(col("l_orderkey"))))
+    assert(offendingWindows(globalRank.queryExecution.analyzed).nonEmpty,
+      "guard failed to detect a global window over the raw fact table")
+
+    // positive control 2: a cumulative sum over a rollup grouped by a
+    // SCALING key (per-order totals) — contracted in row count at sf0.1
+    // but proportional to the corpus, so still a one-partition hazard
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .withColumn("cum", sum(col("q")).over(
+        EWindow.orderBy(col("l_orderkey"))))
+    assert(offendingWindows(perOrder.queryExecution.analyzed).nonEmpty,
+      "guard failed to detect a cumulative window over an order-keyed rollup")
+
+    // negative control: the q_stat_ks shape — cumulative window above a
+    // bounded-domain (bin) rollup is the blessed pattern
+    val binned = li.groupBy(col("l_linestatus").as("bin"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .withColumn("cum", sum(col("q")).over(EWindow.orderBy(col("bin"))))
+    assert(offendingWindows(binned.queryExecution.analyzed).isEmpty,
+      "guard flagged the blessed bounded-rollup cumulative window")
   }
 
   // Plan-fingerprint pin: docs/plan_census.tsv holds a canonical
