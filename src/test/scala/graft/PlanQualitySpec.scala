@@ -157,6 +157,14 @@ class PlanQualitySpec extends AnyFunSuite {
     // + the (type, lag) sufficient-stats fold — post-contraction
     // stages move |days|·|lags| rows
     "q_ts_cross_corr" -> 3,
+    // r18 single-pass form: ONE corpus (w, c) pair-rollup exchange —
+    // statically planned twice (the bigram filter and the unigram
+    // regroup consume the same subtree; runtime ReuseExchange collapses
+    // the twin) — plus the vocabulary-sized unigram regroup. The old
+    // 2-exchange plan shuffled the corpus TWICE (separate bigram and
+    // unigram tokenization passes); every exchange beyond the first
+    // here moves vocabulary-sized rollups
+    "q_text_colloc" -> 3,
     // degree build (union-agg) + the degree-histogram rollup + the
     // singleton cumulative window over the |distinct degrees| rows
     "q_graph_degree_dist" -> 3).withDefaultValue(2)
