@@ -689,10 +689,17 @@ object Geo {
     * agg buffers cost what the sorts did; the window form stays.) */
   val qGeoOdMatrix: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val wAsc = Window.partitionBy("user_id", "day")
+    // r18: both endpoints read off ONE ascending (ts, event_id) window —
+    // first_value for the origin, last_value over the full frame for the
+    // destination — instead of two opposite-direction row_number windows
+    // (the old plan paid TWO in-partition sorts on the same exchange;
+    // this one pays one). first/last over the full frame are constant
+    // per (user, day), so the endpoint rollup is unchanged. (The r17
+    // min_by/max_by rewrite — no window at all — was a measured wash
+    // and stays out.)
+    val wFull = Window.partitionBy("user_id", "day")
       .orderBy(col("ts"), col("event_id"))
-    val wDesc = Window.partitionBy("user_id", "day")
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.events(s, d)
       .select(col("user_id"), col("ts"), to_date(col("ts")).as("day"),
         col("event_id"),
@@ -700,11 +707,11 @@ object Geo {
         derivedCoord(col("event_id"), "#lon", Range).as("lon_u"))
       .withColumn("cell",
         gridCell(col("lat_u"), col("lon_u"), HotspotCell))
-      .withColumn("rn_a", row_number().over(wAsc))
-      .withColumn("rn_d", row_number().over(wDesc))
+      .withColumn("o_cell_r", first(col("cell")).over(wFull))
+      .withColumn("d_cell_r", last(col("cell")).over(wFull))
       .groupBy(col("user_id"), col("day"))
-      .agg(max(when(col("rn_a") === 1, col("cell"))).as("o_cell"),
-        max(when(col("rn_d") === 1, col("cell"))).as("d_cell"))
+      .agg(max(col("o_cell_r")).as("o_cell"),
+        max(col("d_cell_r")).as("d_cell"))
       .groupBy(col("o_cell"), col("d_cell"))
       .agg(count(lit(1)).as("n_trips"))
   }
