@@ -130,13 +130,26 @@ object Behavior {
     * is window-state O(1) per row with no self-join, and the island id is
     * a pure function of the trace (partitioning-independent). */
   def runsConsecutive(events: DataFrame): DataFrame = {
+    // r18: island id via lag + cumulative change count instead of the
+    // two-row_number difference trick — the rn-diff windows sort the
+    // SAME exchange twice with different orders ((user, ts, id) and
+    // (user, type, ts, id)); lag and the running change-sum share one
+    // (user, ts, id) sort (the second Window rides the first's output
+    // order, no re-sort). Maximal same-type runs get one island index
+    // each either way, so the grouped output is row-identical (grp is
+    // dropped). Plan: 2 Sorts → 1; back-to-back A/B at local[32]:
+    // within noise at sf0.1 (median ≈0.75 both forms), ~12% at the 10×
+    // mirror (median 1.17 vs 1.33 s) where the second sort's cost
+    // shows; kept for the structurally smaller plan. Oracle verified
+    // at sf0.01, sf0.1 and the mirror.
     val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wTyp = Window.partitionBy("user_id", "event_type")
-      .orderBy("ts", "event_id")
+    val wCum = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("grp",
-        row_number().over(wAll) - row_number().over(wTyp))
+      .withColumn("chg",
+        when(col("event_type") =!= lag(col("event_type"), 1).over(wAll), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(wCum))
       .groupBy(col("user_id"), col("event_type"), col("grp"))
       .agg(count(lit(1)).as("run_len"),
         min(col("event_id")).as("min_event_id"),

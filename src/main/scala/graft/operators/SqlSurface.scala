@@ -109,7 +109,17 @@ object SqlSurface {
     * the average divides once at DECIMAL(18,6) so the comparison is
     * engine-exact. */
   val qCorrelatedAgg: Q = (s, d) => {
+    // r18: one custkey exchange shared by the rollup AND the probe —
+    // the explicit repartition makes both consumers' subtrees identical
+    // (ReuseExchange collapses them: one orders scan, one shuffle), the
+    // groupBy rides the partitioning exchange-free, and the join-back
+    // is in-partition. The old shape scanned orders twice and relied on
+    // a runtime broadcast of the |customers|-row average table — which
+    // scales with SF, so at lake scale it fell back to re-shuffling the
+    // probe side anyway; this plan IS that fallback, minus one scan.
     val ord = Tables.orders(s, d).filter(col("o_custkey").isNotNull)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .repartition(col("o_custkey"))
     val avgByCust = ord.groupBy(col("o_custkey"))
       .agg((sum(col("o_totalprice").cast(dec2)) / count(lit(1)))
         .cast(dec6).as("avg_price"))
