@@ -544,6 +544,20 @@ object TpchQueries {
     // buffers are only ~|parts| — the r17 q11 lesson again (cents pays
     // only when it removes per-row decimal SUM updates net of the
     // added casts). The decimal form stands.
+    // r18 A/B #2: the shared part-keyed exchange (the q_correlated_agg
+    // device — repartition(l_partkey), ReuseExchange collapses probe +
+    // rollup to one scan/one shuffle) measured FASTER at sf0.1 (median
+    // 0.68 vs 0.92) but 2–3× SLOWER at the 10× mirror (2.8–5.1 s vs
+    // 1.1–2.4): this rollup contracts ~30× map-side (30 rows/part), so
+    // the old plan shuffles |parts| partial rows where the repartition
+    // moves the full 6M-row stream and re-sorts it for the join. A
+    // fixture-only win that inverts at scale — rejected; the
+    // partial-agg + join-back form stands. (Contrast q20, whose rollup
+    // contracts 1.02× — same bytes once instead of twice — and
+    // q_correlated_agg, where the shared exchange won at BOTH fixtures
+    // because its probe is the 9-byte-narrow orders slice and the old
+    // form paid a 2nd scan + a |customers|-row broadcast build; here
+    // the probe drags l_extendedprice through a 6M-row re-sort.)
     val li = Tables.lineitem(s, d)
       .select("l_partkey", "l_quantity", "l_extendedprice")
     val perPart = li.groupBy(col("l_partkey"))
