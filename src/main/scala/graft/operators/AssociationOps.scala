@@ -214,13 +214,24 @@ object AssociationOps {
     * in TPC-H) — forcing a broadcast there is the same Heaps'-law
     * hazard as a corpus vocabulary. The join is item-keyed, so the
     * shuffled form is one exchange; AQE still broadcasts at runtime
-    * whenever freq genuinely fits. */
+    * whenever freq genuinely fits.
+    *
+    * r18: the basket contraction repartitions by ITEM up front, so the
+    * distinct, the frequent-set rollup AND the prune join all ride one
+    * item-keyed exchange (hash(item) satisfies the (ok, item) distinct
+    * by the subset rule) — exactly the regime where freq has outgrown
+    * broadcast and the old plan re-exchanged the stream for the prune
+    * join. Back-to-back: wash at sf0.1 (~1.0 s both, AQE broadcasts
+    * freq there anyway), ~2.3× at the 10× mirror (2.3–3.0 s vs
+    * 5.1–9.7). Results identical (oracle at sf0.01/sf0.1; the sf1
+    * DuckDB twin is the known quadratic-oracle class). */
   val MinSupport = 2L
 
   val qBasketRules: Q = (s, d) => {
     val allItems = Tables.lineitem(s, d)
       .filter(col("l_linenumber") <= 3)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .repartition(col("item"))
       .distinct()
     val freq = allItems.groupBy(col("item")).agg(count(lit(1)).as("s"))
       .filter(col("s") >= MinSupport)
