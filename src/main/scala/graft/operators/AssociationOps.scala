@@ -216,22 +216,26 @@ object AssociationOps {
     * shuffled form is one exchange; AQE still broadcasts at runtime
     * whenever freq genuinely fits.
     *
-    * r18: the basket contraction repartitions by ITEM up front, so the
-    * distinct, the frequent-set rollup AND the prune join all ride one
-    * item-keyed exchange (hash(item) satisfies the (ok, item) distinct
-    * by the subset rule) — exactly the regime where freq has outgrown
-    * broadcast and the old plan re-exchanged the stream for the prune
-    * join. Back-to-back: wash at sf0.1 (~1.0 s both, AQE broadcasts
-    * freq there anyway), ~2.3× at the 10× mirror (2.3–3.0 s vs
-    * 5.1–9.7). Results identical (oracle at sf0.01/sf0.1; the sf1
-    * DuckDB twin is the known quadratic-oracle class). */
+    * r18 A/B, ACCEPTED THEN REVERTED after a final-plan audit: an
+    * up-front repartition(item) — intended to let the distinct, the
+    * frequent-set rollup and the prune join share one item exchange —
+    * measured ~2.3× at the 10× mirror (2.3–3.0 s vs 5.1–9.7), but
+    * graft.tools.ExplainFinal showed the runtime plan planned the
+    * repartitioned subtree FOUR times un-reused (the consumers prune
+    * different columns below the exchange, so canonical equality — and
+    * with it ReuseExchange, which dedupes the CURRENT form's distinct
+    * exchange across its three consumers — is destroyed). The entire
+    * mirror win was the repartition handing the single-row-group
+    * fixture scan 32-way parallelism (the r17-ruled-out
+    * repartition-after-scan device in disguise); at real scale it
+    * shuffles the stream 4× where this form shuffles it once. The
+    * ReuseExchange-deduped distinct stands. */
   val MinSupport = 2L
 
   val qBasketRules: Q = (s, d) => {
     val allItems = Tables.lineitem(s, d)
       .filter(col("l_linenumber") <= 3)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
-      .repartition(col("item"))
       .distinct()
     val freq = allItems.groupBy(col("item")).agg(count(lit(1)).as("s"))
       .filter(col("s") >= MinSupport)

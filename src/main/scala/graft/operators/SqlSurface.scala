@@ -109,17 +109,21 @@ object SqlSurface {
     * the average divides once at DECIMAL(18,6) so the comparison is
     * engine-exact. */
   val qCorrelatedAgg: Q = (s, d) => {
-    // r18: one custkey exchange shared by the rollup AND the probe —
-    // the explicit repartition makes both consumers' subtrees identical
-    // (ReuseExchange collapses them: one orders scan, one shuffle), the
-    // groupBy rides the partitioning exchange-free, and the join-back
-    // is in-partition. The old shape scanned orders twice and relied on
-    // a runtime broadcast of the |customers|-row average table — which
-    // scales with SF, so at lake scale it fell back to re-shuffling the
-    // probe side anyway; this plan IS that fallback, minus one scan.
+    // r18 A/B, ACCEPTED THEN REVERTED after a final-plan audit: an
+    // explicit repartition(o_custkey) on both consumers measured ~2× at
+    // the 10× mirror (0.95–1.38 s vs 1.96–2.36, twice) — but
+    // graft.tools.ExplainFinal showed the runtime plan still scans
+    // twice, still broadcasts the rollup, and the exchanges do NOT
+    // reuse (different column prunings): the entire "win" was the
+    // repartition giving the single-row-group fixture scan 32-way
+    // parallelism for the partial aggregate and the BHJ probe — the
+    // repartition-after-scan device r17 ruled scale-hostile, measured
+    // in disguise. At scale the extra full-stream exchange is a pure
+    // regression in the broadcastable regime and a wash past it. The
+    // rollup + runtime-broadcast join-back form stands. (Contrast q20
+    // and q_basket_rules, whose repartitions REMOVE exchanges from the
+    // plan — verified in the census — rather than adding one.)
     val ord = Tables.orders(s, d).filter(col("o_custkey").isNotNull)
-      .select("o_custkey", "o_orderkey", "o_totalprice")
-      .repartition(col("o_custkey"))
     val avgByCust = ord.groupBy(col("o_custkey"))
       .agg((sum(col("o_totalprice").cast(dec2)) / count(lit(1)))
         .cast(dec6).as("avg_price"))

@@ -860,17 +860,22 @@ object TextQueries {
     * occurrences. */
   def collocations(docs: DataFrame, minPairs: Long = 5L): DataFrame = {
     val withToks = docs.withColumn("toks", split(lower(col("text")), " "))
-    // r18: ONE corpus tokenize+explode pass instead of two. Bigrams via
-    // the shifted-slice arrays_zip device (the r17 skipgram rewrite at
-    // k = 1), KEEPING the NULL-padded tail row: the zip is exactly one
-    // row per token POSITION (each token appears once as `w`, paired
-    // with its successor or with NULL at end-of-doc), so the unigram
-    // counts re-derive from the pair table itself —
-    // n_tok(t) = Σ_c n_ab(t, c) including the NULL-context row — and
-    // the old second tokenization pass (corpus-wide explode + unigram
-    // rollup) collapses to a vocabulary-sized regroup of the pair
-    // rollup. Counts are provably identical; oracle re-verified at
-    // sf0.01 and sf0.1.
+    // r18: bigrams via the shifted-slice arrays_zip device (the r17
+    // skipgram rewrite at k = 1), KEEPING the NULL-padded tail row: the
+    // zip is exactly one row per token POSITION (each token appears
+    // once as `w`, paired with its successor or with NULL at
+    // end-of-doc), so the unigram counts re-derive from the pair table
+    // itself — n_tok(t) = Σ_c n_ab(t, c) including the NULL-context
+    // row — replacing the corpus-wide token explode + string-keyed
+    // unigram rollup with a vocabulary-sized regroup of pair partials.
+    // Honest plan note (graft.tools.ExplainFinal): the planner still
+    // materializes the pair subtree once per consumer (differently
+    // pruned, so no ReuseExchange), so this is not literally one corpus
+    // pass — the measured win is per-pass cost (positional zip vs
+    // index-HOF + the cheaper unigram derivation): 0.49–0.65 s vs
+    // 0.61–0.76 back-to-back at local[32]/sf0.1 and ~2.2× at the 10×
+    // mirror. Counts provably identical; oracle re-verified at sf0.01,
+    // sf0.1 and the mirror.
     val pairCounts = withToks
       .select(explode(arrays_zip(col("toks"),
         slice(col("toks"), lit(2),

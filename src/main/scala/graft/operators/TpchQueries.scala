@@ -552,12 +552,14 @@ object TpchQueries {
     // the old plan shuffles |parts| partial rows where the repartition
     // moves the full 6M-row stream and re-sorts it for the join. A
     // fixture-only win that inverts at scale — rejected; the
-    // partial-agg + join-back form stands. (Contrast q20, whose rollup
-    // contracts 1.02× — same bytes once instead of twice — and
-    // q_correlated_agg, where the shared exchange won at BOTH fixtures
-    // because its probe is the 9-byte-narrow orders slice and the old
-    // form paid a 2nd scan + a |customers|-row broadcast build; here
-    // the probe drags l_extendedprice through a 6M-row re-sort.)
+    // partial-agg + join-back form stands. This rejection generalized:
+    // the same device initially "won" on q_correlated_agg and
+    // q_basket_rules at the 10× mirror, and a graft.tools.ExplainFinal
+    // audit showed those wins were the repartition handing the
+    // single-row-group fixture scan 32-way parallelism (and in basket's
+    // case destroying ReuseExchange) — both reverted. The device is
+    // only real when the CENSUS exchange count drops (q20: 2 → 1 on a
+    // single linear consumer chain; q21's join-partitioned aggregate).
     val li = Tables.lineitem(s, d)
       .select("l_partkey", "l_quantity", "l_extendedprice")
     val perPart = li.groupBy(col("l_partkey"))
